@@ -1,13 +1,160 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.core.Keys
+import graft.embed.HashingEmbedder
+import graft.functions.VectorFunctions
+import graft.search.Search
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 gets an entry in `queries`,
+  * and (when DuckDB-expressible) an equivalent oracle SQL in `oracleSql`.
+  * Column names are aliased identically on both sides; floating-point
+  * aggregates are rounded on both sides so f64 summation-order noise cannot
+  * flip the driver's hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the reference's entire reason to exist in one pipeline —
+    * ingest documents, assign keys, embed the text column, exact top-10
+    * cosine search for a literal query, hydrate content (S2 -> E4 -> K1-K4).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val embedder = new HashingEmbedder(dim = 384)
+    val docs = Keys.withKey(documents(spark, sfDir))
+    val embedded = docs
+      .select(col(Keys.KeyCol), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.grouped(32).flatMap(b =>
+        b.iterator.map(_._1).zip(embedder.embed(b.iterator.map(_._2)))))
+      .toDF(Keys.KeyCol, "embedding")
+    Search.searchAndFetch(docs, embedded,
+      embedder.embedOne("fast key order sort table scan"), 10, "text")
+  }
+
+  // --- query helpers ---------------------------------------------------
+
+  /** Embedding of `vec_id = 0` collected as the query vector — the oracle
+    * uses a scalar subquery for the same row, so both sides score against
+    * the identical literal.
+    */
+  private def queryVec(s: SparkSession, d: String): Array[Float] =
+    embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  private def r2(c: org.apache.spark.sql.Column) = round(c, 2)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- reference-surface operators (SURVEY §2.1-2.4) --------------------
+
+  private val referenceQueries: Map[String, Q] = Map(
+    // A1 row count (reference COUNT quoting bug == COUNT(*) semantics)
+    "q_count" -> ((s, d) => documents(s, d).agg(count(lit(1)).as("n"))),
+
+    // A2 indexed count over the vector table
+    "q_indexed_count" -> ((s, d) => embeddings(s, d).agg(count(lit(1)).as("n"))),
+
+    // P1/P2 one-pass projection scan (replaces LIMIT/OFFSET pagination)
+    "q_scan_project" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"), col("text")).orderBy("doc_id")),
+
+    // P3 key-fetch semi-join (`WHERE _key IN (...)`)
+    "q_key_fetch" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("doc_id").isin(3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // K1 exact top-k cosine over the embeddings table
+    "q_topk_cosine" -> ((s, d) => {
+      val q = queryVec(s, d)
+      embeddings(s, d)
+        .select(col("vec_id"),
+          round(Search.scoreAgainst(col("embedding"), q), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // K3 search-and-fetch: top-k joined back for content (vec_id == doc_id)
+    "q_search_fetch" -> ((s, d) => {
+      val q = queryVec(s, d)
+      val hits = embeddings(s, d)
+        .select(col("vec_id"),
+          round(Search.scoreAgainst(col("embedding"), q), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+      documents(s, d)
+        .join(broadcast(hits), col("doc_id") === col("vec_id"))
+        .select(col("text").as("content"), col("doc_id").as("key"), col("score"))
+        .orderBy(desc("score"), col("key"))
+    })
+  )
+
+  private val referenceOracles: Map[String, String] = Map(
+    "q_count" -> "SELECT count(*) AS n FROM documents",
+    "q_indexed_count" -> "SELECT count(*) AS n FROM embeddings",
+    "q_scan_project" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "q_key_fetch" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id IN (3,5,8,13,21,34,55,89) ORDER BY doc_id",
+    "q_topk_cosine" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        | (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+        | FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q_search_fetch" ->
+      """WITH hits AS (
+        | SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+        | FROM embeddings ORDER BY score DESC, vec_id LIMIT 10)
+        |SELECT d.text AS content, d.doc_id AS key, h.score AS score
+        | FROM documents d JOIN hits h ON d.doc_id = h.vec_id
+        | ORDER BY h.score DESC, key""".stripMargin
+  )
+
+  // --- relational coverage (SURVEY §2.7 — Spark built-ins) --------------
+
+  private val relationalQueries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary: partial-agg (map-side combine) then
+    // 2-key shuffle — the canonical scale-safe aggregation shape.
+    "q1_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
+  )
+
+  private val relationalOracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, Q] = referenceQueries ++ relationalQueries
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = referenceOracles ++ relationalOracles
 }

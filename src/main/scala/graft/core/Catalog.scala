@@ -1,0 +1,225 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+
+import java.nio.charset.StandardCharsets
+
+/** A collection: one logical table persisted as a Parquet directory, plus a
+  * `config.json` and zero or more per-column embedding indexes.
+  *
+  * Layout (reference keeps `~/.letsearch/collections/<name>/{data.db,
+  * config.json, index/<column>/index.bin}`, collection_actor.rs:135-141,
+  * 403-407; collection_utils.rs:72-78):
+  *
+  * {{{
+  *   <root>/<name>/config.json
+  *   <root>/<name>/data/            <- the table (Parquet)
+  *   <root>/<name>/index/<column>/  <- (_key, embedding) Parquet per column
+  * }}}
+  *
+  * The embedding index is a plain `(_key: long, embedding: array<float>)`
+  * table instead of an HNSW graph: exact top-k over it is oracle-checkable
+  * and embarrassingly parallel, and the ANN path at scale is LSH/IVF
+  * bucketing over the same table (see [[graft.search.Ann]]) — a mutable
+  * in-memory graph is the one reference design that does not survive a
+  * 1000-executor cluster.
+  */
+class Collection private[core] (
+    val spark: SparkSession,
+    val rootDir: String,
+    val config: CollectionConfig
+) {
+  import Keys.KeyCol
+
+  val dir: String = s"$rootDir/${config.name}"
+  val dataDir: String = s"$dir/${config.db_path}"
+  def indexDir(column: String): String = s"$dir/${config.index_dir}/$column"
+
+  private def fs: FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The collection as a DataFrame (lazy scan — filters/projections push down). */
+  def df: DataFrame = spark.read.parquet(dataDir)
+
+  def isEmpty: Boolean = !fs.exists(new Path(dataDir))
+
+  /** Row count. The reference's `SELECT COUNT('{col}')` counts a string
+    * literal — effectively COUNT(*) (collection_actor.rs:380-389); we match
+    * the actual behavior: count rows.
+    */
+  def count(): Long = if (isEmpty) 0L else df.count()
+
+  /** Import a DataFrame as the initial table contents, assigning `_key`
+    * (dense 1..N) unless the source already carries one (S1/S2).
+    */
+  def importDf(source: DataFrame): Unit = {
+    require(isEmpty, s"collection ${config.name} already has data; use append")
+    Keys.withKey(source).write.mode("errorifexists").parquet(dataDir)
+  }
+
+  /** Append rows, aligning to the existing schema (missing columns -> null,
+    * extra columns dropped) and continuing `_key` at max+1 (S3/S4 semantics:
+    * the reference column-aligns via information_schema then lets the `_key`
+    * sequence default fire, collection_actor.rs:222-291).
+    */
+  def appendDf(source: DataFrame): Unit = {
+    if (isEmpty) { importDf(source); return }
+    val existing = df
+    val start = Keys.maxKey(existing) + 1
+    val targetFields = existing.schema.fields.filter(_.name != KeyCol)
+    val aligned = source.select(targetFields.map { f =>
+      if (source.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    Keys.withKey(aligned, start)
+      .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(dataDir)
+  }
+
+  /** Import pre-chunked text rows into `column` (S6 / DbImportMarkdownChunks):
+    * creates the table when absent; when present but lacking `column`, the
+    * schema is widened (old rows get null) and chunks land with null in the
+    * other columns.
+    */
+  def importChunks(chunks: Seq[String], column: String): Unit = {
+    Identifiers.validate(column)
+    import spark.implicits._
+    val chunkDf = chunks.toDF(column)
+    if (isEmpty) { importDf(chunkDf); return }
+    val existing = df
+    if (existing.schema.fieldNames.contains(column)) appendDf(chunkDf)
+    else {
+      // Widen: rewrite existing data with the new column, then append.
+      val widened = existing.withColumn(column, lit(null).cast(StringType))
+      val tmp = s"$dataDir.widening"
+      widened.write.mode("overwrite").parquet(tmp)
+      val p = new Path(dataDir)
+      fs.delete(p, true)
+      fs.rename(new Path(tmp), p)
+      appendDf(chunkDf)
+    }
+  }
+
+  /** The `(_key, embedding)` index table for `column`, empty-schema'd when absent. */
+  def embeddings(column: String): DataFrame = {
+    if (!fs.exists(new Path(indexDir(column))))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(KeyCol, org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("embedding", ArrayType(FloatType), false))))
+    else spark.read.parquet(indexDir(column))
+  }
+
+  /** Number of indexed vectors for `column` (A2: the reference asks the
+    * usearch index for its size, collection_actor.rs:367-378).
+    */
+  def indexedCount(column: String): Long =
+    if (!fs.exists(new Path(indexDir(column)))) 0L else embeddings(column).count()
+
+  /** Embed `column` incrementally and append to its index (E4).
+    *
+    * The reference's incremental driver pages LIMIT/OFFSET batches starting
+    * at `index.size()` (collection_actor.rs:808-871) — O(n·batches) rescans
+    * and fragile under reordering. Spark-native: the watermark is
+    * `max(_key)` already indexed; one partitioned pass embeds everything
+    * above it. Returns the number of rows embedded.
+    */
+  def embedColumn(column: String, embedder: graft.embed.Embedder,
+                  batchSize: Int = 32): Long = {
+    import spark.implicits._
+    val watermark = if (indexedCount(column) == 0L) 0L
+      else Keys.maxKey(embeddings(column))
+    val pending = df
+      .filter(col(KeyCol) > watermark)
+      // NULL text embeds as "" (reference flattens NULL to "" on batch scan,
+      // collection_actor.rs:446-449).
+      .select(col(KeyCol), coalesce(col(column).cast(StringType), lit("")))
+      .as[(Long, String)]
+    val embedded = pending.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(_._1).zip(embedder.embed(batch.iterator.map(_._2)))
+      }
+    }.toDF(KeyCol, "embedding")
+    embedded.cache()
+    val n = embedded.count()
+    if (n > 0) embedded.write.mode("append").parquet(indexDir(column))
+    embedded.unpersist()
+    n
+  }
+
+  /** Full search (K4): embed the query, exact top-k over the column's index,
+    * hydrate content by joining back on `_key` (K1+K3). Returns
+    * `(content, key, score)` in descending score order, matching the
+    * reference's `SearchResult` (collection_utils.rs:81-86).
+    */
+  def search(column: String, query: String, limit: Int,
+             embedder: graft.embed.Embedder): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    val qv = embedder.embedOne(query)
+    graft.search.Search.searchAndFetch(df, embeddings(column), qv, limit, column)
+  }
+
+  private[core] def writeConfig(): Unit = {
+    val p = new Path(s"$dir/config.json")
+    val out = fs.create(p, true)
+    try out.write(CollectionConfig.toJson(config).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+/** Identifier guard mirroring the reference's SQL-injection check
+  * (collection_actor.rs:21-28): alphanumeric + underscore only. We build
+  * `Column`s rather than SQL strings, but keep the validation for parity.
+  */
+object Identifiers {
+  def validate(name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid identifier: '$name'")
+}
+
+/** Create/load/list collections under a root directory (C1-C3 without the
+  * actor machinery — Spark's driver/executor scheduling replaces it).
+  */
+class Catalog(val spark: SparkSession, val rootDir: String) {
+  private def fs: FileSystem =
+    new Path(rootDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean = fs.exists(new Path(s"$rootDir/$name/config.json"))
+
+  /** C1: reject when present unless `overwrite`; persist config.json. */
+  def create(config: CollectionConfig, overwrite: Boolean = false): Collection = {
+    Identifiers.validate(config.name)
+    if (exists(config.name)) {
+      require(overwrite, s"collection ${config.name} already exists")
+      fs.delete(new Path(s"$rootDir/${config.name}"), true)
+    }
+    val c = new Collection(spark, rootDir, config)
+    fs.mkdirs(new Path(c.dir))
+    c.writeConfig()
+    c
+  }
+
+  /** C2: load from its persisted config. */
+  def load(name: String): Collection = {
+    val p = new Path(s"$rootDir/$name/config.json")
+    require(fs.exists(p), s"collection $name does not exist under $rootDir")
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    new Collection(spark, rootDir, CollectionConfig.fromJson(json))
+  }
+
+  /** C3: configs of every collection under the root. */
+  def list(): Seq[CollectionConfig] = {
+    val root = new Path(rootDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "config.json")))
+      .map(s => load(s.getPath.getName).config)
+  }
+
+  def drop(name: String): Unit = fs.delete(new Path(s"$rootDir/$name"), true)
+}

@@ -1,0 +1,111 @@
+package graft.embed
+
+import scala.util.hashing.MurmurHash3
+
+/** Batch text-embedding contract (E1, reference `Embedder` trait,
+  * src/model/model_utils.rs:25-31: `output_dim`, `output_dtype`,
+  * `embed(Vec<String>) -> Embeddings`).
+  *
+  * Spark-native shape: iterator-in/iterator-out so it drops straight into
+  * `Dataset.mapPartitions` — one embedder instance per task, no driver-side
+  * batching loop. Implementations must be `Serializable` (shipped to
+  * executors) and deterministic (the correctness oracle depends on it).
+  */
+trait Embedder extends Serializable {
+  /** Embedding dimensionality (reference: `output_dim`). */
+  def dim: Int
+
+  /** Declared output dtype — metadata only; Spark computes f32
+    * (reference `ModelOutputDType`, model_utils.rs:12-18; f16/i8 are
+    * storage variants there, and i8 is `unimplemented!` even in the
+    * reference, encoder_onnx.rs:330-332).
+    */
+  def dtype: String = "f32"
+
+  /** Embed a batch. Must return exactly one unit-or-zero-norm vector of
+    * length `dim` per input, in order.
+    */
+  def embed(texts: Iterator[String]): Iterator[Array[Float]]
+
+  def embedOne(text: String): Array[Float] = embed(Iterator(text)).next()
+}
+
+/** Deterministic offline embedder: seeded feature hashing over whitespace
+  * tokens + character trigrams, L2-normalized.
+  *
+  * Stands in for the reference's ONNX/Gemini encoders
+  * (encoder_onnx.rs:56-338, gemini_embedder.rs:78-141) in the zero-egress
+  * build: same contract (batch in, fixed-dim unit vectors out), fully
+  * reproducible across JVMs and runs, so search results are stable and
+  * testable. Trigram features make near-identical texts map to nearby
+  * vectors, which the near-dup operators exploit.
+  */
+final class HashingEmbedder(val dim: Int = 384, seed: Int = 42) extends Embedder {
+  require(dim > 0)
+
+  override def embed(texts: Iterator[String]): Iterator[Array[Float]] =
+    texts.map(embedText)
+
+  private def accumulate(v: Array[Float], feature: String, weight: Float): Unit = {
+    val h = MurmurHash3.stringHash(feature, seed)
+    val idx = math.floorMod(h, dim)
+    val sign = if ((h & 0x40000000) == 0) 1f else -1f
+    v(idx) += sign * weight
+  }
+
+  private def embedText(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    tokens.foreach { tok =>
+      accumulate(v, tok, 1.0f)
+      if (tok.length >= 3) {
+        var i = 0
+        while (i + 3 <= tok.length) {
+          accumulate(v, "#" + tok.substring(i, i + 3), 0.5f)
+          i += 1
+        }
+      }
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += v(i).toDouble * v(i); i += 1 }
+    if (norm > 0) {
+      val inv = 1.0 / math.sqrt(norm)
+      i = 0
+      while (i < dim) { v(i) = (v(i) * inv).toFloat; i += 1 }
+    }
+    v
+  }
+}
+
+/** Model registry (E5): `(name, variant) -> Embedder`, replacing the
+  * reference's `ModelManagerActor` id table (model_actor.rs:33-130). The
+  * registry lives on the driver; individual embedders are serialized into
+  * tasks on use.
+  */
+final class ModelRegistry {
+  private val models = scala.collection.concurrent.TrieMap.empty[(String, String), Embedder]
+
+  /** Register (idempotent) and return the embedder for a model spec. The
+    * default model mirrors the reference default `hf://mys/minilm` f32 at
+    * MiniLM's 384 dims (collection_utils.rs:39-41).
+    */
+  def load(name: String, variant: String = "f32"): Embedder =
+    models.getOrElseUpdate((name, variant), defaultFor(name, variant))
+
+  def register(name: String, variant: String, e: Embedder): Unit =
+    models.put((name, variant), e)
+
+  def get(name: String, variant: String = "f32"): Option[Embedder] =
+    models.get((name, variant))
+
+  private def defaultFor(name: String, variant: String): Embedder = {
+    // Dimension by model family: minilm-class 384, gemini-class 3072
+    // (gemini_embedder.rs:9-11); otherwise a compact default.
+    val dim =
+      if (name.contains("minilm")) 384
+      else if (name.startsWith("gemini://")) 3072
+      else 64
+    new HashingEmbedder(dim, seed = 42)
+  }
+}
