@@ -94,6 +94,55 @@ object SparkEntry {
         .join(broadcast(hits), col("doc_id") === col("vec_id"))
         .select(col("text").as("content"), col("doc_id").as("key"), col("score"))
         .orderBy(desc("score"), col("key"))
+    }),
+
+    // S3/S4 append semantics: same file imported twice — every doc_id
+    // appears exactly twice (key continuation itself is spec'd in
+    // CatalogSpec; this checks the union-all mechanics).
+    "q_union_append" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id")
+      docs.union(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // E4+K4 full pipeline on sfDir docs: embed text with the deterministic
+    // embedder, top-10 for a literal query (rows-only: the embedder is not
+    // SQL-expressible).
+    "q_embed_search" -> ((s, d) => {
+      import s.implicits._
+      val embedder = new HashingEmbedder(dim = 384)
+      val docs = Keys.withKey(documents(s, d))
+      val emb = docs
+        .select(col(Keys.KeyCol), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .mapPartitions(it => it.grouped(32).flatMap(b =>
+          b.iterator.map(_._1).zip(embedder.embed(b.iterator.map(_._2)))))
+        .toDF(Keys.KeyCol, "embedding")
+      Search.searchAndFetch(docs, emb,
+        embedder.embedOne("fast key order sort table scan"), 10, "text")
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // K1 approximate: hyperplane-LSH ANN top-10 (rows-only — approximate
+    // by construction; AnnSpec checks recall against exact).
+    "q_ann_topk" -> ((s, d) => {
+      val q = queryVec(s, d)
+      val planes = graft.search.Ann.hyperplanes(dim = q.length, bits = 6, seed = 42L)
+      val bucketed = graft.search.Ann.withBucket(embeddings(s, d), "embedding", planes)
+      graft.search.Ann.annTopK(bucketed, q, planes, k = 10,
+          keyCol = "vec_id", embCol = "embedding")
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // K1 approximate: IVF top-10 over 8 centroid lists (rows-only).
+    "q_ivf_topk" -> ((s, d) => {
+      val q = queryVec(s, d)
+      val e = embeddings(s, d)
+      val centers = graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8)
+      val assigned = graft.search.Ann.ivfAssign(e, "embedding", centers)
+      graft.search.Ann.ivfTopK(assigned, centers, q, k = 10, nProbe = 3,
+          keyCol = "vec_id", embCol = "embedding")
+        .withColumn("score", round(col("score"), 6))
     })
   )
 
@@ -115,46 +164,28 @@ object SparkEntry {
         | FROM embeddings ORDER BY score DESC, vec_id LIMIT 10)
         |SELECT d.text AS content, d.doc_id AS key, h.score AS score
         | FROM documents d JOIN hits h ON d.doc_id = h.vec_id
-        | ORDER BY h.score DESC, key""".stripMargin
+        | ORDER BY h.score DESC, key""".stripMargin,
+    "q_union_append" ->
+      """SELECT doc_id, count(*) AS n FROM (
+        | SELECT doc_id FROM documents UNION ALL SELECT doc_id FROM documents)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
-  // --- relational coverage (SURVEY §2.7 — Spark built-ins) --------------
-
-  private val relationalQueries: Map[String, Q] = Map(
-    // TPC-H Q1-style pricing summary: partial-agg (map-side combine) then
-    // 2-key shuffle — the canonical scale-safe aggregation shape.
-    "q1_agg" -> ((s, d) =>
-      lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("1998-09-02"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          r2(sum(col("l_quantity"))).as("sum_qty"),
-          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")))
-  )
-
-  private val relationalOracles: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 4) AS avg_disc,
-        | count(*) AS count_order
-        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        | GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
-
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, Q] = referenceQueries ++ relationalQueries
+  /** One entry per implemented operator from SURVEY.md §2 (plus the
+    * training-data-pipeline extensions).
+    */
+  def queries: Map[String, Q] =
+    referenceQueries ++
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.EventQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = referenceOracles ++ relationalOracles
+  def oracleSql: Map[String, String] =
+    referenceOracles ++
+      graft.queries.RelationalQueries.oracles ++
+      graft.queries.EventQueries.oracles ++
+      graft.queries.TextQueries.oracles
 }

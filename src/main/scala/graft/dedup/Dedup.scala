@@ -1,0 +1,245 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{StableHash, TextFunctions}
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - exact dedup is one hash-partitioned `groupBy(fingerprint)` — the
+  *    md5 key is uniform, so no skew; map-side partial aggregation halves
+  *    the shuffle.
+  *  - near-dup candidate generation NEVER compares all pairs: LSH bands
+  *    (MinHash) / bit blocks (SimHash) / hyperplane buckets (embeddings)
+  *    turn O(n²) into a bucket-grouped self-join where only same-bucket
+  *    rows meet. Bucket keys are hashes — uniformly distributed — and
+  *    pathological buckets (e.g. empty-text clones) can be capped with
+  *    `maxBucket`.
+  *  - verification (exact Jaccard / cosine) runs only on candidate pairs.
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Groups of byte-identical (normalized) texts: fingerprint, group size,
+    * representative (min) key. Pure Catalyst — oracle-checkable.
+    */
+  def exactDupGroups(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n"), min(col(keyCol)).as("min_key"))
+      .filter(col("n") > 1)
+
+  /** Keep the lowest-key row per distinct normalized text. Implemented as
+    * min-key-per-group + semi-join rather than a row_number window: the
+    * aggregate gets map-side combine and avoids materializing a sort per
+    * group — measurably cheaper at scale, same result.
+    */
+  def dedupExact(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val keep = df
+      .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(keyCol)).as(keyCol))
+      .select(keyCol)
+    df.join(keep, Seq(keyCol), "left_semi")
+  }
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** @param numHashes   signature length (k independent min-hashes)
+    * @param bands       LSH bands; rows per band = numHashes / bands.
+    *                    Candidate threshold ≈ (1/bands)^(rows/numHashes).
+    * @param shingleSize word-shingle width
+    * @param seed        hash-family seed
+    */
+  final case class MinHashParams(
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3, seed: Long = 42L) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  private[dedup] def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = Option(text).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) toks.toSet // short docs: unigram fallback keeps them comparable
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** MinHash signature of a text (k 64-bit min-hashes over word shingles). */
+  def minhashSignature(text: String, p: MinHashParams): Array[Long] = {
+    val shingles = shingleSet(text, p.shingleSize).map(StableHash.fnv64)
+    Array.tabulate(p.numHashes) { i =>
+      if (shingles.isEmpty) StableHash.family(0L, i, p.seed)
+      else shingles.iterator.map(StableHash.family(_, i, p.seed)).min
+    }
+  }
+
+  /** Exact word-shingle Jaccard similarity of two texts. */
+  def jaccard(a: String, b: String, shingleSize: Int): Double = {
+    val sa = shingleSet(a, shingleSize)
+    val sb = shingleSet(b, shingleSize)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else if (sa.isEmpty || sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  /** `(key, band, band_hash)` — one row per band per document; equal
+    * `(band, band_hash)` means the band's signature slice matched exactly.
+    */
+  def minhashBands(df: DataFrame, textCol: String, keyCol: String,
+                   p: MinHashParams): DataFrame = {
+    val bandsUdf = udf { (text: String) =>
+      val sig = minhashSignature(text, p)
+      (0 until p.bands).map { b =>
+        val slice = sig.slice(b * p.rowsPerBand, (b + 1) * p.rowsPerBand)
+        slice.foldLeft(StableHash.mix64(b.toLong))((acc, v) => StableHash.mix64(acc ^ v))
+      }
+    }
+    df.select(col(keyCol), posexplode(bandsUdf(col(textCol))).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket.
+    * `maxBucket` drops degenerate buckets (identical boilerplate exploding
+    * quadratically) — the standard skew guard; dropped buckets are exact
+    * dups anyway, which [[dedupExact]] already handles.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, keyCol: String,
+                        p: MinHashParams = MinHashParams(),
+                        maxBucket: Int = 1000): DataFrame = {
+    val bands = minhashBands(df, textCol, keyCol, p)
+    val bounded = bands
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$keyCol") < col(s"b.$keyCol"))
+      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified with exact shingle
+    * Jaccard >= `threshold`. Returns `(key_a, key_b, jaccard)`.
+    */
+  def minhashNearDups(df: DataFrame, textCol: String, keyCol: String,
+                      threshold: Double = 0.8,
+                      p: MinHashParams = MinHashParams()): DataFrame = {
+    val cand = minhashCandidates(df, textCol, keyCol, p)
+    val texts = df.select(col(keyCol), col(textCol))
+    val jacUdf = udf((a: String, b: String) => jaccard(a, b, p.shingleSize))
+    cand
+      .join(texts.withColumnRenamed(keyCol, "key_a").withColumnRenamed(textCol, "text_a"), "key_a")
+      .join(texts.withColumnRenamed(keyCol, "key_b").withColumnRenamed(textCol, "text_b"), "key_b")
+      .withColumn("jaccard", jacUdf(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- n-gram Jaccard (exact, blocked) --------------------------------
+
+  /** Exact n-gram Jaccard over all pairs within a blocking column (e.g.
+    * `lang` or a length bucket) — the non-probabilistic cross-check for
+    * MinHash. Without blocking this is O(n²); callers must block.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, keyCol: String,
+                        blockCol: String, threshold: Double,
+                        shingleSize: Int = 3): DataFrame = {
+    val t = df.select(col(blockCol).as("block"), col(keyCol), col(textCol))
+    val jacUdf = udf((a: String, b: String) => jaccard(a, b, shingleSize))
+    t.as("a").join(t.as("b"),
+        col("a.block") === col("b.block") && col(s"a.$keyCol") < col(s"b.$keyCol"))
+      .withColumn("jaccard", jacUdf(col(s"a.$textCol"), col(s"b.$textCol")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over word unigrams: per-token stable hash, bitwise
+    * vote, sign -> bit. Hamming distance approximates cosine over the
+    * token multiset.
+    */
+  def simhash64(text: String, seed: Long = 42L): Long = {
+    val toks = Option(text).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = StableHash.mix64(StableHash.fnv64(t) ^ StableHash.mix64(seed))
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1; j += 1 }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  def simhashUdf(seed: Long = 42L): Column => Column = {
+    val f = udf((s: String) => simhash64(s, seed))
+    c => f(c)
+  }
+
+  /** Near-dup pairs by SimHash: block on 16-bit quarters (a pair within
+    * Hamming distance 3 must agree exactly on at least one of 4 blocks —
+    * pigeonhole), then verify `bit_count(xor) <= maxHamming` on candidates.
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, keyCol: String,
+                      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    val sim = df.select(col(keyCol), simhashUdf(seed)(col(textCol)).as("simhash"))
+    val blocks = sim.select(col(keyCol), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("block", "block_val")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.block_val") === col("b.block_val") &&
+          col(s"a.$keyCol") < col(s"b.$keyCol"))
+      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup ---------------------------------------------
+
+  /** Near-dup pairs by embedding cosine >= `threshold`, found via
+    * multi-table random-hyperplane LSH: `tables` independent sign-hash
+    * tables of `bits` bits each; a pair is a candidate when it collides in
+    * ANY table (OR-amplification), then exact cosine verifies.
+    *
+    * Recall per pair at angle θ is `1 - (1 - p^bits)^tables` with
+    * `p = 1 - θ/π`; defaults give ~0.99+ for cosine >= 0.9. Lower
+    * thresholds need more/wider tables — that trade-off is the point of
+    * LSH; the exact twin (`q29_cosine_pairs`) is the ground truth.
+    */
+  def embeddingNearDups(embDf: DataFrame, keyCol: String, embCol: String,
+                        threshold: Double, bits: Int = 4, tables: Int = 8,
+                        seed: Long = 42L): DataFrame = {
+    val dim = embDf.select(size(col(embCol))).head().getInt(0)
+    val allPlanes = (0 until tables).map(t =>
+      graft.search.Ann.hyperplanes(dim, bits, seed + 1000L * t))
+    val bucketUdf = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      allPlanes.zipWithIndex.map { case (planes, t) =>
+        // table id in the high bits so buckets of different tables never join
+        (t.toLong << 32) | graft.search.Ann.bucketOf(arr, planes).toLong
+      }
+    }
+    val bucketed = embDf
+      .select(col(keyCol), col(embCol), explode(bucketUdf(col(embCol))).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$keyCol") < col(s"b.$keyCol"))
+      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
+        col(s"a.$embCol").as("emb_a"), col(s"b.$embCol").as("emb_b"))
+      .distinct()
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

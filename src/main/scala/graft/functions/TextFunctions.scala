@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All the numeric/string ones are pure Catalyst column expressions
+  * (codegen'd, no UDF) with exact DuckDB-SQL equivalents so the driver
+  * oracle can hash-match them; language ID is a deterministic Scala UDF
+  * (not SQL-expressible — verified by ScalaTest instead).
+  *
+  * The reference itself has no text analytics beyond a "is mostly text"
+  * PDF heuristic (src/pdf.rs:11-41); these are the north-star extensions
+  * (BASELINE.json) built on the same `documents` fixture.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text -> empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count — the approximate "word count" the reference's
+    * chunker builds on (chunker.rs:106-114).
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: words * 1.3 rounded up, matching
+    * the chunker's approximation.
+    */
+  def approxBpeCount(text: Column): Column =
+    ceil(tokenCount(text) * lit(1.3)).cast("long")
+
+  def charCount(text: Column): Column = length(text)
+
+  /** ASCII-punctuation character count (explicit class — identical meaning
+    * in Java and DuckDB regex dialects).
+    */
+  private val PunctClass = """[!-/:-@\[-`{-~]"""
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, PunctClass, ""))
+
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(charCount(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(charCount(text), lit(1))
+
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      greatest(charCount(text), lit(1))
+
+  /** Mean word length over non-whitespace chars. */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(tokenCount(text), lit(1))
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this")
+
+  /** Fraction of tokens that are (lowercased) English stopwords — a cheap
+    * natural-language-ness signal.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val stops = typedLit(Stopwords)
+    size(filter(tokens(text), t => array_contains(stops, lower(t)))).cast("double") /
+      greatest(tokenCount(text), lit(1))
+  }
+
+  /** Composite document-quality score in [0, 1]: rewards reasonable length
+    * and stopword presence, penalizes punctuation/digit noise. Deterministic
+    * arithmetic, replicated verbatim in the oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(20.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    val digitPenalty = least(digitRatio(text) * lit(5.0), lit(1.0))
+    round(
+      lit(0.4) * lenScore + lit(0.3) * stopScore +
+        lit(0.15) * (lit(1.0) - punctPenalty) +
+        lit(0.15) * (lit(1.0) - digitPenalty), 6)
+  }
+
+  /** Whitespace-normalized lowercase form — the canonical text for exact
+    * fingerprinting. Collapse runs FIRST, then trim: `trim` (in Spark and
+    * DuckDB alike) strips only spaces, so a trailing `" \n"` would survive
+    * trim-then-collapse as a trailing space.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-dup fingerprint: md5 of the normalized text (md5 produces the
+    * same hex in Spark and DuckDB, so this is oracle-checkable).
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** Word n-gram shingles as an array column (pure Catalyst: slice over a
+    * generated index sequence — no UDF, no explode).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  // ---- language ID (deterministic heuristic UDF) ----------------------
+
+  /** Tiny per-language marker profiles: common function words. Scored by
+    * marker hits per token; `und` when nothing matches or text is blank.
+    * (A trigram model would need shipped profile data; marker words keep it
+    * dependency-free and deterministic.)
+    */
+  private val LangMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Set("el", "la", "los", "las", "es", "una", "que", "por", "para", "con"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "avec"),
+    "it" -> Set("il", "la", "che", "di", "è", "una", "per", "con", "del", "non"))
+
+  def detectLang(text: String): String = {
+    if (text == null || text.trim.isEmpty) return "und"
+    // CJK detection by codepoint range first (no tokenization applies).
+    val cjk = text.codePoints().toArray.count(cp =>
+      (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF))
+    if (cjk * 2 > text.length) return "zh"
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return "und"
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> toks.count(markers.contains)
+    }
+    val (best, hits) = scores.maxBy { case (l, h) => (h, l) }
+    if (hits == 0) "und" else best
+  }
+
+  def langId(text: Column): Column = {
+    val f = udf((s: String) => detectLang(s))
+    f(text)
+  }
+
+  // ---- rolling-hash fingerprint (Rabin-Karp style) ---------------------
+
+  /** 64-bit polynomial rolling hash of the normalized text (base 257, mod
+    * 2^61-1). Content-defined fingerprint usable for shift-tolerant chunk
+    * identity; Scala-side only (verified by property tests).
+    */
+  def rollingHash(text: String): Long = {
+    val Mod = (1L << 61) - 1
+    val Base = 257L
+    var h = 0L
+    val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+    var i = 0
+    while (i < s.length) {
+      // (h * Base + c) mod 2^61-1 without overflow: use Math.multiplyHigh-free
+      // path via BigInt-free 128-bit split (Base fits in 9 bits).
+      h = ((h << 8) % Mod + h % Mod + s.charAt(i).toLong) % Mod // h*257 = h*256 + h
+      i += 1
+    }
+    h
+  }
+
+  def rollingHashUdf(text: Column): Column = {
+    val f = udf((s: String) => rollingHash(s))
+    f(text)
+  }
+}

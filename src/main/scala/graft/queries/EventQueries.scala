@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.streaming.Streams
+
+/** Event-stream operator coverage: windowed aggregation and gap
+  * sessionization — the batch twins of the Structured Streaming forms in
+  * [[graft.streaming.Streams]]. Timestamps are emitted as formatted strings
+  * (µs precision) so engine-level timestamp encodings can't skew the hash
+  * compare.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1h window per event type.
+    "q16_events_hourly" -> ((s, d) =>
+      Streams.hourlyTypeCounts(events(s, d))
+        .select(date_format(col("hour"), TsFmt).as("hour"),
+          col("event_type"), col("n"), col("value_sum"))),
+
+    // Gap-based sessions (30 min) per user.
+    "q17_sessionize" -> ((s, d) =>
+      Streams.sessionizeBatch(events(s, d), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          date_format(col("session_start"), TsFmt).as("session_start"),
+          date_format(col("session_end"), TsFmt).as("session_end"),
+          col("n_events"), col("value_sum"))),
+
+    // Per-type value distribution stats.
+    "q18_event_stats" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("avg_value"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"),
+          round(stddev_samp(col("value")), 4).as("sd_value"))
+        .orderBy(col("event_type"))),
+
+    // Daily active users — count-distinct per day (shuffle on day+user
+    // partial-distinct first at scale, which Spark's planner does).
+    "q19_daily_active" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"))
+        .orderBy(col("day")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q16_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour,
+        | event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q17_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        | numbered AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS value_sum
+        | FROM numbered GROUP BY user_id, session_seq
+        | ORDER BY user_id, session_seq""".stripMargin,
+    "q18_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(value), 4) AS avg_value,
+        | round(min(value), 4) AS min_value,
+        | round(max(value), 4) AS max_value,
+        | round(stddev_samp(value), 4) AS sd_value
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_daily_active" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | count(DISTINCT user_id) AS dau, count(*) AS n_events
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Relational operator coverage (SURVEY §2.7): the categories the reference
+  * delegates entirely to DuckDB — joins, aggregation, windows, set ops,
+  * scalar function library — expressed as Catalyst plans with DuckDB oracle
+  * twins.
+  *
+  * Scale notes are per-query in comments: broadcast the dimension side,
+  * partial-agg before shuffle, window partitioning must be user-key (never
+  * global), top-k via TakeOrderedAndProject.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r2(c: org.apache.spark.sql.Column) = round(c, 2)
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: map-side partial agg, 2-key shuffle, tiny result.
+    "q1_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Fact-fact-dim join: lineitem |><| orders shuffle on the join key,
+    // customer broadcast (dim). Revenue per market segment.
+    "q2_join_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("c_mktsegment"))),
+
+    // 4-way join, both dims broadcast — only one fact-fact shuffle.
+    "q3_multi_join" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("n_name"))),
+
+    // Window top-n per group (rank cut, deterministic tie-break by key).
+    "q4_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r2(col("o_totalprice")).as("totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Running sum per supplier — partitioned cumulative window; the frame
+    // is ROWS UNBOUNDED PRECEDING, order fully tie-broken so it is
+    // deterministic.
+    "q5_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          r2(sum(col("l_quantity")).over(w)).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q6_distinct" -> ((s, d) =>
+      lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"))
+        .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ROLLUP grouping sets (subtotals + grand total).
+    "q7_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Anti join: customers that never ordered.
+    "q8_anti_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+
+    // Global top-k: TakeOrderedAndProject (heap per partition, k rows to
+    // the driver) — never a full sort.
+    "q9_topn" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("totalprice"))
+        .orderBy(desc("totalprice"), col("o_orderkey"))
+        .limit(10)),
+
+    // Scalar string/math function library sampler (all codegen'd built-ins).
+    "q10_scalar_funcs" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_brand")).as("brand_len"),
+        r2(col("p_retailprice") * lit(1.1)).as("price_up"),
+        (col("p_size") % 7).as("size_mod"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))),
+
+    // Date/time function sampler.
+    "q11_date_funcs" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_98"))
+        .orderBy(col("o_orderkey"))),
+
+    // Semi join + conditional aggregation.
+    "q12_semi_agg" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          r2(avg(col("c_acctbal"))).as("avg_bal"))
+        .orderBy(col("c_mktsegment"))),
+
+    // Ordered string aggregation (sort_array(collect_list) is the
+    // deterministic Spark spelling).
+    "q13_collect" -> ((s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+        .orderBy(col("r_name"))),
+
+    // Conditional aggregation (hand pivot).
+    "q14_case_agg" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT", 1).otherwise(0)).as("n_other"),
+          r2(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+            .otherwise(0.0))).as("urgent_value"))
+        .orderBy(col("o_orderstatus"))),
+
+    // Join against a grouped-HAVING subquery: orders with > 4 line items.
+    "q15_having_join" -> ((s, d) => {
+      val big = lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items")).filter(col("n_items") > 4)
+      orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("n_items"), r2(col("o_totalprice")).as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q3_multi_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_window_topn" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q5_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        | FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q6_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q8_anti_join" ->
+      """SELECT c_custkey FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | ORDER BY c_custkey""".stripMargin,
+    "q9_topn" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
+        | ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        | substring(p_type, 1, 5) AS type_prefix, length(p_brand) AS brand_len,
+        | round(p_retailprice * 1.1, 2) AS price_up,
+        | p_size % 7 AS size_mod,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        | FROM part ORDER BY p_partkey""".stripMargin,
+    "q11_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        | dayofmonth(o_orderdate) AS dom, strftime(o_orderdate, '%Y-%m') AS ym,
+        | datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q12_semi_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+        | FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q13_collect" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        | FROM nation JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q14_case_agg" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority != '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+        | round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_value
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q15_having_join" ->
+      """SELECT o_orderkey, n_items, round(o_totalprice, 2) AS totalprice
+        | FROM orders JOIN (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |  GROUP BY l_orderkey HAVING count(*) > 4) b
+        | ON o_orderkey = b.l_orderkey ORDER BY o_orderkey""".stripMargin
+  )
+}

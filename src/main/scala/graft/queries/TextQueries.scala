@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.dedup.Dedup
+import graft.functions.{Chunker, TextFunctions}
+
+/** Training-data-pipeline operators over `documents`/`embeddings`: token
+  * stats, quality scoring, fingerprints, the dedup family, similarity
+  * pairs, language ID, chunking.
+  *
+  * Exact/deterministic operators carry full DuckDB oracles. Probabilistic
+  * ones come in pairs: the LSH/sketch variant (the 100 TB path, rows-only
+  * checked) next to an exact twin whose oracle doubles as the recall
+  * ground truth — e.g. `q27_minhash_neardups` is graded against the same
+  * exact-Jaccard SQL as `q26_jaccard_pairs`, so the gate fails if LSH
+  * recall drops below 1.0 on the fixture.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Token / char / approx-BPE counting (pure Catalyst).
+    "q20_token_stats" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.charCount(col("text")).cast("long").as("n_chars"),
+        TextFunctions.approxBpeCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // Quality metrics + composite score.
+    "q21_quality" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextFunctions.avgWordLen(col("text")), 6).as("avg_word_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // Language distribution of the corpus (declared labels).
+    "q22_lang_dist" -> ((s, d) =>
+      documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"))
+        .orderBy(col("lang"))),
+
+    // Exact-dup fingerprint per document.
+    "q23_fingerprint" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // Exact duplicate groups (empty when the corpus has none — still a
+    // valid hash target).
+    "q24_dedup_groups" -> ((s, d) =>
+      Dedup.exactDupGroups(documents(s, d), "text", "doc_id")
+        .orderBy(col("fingerprint"))),
+
+    // Corpus size before/after exact dedup, one row.
+    "q25_dedup_count" -> ((s, d) => {
+      val docs = documents(s, d)
+      docs.agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(TextFunctions.fingerprintMd5(col("text"))).as("n_distinct"))
+    }),
+
+    // Exact all-pairs n-gram Jaccard >= 0.8 — the verification twin (the
+    // fixture is small; at 100 TB you run q27's LSH instead).
+    "q26_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        documents(s, d).withColumn("all", lit(1)), "text", "doc_id",
+        blockCol = "all", threshold = 0.8, shingleSize = 3)
+        .orderBy(col("key_a"), col("key_b"))),
+
+    // MinHash LSH near-dups verified at >= 0.8 — graded against the exact
+    // oracle, i.e. recall must be 1.0 on the fixture (16 bands x 4 rows
+    // gives ~1-3e-8 miss probability at j >= 0.9).
+    "q27_minhash_neardups" -> ((s, d) =>
+      Dedup.minhashNearDups(documents(s, d), "text", "doc_id", threshold = 0.8)
+        .orderBy(col("key_a"), col("key_b"))),
+
+    // SimHash near-dups: Hamming <= 3 keeps the 4-block pigeonhole
+    // guarantee exact (any pair within distance 3 shares a block).
+    "q28_simhash_neardups" -> ((s, d) =>
+      Dedup.simhashNearDups(documents(s, d), "text", "doc_id", maxHamming = 3)
+        .orderBy(col("key_a"), col("key_b"))),
+
+    // Exact all-pairs embedding cosine >= 0.5 — verification twin of q30.
+    "q29_cosine_pairs" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cos = graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .filter(col("cosine") >= 0.5)
+        .select(col("a.vec_id").as("key_a"), col("b.vec_id").as("key_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
+    // LSH-bucketed embedding near-dups — the scale path (rows-only).
+    "q30_embedding_neardups" -> ((s, d) =>
+      Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.5, bits = 6)
+        .orderBy(col("key_a"), col("key_b"))),
+
+    // Heuristic language ID vs declared label (rows-only; deterministic).
+    "q31_langid" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"), col("lang").as("declared"),
+        TextFunctions.langId(col("text")).as("detected"))
+        .orderBy(col("doc_id"))),
+
+    // Rolling-hash document fingerprint (rows-only; deterministic).
+    "q32_rolling_fp" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextFunctions.rollingHashUdf(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))),
+
+    // Markdown chunking exploded to (doc, chunk_idx, chunk) — the UDTF
+    // shape (rows-only; algorithm not SQL-expressible).
+    "q33_chunks" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        posexplode(Chunker.chunkMarkdown(col("text"), maxTokens = 8, overlapTokens = 0))
+          .as(Seq("chunk_idx", "chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Multimodal plumbing: deterministic features over binary payloads
+    // (stub codec; rows-only).
+    "q34_media_features" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticMediaFromDocs(documents(s, d))
+      graft.multimodal.Multimodal.extractFeatures(media, "media_id", "content", dim = 16)
+        .select(col("media_id"),
+          round(graft.functions.VectorFunctions.l2Norm(col("features")), 4).as("feat_norm"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  // DuckDB twins. Tokenization parity: Spark `split(trim(x), '\s+')` ==
+  // DuckDB `string_split_regex(trim(x), '\s+')` (both drop the leading
+  // empty token after trim).
+  private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val ToksRaw = "string_split_regex(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksRaw) END AS n_tokens,
+         | length(text) AS n_chars,
+         | CAST(ceil((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksRaw) END) * 1.3) AS BIGINT) AS n_bpe
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_quality" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |                        'for','on','with','as','at','by','that','this'], t))) AS n_stop
+        | FROM documents)
+        |SELECT doc_id,
+        | round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+        | round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+        | round(CAST(n_nonws AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_word_len,
+        | round(0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+        |  + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 4.0, 1.0)
+        |  + 0.15 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+        |  + 0.15 * (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0)), 6) AS quality
+        | FROM m ORDER BY doc_id""".stripMargin,
+    "q22_lang_dist" ->
+      s"""SELECT lang, count(*) AS n,
+         | round(avg(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksRaw) END), 4) AS avg_tokens
+         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_dedup_groups" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        | count(*) AS n, min(doc_id) AS min_key
+        | FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+    "q25_dedup_count" ->
+      """SELECT count(*) AS n_total,
+        | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct
+        | FROM documents""".stripMargin,
+    "q26_jaccard_pairs" -> JaccardOracle,
+    "q27_minhash_neardups" -> JaccardOracle,
+    "q29_cosine_pairs" -> cosinePairsOracle
+  )
+
+  /** Exact word-3-shingle Jaccard >= 0.8 over all pairs; shared by the
+    * exact query and the MinHash recall gate.
+    */
+  private lazy val JaccardOracle: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       | s AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
+       |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+       |  FROM t)
+       |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       | FROM s a JOIN s b ON a.doc_id < b.doc_id
+       | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+       | ORDER BY key_a, key_b""".stripMargin
+
+  private lazy val cosinePairsOracle: String =
+    """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+      | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |   CAST(b.embedding AS DOUBLE[])) >= 0.5
+      | ORDER BY key_a, key_b""".stripMargin
+}

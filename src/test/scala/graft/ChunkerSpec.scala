@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Chunker
+import graft.functions.Chunker.ChunkerConfig
+
+/** The reference's 11 chunker tests ported 1:1 (src/chunker.rs:302-441) —
+  * the best-specified behavior in the reference repo.
+  */
+class ChunkerSpec extends AnyFunSuite {
+
+  private def chunk(text: String, maxTokens: Int, overlap: Int): Seq[String] =
+    Chunker.chunk(text, ChunkerConfig(maxTokens, overlap))
+
+  test("empty input") {
+    assert(chunk("", 512, 0).isEmpty)
+    assert(chunk("   \n  ", 512, 0).isEmpty)
+  }
+
+  test("short text single chunk") {
+    val text = "Hello world this is a short text."
+    val chunks = chunk(text, 512, 0)
+    assert(chunks == Seq(text))
+  }
+
+  test("header splitting") {
+    val text = "# Section A\n\nContent A.\n\n# Section B\n\nContent B."
+    val chunks = chunk(text, 10, 0)
+    assert(chunks.length >= 2, s"expected at least 2 chunks, got $chunks")
+    assert(chunks.exists(_.contains("Section A")), "chunk for A missing")
+    assert(chunks.exists(_.contains("Section B")), "chunk for B missing")
+  }
+
+  test("paragraph splitting") {
+    val text =
+      "First paragraph with some words.\n\nSecond paragraph with different words.\n\nThird paragraph."
+    val chunks = chunk(text, 3, 0)
+    assert(chunks.length >= 2, s"expected splits, got $chunks")
+  }
+
+  test("overlap tokens") {
+    val text = (1 to 100).map(i => s"word$i").mkString(" ")
+    val chunks = chunk(text, 20, 5)
+    assert(chunks.length > 1, "expected multiple chunks with small limit")
+  }
+
+  test("header level detection") {
+    assert(Chunker.headerLevel("# H1").contains(1))
+    assert(Chunker.headerLevel("## H2").contains(2))
+    assert(Chunker.headerLevel("### H3").contains(3))
+    assert(Chunker.headerLevel("#### H4").contains(4))
+    assert(Chunker.headerLevel("#nospace").isEmpty)
+    assert(Chunker.headerLevel("not a header").isEmpty)
+    assert(Chunker.headerLevel("").isEmpty)
+  }
+
+  test("h2 split within h1 section") {
+    val text =
+      "# Big Section\n\n## Part One\n\nWords words words.\n\n## Part Two\n\nMore words."
+    val chunks = chunk(text, 6, 0)
+    assert(chunks.length >= 2)
+  }
+
+  test("all chunks within limit") {
+    val text =
+      "# A\n\nLorem ipsum dolor sit amet.\n\n# B\n\nConsectetur adipiscing elit.\n\n# C\n\nSed do eiusmod tempor."
+    for (max <- Seq(5, 10, 50, 200)) {
+      for (ch <- chunk(text, max, 0)) {
+        val tok = Chunker.countTokens(ch)
+        assert(tok <= max + 5, s"chunk ($tok tokens) exceeds limit $max: $ch")
+      }
+    }
+  }
+
+  test("no infinite loop on oversized word") {
+    val longWord = "a" * 500
+    val text = s"$longWord short words here $longWord"
+    val chunks = chunk(text, 2, 1)
+    assert(chunks.nonEmpty)
+  }
+
+  test("split by tokens no overlap") {
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val chunks = chunk(text, 10, 0)
+    assert(chunks.length > 1)
+    for (i <- 0 until chunks.length - 1) {
+      val lastWord = chunks(i).split("\\s+").last
+      val firstNext = chunks(i + 1).split("\\s+").head
+      assert(lastWord != firstNext, s"unexpected overlap at chunk boundary $i")
+    }
+  }
+
+  // Extra (beyond the reference suite): the explode/Column form works in a plan.
+  test("column form explodes to chunks") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("# A\n\nsome words here\n\n# B\n\nmore words there").toDF("text")
+    val n = df.select(explode(Chunker.chunkMarkdown(col("text"), 5, 0))).count()
+    assert(n >= 2)
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, CollectionConfig, Keys}
+import graft.embed.HashingEmbedder
+import graft.search.Search
+
+class KeysSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keys are dense 1..N in source order") {
+    val df = Keys.withKey((1 to 100).map(i => s"row$i").toDF("v").repartition(7))
+    val keys = df.select("_key").as[Long].collect().sorted
+    assert(keys.toSeq == (1L to 100L))
+  }
+
+  test("existing _key is preserved") {
+    val df = Seq((10L, "a"), (20L, "b")).toDF("_key", "v")
+    assert(Keys.withKey(df).collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L))
+  }
+
+  test("maxKey of empty/keyless frames is 0") {
+    assert(Keys.maxKey(Seq.empty[String].toDF("v")) == 0L)
+    assert(Keys.maxKey(Seq("a").toDF("v")) == 0L)
+  }
+
+  test("single-file parquet keys match file row order") {
+    // The ordering contract behind the row_number() oracle parity.
+    val docs = Keys.withKey(Tables.documents(spark, sf0001))
+    val sample = docs.select("_key", "doc_id").collect()
+    assert(sample.forall(r => r.getLong(0) == r.getLong(1) + 1))
+  }
+}
+
+class ConfigSpec extends SparkSpec {
+  test("config json round-trip with defaults and unknown fields") {
+    val c = CollectionConfig(name = "t", index_columns = Seq("a", "b"))
+    assert(CollectionConfig.fromJson(CollectionConfig.toJson(c)) == c)
+    val partial = CollectionConfig.fromJson("""{"name":"x","mystery_field":1}""")
+    assert(partial.name == "x")
+    assert(partial.index_columns == Seq("text"))
+    assert(partial.model_name == "hf://mys/minilm")
+  }
+}
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_test").toString
+
+  test("create/load/list/drop/overwrite") {
+    val cat = new Catalog(spark, tmpRoot())
+    cat.create(CollectionConfig(name = "c1"))
+    intercept[IllegalArgumentException] { cat.create(CollectionConfig(name = "c1")) }
+    cat.create(CollectionConfig(name = "c1", model_variant = "f16"), overwrite = true)
+    assert(cat.load("c1").config.model_variant == "f16")
+    assert(cat.list().map(_.name) == Seq("c1"))
+    cat.drop("c1")
+    assert(!cat.exists("c1"))
+  }
+
+  test("append aligns schema and continues keys") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "c2"))
+    c.importDf(Seq(("a", 1), ("b", 2)).toDF("text", "extra"))
+    c.appendDf(Seq("c").toDF("text")) // missing 'extra' -> null
+    val rows = c.df.orderBy("_key").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.last.isNullAt(1))
+    // extra unknown column is dropped
+    c.appendDf(Seq(("d", 9, "zzz")).toDF("text", "extra", "unknown"))
+    assert(c.count() == 4)
+  }
+
+  test("importChunks widens schema with a new column") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "c3"))
+    c.importDf(Seq("hello").toDF("text"))
+    c.importChunks(Seq("ch1", "ch2"), "body")
+    val df = c.df
+    assert(df.schema.fieldNames.toSet == Set("text", "body", "_key"))
+    assert(df.count() == 3)
+    assert(df.filter(col("body").isNotNull).count() == 2)
+    intercept[IllegalArgumentException] { c.importChunks(Seq("x"), "bad-col") }
+  }
+
+  test("embed + search end-to-end with incremental watermark") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "c4"))
+    c.importDf(Seq("apple banana fruit", "car truck vehicle", "apple pie dessert").toDF("text"))
+    val emb = new HashingEmbedder(dim = 64)
+    assert(c.embedColumn("text", emb) == 3)
+    assert(c.embedColumn("text", emb) == 0) // nothing new
+    c.appendDf(Seq("banana split dessert").toDF("text"))
+    assert(c.embedColumn("text", emb) == 1) // only the appended row
+    val hits = c.search("text", "apple fruit", 2, emb).collect()
+    assert(hits.length == 2)
+    assert(hits.head.getString(0).contains("apple"))
+    // scores descending and within [-1, 1]
+    val scores = hits.map(_.getDouble(2))
+    assert(scores.sorted.reverse.toSeq == scores.toSeq)
+    assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+}
+
+class EmbedderSpec extends SparkSpec {
+  test("deterministic, unit-norm, fixed dim") {
+    val e = new HashingEmbedder(dim = 96)
+    val a1 = e.embedOne("the quick brown fox")
+    val a2 = e.embedOne("the quick brown fox")
+    assert(a1.toSeq == a2.toSeq)
+    assert(a1.length == 96)
+    val norm = math.sqrt(a1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(e.embedOne("").forall(_ == 0f))
+  }
+
+  test("similar texts score higher than unrelated") {
+    val e = new HashingEmbedder(dim = 384)
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val base = e.embedOne("spark query engine for large data")
+    val near = e.embedOne("spark query engine for larger data")
+    val far = e.embedOne("banana apple kiwi strawberry mango")
+    assert(cos(base, near) > cos(base, far))
+  }
+}
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top-k equals brute-force head and scores bounded") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = emb.filter(col("_key") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = Search.topK(emb, q, 5).collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 7L) // self-match first
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val all = emb.select(col("_key"), Search.scoreAgainst(col("embedding"), q).as("s"))
+      .orderBy(desc("s"), col("_key")).limit(5).collect()
+    assert(top.map(_.getLong(0)).toSeq == all.map(_.getLong(0)).toSeq)
+    assert(top.forall(r => r.getDouble(1) >= -1.0001 && r.getDouble(1) <= 1.0001))
+  }
+
+  test("limit validation matches reference bounds") {
+    Search.validateLimit(1); Search.validateLimit(100)
+    intercept[IllegalArgumentException] { Search.validateLimit(0) }
+    intercept[IllegalArgumentException] { Search.validateLimit(101) }
+  }
+}

@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.search.Ann
+import graft.streaming.Streams
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps one row per normalized text, lowest key") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text"),
+      (4L, "HELLO WORLD \n")).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(df, "text", "doc_id").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n") == 3)
+    val kept = Dedup.dedupExact(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash signature determinism and similarity monotonicity") {
+    val p = Dedup.MinHashParams()
+    val s1 = Dedup.minhashSignature("a b c d e f g h", p)
+    val s2 = Dedup.minhashSignature("a b c d e f g h", p)
+    assert(s1.toSeq == s2.toSeq && s1.length == p.numHashes)
+    val near = Dedup.minhashSignature("a b c d e f g X", p)
+    val far = Dedup.minhashSignature("q r s t u v w x", p)
+    def agree(a: Array[Long], b: Array[Long]) = a.zip(b).count(t => t._1 == t._2)
+    assert(agree(s1, near) > agree(s1, far))
+  }
+
+  test("minhash near-dups find the planted fixture pairs (recall 1.0)") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = Dedup.ngramJaccardPairs(
+      docs.withColumn("all", lit(1)), "text", "doc_id", "all", 0.8)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "text", "doc_id", 0.8)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact, s"minhash missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("jaccard bounds and identity") {
+    assert(Dedup.jaccard("a b c d", "a b c d", 3) == 1.0)
+    assert(Dedup.jaccard("a b c d", "w x y z", 3) == 0.0)
+    val j = Dedup.jaccard("a b c d e", "a b c d f", 3)
+    assert(j > 0 && j < 1)
+  }
+
+  test("simhash: identical texts 0 hamming, near texts < far texts") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    assert(ham(base, Dedup.simhash64("the quick brown fox jumps over the lazy dog")) == 0)
+    val near = Dedup.simhash64("the quick brown fox jumps over the lazy cat")
+    val far = Dedup.simhash64("completely different words entirely unrelated")
+    assert(ham(base, near) < ham(base, far))
+  }
+
+  test("simhash near-dup pairs include exact dups") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated content here totally")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "text", "doc_id", maxHamming = 3)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dups (multi-table LSH) match the exact pair set") {
+    val e = Tables.embeddings(spark, sf0001)
+    val exact = {
+      val cos = graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("c", cos).filter(col("c") >= 0.9)
+        .select("a.vec_id", "b.vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.9)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // OR-amplified LSH at cosine>=0.9 should reach full recall on 500 rows
+    assert(lsh == exact, s"missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+}
+
+class AnnSpec extends SparkSpec {
+
+  test("LSH ANN recall@10 against exact top-10") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = e.filter(col("_key") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val planes = Ann.hyperplanes(dim = q.length, bits = 6, seed = 42L)
+    val bucketed = Ann.withBucket(e, "embedding", planes)
+    val exact = graft.search.Search.topK(e, q, 10).collect().map(_.getLong(0)).toSet
+    val approx = Ann.annTopK(bucketed, q, planes, 10).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(approx.contains(3L), "self-match must be found (same bucket trivially)")
+    assert(recall >= 0.3, s"multi-probe recall@10 unexpectedly low: $recall")
+  }
+
+  test("IVF probes fewer rows and still finds the self-match") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = e.filter(col("_key") === 11).select("embedding").head().getSeq[Float](0).toArray
+    val centers = Ann.ivfTrain(e, "_key", "embedding", k = 8)
+    assert(centers.length == 8)
+    val assigned = Ann.ivfAssign(e, "embedding", centers).cache()
+    val probed = Ann.ivfTopK(assigned, centers, q, 10, nProbe = 2).collect()
+    assert(probed.map(_.getLong(0)).contains(11L))
+    // buckets are real partitions of the data
+    val sizes = assigned.groupBy("list_id").count().collect().map(_.getLong(1))
+    assert(sizes.sum == 500 && sizes.length > 1)
+    assigned.unpersist()
+  }
+
+  test("bucket determinism across invocations") {
+    val planes = Ann.hyperplanes(16, 8, 7L)
+    val planes2 = Ann.hyperplanes(16, 8, 7L)
+    assert(planes.flatten.toSeq == planes2.flatten.toSeq)
+    val v = Array.tabulate(16)(i => (i * 0.1 - 0.5).toFloat)
+    assert(Ann.bucketOf(v, planes) == Ann.bucketOf(v, planes2))
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts handle blanks and whitespace runs") {
+    val df = Seq("a b  c", "", "   ", "one").toDF("text")
+      .select(TextFunctions.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("quality score in [0,1], higher for natural text than noise") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs in a field of grass today",
+      "@@@@ #### $$$$ 1234 %%%% ^^^^ 5678 &&&& !!!!").toDF("text")
+      .select(TextFunctions.qualityScore(col("text")).as("q"))
+    val Array(good, bad) = df.as[Double].collect()
+    assert(good > bad)
+    assert(good >= 0 && good <= 1 && bad >= 0 && bad <= 1)
+  }
+
+  test("langId picks marker language, handles cjk and blanks") {
+    assert(TextFunctions.detectLang("the cat is on the mat") == "en")
+    assert(TextFunctions.detectLang("der Hund ist nicht ein Tier") == "de")
+    assert(TextFunctions.detectLang("el perro es una mascota") == "es")
+    assert(TextFunctions.detectLang("你好世界你好世界") == "zh")
+    assert(TextFunctions.detectLang("") == "und")
+    assert(TextFunctions.detectLang("zzz qqq vvv") == "und")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq("Hello  World", "hello world", "different")
+      .toDF("text").select(TextFunctions.fingerprintMd5(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("rolling hash deterministic and normalization-insensitive") {
+    assert(TextFunctions.rollingHash("a b c") == TextFunctions.rollingHash("A  B c "))
+    assert(TextFunctions.rollingHash("abc") != TextFunctions.rollingHash("abd"))
+  }
+
+  test("word shingles column form matches scala sliding") {
+    val got = Seq("a b c d e").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d", "c d e"))
+  }
+}
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch sessionize: gap starts new session") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(100), 3.0),
+      (2L, ts(5), 4.0)).toDF("user_id", "ts", "value")
+    val sessions = Streams.sessionizeBatch(df, gapMinutes = 30).collect()
+    assert(sessions.length == 3)
+    val u1 = sessions.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(u1.head.getAs[Long]("n_events") == 2)
+  }
+
+  test("streaming sessionize agrees with batch twin on a closed input") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(100), 3.0),
+      (2L, ts(5), 4.0), (2L, ts(50), 5.0))
+    val batch = Streams.sessionizeBatch(
+      rows.toDF("user_id", "ts", "value"), 30)
+      .select("user_id", "session_seq", "n_events", "value_sum")
+      .collect().map(_.toSeq).toSet
+
+    // drive the flatMapGroupsWithState pipeline through a memory stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val evs = mem.toDS().map(t => Streams.Ev(t._1, new java.sql.Timestamp(t._2), t._3))
+    val out = Streams.sessionizeStream(evs, 30)
+    val query = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    mem.addData(rows.map(r => (r._1, r._2.getTime, r._3)))
+    query.processAllAvailable()
+    // push watermark far past all sessions so timeouts fire and emit
+    mem.addData((99L, ts(10000).getTime, 0.0))
+    query.processAllAvailable()
+    mem.addData((99L, ts(20000).getTime, 0.0))
+    query.processAllAvailable()
+    val streamed = spark.table("sessions_out")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "session_seq", "n_events", "value_sum")
+      .collect().map(_.toSeq).toSet
+    query.stop()
+    assert(streamed == batch,
+      s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
+  }
+
+  test("hourly windowed stream over events parquet matches batch twin") {
+    import org.apache.spark.sql.types._
+    // stream the µs-converted events through a temp dir (stream source needs
+    // a static schema; reuse the batch loader then re-write)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ev = Tables.events(spark, sf0001).select("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(dir)
+    val batch = Streams.hourlyTypeCounts(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSet
+    val stream = Streams.hourlyTypeCountsStream(
+      spark, spark.read.parquet(dir).schema, dir)
+    val q = stream.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("hourly_out")
+      .select(col("hour"), col("event_type"), col("n"), col("value_sum"))
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    assert(got == batch)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.multimodal.Multimodal
+
+  test("synthetic media table conforms to the media schema shape") {
+    val media = Multimodal.syntheticMediaFromDocs(Tables.documents(spark, sf0001))
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "modality", "content", "meta"))
+    val mods = media.select("modality").distinct().collect().map(_.getString(0)).toSet
+    assert(mods == Set("image", "audio", "video"))
+  }
+
+  test("feature extraction is deterministic, unit-norm, partition-parallel") {
+    val media = Multimodal.syntheticMediaFromDocs(
+      Tables.documents(spark, sf0001)).repartition(7)
+    val f1 = Multimodal.extractFeatures(media, "media_id", "content", dim = 16)
+      .orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, "media_id", "content", dim = 16)
+      .orderBy("media_id").collect()
+    assert(f1.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
+    val norm = math.sqrt(f1.head.getSeq[Float](1).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+  }
+
+  test("frame sampling explodes n rows per media item") {
+    val media = Multimodal.syntheticMediaFromDocs(Tables.documents(spark, sf0001)).limit(10)
+    val frames = Multimodal.sampleFrames(media, "media_id", "content", nFrames = 4)
+    assert(frames.count() == 40)
+    assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame"))
+  }
+
+  test("resize plumbing produces the derived column") {
+    val media = Multimodal.syntheticMediaFromDocs(Tables.documents(spark, sf0001)).limit(5)
+    val resized = Multimodal.resizeImages(media, "content", 32, 32)
+    assert(resized.filter(col("content_resized").isNotNull).count() == 5)
+  }
+}
