@@ -20,17 +20,36 @@ object VectorFunctions {
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  /** Dot product of two array columns, computed in f64. */
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(e)
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftops.ColumnBridge.expression(c)
+
+  /** Dot product of two array columns, computed in f64 (fused codegen loop,
+    * [[graft.plans.DotProduct]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+    native(graft.plans.DotProduct(expr(asDouble(a)), expr(asDouble(b))))
 
   /** L2 norm in f64. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === lit(0.0), lit(0.0)).otherwise(dot(a, b) / denom)
+  /** Cosine similarity in [-1, 1]; 0 when either vector has zero norm.
+    * Backed by the fused codegen loop in [[graft.plans.CosineSimilarity]];
+    * numerically identical to [[cosineHof]] (f64, index-order accumulation).
+    */
+  def cosine(a: Column, b: Column): Column =
+    native(graft.plans.CosineSimilarity(expr(asDouble(a)), expr(asDouble(b))))
+
+  /** Declarative (higher-order-function) cosine — kept as the reference
+    * implementation the codegen Expression is property-tested against.
+    * ~20x slower on similarity joins: the lambdas run interpreted.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
+    def hofDot(x: Column, y: Column): Column =
+      aggregate(zip_with(asDouble(x), asDouble(y), _ * _), lit(0.0), _ + _)
+    val denom = sqrt(hofDot(a, a)) * sqrt(hofDot(b, b))
+    when(denom === lit(0.0), lit(0.0)).otherwise(hofDot(a, b) / denom)
   }
 
   /** Squared euclidean distance in f64 (used by IVF assignment). */

@@ -71,9 +71,8 @@ object TextQueries {
     // Exact all-pairs n-gram Jaccard >= 0.8 — the verification twin (the
     // fixture is small; at 100 TB you run q27's LSH instead).
     "q26_jaccard_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(
-        documents(s, d).withColumn("all", lit(1)), "text", "doc_id",
-        blockCol = "all", threshold = 0.8, shingleSize = 3)
+      Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+        blockCol = None, threshold = 0.8, shingleSize = 3)
         .orderBy(col("key_a"), col("key_b"))),
 
     // MinHash LSH near-dups verified at >= 0.8 — graded against the exact
@@ -90,10 +89,16 @@ object TextQueries {
         .orderBy(col("key_a"), col("key_b"))),
 
     // Exact all-pairs embedding cosine >= 0.5 — verification twin of q30.
+    // The float->double cast is materialized BEFORE the join (exchange /
+    // broadcast boundary): left in place it gets folded into the BNLJ
+    // condition and re-converts both vectors on every one of the n²/2
+    // pair evaluations.
     "q29_cosine_pairs" -> ((s, d) => {
       val e = embeddings(s, d)
-      val cos = graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cos = graft.functions.VectorFunctions.cosine(col("a.emb"), col("b.emb"))
+      e.repartition(col("vec_id")).as("a")
+        .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
         .withColumn("cosine", cos)
         .filter(col("cosine") >= 0.5)
         .select(col("a.vec_id").as("key_a"), col("b.vec_id").as("key_b"),

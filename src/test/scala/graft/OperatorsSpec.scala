@@ -33,8 +33,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash near-dups find the planted fixture pairs (recall 1.0)") {
     val docs = Tables.documents(spark, sf0001)
-    val exact = Dedup.ngramJaccardPairs(
-      docs.withColumn("all", lit(1)), "text", "doc_id", "all", 0.8)
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", None, 0.8)
       .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashNearDups(docs, "text", "doc_id", 0.8)
       .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
