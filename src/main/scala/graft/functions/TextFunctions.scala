@@ -144,6 +144,29 @@ object TextFunctions {
     f(text)
   }
 
+  // ---- "is mostly text" heuristic (E7) --------------------------------
+
+  /** The reference's text-PDF detector re-expressed as a cheap text-quality
+    * gate (src/pdf.rs:11-41): sample ~ceil(sqrt(pages)) pages, require >= 50
+    * non-whitespace chars on >= 50% of sampled pages. Here a "page" is any
+    * pre-split unit of text (the PDF parsing itself is out of scope in the
+    * zero-egress build).
+    */
+  val MinCharsPerPage = 50
+  def isMostlyText(pages: Seq[String]): Boolean = {
+    if (pages.isEmpty) return false
+    val sampleN = math.ceil(math.sqrt(pages.length.toDouble)).toInt
+    val step = math.max(1, pages.length / sampleN)
+    val sampled = pages.indices.by(step).take(sampleN).map(pages)
+    val textish = sampled.count(p =>
+      p.count(!_.isWhitespace) >= MinCharsPerPage)
+    textish * 2 >= sampled.length
+  }
+
+  /** Column form over a single text blob: >= 50 non-whitespace chars. */
+  def isTextLike(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")) >= lit(MinCharsPerPage)
+
   // ---- rolling-hash fingerprint (Rabin-Karp style) ---------------------
 
   /** 64-bit polynomial rolling hash of the normalized text (base 257, mod

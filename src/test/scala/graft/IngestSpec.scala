@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, CollectionConfig}
+import graft.functions.TextFunctions
+import graft.sources.Ingest
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ingest").toString
+
+  test("jsonl import infers schema, assigns keys; glob append continues keys") {
+    val dir = tmp()
+    // derive JSONL fixtures from the driver's documents table
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    docs.limit(20).write.json(s"$dir/part1")
+    docs.filter(col("doc_id") >= 20).write.json(s"$dir/part2")
+
+    val cat = new Catalog(spark, tmp())
+    val c = cat.create(CollectionConfig(name = "j"))
+    Ingest.importJsonl(c, s"$dir/part1/*.json")
+    assert(c.count() == 20)
+    assert(c.df.schema.fieldNames.contains("doc_id")) // inferred, not declared
+    val keys1 = c.df.select("_key").as[Long].collect().sorted
+    assert(keys1.toSeq == (1L to 20L))
+
+    Ingest.appendJsonl(c, s"$dir/part2/*.json")
+    val keys2 = c.df.select("_key").as[Long].collect().sorted
+    assert(keys2.toSeq == (1L to 30L))
+  }
+
+  test("parquet import + append with schema drift") {
+    val dir = tmp()
+    Seq(("a", 1)).toDF("text", "v").write.parquet(s"$dir/p1")
+    Seq(("b", "extra")).toDF("text", "unknown").write.parquet(s"$dir/p2")
+    val cat = new Catalog(spark, tmp())
+    val c = cat.create(CollectionConfig(name = "p"))
+    Ingest.importParquet(c, s"$dir/p1")
+    Ingest.appendParquet(c, s"$dir/p2") // 'v' -> null, 'unknown' dropped
+    val rows = c.df.orderBy("_key").collect()
+    assert(rows.length == 2 && rows(1).isNullAt(rows(1).fieldIndex("v")))
+  }
+
+  test("isMostlyText boundary matches the reference's 50-char heuristic") {
+    val page50 = "x" * 50
+    val page49 = "y" * 49
+    assert(TextFunctions.isMostlyText(Seq(page50)))
+    assert(!TextFunctions.isMostlyText(Seq(page49)))
+    assert(!TextFunctions.isMostlyText(Seq.empty))
+    // half the sampled pages textish -> accepted
+    assert(TextFunctions.isMostlyText(Seq(page50, page49)))
+    val mostlyEmpty = Seq(page50) ++ Seq.fill(8)(" ")
+    assert(!TextFunctions.isMostlyText(mostlyEmpty))
+  }
+}
