@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Catalog, CollectionConfig}
+import graft.embed.ModelRegistry
+import graft.sources.Ingest
+
+/** Thin CLI mirroring the reference's subcommands (src/main.rs:38-190):
+  *
+  * {{{
+  *   graft.Cli index   --collection C [--index-columns a,b] [--model m]
+  *                     [--variant f32] [--overwrite] <file.parquet|file.jsonl>
+  *   graft.Cli add-docs --collection C [--column col] <file>
+  *   graft.Cli search  --collection C --query "..." [--column col] [--limit 10]
+  *   graft.Cli serve   [--port 7898]
+  *   graft.Cli list    # collections (list-models is out of scope: network)
+  * }}}
+  *
+  * Collection root: `$GRAFT_HOME` (default `~/.graft/collections`), the
+  * analog of the reference's `~/.letsearch/collections`.
+  */
+object Cli {
+
+  private def spark(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(2, Runtime.getRuntime.availableProcessors()).toString)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def rootDir: String = sys.env.getOrElse("GRAFT_HOME",
+    sys.props("user.home") + "/.graft/collections")
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val (flags, positional) = parse(args.tail)
+    val s = spark()
+    s.sparkContext.setLogLevel("WARN")
+    val catalog = new Catalog(s, rootDir)
+    val registry = new ModelRegistry
+    try args.head match {
+      case "index" =>
+        val name = req(flags, "collection")
+        val config = CollectionConfig(
+          name = name,
+          index_columns = flags.getOrElse("index-columns", "text").split(",").toSeq,
+          model_name = flags.getOrElse("model", "hf://mys/minilm"),
+          model_variant = flags.getOrElse("variant", "f32"))
+        val c = catalog.create(config, overwrite = flags.contains("overwrite"))
+        importFile(c, positional.headOption.getOrElse(fail("input file required")))
+        val embedder = registry.load(config.model_name, config.model_variant)
+        config.index_columns.foreach { col =>
+          val n = c.embedColumn(col, embedder)
+          println(s"indexed $n rows for column '$col'")
+        }
+      case "add-docs" =>
+        val c = catalog.load(req(flags, "collection"))
+        importFile(c, positional.headOption.getOrElse(fail("input file required")),
+          append = true)
+        val embedder = registry.load(c.config.model_name, c.config.model_variant)
+        c.config.index_columns.foreach { col =>
+          val n = c.embedColumn(col, embedder)
+          println(s"indexed $n new rows for column '$col'")
+        }
+      case "search" =>
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val limit = flags.getOrElse("limit", "10").toInt
+        val embedder = registry.load(c.config.model_name, c.config.model_variant)
+        c.search(column, req(flags, "query"), limit, embedder)
+          .show(limit, truncate = 80)
+      case "serve" =>
+        val api = new graft.serve.HttpApi(catalog, registry,
+          flags.getOrElse("port", "7898").toInt)
+        val port = api.start()
+        println(s"serving on http://127.0.0.1:$port (ctrl-c to stop)")
+        Thread.currentThread().join()
+      case "list" =>
+        catalog.list().foreach(c => println(CollectionConfig.toJson(c)))
+      case other => fail(s"unknown command: $other")
+    } finally s.stop()
+  }
+
+  private def importFile(c: graft.core.Collection, path: String,
+                         append: Boolean = false): Unit = {
+    val lower = path.toLowerCase
+    val isJson = lower.endsWith(".jsonl") || lower.endsWith(".json")
+    (isJson, append) match {
+      case (true, false)  => Ingest.importJsonl(c, path)
+      case (true, true)   => Ingest.appendJsonl(c, path)
+      case (false, false) => Ingest.importParquet(c, path)
+      case (false, true)  => Ingest.appendParquet(c, path)
+    }
+    println(s"${if (append) "appended" else "imported"} $path -> ${c.config.name} (${c.count()} rows)")
+  }
+
+  private def parse(args: Array[String]): (Map[String, String], List[String]) = {
+    var flags = Map.empty[String, String]
+    var positional = List.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val key = a.drop(2)
+        if (key == "overwrite") { flags += key -> "true"; i += 1 }
+        else if (i + 1 < args.length) { flags += key -> args(i + 1); i += 2 }
+        else fail(s"flag --$key needs a value")
+      } else { positional :+= a; i += 1 }
+    }
+    (flags, positional)
+  }
+
+  private def req(flags: Map[String, String], key: String): String =
+    flags.getOrElse(key, fail(s"--$key is required"))
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"error: $msg"); usage(); sys.exit(2)
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: graft.Cli <index|add-docs|search|serve|list> [flags] [file]
+      |  index    --collection C [--index-columns a,b] [--model m] [--variant v] [--overwrite] <file>
+      |  add-docs --collection C <file>
+      |  search   --collection C --query Q [--column col] [--limit n]
+      |  serve    [--port 7898]
+      |  list""".stripMargin)
+}

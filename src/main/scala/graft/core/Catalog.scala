@@ -103,7 +103,12 @@ class Collection private[core] (
     }
   }
 
-  /** The `(_key, embedding)` index table for `column`, empty-schema'd when absent. */
+  /** The `(_key, embedding)` index table for `column`, empty-schema'd when
+    * absent. Quantized indexes (`model_variant` f16/i8 — stored as a
+    * compact binary payload, see [[graft.embed.Quantization]]) are
+    * dequantized on read: quantization is a storage concern only, readers
+    * always see `array<float>` (SURVEY §1.3).
+    */
   def embeddings(column: String): DataFrame = {
     if (!fs.exists(new Path(indexDir(column))))
       spark.createDataFrame(
@@ -111,7 +116,16 @@ class Collection private[core] (
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(KeyCol, org.apache.spark.sql.types.LongType, false),
           org.apache.spark.sql.types.StructField("embedding", ArrayType(FloatType), false))))
-    else spark.read.parquet(indexDir(column))
+    else {
+      val raw = spark.read.parquet(indexDir(column))
+      if (!raw.schema.fieldNames.contains("qembedding")) raw
+      else {
+        val variant = config.model_variant
+        val deq = udf((b: Array[Byte]) =>
+          graft.embed.Quantization.decode(variant, b).toSeq)
+        raw.select(col(KeyCol), deq(col("qembedding")).as("embedding"))
+      }
+    }
   }
 
   /** Number of indexed vectors for `column` (A2: the reference asks the
@@ -139,11 +153,19 @@ class Collection private[core] (
       // collection_actor.rs:446-449).
       .select(col(KeyCol), coalesce(col(column).cast(StringType), lit("")))
       .as[(Long, String)]
-    val embedded = pending.mapPartitions { it =>
+    val variant = config.model_variant
+    val embedded0 = pending.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map(_._1).zip(embedder.embed(batch.iterator.map(_._2)))
       }
-    }.toDF(KeyCol, "embedding")
+    }
+    // f16/i8 variants quantize the stored payload (2 or ~1 bytes/dim vs 4);
+    // reads dequantize transparently in embeddings().
+    val embedded =
+      if (variant == "f32") embedded0.toDF(KeyCol, "embedding")
+      else embedded0
+        .map { case (k, v) => (k, graft.embed.Quantization.encode(variant, v)) }
+        .toDF(KeyCol, "qembedding")
     embedded.cache()
     val n = embedded.count()
     if (n > 0) embedded.write.mode("append").parquet(indexDir(column))

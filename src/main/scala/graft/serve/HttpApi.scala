@@ -1,0 +1,110 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import graft.core.Catalog
+import graft.embed.ModelRegistry
+import graft.search.Search
+
+/** The reference's HTTP surface (C6, src/serve.rs:77-225) on the JDK's
+  * built-in server — no extra dependencies:
+  *
+  *  - `GET  /`                                  healthcheck (version)
+  *  - `GET  /collections`                       all collection configs
+  *  - `GET  /collections/{name}`                one config
+  *  - `POST /collections/{name}/search`         `{column_name, query, limit?}`
+  *
+  * Responses use the reference envelope
+  * `{"status":"ok","time":<sec>,"data":...}` /
+  * `{"status":"error","time":<sec>,"message":...}` (serve.rs:31-75), and
+  * search clamps `1 <= limit <= 100` with default 10 (K5,
+  * serve.rs:53,155-161).
+  *
+  * Each search request runs one small Spark job (top-k over the column's
+  * embedding index) — the driver hosts the API; executors do the scan.
+  * For a production deployment you would put the index behind
+  * bucket-partitioned parquet (see [[graft.search.Ann.writeIndex]]) so a
+  * request prunes to probed buckets.
+  */
+final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int) {
+  @volatile private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", handle _)
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val t0 = System.nanoTime()
+    def secs = (System.nanoTime() - t0) / 1e9
+    val (code, body) =
+      try route(ex, () => secs)
+      catch {
+        case e: IllegalArgumentException => (400, err(secs, e.getMessage))
+        case e: NoSuchElementException   => (404, err(secs, e.getMessage))
+        case e: Exception                => (500, err(secs, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def route(ex: HttpExchange, secs: () => Double): (Int, String) = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    (method, path) match {
+      case ("GET", "") =>
+        (200, ok(secs(), s"""{"version":"${HttpApi.Version}"}"""))
+      case ("GET", "/collections") =>
+        val items = catalog.list().map(configJson).mkString("[", ",", "]")
+        (200, ok(secs(), s"""{"collections":$items}"""))
+      case ("GET", s"/collections/$name") if !name.contains("/") =>
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        (200, ok(secs(), configJson(catalog.load(name).config)))
+      case ("POST", s"/collections/$name/search") =>
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        val req = JsonMethods.parse(new String(
+          ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        implicit val fmt: Formats = DefaultFormats
+        val column = (req \ "column_name").extractOpt[String]
+          .getOrElse(throw new IllegalArgumentException("column_name is required"))
+        val query = (req \ "query").extractOpt[String]
+          .getOrElse(throw new IllegalArgumentException("query is required"))
+        val limit = (req \ "limit").extractOpt[Int].getOrElse(Search.DefaultLimit)
+        Search.validateLimit(limit)
+        val coll = catalog.load(name)
+        val embedder = registry.load(coll.config.model_name, coll.config.model_variant)
+        val rows = coll.search(column, query, limit, embedder).collect()
+        val results = rows.map { r =>
+          s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""
+        }.mkString("[", ",", "]")
+        (200, ok(secs(), s"""{"results":$results}"""))
+      case _ => (404, err(secs(), s"no route for $method $path"))
+    }
+  }
+
+  private def configJson(c: graft.core.CollectionConfig): String =
+    graft.core.CollectionConfig.toJson(c)
+
+  private def js(s: String): String = JsonMethods.compact(JString(s))
+  private def ok(time: Double, data: String): String =
+    s"""{"status":"ok","time":$time,"data":$data}"""
+  private def err(time: Double, msg: String): String =
+    s"""{"status":"error","time":$time,"message":${js(msg)}}"""
+}
+
+object HttpApi {
+  val Version = "0.1.0"
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.core.{Catalog, CollectionConfig}
+import graft.embed.{HashingEmbedder, ModelRegistry}
+import graft.serve.HttpApi
+
+class HttpApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("all four reference routes over a live collection") {
+    val root = java.nio.file.Files.createTempDirectory("graft_http").toString
+    val cat = new Catalog(spark, root)
+    val registry = new ModelRegistry
+    registry.register("hf://mys/minilm", "f32", new HashingEmbedder(dim = 64))
+    val c = cat.create(CollectionConfig(name = "docs"))
+    c.importDf(Seq("apple banana fruit", "car truck road", "apple pie baking")
+      .toDF("text"))
+    c.embedColumn("text", registry.load("hf://mys/minilm", "f32"))
+
+    val api = new HttpApi(cat, registry, 0) // ephemeral port
+    val port = api.start()
+    try {
+      val (hc, hb) = get(port, "/")
+      assert(hc == 200 && hb.contains("\"status\":\"ok\"") && hb.contains("version"))
+
+      val (lc, lb) = get(port, "/collections")
+      assert(lc == 200 && lb.contains("\"docs\""))
+
+      val (cc, cb) = get(port, "/collections/docs")
+      assert(cc == 200 && cb.contains("\"index_columns\""))
+
+      val (sc, sb) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"apple fruit","limit":2}""")
+      assert(sc == 200 && sb.contains("\"results\""), sb)
+      assert(sb.contains("apple"), s"expected an apple hit: $sb")
+
+      // K5 validation and error envelope
+      val (bc, bb) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"x","limit":0}""")
+      assert(bc == 400 && bb.contains("\"status\":\"error\""), bb)
+      val (mc, mb) = post(port, "/collections/docs/search", """{"query":"x"}""")
+      assert(mc == 400 && mb.contains("column_name"), mb)
+      val (nc, _) = get(port, "/collections/nope")
+      assert(nc == 404)
+    } finally api.stop()
+  }
+}
