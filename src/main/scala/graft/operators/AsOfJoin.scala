@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the right row with the
+  * greatest `rightTime <= leftTime` for the same key (SQL `ASOF JOIN`).
+  * The reference has no joins at all (SURVEY §2.7); this is the classic
+  * time-series operator a pipeline needs, built Spark-first.
+  *
+  * Algorithm: '''union + partitioned window fill''' — tag both sides,
+  * union by name, sort each key's timeline once
+  * (`Window.partitionBy(keys).orderBy(time, side)` with right rows first
+  * on ties so `<=` is inclusive), propagate the latest right payload with
+  * `last(_, ignoreNulls = true)` over the running frame, keep left rows.
+  *
+  * Scale: ONE shuffle (hash by key), no row blowup — compare the naive
+  * `join(cond: rt <= lt) + row_number` which materializes every
+  * (left, right-earlier) combination before picking one. This is the
+  * standard distributed as-of shape; a custom SparkPlan (zipPartitions
+  * over co-sorted sides) could shave the union but not the shuffle.
+  *
+  * Right-side duplicates on (key, time) are resolved before the join by
+  * `rightDedup` (default: keep the row with the greatest first payload
+  * column) so results are deterministic.
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame,
+               keyCols: Seq[String], leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "need at least one right payload column")
+
+    // Deterministic right side: one row per (key, time), max payload wins.
+    val dedupedRight = right
+      .groupBy((keyCols :+ rightTime).map(col): _*)
+      .agg(max(col(rightPayload.head)).as(rightPayload.head),
+        rightPayload.tail.map(c => max(col(c)).as(c)): _*)
+
+    val leftCols = left.columns
+    val taggedLeft = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select(
+        (keyCols.map(col) :+ col("_t") :+ col("_side")) ++
+          leftCols.filterNot(keyCols.contains).map(col) ++
+          rightPayload.map(c => lit(null).cast(
+            dedupedRight.schema(c).dataType).as(s"_r_$c")): _*)
+    val taggedRight = dedupedRight
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select(
+        (keyCols.map(col) :+ col("_t") :+ col("_side")) ++
+          leftCols.filterNot(keyCols.contains).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc) // right (0) before left (1) on ties
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = rightPayload.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      case (df, c) => df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+
+    filled
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"_r_$c").as(c)): _*)
+  }
+}

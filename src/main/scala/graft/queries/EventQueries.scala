@@ -50,7 +50,35 @@ object EventQueries {
       events(s, d)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"))
-        .orderBy(col("day")))
+        .orderBy(col("day"))),
+
+    // Backward as-of join (union + window fill, one shuffle): each event
+    // picks its user's most recent order as of the event time.
+    "q35_asof_join" -> ((s, d) => {
+      val ords = orders(s, d).select(
+        col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      graft.operators.AsOfJoin.backward(
+        events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        ords, keyCols = Seq("user_id"),
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Interval range join: per user, pairs of events within one minute.
+    // Equi part (user_id) drives the shuffle; the time band is a
+    // post-join filter evaluated inside codegen.
+    "q36_range_join" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("ts"), col("event_id"))
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.ts") > col("a.ts") &&
+            col("b.ts") <= col("a.ts") + expr("INTERVAL 1 MINUTE"))
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,6 +115,18 @@ object EventQueries {
     "q19_daily_active" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         | count(DISTINCT user_id) AS dau, count(*) AS n_events
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey
+        | FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2) o
+        | ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        | ORDER BY e.event_id""".stripMargin,
+    "q36_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        | FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+        | GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
   )
 }

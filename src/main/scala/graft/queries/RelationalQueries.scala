@@ -160,6 +160,13 @@ object RelationalQueries {
             .otherwise(0.0))).as("urgent_value"))
         .orderBy(col("o_orderstatus"))),
 
+    // CUBE grouping sets (all 4 combinations).
+    "q37_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(r2(sum(col("l_extendedprice"))).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // Join against a grouped-HAVING subquery: orders with > 4 line items.
     "q15_having_join" -> ((s, d) => {
       val big = lineitem(s, d).groupBy(col("l_orderkey"))
@@ -246,6 +253,11 @@ object RelationalQueries {
         | CAST(sum(CASE WHEN o_orderpriority != '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
         | round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_value
         | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q37_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
+        | count(*) AS n
+        | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q15_having_join" ->
       """SELECT o_orderkey, n_items, round(o_totalprice, 2) AS totalprice
         | FROM orders JOIN (

@@ -1,0 +1,38 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("backward as-of picks the latest right row at or before left time") {
+    val left = Seq(
+      (1L, ts(10), "e1"), (1L, ts(25), "e2"), (1L, ts(5), "e0"),
+      (2L, ts(50), "e3"), (3L, ts(7), "e4")) // key 3 has no right rows
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts(10), 100L), // tie with e1: inclusive, should match
+      (1L, ts(20), 200L),
+      (2L, ts(60), 300L)) // after e3: no match
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.backward(left, right,
+      keyCols = Seq("k"), leftTime = "t", rightTime = "rt",
+      rightPayload = Seq("v"))
+      .select("ev", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map("e0" -> -1L, "e1" -> 100L, "e2" -> 200L,
+      "e3" -> -1L, "e4" -> -1L))
+  }
+
+  test("right duplicates at same (key, time) resolve deterministically to max") {
+    val left = Seq((1L, ts(10), "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, ts(5), 7L), (1L, ts(5), 9L)).toDF("k", "rt", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("v").as[Long].head()
+    assert(got == 9L)
+  }
+}
