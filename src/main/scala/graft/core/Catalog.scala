@@ -173,6 +173,41 @@ class Collection private[core] (
     n
   }
 
+  /** Streaming twin of [[embedColumn]]: watch the collection's data
+    * directory as a file stream and embed every newly landed row into the
+    * index continuously. The reference's "incremental indexing" is batch
+    * catch-up re-invoked by hand (collection_actor.rs:808-826); this is
+    * the always-on version — file-source micro-batches carry only new
+    * files, so each batch embeds exactly the appended rows, exactly once
+    * (checkpointed source offsets + append-only sink).
+    */
+  def embedColumnStream(column: String, embedder: graft.embed.Embedder,
+                        checkpointDir: String, batchSize: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val variant = config.model_variant
+    spark.readStream.schema(df.schema).parquet(dataDir)
+      .select(col(KeyCol), coalesce(col(column).cast(StringType), lit("")))
+      .as[(Long, String)]
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
+        val embedded0 = batch.mapPartitions { it =>
+          it.grouped(batchSize).flatMap { b =>
+            b.iterator.map(_._1).zip(embedder.embed(b.iterator.map(_._2)))
+          }
+        }
+        val embedded =
+          if (variant == "f32") embedded0.toDF(KeyCol, "embedding")
+          else embedded0
+            .map { case (k, v) => (k, graft.embed.Quantization.encode(variant, v)) }
+            .toDF(KeyCol, "qembedding")
+        embedded.write.mode("append").parquet(indexDir(column))
+        ()
+      }
+      .start()
+  }
+
   /** Full search (K4): embed the query, exact top-k over the column's index,
     * hydrate content by joining back on `_key` (K1+K3). Returns
     * `(content, key, score)` in descending score order, matching the

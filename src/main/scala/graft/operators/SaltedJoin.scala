@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution AQE can't fix (e.g. a
+  * few keys holding 30%+ of a 100 TB fact table).
+  *
+  * Classic salting: the large (skewed) side gets a '''deterministic'''
+  * salt in `[0, factor)` derived from a stable hash of its whole row-key
+  * tuple (never `rand()` — results must be reproducible and retries must
+  * not reshuffle rows); the small side is exploded `factor` times, one
+  * copy per salt value. The join key becomes `(key, salt)`, spreading
+  * each hot key over `factor` partitions. Row multiplication is confined
+  * to the SMALL side (factor * |small|).
+  *
+  * AQE's skew-join split handles sort-merge cases automatically; salting
+  * remains the tool when the skew is in an aggregation-feeding join or
+  * when partition-splitting isn't available (e.g. bucketed tables).
+  */
+object SaltedJoin {
+
+  /** Inner-join `large` with `small` on `key`, salting `large` with
+    * `factor` deterministic salts. `saltOn` columns (default: the join
+    * key plus all large-side columns' hash) drive the salt so the same
+    * logical row always lands in the same salt bucket.
+    */
+  def inner(large: DataFrame, small: DataFrame, key: String,
+            factor: Int = 8): DataFrame = {
+    require(factor >= 1)
+    // deterministic salt from the row content (xxhash64 is codegen'd and
+    // stable across runs/partitions)
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(factor)).cast("int"))
+    val exploded = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("_salt", col("_salt").cast("int"))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-stage (salted) aggregation: partial-aggregate on `(key, salt)`,
+    * then final-aggregate on `key`. Spark's hash aggregate already does
+    * map-side partials; this adds an extra reduce tier for the case where
+    * even the partially-aggregated hot key overwhelms one reducer (very
+    * high-cardinality aggregation states, e.g. collect-like buffers).
+    */
+  def twoStageCount(df: DataFrame, key: String, factor: Int = 8): DataFrame = {
+    df.withColumn("_salt", pmod(xxhash64(col(key)), lit(factor)).cast("int"))
+      .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key)).agg(sum(col("_partial")).as("n"))
+  }
+}

@@ -36,3 +36,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == 9L)
   }
 }
+
+class SaltedJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("salted inner join equals plain join on skewed data") {
+    // one hot key (90% of rows) + tail
+    val large = ((1 to 900).map(_ => (1L, "hot")) ++
+      (2 to 101).map(i => (i.toLong, s"cold$i"))).toDF("k", "v").repartition(8)
+    val small = (1 to 101).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = large.join(small, "k").groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.SaltedJoin.inner(large, small, "k", factor = 4)
+      .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted(1L) == 900L)
+  }
+
+  test("two-stage count equals plain count") {
+    val df = ((1 to 500).map(_ => 7L) ++ (1 to 50).map(_.toLong)).toDF("k")
+    val plain = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = graft.operators.SaltedJoin.twoStageCount(df, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == plain)
+  }
+}

@@ -272,3 +272,29 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.filter(col("content_resized").isNotNull).count() == 5)
   }
 }
+
+class EmbedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming embed keeps the index in sync with appends, exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_es").toString
+    val cat = new graft.core.Catalog(spark, root)
+    val c = cat.create(graft.core.CollectionConfig(name = "s"))
+    c.importDf(Seq("first doc text", "second doc text").toDF("text"))
+    val emb = new graft.embed.HashingEmbedder(dim = 32)
+    val q = c.embedColumnStream("text", emb, s"$root/_ckpt")
+    try {
+      q.processAllAvailable()
+      assert(c.indexedCount("text") == 2)
+      c.appendDf(Seq("third doc text").toDF("text"))
+      q.processAllAvailable()
+      assert(c.indexedCount("text") == 3)
+      // no reprocessing: keys unique
+      val keys = c.embeddings("text").select("_key").as[Long].collect().sorted
+      assert(keys.toSeq == Seq(1L, 2L, 3L))
+      // searchable immediately
+      val hits = c.search("text", "third doc", 1, emb).collect()
+      assert(hits.head.getLong(1) == 3L)
+    } finally q.stop()
+  }
+}
