@@ -167,6 +167,29 @@ object RelationalQueries {
         .agg(r2(sum(col("l_extendedprice"))).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // Statistical aggregates: correlation / covariance / exact percentiles.
+    "q38_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("price_qty_corr"),
+          r2(covar_samp(col("l_extendedprice"), col("l_quantity"))).as("price_qty_covar"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // Set operations: segment-A customers INTERSECT urgent-order customers,
+    // and EXCEPT for the complement.
+    "q39_setops" -> ((s, d) => {
+      val segA = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      segA.intersect(urgent).withColumn("op", lit("both"))
+        .union(segA.except(urgent).withColumn("op", lit("seg_only")))
+        .orderBy(col("op"), col("c_custkey"))
+    }),
+
     // Join against a grouped-HAVING subquery: orders with > 4 line items.
     "q15_having_join" -> ((s, d) => {
       val big = lineitem(s, d).groupBy(col("l_orderkey"))
@@ -258,6 +281,20 @@ object RelationalQueries {
         | count(*) AS n
         | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q38_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+        | round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_setops" ->
+      """WITH segA AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        | urgent AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_custkey, 'both' AS op FROM (SELECT * FROM segA INTERSECT SELECT * FROM urgent)
+        |UNION ALL
+        |SELECT c_custkey, 'seg_only' AS op FROM (SELECT * FROM segA EXCEPT SELECT * FROM urgent)
+        |ORDER BY op, c_custkey""".stripMargin,
     "q15_having_join" ->
       """SELECT o_orderkey, n_items, round(o_totalprice, 2) AS totalprice
         | FROM orders JOIN (
