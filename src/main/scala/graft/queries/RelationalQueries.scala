@@ -62,7 +62,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
       orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long")) // DuckDB row_number is BIGINT
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
           r2(col("o_totalprice")).as("totalprice"), col("rn"))
@@ -113,7 +113,7 @@ object RelationalQueries {
         col("p_partkey"),
         upper(col("p_name")).as("name_upper"),
         substring(col("p_type"), 1, 5).as("type_prefix"),
-        length(col("p_brand")).as("brand_len"),
+        length(col("p_brand")).cast("long").as("brand_len"), // DuckDB length is BIGINT
         r2(col("p_retailprice") * lit(1.1)).as("price_up"),
         (col("p_size") % 7).as("size_mod"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))

@@ -48,6 +48,11 @@ def main(sf_dir, out_dir):
         g_cols, e_cols = sorted(got.column_names), sorted(exp.column_names)
         if g_cols != e_cols:
             print(f"FAIL  {name}: columns {g_cols} != {e_cols}"); n_fail += 1; continue
+        # informational: physical type drift (a stricter driver could compare these)
+        for c in g_cols:
+            gt, et = got.schema.field(c).type, exp.schema.field(c).type
+            if str(gt) != str(et):
+                print(f"TYPE  {name}.{c}: spark={gt} duck={et}")
         g_rows = canon(zip(*[got.column(c).to_pylist() for c in g_cols])) if got.num_rows else []
         e_rows = canon(zip(*[exp.column(c).to_pylist() for c in e_cols])) if exp.num_rows else []
         if len(g_rows) != len(e_rows):
