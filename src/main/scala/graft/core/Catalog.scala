@@ -41,8 +41,13 @@ class Collection private[core] (
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The collection as a DataFrame (lazy scan — filters/projections push down). */
-  def df: DataFrame = spark.read.parquet(dataDir)
+  /** The collection as a DataFrame (lazy scan — filters/projections push
+    * down). `mergeSchema` unions file schemas so schema-widening appends
+    * (importChunks adding a new column) never require rewriting existing
+    * data; rows from older files read the new columns as null.
+    */
+  def df: DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dataDir)
 
   def isEmpty: Boolean = !fs.exists(new Path(dataDir))
 
@@ -81,8 +86,12 @@ class Collection private[core] (
 
   /** Import pre-chunked text rows into `column` (S6 / DbImportMarkdownChunks):
     * creates the table when absent; when present but lacking `column`, the
-    * schema is widened (old rows get null) and chunks land with null in the
-    * other columns.
+    * schema is widened by writing the chunk rows with the new column and
+    * letting `mergeSchema` union the file schemas on read — old rows see
+    * the new column as null, chunk rows see the old columns as null, and
+    * no existing data is ever rewritten (a delete-and-rename rewrite here
+    * would risk the whole collection on a failed rename, and costs O(n)
+    * at scale).
     */
   def importChunks(chunks: Seq[String], column: String): Unit = {
     Identifiers.validate(column)
@@ -92,14 +101,8 @@ class Collection private[core] (
     val existing = df
     if (existing.schema.fieldNames.contains(column)) appendDf(chunkDf)
     else {
-      // Widen: rewrite existing data with the new column, then append.
-      val widened = existing.withColumn(column, lit(null).cast(StringType))
-      val tmp = s"$dataDir.widening"
-      widened.write.mode("overwrite").parquet(tmp)
-      val p = new Path(dataDir)
-      fs.delete(p, true)
-      fs.rename(new Path(tmp), p)
-      appendDf(chunkDf)
+      val start = Keys.maxKey(existing) + 1
+      Keys.withKey(chunkDf, start).write.mode("append").parquet(dataDir)
     }
   }
 

@@ -111,7 +111,10 @@ object Quantization {
     out
   }
 
-  /** Encode by variant name; `f32` returns null (store the float array). */
+  /** Encode by variant name. Callers handle `f32` themselves (store the
+    * float array directly — there is no byte payload for it); passing
+    * `f32` here is an error.
+    */
   def encode(variant: String, v: Array[Float]): Array[Byte] = variant match {
     case "f16" => encodeF16(v)
     case "i8"  => encodeI8(v)

@@ -124,12 +124,15 @@ object Chunker {
   private def splitByTokens(text: String, config: ChunkerConfig): Seq[String] = {
     val words = text.split("\\s+").filter(_.nonEmpty)
     if (words.isEmpty) return Seq.empty
+    // token count of a joined word slice is ceil(wordCount * 1.3) — compute
+    // it arithmetically instead of re-joining and re-splitting the growing
+    // slice per step (which is O(W^2) on a single huge paragraph)
+    def sliceTokens(wordCount: Int): Int = math.ceil(wordCount * 1.3).toInt
     val chunks = Seq.newBuilder[String]
     var start = 0
     while (start < words.length) {
       var end = start + 1
-      while (end < words.length &&
-             countTokens(words.slice(start, end + 1).mkString(" ")) <= config.maxTokens)
+      while (end < words.length && sliceTokens(end + 1 - start) <= config.maxTokens)
         end += 1
       chunks += words.slice(start, end).mkString(" ")
       start =

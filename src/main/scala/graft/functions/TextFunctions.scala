@@ -174,15 +174,22 @@ object TextFunctions {
     * identity; Scala-side only (verified by property tests).
     */
   def rollingHash(text: String): Long = {
-    val Mod = (1L << 61) - 1
-    val Base = 257L
+    val Mod = (1L << 61) - 1 // Mersenne prime modulus
+    // (a * 2^k) mod (2^61-1) without 128-bit math: 2^61 ≡ 1 (mod M), so the
+    // bits shifted past position 60 wrap around to the bottom. All
+    // intermediates stay under 2^62 — no signed overflow.
+    def mulPow2(a: Long, k: Int): Long = {
+      val r = ((a << k) & Mod) + (a >>> (61 - k))
+      if (r >= Mod) r - Mod else r
+    }
     var h = 0L
     val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
     var i = 0
     while (i < s.length) {
-      // (h * Base + c) mod 2^61-1 without overflow: use Math.multiplyHigh-free
-      // path via BigInt-free 128-bit split (Base fits in 9 bits).
-      h = ((h << 8) % Mod + h % Mod + s.charAt(i).toLong) % Mod // h*257 = h*256 + h
+      // h*257 + c = h*256 + h + c, each term < M so the sum fits in 63 bits
+      var r = mulPow2(h, 8) + h + s.charAt(i).toLong
+      while (r >= Mod) r -= Mod
+      h = r
       i += 1
     }
     h

@@ -60,8 +60,11 @@ object Multimodal {
       v
     }
 
-    /** Stub "resize": deterministic re-sampling of the byte stream. */
+    /** Stub "resize": deterministic re-sampling of the byte stream.
+      * Empty payloads resize to empty (no index arithmetic on them).
+      */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (bytes.isEmpty) return Array.emptyByteArray
       val out = new Array[Byte](math.max(1, w * h / 64))
       var i = 0
       while (i < out.length) {
@@ -71,9 +74,12 @@ object Multimodal {
       out
     }
 
-    /** Stub frame extraction: n evenly spaced byte windows as "frames". */
+    /** Stub frame extraction: n evenly spaced byte windows as "frames";
+      * empty payloads yield n empty frames.
+      */
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
-      (0 until n).map { f =>
+      if (bytes.isEmpty) Seq.fill(n)(Array.emptyByteArray)
+      else (0 until n).map { f =>
         val start = (f.toLong * bytes.length / n).toInt
         val end = math.min(bytes.length, start + math.max(1, bytes.length / n))
         java.util.Arrays.copyOfRange(bytes, start, math.max(start + 1, end))

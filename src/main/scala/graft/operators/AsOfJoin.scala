@@ -32,11 +32,15 @@ object AsOfJoin {
                rightPayload: Seq[String]): DataFrame = {
     require(rightPayload.nonEmpty, "need at least one right payload column")
 
-    // Deterministic right side: one row per (key, time), max payload wins.
+    // Deterministic right side: one row per (key, time). max over a struct
+    // orders lexicographically, so this keeps ONE real row (greatest by
+    // payload order) — per-column max would fabricate a row mixing values
+    // from different inputs.
     val dedupedRight = right
       .groupBy((keyCols :+ rightTime).map(col): _*)
-      .agg(max(col(rightPayload.head)).as(rightPayload.head),
-        rightPayload.tail.map(c => max(col(c)).as(c)): _*)
+      .agg(max(struct(rightPayload.map(col): _*)).as("_p"))
+      .select((keyCols :+ rightTime).map(col) ++
+        rightPayload.map(c => col(s"_p.$c").as(c)): _*)
 
     val leftCols = left.columns
     val taggedLeft = left

@@ -71,9 +71,13 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int) {
         val items = catalog.list().map(configJson).mkString("[", ",", "]")
         (200, ok(secs(), s"""{"collections":$items}"""))
       case ("GET", s"/collections/$name") if !name.contains("/") =>
+        graft.core.Identifiers.validate(name) // rejects ".." etc
         if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
         (200, ok(secs(), configJson(catalog.load(name).config)))
-      case ("POST", s"/collections/$name/search") =>
+      case ("POST", s"/collections/$name/search") if !name.contains("/") =>
+        // reject path separators / traversal before the name touches the
+        // filesystem (same guard as the GET config route)
+        graft.core.Identifiers.validate(name)
         if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
         val req = JsonMethods.parse(new String(
           ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))

@@ -98,7 +98,14 @@ object Streams {
           if (s.n > 0) out += SessionOut(userId, s.seq,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
             s.n, math.rint(s.valueSum * 100) / 100)
-        if (state.hasTimedOut) { close(st); state.remove() }
+        if (state.hasTimedOut) {
+          // close and emit, but KEEP the state (with an empty session) so
+          // the per-user session counter survives — removing it would
+          // restart session_seq at 1 and emit duplicate (user, seq) keys,
+          // diverging from the batch twin's monotonic numbering
+          close(st)
+          state.update(st.copy(n = 0, valueSum = 0.0))
+        }
         else {
           evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
             val t = e.ts.getTime

@@ -35,6 +35,17 @@ class AsOfJoinSpec extends SparkSpec {
       .select("v").as[Long].head()
     assert(got == 9L)
   }
+
+  test("multi-column payload dedup keeps one REAL row, never mixes columns") {
+    val left = Seq((1L, ts(10), "e")).toDF("k", "t", "ev")
+    // greatest-by-first-payload row is (5, "A"); per-column max would
+    // fabricate (5, "Z")
+    val right = Seq((1L, ts(5), 5L, "A"), (1L, ts(5), 3L, "Z"))
+      .toDF("k", "rt", "v", "status")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+      Seq("v", "status")).select("v", "status").head()
+    assert((got.getLong(0), got.getString(1)) == ((5L, "A")))
+  }
 }
 
 class SaltedJoinSpec extends SparkSpec {

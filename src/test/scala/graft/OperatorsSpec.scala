@@ -215,6 +215,32 @@ class StreamsSpec extends SparkSpec {
       s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
 
+  test("session numbering survives a timeout-closed session (no duplicate seq)") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val evs = mem.toDS().map(t => Streams.Ev(t._1, new java.sql.Timestamp(t._2), t._3))
+    val out = Streams.sessionizeStream(evs, 30)
+    val q = out.writeStream.format("memory").queryName("sessions_seq_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0).getTime, 1.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time the session out
+      mem.addData((99L, ts(10000).getTime, 0.0)); q.processAllAvailable()
+      mem.addData((99L, ts(20000).getTime, 0.0)); q.processAllAvailable()
+      // user 1 comes back: must get session_seq 2, not a duplicate 1
+      mem.addData((1L, ts(30000).getTime, 2.0)); q.processAllAvailable()
+      mem.addData((99L, ts(70000).getTime, 0.0)); q.processAllAvailable()
+      mem.addData((99L, ts(90000).getTime, 0.0)); q.processAllAvailable()
+      val seqs = spark.table("sessions_seq_out")
+        .filter(col("user_id") === 1L)
+        .select("session_seq").collect().map(_.getLong(0)).sorted
+      assert(seqs.toSeq == Seq(1L, 2L), s"got $seqs")
+    } finally q.stop()
+  }
+
   test("hourly windowed stream over events parquet matches batch twin") {
     import org.apache.spark.sql.types._
     // stream the µs-converted events through a temp dir (stream source needs
