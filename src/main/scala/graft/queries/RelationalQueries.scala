@@ -167,6 +167,27 @@ object RelationalQueries {
         .agg(r2(sum(col("l_extendedprice"))).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // Custom typed Aggregator: bounded top-k per group — the buffer holds
+    // <= k entries so the shuffle carries O(k·groups) rows, vs a window
+    // row_number sorting every partition group. Oracle twin is the window
+    // formulation.
+    "q40_group_topk" -> ((s, d) => {
+      import s.implicits._
+      val topk = new graft.plans.TopKAggregator(2)
+      part(s, d)
+        .select(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.plans.ScoredKey(t._2, t._3))
+        .agg(topk.toColumn)
+        .flatMap { case (brand, hits) =>
+          hits.zipWithIndex.map { case (h, i) => (brand, h.key, h.score, (i + 1).toLong) }
+        }
+        .toDF("p_brand", "p_partkey", "price", "rk")
+        .withColumn("price", r2(col("price")))
+        .orderBy(col("p_brand"), col("rk"))
+    }),
+
     // Statistical aggregates: correlation / covariance / exact percentiles.
     "q38_stats" -> ((s, d) =>
       lineitem(s, d)
@@ -281,6 +302,12 @@ object RelationalQueries {
         | count(*) AS n
         | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q40_group_topk" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey) AS rk
+        | FROM part) WHERE rk <= 2 ORDER BY p_brand, rk""".stripMargin,
     "q38_stats" ->
       """SELECT l_returnflag,
         | round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
