@@ -132,6 +132,66 @@ object TextQueries {
           .as(Seq("chunk_idx", "chunk")))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Corpus vocabulary: top-20 tokens (explode + count — the wordcount
+    // shape; partial agg keeps the shuffle at vocab size).
+    "q41_vocab" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok"))
+        .limit(20)),
+
+    // Deterministic sampling + train/val/test split by stable key mod —
+    // the reproducible-split idiom (no rand()).
+    "q42_split" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train")
+            .when(col("doc_id") % 10 === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"))
+        .orderBy(col("split"))),
+
+    // Document length histogram (100-char buckets, capped at 5).
+    "q43_len_hist" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(least(floor(col("n_chars") / 100), lit(5)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
+    // Top-10 word bigrams (the n-gram LM counting shape).
+    "q44_bigrams" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(TextFunctions.wordShingles(lower(col("text")), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(10)),
+
+    // TF-IDF: highest-scoring term per document (ln-idf, tf normalized by
+    // doc length; deterministic tie-break on term).
+    "q45_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf_raw"))
+      val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+      val n = docs.count()
+      val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(docLen, "doc_id").join(dfreq, "tok")
+        .withColumn("tfidf",
+          (col("tf_raw").cast("double") / col("doc_len")) * log(lit(n.toDouble) / col("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("tok"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: deterministic features over binary payloads
     // (stub codec; rows-only).
     "q34_media_features" -> ((s, d) => {
@@ -193,6 +253,39 @@ object TextQueries {
       """SELECT count(*) AS n_total,
         | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct
         | FROM documents""".stripMargin,
+    "q41_vocab" ->
+      s"""SELECT tok, count(*) AS n FROM (
+         | SELECT unnest($Toks) AS tok FROM documents)
+         | GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q42_split" ->
+      s"""SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |  WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         | count(*) AS n,
+         | round(avg(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksRaw) END), 4) AS avg_tokens
+         | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_len_hist" ->
+      """SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bucket, count(*) AS n
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_bigrams" ->
+      s"""WITH t AS (SELECT $Toks AS toks FROM documents)
+         |SELECT bigram, count(*) AS n FROM (
+         | SELECT unnest(list_transform(range(1, len(toks)),
+         |   i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+         | GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin,
+    "q45_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+         | tf AS (SELECT doc_id, tok, count(*) AS tf_raw FROM toks GROUP BY 1, 2),
+         | dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+         | dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         | n AS (SELECT count(*) AS n_docs FROM documents),
+         | scored AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |   (CAST(tf_raw AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN n)
+         |SELECT doc_id, tok AS top_term, round(tfidf, 6) AS tfidf FROM (
+         | SELECT *, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY tfidf DESC, tok) AS rk FROM scored)
+         | WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q26_jaccard_pairs" -> JaccardOracle,
     "q27_minhash_neardups" -> JaccardOracle,
     "q29_cosine_pairs" -> cosinePairsOracle
