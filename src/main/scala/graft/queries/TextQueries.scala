@@ -164,7 +164,7 @@ object TextQueries {
     // Top-10 word bigrams (the n-gram LM counting shape).
     "q44_bigrams" -> ((s, d) =>
       documents(s, d)
-        .select(explode(TextFunctions.wordShingles(lower(col("text")), 2)).as("bigram"))
+        .select(explode(TextFunctions.wordShinglesUdf(lower(col("text")), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram"))
         .limit(10)),

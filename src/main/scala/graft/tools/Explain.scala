@@ -14,6 +14,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    sys.env.get("SPARK_GRAFT_ADVISORY").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v))
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
