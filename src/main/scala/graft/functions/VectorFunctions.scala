@@ -12,9 +12,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * storage dtype so results are stable and match a DuckDB oracle casting
   * FLOAT[] -> DOUBLE[].
   *
-  * Built from `zip_with` + `aggregate` higher-order functions — declarative,
-  * null-safe, and whole-plan optimizable. (A custom codegen `Expression`
-  * variant lives in [[graft.plans.CosineSimilarity]] for the hot path.)
+  * `dot`/`cosine` are backed by the fused-loop codegen Expressions in
+  * [[graft.plans]]; the declarative `zip_with` + `aggregate` form is kept
+  * as [[cosineHof]] purely as the property-test reference (HOF lambdas run
+  * interpreted — ~10x slower on similarity joins).
   */
 object VectorFunctions {
 

@@ -55,3 +55,26 @@ class IngestSpec extends SparkSpec {
     assert(!TextFunctions.isMostlyText(mostlyEmpty))
   }
 }
+
+class MultiColumnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multiple index columns get independent indexes and searches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mc").toString
+    val cat = new graft.core.Catalog(spark, root)
+    val c = cat.create(graft.core.CollectionConfig(
+      name = "mc", index_columns = Seq("title", "body")))
+    c.importDf(Seq(
+      ("apple pie", "a recipe for baking sweet desserts"),
+      ("car engine", "torque and horsepower maintenance guide"),
+      ("fruit salad", "apples bananas and citrus mixed")).toDF("title", "body"))
+    val emb = new graft.embed.HashingEmbedder(dim = 64)
+    for (col <- c.config.index_columns) assert(c.embedColumn(col, emb) == 3)
+    assert(c.indexedCount("title") == 3 && c.indexedCount("body") == 3)
+    // column-specific semantics: same query ranks different docs per column
+    val byTitle = c.search("title", "apple pie", 1, emb).head().getLong(1)
+    val byBody = c.search("body", "torque horsepower", 1, emb).head().getLong(1)
+    assert(byTitle == 1L)
+    assert(byBody == 2L)
+  }
+}

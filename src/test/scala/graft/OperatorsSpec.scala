@@ -111,6 +111,25 @@ class AnnSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("bucket-partitioned index prunes partitions on probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/idx"
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = e.filter(col("_key") === 5).select("embedding").head().getSeq[Float](0).toArray
+    val planes = Ann.hyperplanes(dim = q.length, bits = 4, seed = 42L)
+    Ann.writeIndex(e, "embedding", planes, dir)
+    val indexed = spark.read.parquet(dir)
+    val probes = Ann.probeBuckets(q, planes)
+    val plan = indexed.filter(col("bucket").isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    // the bucket filter must be a partition filter on the directory layout,
+    // not a post-scan row filter
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"partition pruning missing from plan:\n$plan")
+    val hits = Ann.annTopK(indexed, q, planes, 5).collect()
+    assert(hits.map(_.getLong(0)).contains(5L))
+  }
+
   test("bucket determinism across invocations") {
     val planes = Ann.hyperplanes(16, 8, 7L)
     val planes2 = Ann.hyperplanes(16, 8, 7L)
