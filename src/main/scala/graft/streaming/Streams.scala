@@ -58,6 +58,20 @@ object Streams {
 
   // ---- streaming forms ------------------------------------------------
 
+  /** Streaming exact deduplication: drop rows whose normalized-text
+    * fingerprint was already seen (state bounded by the watermark — late
+    * duplicates beyond `watermarkDelay` are not caught, the standard
+    * trade-off). The batch twin is [[graft.dedup.Dedup.dedupExact]].
+    */
+  def dedupStream(events: DataFrame, textCol: String,
+                  tsCol: String = "ts",
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("_fp", graft.functions.TextFunctions.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("_fp")
+      .drop("_fp")
+
   /** Watermarked streaming twin of [[hourlyTypeCounts]]. Caller attaches a
     * sink; with `outputMode(Append)` windows emit once the 2h watermark
     * passes.

@@ -260,6 +260,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate fingerprints") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDS()
+      .map(t => (new java.sql.Timestamp(t._1), t._2))
+      .toDF("ts", "text")
+    val q = Streams.dedupStream(df, "text").writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(0).getTime, "hello world"),
+        (ts(1).getTime, "Hello  WORLD"), // dup after normalization
+        (ts(2).getTime, "something else"))
+      q.processAllAvailable()
+      mem.addData((ts(3).getTime, "hello world")) // dup across batches
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text")
+        .collect().map(_.getString(0)).toSet
+      assert(texts.size == 2 && texts.contains("hello world"))
+    } finally q.stop()
+  }
+
   test("hourly windowed stream over events parquet matches batch twin") {
     import org.apache.spark.sql.types._
     // stream the µs-converted events through a temp dir (stream source needs
