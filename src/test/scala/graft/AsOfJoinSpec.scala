@@ -74,3 +74,32 @@ class SaltedJoinSpec extends SparkSpec {
     assert(two == plain)
   }
 }
+
+class BucketingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Bucketing
+
+  test("co-located bucketed join and aggregation plan without shuffles") {
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Bucketing.writeBucketed(ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_b", "l_orderkey", 4)
+    try {
+      val a = Bucketing.read(spark, "li_b")
+      val b = Bucketing.read(spark, "ord_b")
+      // equi-join on the bucket key: no exchange on either side
+      val joined = a.join(b, "l_orderkey")
+      assert(!Bucketing.hasShuffle(joined),
+        s"expected shuffle-free bucketed join:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == li.join(ord,
+        col("l_orderkey") === col("o_orderkey")).count())
+      // aggregation on the bucket key: also exchange-free
+      val agg = a.groupBy("l_orderkey").agg(sum("l_quantity"))
+      assert(!Bucketing.hasShuffle(agg))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}
