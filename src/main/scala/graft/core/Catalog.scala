@@ -194,7 +194,14 @@ class Collection private[core] (
       .as[(Long, String)]
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
+        // per-batch max-key watermark makes the sink idempotent: rows
+        // already in the index (pre-existing before the stream started, or
+        // written by a batch that crashed before its offset commit and got
+        // replayed) are filtered out instead of appended twice
+        val alreadyIndexed =
+          if (indexedCount(column) == 0L) 0L else Keys.maxKey(embeddings(column))
+        val batch = batch0.filter(_._1 > alreadyIndexed)
         val embedded0 = batch.mapPartitions { it =>
           it.grouped(batchSize).flatMap { b =>
             b.iterator.map(_._1).zip(embedder.embed(b.iterator.map(_._2)))

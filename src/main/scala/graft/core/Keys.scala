@@ -26,9 +26,13 @@ import org.apache.spark.sql.types.{LongType, StructField}
 object Keys {
   val KeyCol = "_key"
 
-  /** Add a dense `_key` column starting at `start` unless one already exists. */
+  /** Add a dense `_key` column starting at `start` unless one already
+    * exists; a pre-existing `_key` of a narrower integer type is widened
+    * to long so the key contract holds regardless of source schema.
+    */
   def withKey(df: DataFrame, start: Long = 1L): DataFrame = {
-    if (df.schema.fieldNames.contains(KeyCol)) df
+    if (df.schema.fieldNames.contains(KeyCol))
+      df.withColumn(KeyCol, col(KeyCol).cast(LongType))
     else {
       val schema = df.schema.add(StructField(KeyCol, LongType, nullable = false))
       val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
@@ -38,10 +42,13 @@ object Keys {
     }
   }
 
-  /** Highest assigned key, or 0 when the frame is empty (so appends start at 1). */
+  /** Highest assigned key, or 0 when the frame is empty (so appends start
+    * at 1). Casts defensively: a collection imported with an int `_key`
+    * must not crash the first append.
+    */
   def maxKey(df: DataFrame): Long = {
     if (!df.schema.fieldNames.contains(KeyCol)) 0L
-    else df.agg(max(col(KeyCol))).head() match {
+    else df.agg(max(col(KeyCol).cast(LongType))).head() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }

@@ -37,7 +37,10 @@ object Quantization {
         (sign | rounded).toShort
       }
     } else {
-      val half = ((value - 0x38000000) + 0x1000) >>> 13
+      // round-to-nearest-even: add 0xFFF plus the result's would-be LSB, so
+      // an exact halfway remainder (0x1000) stays on the even neighbor
+      val mant13 = value - 0x38000000
+      val half = (mant13 + 0xFFF + ((mant13 >>> 13) & 1)) >>> 13
       (sign | half).toShort
     }
   }

@@ -43,35 +43,37 @@ object AsOfJoin {
         rightPayload.map(c => col(s"_p.$c").as(c)): _*)
 
     val leftCols = left.columns
+    // The entire right payload travels as ONE struct: `last(_, ignoreNulls)`
+    // then skips only left rows (whose struct is null), never a right row
+    // that happens to carry a null FIELD — per-column fills would resurrect
+    // stale values past such a row and stitch columns from different rows.
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => dedupedRight.schema(c).copy(name = c)))
     val taggedLeft = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .select(
         (keyCols.map(col) :+ col("_t") :+ col("_side")) ++
-          leftCols.filterNot(keyCols.contains).map(col) ++
-          rightPayload.map(c => lit(null).cast(
-            dedupedRight.schema(c).dataType).as(s"_r_$c")): _*)
+          leftCols.filterNot(keyCols.contains).map(col) :+
+          lit(null).cast(payloadStructType).as("_r"): _*)
     val taggedRight = dedupedRight
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .select(
         (keyCols.map(col) :+ col("_t") :+ col("_side")) ++
           leftCols.filterNot(keyCols.contains).map(c =>
-            lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+            lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightPayload.map(col): _*).as("_r"): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc) // right (0) before left (1) on ties
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightPayload.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      case (df, c) => df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-
-    filled
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col(s"_r_$c").as(c)): _*)
+        rightPayload.map(c => col(s"_r.$c").as(c)): _*)
   }
 }

@@ -30,9 +30,14 @@ object Bucketing {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
-  /** True when the physical plan of `df` contains any shuffle exchange —
-    * the thing bucketing is supposed to eliminate.
+  /** True when the physical plan of `df` contains any shuffle exchange
+    * (hash, range, or single-partition) — the thing bucketing is supposed
+    * to eliminate. Broadcast exchanges don't count: they move the small
+    * side, not the bucketed data.
     */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  def hasShuffle(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+      "Exchange SinglePartition").exists(plan.contains)
+  }
 }

@@ -208,6 +208,10 @@ object TextQueries {
   // empty token after trim).
   private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
   private val ToksRaw = "string_split_regex(trim(text), '\\s+')"
+  // blank-text-safe variant: split of a blank string yields [''] in DuckDB
+  // but Spark's tokens() yields [] — guard wherever tokens are unnested
+  private val ToksGuarded =
+    s"(CASE WHEN length(trim(text)) = 0 THEN [] ELSE $Toks END)"
 
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
@@ -255,7 +259,7 @@ object TextQueries {
         | FROM documents""".stripMargin,
     "q41_vocab" ->
       s"""SELECT tok, count(*) AS n FROM (
-         | SELECT unnest($Toks) AS tok FROM documents)
+         | SELECT unnest($ToksGuarded) AS tok FROM documents)
          | GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "q42_split" ->
       s"""SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
@@ -273,7 +277,7 @@ object TextQueries {
          |   i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
          | GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin,
     "q45_tfidf" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
          | tf AS (SELECT doc_id, tok, count(*) AS tf_raw FROM toks GROUP BY 1, 2),
          | dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
          | dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),

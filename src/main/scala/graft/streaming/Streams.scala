@@ -59,9 +59,13 @@ object Streams {
   // ---- streaming forms ------------------------------------------------
 
   /** Streaming exact deduplication: drop rows whose normalized-text
-    * fingerprint was already seen (state bounded by the watermark — late
-    * duplicates beyond `watermarkDelay` are not caught, the standard
-    * trade-off). The batch twin is [[graft.dedup.Dedup.dedupExact]].
+    * fingerprint was seen within the watermark
+    * (`dropDuplicatesWithinWatermark` — plain `dropDuplicates` on a
+    * non-event-time key would keep state per distinct fingerprint FOREVER;
+    * this form lets the watermark evict, so state is bounded and
+    * duplicates farther apart than `watermarkDelay` may pass — the
+    * standard trade-off). The batch twin is
+    * [[graft.dedup.Dedup.dedupExact]].
     */
   def dedupStream(events: DataFrame, textCol: String,
                   tsCol: String = "ts",
@@ -69,7 +73,7 @@ object Streams {
     events
       .withColumn("_fp", graft.functions.TextFunctions.fingerprintMd5(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("_fp")
+      .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
   /** Watermarked streaming twin of [[hourlyTypeCounts]]. Caller attaches a
@@ -111,7 +115,10 @@ object Streams {
         def close(s: SessionState): Unit =
           if (s.n > 0) out += SessionOut(userId, s.seq,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
-            s.n, math.rint(s.valueSum * 100) / 100)
+            s.n,
+            // HALF_UP like Spark's round() in the batch twin — math.rint is
+            // half-even and diverges on .xx5 sums
+            BigDecimal(s.valueSum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
         if (state.hasTimedOut) {
           // close and emit, but KEEP the state (with an empty session) so
           // the per-user session counter survives — removing it would
