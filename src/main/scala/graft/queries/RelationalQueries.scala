@@ -70,11 +70,15 @@ object RelationalQueries {
     }),
 
     // Running sum per supplier — partitioned cumulative window; the frame
-    // is ROWS UNBOUNDED PRECEDING, order fully tie-broken so it is
-    // deterministic.
+    // is ROWS UNBOUNDED PRECEDING. The ordering must be TOTAL over the
+    // summed value too: the synthetic data contains full duplicate
+    // (suppkey, orderkey, linenumber) rows at sf0.1, and without
+    // l_quantity in the sort, the two engines could interleave them
+    // differently and diverge on the intermediate running values.
     "q5_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -255,7 +259,7 @@ object RelationalQueries {
     "q5_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
         | FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q6_distinct" ->
