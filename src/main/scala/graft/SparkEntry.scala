@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.core.Keys
 import graft.embed.HashingEmbedder
-import graft.functions.VectorFunctions
 import graft.search.Search
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,21 +21,10 @@ object SparkEntry {
   /** Flagship: the reference's entire reason to exist in one pipeline —
     * ingest documents, assign keys, embed the text column, exact top-10
     * cosine search for a literal query, hydrate content (S2 -> E4 -> K1-K4).
+    * Same pipeline as the `q_embed_search` driver query, on the smoke sf.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val sfDir = "/root/testdata/sf0.001"
-    val embedder = new HashingEmbedder(dim = 384)
-    val docs = Keys.withKey(documents(spark, sfDir))
-    val embedded = docs
-      .select(col(Keys.KeyCol), coalesce(col("text"), lit("")).as("text"))
-      .as[(Long, String)]
-      .mapPartitions(it => it.grouped(32).flatMap(b =>
-        b.iterator.map(_._1).zip(embedder.embed(b.iterator.map(_._2)))))
-      .toDF(Keys.KeyCol, "embedding")
-    Search.searchAndFetch(docs, embedded,
-      embedder.embedOne("fast key order sort table scan"), 10, "text")
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("q_embed_search")(spark, "/root/testdata/sf0.001")
 
   // --- query helpers ---------------------------------------------------
 
@@ -48,7 +36,6 @@ object SparkEntry {
     embeddings(s, d).filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
 
-  private def r2(c: org.apache.spark.sql.Column) = round(c, 2)
 
   type Q = (SparkSession, String) => DataFrame
 

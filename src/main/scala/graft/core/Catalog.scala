@@ -3,7 +3,7 @@ package graft.core
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
 
 import java.nio.charset.StandardCharsets
 
@@ -116,9 +116,9 @@ class Collection private[core] (
     if (!fs.exists(new Path(indexDir(column))))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(KeyCol, org.apache.spark.sql.types.LongType, false),
-          org.apache.spark.sql.types.StructField("embedding", ArrayType(FloatType), false))))
+        StructType(Seq(
+          StructField(KeyCol, LongType, nullable = false),
+          StructField("embedding", ArrayType(FloatType), nullable = false))))
     else {
       val raw = spark.read.parquet(indexDir(column))
       if (!raw.schema.fieldNames.contains("qembedding")) raw
