@@ -19,14 +19,30 @@ import graft.core.Collection
   */
 object Ingest {
 
+  /** Resolve reference-style paths. `hf://datasets/user/repo/file` (the
+    * reference forwards these to DuckDB's remote reader, README.md:62-74)
+    * maps to a local mirror root from `GRAFT_HF_MIRROR` — the zero-egress
+    * stand-in for the hub download; without a mirror configured, remote
+    * paths fail fast with a clear message instead of a network attempt.
+    * Everything else (local paths, globs, any Hadoop-FS URI) passes
+    * through untouched.
+    */
+  def resolvePath(path: String): String =
+    if (!path.startsWith("hf://")) path
+    else sys.env.get("GRAFT_HF_MIRROR") match {
+      case Some(root) => root.stripSuffix("/") + "/" + path.stripPrefix("hf://")
+      case None => throw new IllegalArgumentException(
+        s"remote path '$path' needs GRAFT_HF_MIRROR set (offline build has no hub access)")
+    }
+
   /** JSONL read with inferred schema (DuckDB `read_json_auto` analog).
     * Glob patterns in the path are expanded by the Hadoop file index.
     */
   def readJsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
+    spark.read.json(resolvePath(path))
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(resolvePath(path))
 
   /** S1: import a JSONL file/glob into an empty collection. */
   def importJsonl(c: Collection, path: String): Unit =

@@ -78,3 +78,15 @@ class MultiColumnIndexSpec extends SparkSpec {
     assert(byBody == 2L)
   }
 }
+
+class PathResolutionSpec extends SparkSpec {
+  test("hf:// paths map to the mirror root or fail fast offline") {
+    assert(Ingest.resolvePath("/plain/local/path.parquet") == "/plain/local/path.parquet")
+    assert(Ingest.resolvePath("s3a://bucket/key") == "s3a://bucket/key")
+    // no GRAFT_HF_MIRROR in the test env -> clear offline error
+    val e = intercept[IllegalArgumentException] {
+      Ingest.resolvePath("hf://datasets/user/repo/file.parquet")
+    }
+    assert(e.getMessage.contains("GRAFT_HF_MIRROR"))
+  }
+}
