@@ -187,8 +187,16 @@ object Dedup {
                         shingleSize: Int = 3,
                         maxShingleDf: Option[Int] = None): DataFrame = {
     val blockCols = blockCol.toSeq.map(col)
+    // shingles are joined on their 64-bit stable hash, not the string:
+    // halves the shuffle payload and turns the join compare into a long
+    // equality. FNV-64 collisions across a corpus's distinct shingles are
+    // ~(n_distinct)^2 / 2^65 — vanishing, and a collision only perturbs one
+    // intersection count by 1.
+    val hashedShingles = udf { (s: String) =>
+      shingleSet(s, shingleSize).toArray.map(StableHash.fnv64)
+    }
     val sized = df.select(
-      col(keyCol) +: shingleArray(col(textCol), shingleSize).as("sh") +: blockCols: _*)
+      col(keyCol) +: hashedShingles(col(textCol)).as("sh") +: blockCols: _*)
       .withColumn("n_sh", size(col("sh")))
     val exploded0 = sized.select(
       col(keyCol) +: col("n_sh") +: explode(col("sh")).as("shingle") +: blockCols: _*)
