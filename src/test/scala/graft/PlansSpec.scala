@@ -55,3 +55,26 @@ class PlansSpec extends SparkSpec {
     assert(math.abs(got - 1.0) < 1e-15)
   }
 }
+
+class TopKAggregatorSpec extends SparkSpec {
+  import graft.plans.{ScoredKey, TopKAggregator}
+
+  test("reduce/merge keep order, bound, and tie-break determinism") {
+    val agg = new TopKAggregator(3)
+    val items = Seq(
+      ScoredKey(1.0, 5), ScoredKey(3.0, 2), ScoredKey(2.0, 9),
+      ScoredKey(3.0, 1), ScoredKey(0.5, 7))
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    assert(buf == List(ScoredKey(3.0, 1), ScoredKey(3.0, 2), ScoredKey(2.0, 9)))
+    // merge of two disjoint buffers equals reduce over the union
+    val (a, b) = items.splitAt(2)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == buf)
+    // k = 1 keeps only the max, lowest key on ties
+    val agg1 = new TopKAggregator(1)
+    assert(items.foldLeft(agg1.zero)(agg1.reduce) == List(ScoredKey(3.0, 1)))
+    // merge with empty is identity
+    assert(agg.merge(buf, agg.zero) == buf && agg.merge(agg.zero, buf) == buf)
+  }
+}
