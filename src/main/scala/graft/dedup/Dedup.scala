@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
@@ -108,11 +107,15 @@ object Dedup {
                         p: MinHashParams = MinHashParams(),
                         maxBucket: Int = 1000): DataFrame = {
     val bands = minhashBands(df, textCol, keyCol, p)
-    val bounded = bands
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // Oversized buckets are found with an aggregate (map-side partial
+    // combine, shuffle payload = (band, band_hash) only) and removed with
+    // a broadcast anti-join — NOT a window count, which would re-shuffle
+    // the full n×bands keyed table once just to measure bucket sizes.
+    val oversized = bands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("band_hash"))
+    val bounded = bands.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
     bounded.as("a")
       .join(bounded.as("b"),
         col("a.band") === col("b.band") &&
@@ -223,16 +226,28 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over word unigrams: per-token stable hash, bitwise
-    * vote, sign -> bit. Hamming distance approximates cosine over the
-    * token multiset.
+  /** 64-bit SimHash over word unigrams: per-token hash, bitwise vote,
+    * sign -> bit. Hamming distance approximates cosine over the token
+    * multiset.
+    *
+    * The per-token hash is the first 8 bytes (big-endian) of
+    * `md5("<seed>|<token>")` — deliberately, because md5 is bit-identical
+    * in DuckDB, which makes the whole simhash pipeline SQL-expressible and
+    * lets the driver oracle hash-match `q28_simhash_neardups` instead of a
+    * rows-only check.
     */
   def simhash64(text: String, seed: Long = 42L): Long = {
     val toks = Option(text).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefix = seed.toString + "|"
     toks.foreach { t =>
-      val h = StableHash.mix64(StableHash.fnv64(t) ^ StableHash.mix64(seed))
+      md.reset()
+      val d = md.digest((prefix + t).getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
       var j = 0
       while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1; j += 1 }
     }
@@ -263,7 +278,7 @@ object Dedup {
           col("a.block_val") === col("b.block_val") &&
           col(s"a.$keyCol") < col(s"b.$keyCol"))
       .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -293,13 +308,20 @@ object Dedup {
         (t.toLong << 32) | graft.search.Ann.bucketOf(arr, planes).toLong
       }
     }
+    // Candidate generation and dedup carry ONLY (key, bucket) — the
+    // distinct's shuffle moves two longs per candidate, not 2×dim floats.
+    // Vectors are joined back afterwards for the (much smaller) verified
+    // candidate set.
     val bucketed = embDf
-      .select(col(keyCol), col(embCol), explode(bucketUdf(col(embCol))).as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
+      .select(col(keyCol), explode(bucketUdf(col(embCol))).as("bucket"))
+    val candidates = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$keyCol") < col(s"b.$keyCol"))
-      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
-        col(s"a.$embCol").as("emb_a"), col(s"b.$embCol").as("emb_b"))
+      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"))
       .distinct()
+    val vecs = embDf.select(col(keyCol), col(embCol))
+    candidates
+      .join(vecs.withColumnRenamed(keyCol, "key_a").withColumnRenamed(embCol, "emb_a"), "key_a")
+      .join(vecs.withColumnRenamed(keyCol, "key_b").withColumnRenamed(embCol, "emb_b"), "key_b")
       .withColumn("cosine",
         graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)

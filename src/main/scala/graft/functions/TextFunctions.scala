@@ -185,7 +185,10 @@ object TextFunctions {
 
   /** 64-bit polynomial rolling hash of the normalized text (base 257, mod
     * 2^61-1). Content-defined fingerprint usable for shift-tolerant chunk
-    * identity; Scala-side only (verified by property tests).
+    * identity. Normalization is collapse-whitespace-THEN-trim (same order
+    * as [[normalized]]) so the DuckDB oracle — whose `trim` strips only
+    * spaces — computes the identical character stream; the hash itself is
+    * plain integer arithmetic, replicated in SQL via `list_reduce`.
     */
   def rollingHash(text: String): Long = {
     val Mod = (1L << 61) - 1 // Mersenne prime modulus
@@ -197,7 +200,7 @@ object TextFunctions {
       if (r >= Mod) r - Mod else r
     }
     var h = 0L
-    val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val s = if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim
     var i = 0
     while (i < s.length) {
       // h*257 + c = h*256 + h + c, each term < M so the sum fits in 63 bits

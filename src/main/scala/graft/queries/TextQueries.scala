@@ -292,7 +292,10 @@ object TextQueries {
          | WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q26_jaccard_pairs" -> JaccardOracle,
     "q27_minhash_neardups" -> JaccardOracle,
-    "q29_cosine_pairs" -> cosinePairsOracle
+    "q29_cosine_pairs" -> cosinePairsOracle,
+    "q28_simhash_neardups" -> simhashOracle,
+    "q31_langid" -> langidOracle,
+    "q32_rolling_fp" -> rollingFpOracle
   )
 
   /** Exact word-3-shingle Jaccard >= 0.8 over all pairs; shared by the
@@ -312,6 +315,97 @@ object TextQueries {
        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
        | ORDER BY key_a, key_b""".stripMargin
+
+  /** SimHash replicated bit-exactly in SQL: the per-token hash is the
+    * first 16 hex chars of md5("42|" || tok) (== first 8 bytes big-endian,
+    * exactly what `Dedup.simhash64` computes), accumulated as HUGEINT then
+    * reinterpreted as a signed 64-bit value so DuckDB's BIGINT `>> j & 1`
+    * reads each bit. Per-(doc, bit) votes are summed, and the pairwise
+    * Hamming distance is counted directly from differing vote signs —
+    * no 64-bit assembly needed. All pairs with hamming <= 3 is exactly
+    * Spark's output: the 4x16-bit pigeonhole blocking is lossless there.
+    */
+  private lazy val simhashOracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      | FROM documents),
+      |hx AS (SELECT doc_id, substr(md5('42|' || tok), 1, 16) AS hex FROM toks),
+      |hu AS (
+      | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |   list_transform(range(1, 17),
+      |     i -> CAST(strpos('0123456789abcdef', substr(hex, CAST(i AS INT), 1)) - 1 AS HUGEINT))),
+      |   (acc, x) -> acc * 16 + x) AS hv
+      | FROM hx),
+      |hs AS (
+      | SELECT doc_id, CAST(CASE WHEN hv >= 9223372036854775808 THEN
+      |   hv - 18446744073709551616 ELSE hv END AS BIGINT) AS h
+      | FROM hu),
+      |bits AS (
+      | SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      | FROM hs CROSS JOIN range(64) t(j) GROUP BY doc_id, j)
+      |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+      | CAST(count(*) FILTER (WHERE (a.vote > 0) <> (b.vote > 0)) AS BIGINT) AS hamming
+      | FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2
+      | HAVING count(*) FILTER (WHERE (a.vote > 0) <> (b.vote > 0)) <= 3
+      | ORDER BY key_a, key_b""".stripMargin
+
+  /** Marker-word language ID replicated in SQL. Tie-break mirrors Scala's
+    * `maxBy((hits, lang))`: highest hit count, then lexicographically
+    * greatest language code — hence the descending it/fr/es/en/de CASE
+    * order. The CJK branch compares 2x the CJK-codepoint count against the
+    * text length, like `detectLang`.
+    */
+  private lazy val langidOracle: String =
+    """WITH m AS (
+      | SELECT doc_id, lang,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks,
+      |  length(text) AS n_chars,
+      |  length(text) - length(regexp_replace(text,
+      |    '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, lang, n_chars, cjk,
+      |  len(list_filter(toks, t -> list_contains(
+      |   ['the','and','of','to','is','in','that','it','for','with'], t))) AS en_h,
+      |  len(list_filter(toks, t -> list_contains(
+      |   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], t))) AS de_h,
+      |  len(list_filter(toks, t -> list_contains(
+      |   ['el','la','los','las','es','una','que','por','para','con'], t))) AS es_h,
+      |  len(list_filter(toks, t -> list_contains(
+      |   ['le','la','les','et','est','une','que','pour','dans','avec'], t))) AS fr_h,
+      |  len(list_filter(toks, t -> list_contains(
+      |   ['il','la','che','di','è','una','per','con','del','non'], t))) AS it_h
+      | FROM m)
+      |SELECT doc_id, lang AS declared,
+      | CASE
+      |  WHEN 2 * cjk > n_chars THEN 'zh'
+      |  WHEN greatest(en_h, de_h, es_h, fr_h, it_h) = 0 THEN 'und'
+      |  WHEN it_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'it'
+      |  WHEN fr_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'fr'
+      |  WHEN es_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'es'
+      |  WHEN en_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'en'
+      |  ELSE 'de' END AS detected
+      | FROM s ORDER BY doc_id""".stripMargin
+
+  /** Base-257 polynomial hash mod 2^61-1 over the normalized text, char by
+    * char via `list_reduce` in HUGEINT (the per-step product peaks at
+    * ~2^69 — past BIGINT, comfortably inside HUGEINT). `substr`/`unicode`
+    * walk codepoints, which equals Scala's `charAt` on BMP text.
+    */
+  private lazy val rollingFpOracle: String =
+    """WITH n AS (
+      | SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      | FROM documents)
+      |SELECT doc_id,
+      | CASE WHEN length(s) = 0 THEN 0 ELSE
+      |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |    list_transform(range(1, length(s) + 1),
+      |      i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+      |    (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)
+      | END AS rhash
+      | FROM n ORDER BY doc_id""".stripMargin
 
   private lazy val cosinePairsOracle: String =
     """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
