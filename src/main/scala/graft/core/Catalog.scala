@@ -148,7 +148,8 @@ class Collection private[core] (
   def embedColumn(column: String, embedder: graft.embed.Embedder,
                   batchSize: Int = 32): Long = {
     import spark.implicits._
-    val watermark = if (indexedCount(column) == 0L) 0L
+    val before = indexedCount(column)
+    val watermark = if (before == 0L) 0L
       else Keys.maxKey(embeddings(column))
     val pending = df
       .filter(col(KeyCol) > watermark)
@@ -156,6 +157,12 @@ class Collection private[core] (
       // collection_actor.rs:446-449).
       .select(col(KeyCol), coalesce(col(column).cast(StringType), lit("")))
       .as[(Long, String)]
+    // Cheap limit-1 probe so a no-op call appends no empty file. The full
+    // batch is NEVER cached or counted up front — at scale that cache is
+    // pure memory pressure; the embed pass flows straight into the
+    // parquet append, and the returned count comes from the (footer-
+    // metadata-cheap) before/after index counts.
+    if (pending.isEmpty) return 0L
     val variant = config.model_variant
     val embedded0 = pending.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -169,11 +176,8 @@ class Collection private[core] (
       else embedded0
         .map { case (k, v) => (k, graft.embed.Quantization.encode(variant, v)) }
         .toDF(KeyCol, "qembedding")
-    embedded.cache()
-    val n = embedded.count()
-    if (n > 0) embedded.write.mode("append").parquet(indexDir(column))
-    embedded.unpersist()
-    n
+    embedded.write.mode("append").parquet(indexDir(column))
+    indexedCount(column) - before
   }
 
   /** Streaming twin of [[embedColumn]]: watch the collection's data

@@ -67,15 +67,12 @@ object EventQueries {
     }),
 
     // Interval range join: per user, pairs of events within one minute.
-    // Equi part (user_id) drives the shuffle; the time band is a
-    // post-join filter evaluated inside codegen.
+    // Time-bucketed equi-join (user_id, minute) — a hot user in one
+    // minute stays bounded to that minute's bucket, not the whole user.
     "q36_range_join" -> ((s, d) => {
       val e = events(s, d).select(col("user_id"), col("ts"), col("event_id"))
-      e.as("a").join(e.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("b.ts") > col("a.ts") &&
-            col("b.ts") <= col("a.ts") + expr("INTERVAL 1 MINUTE"))
-        .groupBy(col("a.user_id").as("user_id"))
+      graft.operators.RangeJoin.pairsWithin(e, Seq("user_id"), "ts", windowSec = 60)
+        .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     })

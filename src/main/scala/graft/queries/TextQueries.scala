@@ -94,7 +94,14 @@ object TextQueries {
     // condition and re-converts both vectors on every one of the n²/2
     // pair evaluations.
     "q29_cosine_pairs" -> ((s, d) => {
-      val e = embeddings(s, d)
+      val e0 = embeddings(s, d)
+      // guard: this all-pairs BNLJ twin is for verification fixtures only —
+      // it must never be reachable on production-scale inputs (q30 is the
+      // LSH scale path).
+      val n = e0.count()
+      require(n <= 10000,
+        s"q29_cosine_pairs is an all-pairs verification twin (n=$n rows); use q30's LSH path at scale")
+      val e = e0
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val cos = graft.functions.VectorFunctions.cosine(col("a.emb"), col("b.emb"))
       e.repartition(col("vec_id")).as("a")

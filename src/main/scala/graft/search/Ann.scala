@@ -153,6 +153,15 @@ object Ann {
     embDf.withColumn("list_id", f(col(embCol)))
   }
 
+  /** Write a list-partitioned IVF index: `partitionBy(list_id)` gives the
+    * probed-list filter the same partition-pruning read path the LSH
+    * bucket index has — a query probing p lists reads p directories.
+    */
+  def ivfWriteIndex(embDf: DataFrame, embCol: String,
+                    centers: Array[Array[Double]], path: String): Unit =
+    ivfAssign(embDf, embCol, centers)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
   /** IVF top-k: probe the `nProbe` centroid lists nearest to the query. */
   def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
               queryVec: Array[Float], k: Int, nProbe: Int = 2,

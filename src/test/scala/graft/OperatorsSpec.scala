@@ -130,6 +130,39 @@ class AnnSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).contains(5L))
   }
 
+  test("IVF list-partitioned index prunes to the probed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString + "/idx"
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = e.filter(col("_key") === 5).select("embedding").head().getSeq[Float](0).toArray
+    val centers = Ann.ivfTrain(e, "_key", "embedding", k = 8, iters = 5, sampleN = 500)
+    Ann.ivfWriteIndex(e, "embedding", centers, dir)
+    val indexed = spark.read.parquet(dir)
+    val nProbe = 2
+    val plan = Ann.ivfTopK(indexed, centers, q, k = 5, nProbe = nProbe)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"partition pruning missing from plan:\n$plan")
+    val hits = Ann.ivfTopK(indexed, centers, q, k = 5, nProbe = nProbe).collect()
+    assert(hits.map(_.getLong(0)).contains(5L))
+  }
+
+  test("time-bucketed range join equals the naive band join") {
+    import graft.operators.RangeJoin
+    val e = Tables.events(spark, sf0001).select(col("user_id"), col("ts"), col("event_id"))
+    val bucketed = RangeJoin.pairsWithin(e, Seq("user_id"), "ts", windowSec = 60)
+      .select(col("a_event_id"), col("b_event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 1 MINUTE"))
+      .select(col("a.event_id"), col("b.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty, "fixture should contain within-minute pairs")
+  }
+
   test("bucket determinism across invocations") {
     val planes = Ann.hyperplanes(16, 8, 7L)
     val planes2 = Ann.hyperplanes(16, 8, 7L)
@@ -339,6 +372,47 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.syntheticMediaFromDocs(Tables.documents(spark, sf0001)).limit(5)
     val resized = Multimodal.resizeImages(media, "content", 32, 32)
     assert(resized.filter(col("content_resized").isNotNull).count() == 5)
+  }
+
+  /** A real 8x8 PNG: left half black, right half white. */
+  private def tinyPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIO path: PNG bytes decode to real pixel features") {
+    val png = tinyPng()
+    // direct codec check: half the pixels are black (bin 0), half white
+    // (top bin) — the luminance histogram must be exactly those two spikes
+    val f = Multimodal.Codec.imageFeatures(png, dim = 16)
+    assert(f(0) > 0.7f && f(15) > 0.7f, s"expected two-spike histogram, got ${f.toSeq}")
+    assert((1 to 14).forall(i => f(i) == 0f))
+    // and the same features must come out of the distributed operator
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, png),
+      org.apache.spark.sql.Row(2L, "not an image".getBytes("UTF-8")))
+    val df = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val feats = Multimodal.extractFeatures(df, "media_id", "content", dim = 16)
+      .orderBy("media_id").collect()
+    assert(feats(0).getSeq[Float](1) == f.toSeq)      // decoded path
+    assert(feats(1).getSeq[Float](1).nonEmpty)        // fallback stays total
+  }
+
+  test("ImageIO path: resize really rescales to the target geometry") {
+    val resized = Multimodal.Codec.resize(tinyPng(), 3, 5)
+    val img = Multimodal.Codec.decodeImage(resized)
+    assert(img.isDefined, "resized payload must itself be a decodable PNG")
+    assert(img.get.getWidth == 3 && img.get.getHeight == 5)
   }
 }
 
