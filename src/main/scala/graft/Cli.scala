@@ -14,7 +14,8 @@ import graft.sources.Ingest
   *   graft.Cli add-docs --collection C [--column col] <file>
   *   graft.Cli search  --collection C --query "..." [--column col] [--limit 10]
   *   graft.Cli serve   [--port 7898]
-  *   graft.Cli list    # collections (list-models is out of scope: network)
+  *   graft.Cli list         # collections
+  *   graft.Cli list-models  # letsearch-compatible models in GRAFT_HF_MIRROR
   * }}}
   *
   * Collection root: `$GRAFT_HOME` (default `~/.graft/collections`), the
@@ -84,6 +85,18 @@ object Cli {
         Thread.currentThread().join()
       case "list" =>
         catalog.list().foreach(c => println(CollectionConfig.toJson(c)))
+      case "list-models" =>
+        // reference output shape (hf_ops.rs:268-286), sourced offline from
+        // the GRAFT_HF_MIRROR scan instead of the hub query
+        val models = graft.embed.ModelHub.listModels()
+        if (models.isEmpty) {
+          println("No letsearch-compatible models found in the local mirror :(")
+          println("Set GRAFT_HF_MIRROR to a directory of <user>/<repo>/config.json model repos.")
+        } else {
+          println(s"${models.length} model(s) found!")
+          println("===============")
+          models.foreach(m => println(s"     ${m.modelId}  [${m.variants.mkString(", ")}]"))
+        }
       case other => fail(s"unknown command: $other")
     } finally s.stop()
   }
@@ -91,12 +104,17 @@ object Cli {
   private def importFile(c: graft.core.Collection, path: String,
                          append: Boolean = false): Unit = {
     val lower = path.toLowerCase
-    val isJson = lower.endsWith(".jsonl") || lower.endsWith(".json")
-    (isJson, append) match {
-      case (true, false)  => Ingest.importJsonl(c, path)
-      case (true, true)   => Ingest.appendJsonl(c, path)
-      case (false, false) => Ingest.importParquet(c, path)
-      case (false, true)  => Ingest.appendParquet(c, path)
+    val kind =
+      if (lower.endsWith(".jsonl") || lower.endsWith(".json")) "json"
+      else if (lower.endsWith(".pdf")) "pdf"
+      else "parquet"
+    (kind, append) match {
+      case ("json", false)    => Ingest.importJsonl(c, path)
+      case ("json", true)     => Ingest.appendJsonl(c, path)
+      case ("pdf", false)     => graft.sources.Pdf.importPdf(c, path)
+      case ("pdf", true)      => graft.sources.Pdf.appendPdf(c, path)
+      case (_, false) => Ingest.importParquet(c, path)
+      case (_, true)  => Ingest.appendParquet(c, path)
     }
     println(s"${if (append) "appended" else "imported"} $path -> ${c.config.name} (${c.count()} rows)")
   }
@@ -125,10 +143,11 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Cli <index|add-docs|search|serve|list> [flags] [file]
+    """usage: graft.Cli <index|add-docs|search|serve|list|list-models> [flags] [file]
       |  index    --collection C [--index-columns a,b] [--model m] [--variant v] [--overwrite] <file>
       |  add-docs --collection C <file>
       |  search   --collection C --query Q [--column col] [--limit n]
       |  serve    [--port 7898]
-      |  list""".stripMargin)
+      |  list
+      |  list-models""".stripMargin)
 }

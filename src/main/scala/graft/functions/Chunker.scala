@@ -28,12 +28,22 @@ import org.apache.spark.sql.functions.udf
   */
 object Chunker {
 
-  final case class ChunkerConfig(maxTokens: Int = 512, overlapTokens: Int = 50)
-
-  def countTokens(text: String): Int = {
+  /** Default token counter: 1.3 tokens per whitespace word, rounded up
+    * (the reference's approximation, chunker.rs:106-114).
+    */
+  val approxTokens: String => Int = { text =>
     val words = text.split("\\s+").count(_.nonEmpty)
     math.ceil(words * 1.3).toInt
   }
+
+  /** `countTokens` is pluggable — drop in a real tokenizer's counter
+    * (the reference's tokenizer branch, chunker.rs:106-114) and every
+    * split decision follows it; the split logic itself never changes.
+    */
+  final case class ChunkerConfig(maxTokens: Int = 512, overlapTokens: Int = 50,
+                                 countTokens: String => Int = approxTokens)
+
+  def countTokens(text: String): Int = approxTokens(text)
 
   /** Header level (count of leading '#', 1..6) when `line` is an ATX header:
     * '#'*level followed by a space or end-of-line.
@@ -50,11 +60,11 @@ object Chunker {
 
   def chunk(text: String, config: ChunkerConfig = ChunkerConfig()): Seq[String] = {
     if (text.trim.isEmpty) Seq.empty
-    else if (countTokens(text) <= config.maxTokens) Seq(text)
+    else if (config.countTokens(text) <= config.maxTokens) Seq(text)
     else
       splitByHeaders(text, config).flatMap { seg =>
         if (seg.trim.isEmpty) Seq.empty
-        else if (countTokens(seg) <= config.maxTokens) Seq(seg)
+        else if (config.countTokens(seg) <= config.maxTokens) Seq(seg)
         else splitByParagraphs(seg, config)
       }
   }
@@ -67,7 +77,7 @@ object Chunker {
       .map(level => splitAtLevel(text, level))
       .find(_.length > 1)
       .map(_.flatMap { section =>
-        if (countTokens(section) > config.maxTokens) splitByHeaders(section, config)
+        if (config.countTokens(section) > config.maxTokens) splitByHeaders(section, config)
         else Seq(section)
       })
       .getOrElse(Seq(text))
@@ -99,12 +109,12 @@ object Chunker {
     val chunks = Seq.newBuilder[String]
     var current = ""
     for (raw <- text.split("\n\n"); para = raw.trim if para.nonEmpty) {
-      if (countTokens(para) > config.maxTokens) {
+      if (config.countTokens(para) > config.maxTokens) {
         if (current.trim.nonEmpty) { chunks += current; current = "" }
         chunks ++= splitByTokens(para, config)
       } else {
         val candidate = if (current.isEmpty) para else s"$current\n\n$para"
-        if (countTokens(candidate) <= config.maxTokens) current = candidate
+        if (config.countTokens(candidate) <= config.maxTokens) current = candidate
         else {
           if (current.trim.nonEmpty) chunks += current
           val overlap = tailOverlap(current, config)
@@ -124,15 +134,19 @@ object Chunker {
   private def splitByTokens(text: String, config: ChunkerConfig): Seq[String] = {
     val words = text.split("\\s+").filter(_.nonEmpty)
     if (words.isEmpty) return Seq.empty
-    // token count of a joined word slice is ceil(wordCount * 1.3) — compute
-    // it arithmetically instead of re-joining and re-splitting the growing
-    // slice per step (which is O(W^2) on a single huge paragraph)
-    def sliceTokens(wordCount: Int): Int = math.ceil(wordCount * 1.3).toInt
+    // with the default counter, the token count of a joined word slice is
+    // ceil(wordCount * 1.3) — computed arithmetically instead of re-joining
+    // the growing slice per step (O(W^2) on a single huge paragraph); a
+    // custom counter gets the honest join-and-count
+    val defaultCounter = config.countTokens eq approxTokens
+    def sliceTokens(start: Int, end: Int): Int =
+      if (defaultCounter) math.ceil((end - start) * 1.3).toInt
+      else config.countTokens(words.slice(start, end).mkString(" "))
     val chunks = Seq.newBuilder[String]
     var start = 0
     while (start < words.length) {
       var end = start + 1
-      while (end < words.length && sliceTokens(end + 1 - start) <= config.maxTokens)
+      while (end < words.length && sliceTokens(start, end + 1) <= config.maxTokens)
         end += 1
       chunks += words.slice(start, end).mkString(" ")
       start =
@@ -143,7 +157,7 @@ object Chunker {
           var i = end - 1
           var done = false
           while (i >= 0 && !done) {
-            val wTokens = countTokens(words(i))
+            val wTokens = config.countTokens(words(i))
             if (tokCount + wTokens > config.overlapTokens) done = true
             else { tokCount += wTokens; overlapWords += 1; i -= 1 }
           }
@@ -163,7 +177,7 @@ object Chunker {
     var i = words.length - 1
     var done = false
     while (i >= 0 && !done) {
-      val t = taken + countTokens(words(i))
+      val t = taken + config.countTokens(words(i))
       if (t > config.overlapTokens) done = true
       else { taken = t; kept.prepend(words(i)); i -= 1 }
     }

@@ -90,6 +90,25 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  // Extra: a custom token counter drives every split decision (the
+  // reference's real-tokenizer branch, chunker.rs:106-114).
+  test("pluggable token counter replaces the words*1.3 approximation") {
+    val oneTokenPerWord: String => Int = s => s.split("\\s+").count(_.nonEmpty)
+    val text = (1 to 8).map(i => s"w$i").mkString(" ")
+    // 8 words / 4-token budget -> exactly two 4-word chunks under the
+    // custom counter; the default ceil(w*1.3) counter packs only 3 words
+    // per chunk, so the outputs must differ.
+    val custom = Chunker.chunk(text,
+      ChunkerConfig(maxTokens = 4, overlapTokens = 0, countTokens = oneTokenPerWord))
+    assert(custom == Seq("w1 w2 w3 w4", "w5 w6 w7 w8"))
+    val default = Chunker.chunk(text, ChunkerConfig(maxTokens = 4, overlapTokens = 0))
+    assert(default == Seq("w1 w2 w3", "w4 w5 w6", "w7 w8"))
+    // overlap honors the custom counter too
+    val overlapped = Chunker.chunk(text,
+      ChunkerConfig(maxTokens = 4, overlapTokens = 1, countTokens = oneTokenPerWord))
+    assert(overlapped.head == "w1 w2 w3 w4" && overlapped(1).startsWith("w4"))
+  }
+
   // Extra (beyond the reference suite): the explode/Column form works in a plan.
   test("column form explodes to chunks") {
     val spark = SparkSpec.session

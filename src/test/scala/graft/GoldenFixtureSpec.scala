@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pinned-result checks for the queries the DuckDB oracle cannot express
+  * (approximate search, the chunker UDTF, media features): exact expected
+  * outputs on the sf0.001 fixture, computed once and frozen here. A
+  * behavior change in any of these operators — hash family, probe set,
+  * chunk splitting — trips an equality failure instead of sliding through
+  * a rows-only gate.
+  */
+class GoldenFixtureSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("golden: q_ann_topk exact top-10 (LSH probes, fixture-pinned)") {
+    val got = q("q_ann_topk").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Seq(
+      0L -> 1.0, 73L -> 0.297238, 212L -> 0.281399, 394L -> 0.248665,
+      262L -> 0.238745, 104L -> 0.217828, 139L -> 0.202095, 380L -> 0.191359,
+      446L -> 0.176948, 11L -> 0.168679)
+    assert(got == want)
+  }
+
+  test("golden: q_ivf_topk exact top-10 (probed lists, fixture-pinned)") {
+    val got = q("q_ivf_topk").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Seq(
+      0L -> 1.0, 17L -> 0.334456, 225L -> 0.315127, 12L -> 0.311027,
+      483L -> 0.300451, 260L -> 0.298669, 73L -> 0.297238, 212L -> 0.281399,
+      347L -> 0.274508, 402L -> 0.2745)
+    assert(got == want)
+  }
+
+  test("golden: q_embed_search top-10 keys and scores") {
+    val got = q("q_embed_search").select("key", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Seq(
+      476L -> 0.671269, 343L -> 0.652555, 310L -> 0.633511, 195L -> 0.609272,
+      44L -> 0.595866, 106L -> 0.589494, 36L -> 0.587261, 171L -> 0.581297,
+      184L -> 0.574238, 398L -> 0.569709)
+    assert(got == want)
+  }
+
+  test("golden: q33_chunks total count and document 0's chunks") {
+    val chunks = q("q33_chunks")
+    assert(chunks.count() == 4851L)
+    val doc0 = chunks.filter(col("doc_id") === 0).orderBy(col("chunk_idx"))
+      .collect().map(_.getString(2)).toSeq
+    assert(doc0 == Seq(
+      "the fast key order sort table",
+      "scan merge part window small hash",
+      "scan join order batch batch batch",
+      "stream spark window window dup"))
+  }
+
+  test("golden: q34_media_features are unit-norm for every fixture row") {
+    val feats = q("q34_media_features").collect()
+    assert(feats.length == 500)
+    assert(feats.forall(_.getDouble(1) == 1.0))
+  }
+}
