@@ -41,6 +41,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"minhash missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("minhash candidate plan: one bands pass, no join, no window") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // pair generation is grouped-bucket explode: the expensive minhash
+    // UDF must appear in exactly one scan subtree — no self-join (which
+    // would evaluate it per side) and no window bucket-count
+    assert(!plan.contains("Join"), s"candidate generation regressed to a self-join:\n$plan")
+    assert(!plan.contains("Window"), s"bucket cap regressed to a window count:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single documents scan, got $scans:\n$plan")
+  }
+
   test("jaccard bounds and identity") {
     assert(Dedup.jaccard("a b c d", "a b c d", 3) == 1.0)
     assert(Dedup.jaccard("a b c d", "w x y z", 3) == 0.0)
