@@ -132,11 +132,15 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     // Markdown chunking exploded to (doc, chunk_idx, chunk) — the UDTF
-    // shape (rows-only; algorithm not SQL-expressible).
+    // shape. The full hierarchical algorithm is covered by the 11 ported
+    // reference tests (ChunkerSpec); on this corpus (no headers, no
+    // paragraph breaks) it reduces to fixed token windows, which the SQL
+    // oracle replicates exactly.
     "q33_chunks" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         posexplode(Chunker.chunkMarkdown(col("text"), maxTokens = 8, overlapTokens = 0))
           .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // Corpus vocabulary: top-20 tokens (explode + count — the wordcount
@@ -199,12 +203,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal plumbing: deterministic features over binary payloads
-    // (stub codec; rows-only).
+    // Multimodal pipeline: decode/feature-extract binary payloads
+    // (ImageIO for real images, hash fallback for the text-byte fixture),
+    // joined back to the media metadata. modality, payload size, and the
+    // unit-norm feature contract are all SQL-replicable -> full oracle.
     "q34_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.syntheticMediaFromDocs(documents(s, d))
       graft.multimodal.Multimodal.extractFeatures(media, "media_id", "content", dim = 16)
-        .select(col("media_id"),
+        .join(media.select(col("media_id"), col("modality"),
+          length(col("content")).cast("long").as("n_bytes")), "media_id")
+        .select(col("media_id"), col("modality"), col("n_bytes"),
           round(graft.functions.VectorFunctions.l2Norm(col("features")), 4).as("feat_norm"))
         .orderBy(col("media_id"))
     })
@@ -302,8 +310,35 @@ object TextQueries {
     "q29_cosine_pairs" -> cosinePairsOracle,
     "q28_simhash_neardups" -> simhashOracle,
     "q31_langid" -> langidOracle,
-    "q32_rolling_fp" -> rollingFpOracle
+    "q32_rolling_fp" -> rollingFpOracle,
+    "q33_chunks" -> chunksOracle,
+    "q34_media_features" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS modality,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(CASE WHEN strlen(text) = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS feat_norm
+        | FROM documents ORDER BY media_id""".stripMargin
   )
+
+  /** The chunker on a header-less, paragraph-less corpus is exactly the
+    * raw token-window split: with maxTokens=8, overlap=0 and the
+    * ceil(words*1.3) counter, windows hold 6 words (ceil(6*1.3)=8;
+    * ceil(7*1.3)=10). The hierarchical header/paragraph stages — inert on
+    * this fixture — are covered by ChunkerSpec's ported reference tests
+    * and the golden-fixture spec.
+    */
+  private lazy val chunksOracle: String =
+    """WITH t AS (
+      | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      | FROM documents WHERE length(trim(text)) > 0),
+      |e AS (
+      | SELECT doc_id, toks,
+      |  unnest(range(0, CAST(ceil(len(toks) / 6.0) AS BIGINT))) AS chunk_idx
+      | FROM t)
+      |SELECT doc_id, chunk_idx,
+      | array_to_string(toks[CAST(chunk_idx*6+1 AS INT):CAST(chunk_idx*6+6 AS INT)], ' ') AS chunk
+      | FROM e ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Exact word-3-shingle Jaccard >= 0.8 over all pairs; shared by the
     * exact query and the MinHash recall gate.

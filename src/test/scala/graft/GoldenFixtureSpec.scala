@@ -56,6 +56,7 @@ class GoldenFixtureSpec extends SparkSpec {
   test("golden: q34_media_features are unit-norm for every fixture row") {
     val feats = q("q34_media_features").collect()
     assert(feats.length == 500)
-    assert(feats.forall(_.getDouble(1) == 1.0))
+    assert(feats.forall(_.getDouble(3) == 1.0))
+    assert(feats.map(_.getString(1)).toSet == Set("image", "audio", "video"))
   }
 }
