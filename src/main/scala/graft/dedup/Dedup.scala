@@ -295,9 +295,13 @@ object Dedup {
     * ANY table (OR-amplification), then exact cosine verifies.
     *
     * Recall per pair at angle θ is `1 - (1 - p^bits)^tables` with
-    * `p = 1 - θ/π`; defaults give ~0.99+ for cosine >= 0.9. Lower
-    * thresholds need more/wider tables — that trade-off is the point of
-    * LSH; the exact twin (`q29_cosine_pairs`) is the ground truth.
+    * `p = 1 - θ/π`; defaults give ~0.99+ for cosine >= 0.9 — the
+    * near-duplicate regime this operator targets. Near-orthogonal
+    * thresholds are a different problem: at cosine ≈ 0.5, p ≈ 0.67, so
+    * the defaults recall ~50% (measured: 7 of the 14 exact pairs at
+    * sf0.1) and driving recall to 0.999 would take ~70 tables — at that
+    * point run the exact twin (`q29_cosine_pairs`) on a sample instead.
+    * The exact twin is always the ground truth for grading.
     */
   def embeddingNearDups(embDf: DataFrame, keyCol: String, embCol: String,
                         threshold: Double, bits: Int = 4, tables: Int = 8,

@@ -113,7 +113,12 @@ object TextQueries {
         .orderBy(col("key_a"), col("key_b"))
     }),
 
-    // LSH-bucketed embedding near-dups — the scale path (rows-only).
+    // LSH-bucketed embedding near-dups — the scale path. Graded against
+    // the same exact-cosine oracle as q29 (the q27-style recall gate):
+    // hyperplanes are seed-deterministic, so the fixture result is
+    // stable. NOTE the fixture threshold 0.5 is a near-orthogonal
+    // regime; see Dedup.embeddingNearDups for the measured recall
+    // trade-off and the operator's actual near-dup design point.
     "q30_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding",
         threshold = 0.5, bits = 6)
@@ -308,6 +313,7 @@ object TextQueries {
     "q26_jaccard_pairs" -> JaccardOracle,
     "q27_minhash_neardups" -> JaccardOracle,
     "q29_cosine_pairs" -> cosinePairsOracle,
+    "q30_embedding_neardups" -> cosinePairsOracle,
     "q28_simhash_neardups" -> simhashOracle,
     "q31_langid" -> langidOracle,
     "q32_rolling_fp" -> rollingFpOracle,

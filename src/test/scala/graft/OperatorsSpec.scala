@@ -41,6 +41,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"minhash missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("embedding LSH recall 1.0 on planted high-cosine pairs (design regime)") {
+    import spark.implicits._
+    // 40 base vectors plus a slightly-perturbed twin for 10 of them:
+    // every (i, i+100) pair has cosine >= ~0.99, everything else is
+    // near-random. Defaults must find ALL planted pairs.
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val twins = base.take(10).map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val found = graft.dedup.Dedup
+      .embeddingNearDups(df, "vec_id", "embedding", threshold = 0.9)
+      .select("key_a", "key_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 10L).map(i => (i, i + 100L)).toSet
+    assert(planted.subsetOf(found),
+      s"missed planted near-dups: ${planted -- found}")
+  }
+
   test("minhash candidate plan: one bands pass, no join, no window") {
     val docs = Tables.documents(spark, sf0001)
     val plan = Dedup.minhashCandidates(docs, "text", "doc_id")
