@@ -155,8 +155,39 @@ object SparkEntry {
     "q_union_append" ->
       """SELECT doc_id, count(*) AS n FROM (
         | SELECT doc_id FROM documents UNION ALL SELECT doc_id FROM documents)
-        | GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ann_topk" -> annTopkOracle
   )
+
+  /** LSH ANN twin. The hyperplane family is a pure function of
+    * (dim = 64, bits = 6, seed = 42) — the fixture's constants — so the
+    * planes are embedded in the SQL as double literals (shortest
+    * round-trip repr: DuckDB parses back the identical f64). Each dot
+    * product is a strictly-sequential `list_reduce` sum, matching
+    * `Ann.bucketOf`'s left-to-right f64 loop bit for bit, so every sign
+    * (= every bucket bit) agrees; the probe set is the query's bucket
+    * plus all 1-bit flips, like `probeBuckets(multiProbe = true)`.
+    */
+  private lazy val annTopkOracle: String = {
+    val planes = graft.search.Ann.hyperplanes(dim = 64, bits = 6, seed = 42L)
+    def lit(p: Array[Double]): String =
+      p.mkString("CAST([", ", ", "] AS DOUBLE[])")
+    def dot(p: Array[Double]): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(range(1, 65), i -> v[CAST(i AS INT)] * (${lit(p)})[CAST(i AS INT)])),
+         |   (a, b) -> a + b)""".stripMargin
+    val bucket = planes.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN ${dot(p)} > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS score
+       | FROM b, q
+       | WHERE b.bucket IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4),
+       |   xor(q.qb, 8), xor(q.qb, 16), xor(q.qb, 32))
+       | ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin
+  }
 
   /** One entry per implemented operator from SURVEY.md §2 (plus the
     * training-data-pipeline extensions).

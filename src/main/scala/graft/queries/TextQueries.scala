@@ -115,10 +115,12 @@ object TextQueries {
 
     // LSH-bucketed embedding near-dups — the scale path. Graded against
     // the same exact-cosine oracle as q29 (the q27-style recall gate):
-    // hyperplanes are seed-deterministic, so the fixture result is
-    // stable. NOTE the fixture threshold 0.5 is a near-orthogonal
-    // regime; see Dedup.embeddingNearDups for the measured recall
-    // trade-off and the operator's actual near-dup design point.
+    // hyperplanes are seed-deterministic, so the result is stable, and
+    // at the sf0.01 gate fixture LSH recall is 1/1. NOTE the fixture
+    // threshold 0.5 is a near-orthogonal regime where sign-LSH recall is
+    // inherently partial (measured 7/14 at sf0.1 — see
+    // Dedup.embeddingNearDups and SCALE.md); the operator's design point
+    // is cosine >= 0.9, spec'd with planted pairs at recall 1.0.
     "q30_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding",
         threshold = 0.5, bits = 6)
