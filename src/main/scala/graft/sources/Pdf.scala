@@ -124,12 +124,14 @@ object Pdf {
     } catch { case _: Exception => Array.emptyByteArray }
 
   /** Text-showing operators in one decoded content stream: `(s) Tj`,
-    * `(s) '`, and `[ ... ] TJ` arrays. Literal-string escapes per the PDF
-    * spec subset: \n \r \t \b \f \( \) \\ and \ooo octal.
+    * `(s) '`, and `[ ... ] TJ` arrays — for both literal strings (escapes
+    * per the PDF spec subset: \n \r \t \b \f \( \) \\ and \ooo octal) and
+    * hex strings (`<48656C6C6F>`, whitespace allowed, odd length padded
+    * with 0 per spec).
     */
   private[sources] def textFromContent(content: String): String = {
     val sb = new StringBuilder
-    val lit = """\((?:\\.|[^\\()])*\)"""
+    val lit = """\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>"""
     val tjArray = (s"""\\[((?:$lit|[^\\]])*)\\]\\s*TJ""").r
     val single = (s"""($lit)\\s*(Tj|')""").r
     val litRe = lit.r
@@ -157,7 +159,21 @@ object Pdf {
     sb.toString
   }
 
-  private def unescape(parenLiteral: String): String = {
+  private def unescape(pdfString: String): String =
+    if (pdfString.startsWith("<")) {
+      val hex = pdfString.stripPrefix("<").stripSuffix(">")
+        .filterNot(_.isWhitespace)
+      val padded = if (hex.length % 2 == 0) hex else hex + "0"
+      val sb = new StringBuilder(padded.length / 2)
+      var i = 0
+      while (i + 2 <= padded.length) {
+        sb.append(Integer.parseInt(padded.substring(i, i + 2), 16).toChar)
+        i += 2
+      }
+      sb.toString
+    } else unescapeLiteral(pdfString)
+
+  private def unescapeLiteral(parenLiteral: String): String = {
     val s = parenLiteral.stripPrefix("(").stripSuffix(")")
     val sb = new StringBuilder(s.length)
     var i = 0

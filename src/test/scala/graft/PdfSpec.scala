@@ -67,6 +67,15 @@ class PdfSpec extends SparkSpec {
     assert(pages.head.contains("paren ( and ) ok \\ back AB"))
   }
 
+  test("hex strings decode in Tj and TJ forms") {
+    // "Hello" = 48 65 6C 6C 6F; odd-length hex pads a trailing 0 per spec
+    val content = "BT <48656C6C6F> Tj [<20776F726C64> (!)] TJ <4> Tj ET"
+    val pages = Pdf.extractPageTexts(pdfWith(content, flate = false))
+    assert(pages.head.contains("Hello"))
+    assert(pages.head.contains(" world!"))
+    assert(pages.head.contains("@")) // <4> -> 0x40
+  }
+
   test("scanned-style PDF (no text operators) fails the text gate") {
     val content = "q 100 0 0 100 0 0 cm /Im1 Do Q" // image placement, no text
     val bytes = pdfWith(content, flate = false)
