@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
@@ -268,23 +268,42 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: block on 16-bit quarters (a pair within
     * Hamming distance 3 must agree exactly on at least one of 4 blocks —
-    * pigeonhole), then verify `bit_count(xor) <= maxHamming` on candidates.
+    * pigeonhole), verify `Long.bitCount(xor) <= maxHamming` on candidates.
+    *
+    * Same grouped-bucket generation as [[minhashCandidates]]: the simhash
+    * table is computed once, shuffled once into its (block, block_val)
+    * buckets, and verified pairs are emitted straight from each bucket's
+    * collected (key, simhash) list — the Hamming filter runs INSIDE the
+    * generator, so the pair-dedup shuffle carries only survivors, not
+    * every same-bucket pair. `maxBucket` bounds the collected array (and
+    * tames a hot block value, e.g. a popular all-zero quarter); a
+    * capped-out bucket can only lose a pair that shares no other
+    * under-cap block, so the default is deliberately high.
     */
   def simhashNearDups(df: DataFrame, textCol: String, keyCol: String,
-                      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+                      maxHamming: Int = 3, seed: Long = 42L,
+                      maxBucket: Int = 100000): DataFrame = {
     val sim = df.select(col(keyCol), simhashUdf(seed)(col(textCol)).as("simhash"))
     val blocks = sim.select(col(keyCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("block", "block_val")))
-    blocks.as("a").join(blocks.as("b"),
-        col("a.block") === col("b.block") &&
-          col("a.block_val") === col("b.block_val") &&
-          col(s"a.$keyCol") < col(s"b.$keyCol"))
-      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+    val pairsUdf = udf { (rows: Seq[Row]) =>
+      val s = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      for {
+        i <- s.indices
+        j <- (i + 1) until s.length
+        h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+        if h <= maxHamming
+      } yield (s(i)._1, s(j)._1, h.toLong)
+    }
+    blocks.groupBy(col("block"), col("block_val"))
+      .agg(collect_list(struct(col(keyCol), col("simhash"))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+      .select(explode(pairsUdf(col("members"))).as("p"))
+      .select(col("p._1").as("key_a"), col("p._2").as("key_b"),
+        col("p._3").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   // ---- embedding near-dup ---------------------------------------------
