@@ -156,8 +156,120 @@ object SparkEntry {
       """SELECT doc_id, count(*) AS n FROM (
         | SELECT doc_id FROM documents UNION ALL SELECT doc_id FROM documents)
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_ann_topk" -> annTopkOracle
+    "q_ann_topk" -> annTopkOracle,
+    "q_embed_search" -> embedSearchOracle
   )
+
+  /** Full embed→search twin: replicates `HashingEmbedder` in SQL. Sound
+    * because (a) the feature hash is md5-derived — bit-identical in
+    * DuckDB; (b) the ±1/±0.5 feature weights are dyadic rationals, so the
+    * f32 accumulation in `embedText` is EXACT and order-free, and a
+    * DOUBLE `sum` reproduces it; (c) every f64 reduction (norms, dot) is
+    * an idx-ordered sequential `list_reduce`, which equals the dense
+    * 0..dim loop because absent dims contribute exact zeros; (d) the
+    * normalize step's f32 rounding is `CAST(.. AS FLOAT)`. The query
+    * vector runs through the same pipeline as a doc_id = -1 row;
+    * `_key = doc_id + 1` (dense file-order keys, KeysSpec).
+    */
+  private lazy val embedSearchOracle: String = {
+    // 8-hex-digit -> BIGINT (the bucket hash), shared shape with simhash
+    val hex8 =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(range(1, 9),
+        |     i -> CAST(strpos('0123456789abcdef', substr(hex, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |   (a, b) -> a * 16 + b)""".stripMargin
+    s"""WITH src AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT -1 AS doc_id, 'fast key order sort table scan' AS text),
+       |toks AS (
+       | SELECT doc_id, unnest(list_filter(
+       |   string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+       | FROM src),
+       |feats AS (
+       | SELECT doc_id, tok AS f, CAST(1.0 AS DOUBLE) AS w FROM toks
+       | UNION ALL
+       | SELECT doc_id, '#' || substr(tok, CAST(i AS INT), 3) AS f,
+       |        CAST(0.5 AS DOUBLE) AS w
+       | FROM (SELECT doc_id, tok, unnest(range(1, length(tok) - 1)) AS i
+       |       FROM toks WHERE length(tok) >= 3)),
+       |hx AS (SELECT doc_id, md5('42|' || f) AS hex, w FROM feats),
+       |hi AS (SELECT doc_id,
+       |  CAST($hex8 % 384 AS INT) AS idx,
+       |  CASE WHEN strpos('0123456789abcdef', substr(hex, 9, 1)) - 1 < 8
+       |       THEN w ELSE -w END AS sw
+       |  FROM hx),
+       |sparse AS (SELECT doc_id, idx, sum(sw) AS wsum
+       |  FROM hi GROUP BY 1, 2 HAVING sum(sw) <> 0),
+       |nrm AS (SELECT doc_id, 1.0 / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list(wsum * wsum ORDER BY idx)), (x, y) -> x + y)) AS inv
+       |  FROM sparse GROUP BY doc_id),
+       |vec AS (SELECT s.doc_id, s.idx,
+       |   CAST(CAST(s.wsum * n.inv AS FLOAT) AS DOUBLE) AS a
+       |  FROM sparse s JOIN nrm n USING (doc_id)),
+       |dvec AS (SELECT * FROM vec WHERE doc_id >= 0),
+       |qvec AS (SELECT idx, a AS b FROM vec WHERE doc_id = -1),
+       |na AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list(a * a ORDER BY idx)), (x, y) -> x + y) AS na
+       |  FROM dvec GROUP BY doc_id),
+       |nb AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list(b * b ORDER BY idx)), (x, y) -> x + y) AS nb FROM qvec),
+       |dt AS (SELECT d.doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list(d.a * q.b ORDER BY d.idx)), (x, y) -> x + y) AS dot
+       |  FROM dvec d JOIN qvec q ON d.idx = q.idx GROUP BY d.doc_id),
+       |scored AS (SELECT na.doc_id,
+       |   CASE WHEN sqrt(na.na) * sqrt(nb.nb) = 0 THEN 0.0
+       |        ELSE coalesce(dt.dot, 0.0) / (sqrt(na.na) * sqrt(nb.nb)) END AS score
+       |  FROM na CROSS JOIN nb LEFT JOIN dt ON na.doc_id = dt.doc_id),
+       |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+       |SELECT d.text AS content, t.doc_id + 1 AS key, round(t.score, 6) AS score
+       | FROM top t JOIN documents d USING (doc_id)
+       | ORDER BY t.score DESC, key""".stripMargin
+  }
+
+  /** Oracles that need fixture-derived constants, built by `Verify` at
+    * dump time with a live session. The IVF centers come from the same
+    * deterministic training (`ivfTrain`: key-ordered bounded sample,
+    * fixed Lloyd iterations, sequential f64 sums) the query itself runs,
+    * so embedding them as literals yields an exact SQL twin: per-row
+    * assignment is a first-wins argmin over strictly-sequential L2
+    * distances, and the probe set is the 3 centroids nearest the query
+    * (stable (distance, index) sort, matching `ivfTopK`'s `sortBy`).
+    */
+  def dynamicOracleSql(s: SparkSession, sfDir: String): Map[String, String] = {
+    val centers = graft.search.Ann.ivfTrain(
+      embeddings(s, sfDir), "vec_id", "embedding", k = 8)
+    Map("q_ivf_topk" -> ivfTopkOracle(centers))
+  }
+
+  private def ivfTopkOracle(centers: Array[Array[Double]]): String = {
+    val dim = centers.head.length
+    def lit(c: Array[Double]): String =
+      c.mkString("CAST([", ", ", "] AS DOUBLE[])")
+    // strictly-sequential sum of squared diffs == nearestCentroid's loop
+    def dist(c: Array[Double]): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${dim + 1}),
+         |   i -> (v[CAST(i AS INT)] - (${lit(c)})[CAST(i AS INT)])
+         |      * (v[CAST(i AS INT)] - (${lit(c)})[CAST(i AS INT)]))),
+         |  (a, b) -> a + b)""".stripMargin
+    val dcols = centers.indices.map(i => s"${dist(centers(i))} AS d$i").mkString(",\n ")
+    val dlist = centers.indices.map(i => s"d$i").mkString(", ")
+    val argmin = centers.indices
+      .map(i => s"WHEN d$i = least($dlist) THEN $i").mkString("CASE ", " ", " END")
+    val structs = centers.indices
+      .map(i => s"struct_pack(d := d$i, i := $i)").mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT vec_id, v, $dcols FROM e),
+       |a AS (SELECT vec_id, v, $argmin AS list_id FROM d),
+       |p AS (SELECT list_transform(list_sort($structs), x -> x.i) AS probes
+       |      FROM d WHERE vec_id = 0),
+       |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
+       |SELECT a.vec_id, round(list_cosine_similarity(a.v, qv.qvec), 6) AS score
+       | FROM a, p, qv
+       | WHERE a.list_id IN (p.probes[1], p.probes[2], p.probes[3])
+       | ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
+  }
 
   /** LSH ANN twin. The hyperplane family is a pure function of
     * (dim = 64, bits = 6, seed = 42) — the fixture's constants — so the

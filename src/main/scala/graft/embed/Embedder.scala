@@ -1,7 +1,5 @@
 package graft.embed
 
-import scala.util.hashing.MurmurHash3
-
 /** Batch text-embedding contract (E1, reference `Embedder` trait,
   * src/model/model_utils.rs:25-31: `output_dim`, `output_dtype`,
   * `embed(Vec<String>) -> Embeddings`).
@@ -39,6 +37,13 @@ trait Embedder extends Serializable {
   * reproducible across JVMs and runs, so search results are stable and
   * testable. Trigram features make near-identical texts map to nearby
   * vectors, which the near-dup operators exploit.
+  *
+  * The feature hash is md5-derived (like `Dedup.simhash64`): bucket =
+  * first 4 md5 bytes of `"<seed>|<feature>"` mod `dim`, sign = high bit
+  * of the 5th byte's top nibble. md5 is bit-identical in DuckDB, and the
+  * ±1 / ±0.5 weights are dyadic rationals whose f32 sums are EXACT (so
+  * accumulation order cannot matter) — together that makes the whole
+  * embed → normalize → cosine pipeline replicable in oracle SQL.
   */
 final class HashingEmbedder(val dim: Int = 384, seed: Int = 42) extends Embedder {
   require(dim > 0)
@@ -46,22 +51,28 @@ final class HashingEmbedder(val dim: Int = 384, seed: Int = 42) extends Embedder
   override def embed(texts: Iterator[String]): Iterator[Array[Float]] =
     texts.map(embedText)
 
-  private def accumulate(v: Array[Float], feature: String, weight: Float): Unit = {
-    val h = MurmurHash3.stringHash(feature, seed)
-    val idx = math.floorMod(h, dim)
-    val sign = if ((h & 0x40000000) == 0) 1f else -1f
+  private def accumulate(v: Array[Float], md: java.security.MessageDigest,
+                         feature: String, weight: Float): Unit = {
+    md.reset()
+    val d = md.digest((seed.toString + "|" + feature).getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 4) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    val idx = (h % dim).toInt
+    val sign = if (((d(4) >> 4) & 0xF) < 8) 1f else -1f
     v(idx) += sign * weight
   }
 
   private def embedText(text: String): Array[Float] = {
     val v = new Array[Float](dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     tokens.foreach { tok =>
-      accumulate(v, tok, 1.0f)
+      accumulate(v, md, tok, 1.0f)
       if (tok.length >= 3) {
         var i = 0
         while (i + 3 <= tok.length) {
-          accumulate(v, "#" + tok.substring(i, i + 3), 0.5f)
+          accumulate(v, md, "#" + tok.substring(i, i + 3), 0.5f)
           i += 1
         }
       }

@@ -35,9 +35,9 @@ class GoldenFixtureSpec extends SparkSpec {
     val got = q("q_embed_search").select("key", "score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val want = Seq(
-      476L -> 0.671269, 343L -> 0.652555, 310L -> 0.633511, 195L -> 0.609272,
-      44L -> 0.595866, 106L -> 0.589494, 36L -> 0.587261, 171L -> 0.581297,
-      184L -> 0.574238, 398L -> 0.569709)
+      476L -> 0.730775, 310L -> 0.671908, 106L -> 0.633486, 343L -> 0.624815,
+      195L -> 0.622483, 398L -> 0.61099, 44L -> 0.608082, 225L -> 0.596421,
+      387L -> 0.595777, 497L -> 0.594035)
     assert(got == want)
   }
 
