@@ -29,7 +29,21 @@ object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame,
                keyCols: Seq[String], leftTime: String, rightTime: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String]): DataFrame =
+    asof(left, right, keyCols, leftTime, rightTime, rightPayload, forward = false)
+
+  /** Forward as-of: attach the right row with the '''smallest'''
+    * `rightTime >= leftTime` per key — the same one-shuffle union+window
+    * plan with the timeline walked in reverse.
+    */
+  def forward(left: DataFrame, right: DataFrame,
+              keyCols: Seq[String], leftTime: String, rightTime: String,
+              rightPayload: Seq[String]): DataFrame =
+    asof(left, right, keyCols, leftTime, rightTime, rightPayload, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame,
+                   keyCols: Seq[String], leftTime: String, rightTime: String,
+                   rightPayload: Seq[String], forward: Boolean): DataFrame = {
     require(rightPayload.nonEmpty, "need at least one right payload column")
 
     // Deterministic right side: one row per (key, time). max over a struct
@@ -65,9 +79,12 @@ object AsOfJoin {
             lit(null).cast(left.schema(c).dataType).as(c)) :+
           struct(rightPayload.map(col): _*).as("_r"): _*)
 
+    // right (0) before left (1) on time ties keeps the bound inclusive in
+    // both directions; forward walks the timeline newest-first
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc) // right (0) before left (1) on ties
+      .orderBy(timeOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedLeft.unionByName(taggedRight)

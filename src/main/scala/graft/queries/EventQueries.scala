@@ -66,6 +66,21 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of join: each event picks its user's NEXT order at or
+    // after the event time (same one-shuffle union+window plan, reversed
+    // timeline).
+    "q47_asof_forward" -> ((s, d) => {
+      val ords = orders(s, d).select(
+        col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      graft.operators.AsOfJoin.forward(
+        events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        ords, keyCols = Seq("user_id"),
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Interval range join: per user, pairs of events within one minute.
     // Time-bucketed equi-join (user_id, minute) — a hot user in one
     // minute stays bounded to that minute's bucket, not the whole user.
@@ -124,6 +139,13 @@ object EventQueries {
       """SELECT a.user_id, count(*) AS n_pairs
         | FROM events a JOIN events b ON a.user_id = b.user_id
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
-        | GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+        | GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q47_asof_forward" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey
+        | FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2) o
+        | ON e.user_id = o.user_id AND e.ts <= o.o_orderdate
+        | ORDER BY e.event_id""".stripMargin
   )
 }

@@ -223,6 +223,19 @@ object RelationalQueries {
         .join(big, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("n_items"), r2(col("o_totalprice")).as("totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Skew-proof fact-fact join via deterministic salting: the salted
+    // plan must produce exactly the plain-join aggregate (the oracle is
+    // the unsalted SQL join) while spreading any hot orderkey over 8
+    // salt buckets.
+    "q46_salted_join" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+      val ord = orders(s, d).select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.SaltedJoin.inner(li, ord, "okey", factor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -331,6 +344,11 @@ object RelationalQueries {
         | FROM orders JOIN (
         |  SELECT l_orderkey, count(*) AS n_items FROM lineitem
         |  GROUP BY l_orderkey HAVING count(*) > 4) b
-        | ON o_orderkey = b.l_orderkey ORDER BY o_orderkey""".stripMargin
+        | ON o_orderkey = b.l_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q46_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -28,6 +28,26 @@ class AsOfJoinSpec extends SparkSpec {
       "e3" -> -1L, "e4" -> -1L))
   }
 
+  test("forward as-of picks the earliest right row at or after left time") {
+    val left = Seq(
+      (1L, ts(10), "e1"), (1L, ts(25), "e2"), (1L, ts(5), "e0"),
+      (2L, ts(50), "e3"), (3L, ts(7), "e4")) // key 3 has no right rows
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts(10), 100L), // tie with e1: inclusive, should match
+      (1L, ts(20), 200L),
+      (2L, ts(40), 300L)) // before e3: no match
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.forward(left, right,
+      keyCols = Seq("k"), leftTime = "t", rightTime = "rt",
+      rightPayload = Seq("v"))
+      .select("ev", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map("e0" -> 100L, "e1" -> 100L, "e2" -> -1L,
+      "e3" -> -1L, "e4" -> -1L))
+  }
+
   test("right duplicates at same (key, time) resolve deterministically to max") {
     val left = Seq((1L, ts(10), "e")).toDF("k", "t", "ev")
     val right = Seq((1L, ts(5), 7L), (1L, ts(5), 9L)).toDF("k", "rt", "v")
