@@ -41,20 +41,25 @@ object AsOfJoin {
               rightPayload: Seq[String]): DataFrame =
     asof(left, right, keyCols, leftTime, rightTime, rightPayload, forward = true)
 
-  private def asof(left: DataFrame, right: DataFrame,
-                   keyCols: Seq[String], leftTime: String, rightTime: String,
-                   rightPayload: Seq[String], forward: Boolean): DataFrame = {
-    require(rightPayload.nonEmpty, "need at least one right payload column")
-
-    // Deterministic right side: one row per (key, time). max over a struct
-    // orders lexicographically, so this keeps ONE real row (greatest by
-    // payload order) — per-column max would fabricate a row mixing values
-    // from different inputs.
-    val dedupedRight = right
+  /** Deterministic right side: one row per (key, time). max over a struct
+    * orders lexicographically, so this keeps ONE real row (greatest by
+    * payload order) — per-column max would fabricate a row mixing values
+    * from different inputs. Shared with the physical-operator form
+    * (`plans.AsOfJoinPlan`).
+    */
+  def dedupRight(right: DataFrame, keyCols: Seq[String], rightTime: String,
+                 rightPayload: Seq[String]): DataFrame =
+    right
       .groupBy((keyCols :+ rightTime).map(col): _*)
       .agg(max(struct(rightPayload.map(col): _*)).as("_p"))
       .select((keyCols :+ rightTime).map(col) ++
         rightPayload.map(c => col(s"_p.$c").as(c)): _*)
+
+  private def asof(left: DataFrame, right: DataFrame,
+                   keyCols: Seq[String], leftTime: String, rightTime: String,
+                   rightPayload: Seq[String], forward: Boolean): DataFrame = {
+    require(rightPayload.nonEmpty, "need at least one right payload column")
+    val dedupedRight = dedupRight(right, keyCols, rightTime, rightPayload)
 
     val leftCols = left.columns
     // The entire right payload travels as ONE struct: `last(_, ignoreNulls)`

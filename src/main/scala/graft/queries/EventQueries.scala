@@ -66,6 +66,21 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The same backward as-of join through the custom physical operator
+    // (plans.AsOfJoinExec: LogicalPlan + Strategy + merge-walk SparkPlan)
+    // - graded against the identical DuckDB ASOF oracle as q35.
+    "q48_asof_exec" -> ((s, d) => {
+      val ords = orders(s, d).select(
+        col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      graft.plans.AsOfJoinPlan.backward(
+        events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        ords, keyCols = Seq("user_id"),
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Forward as-of join: each event picks its user's NEXT order at or
     // after the event time (same one-shuffle union+window plan, reversed
     // timeline).
@@ -129,6 +144,13 @@ object EventQueries {
         | count(DISTINCT user_id) AS dau, count(*) AS n_events
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey
+        | FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2) o
+        | ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        | ORDER BY e.event_id""".stripMargin,
+    "q48_asof_exec" ->
       """SELECT e.event_id, e.user_id, o.o_orderkey
         | FROM events e ASOF LEFT JOIN (
         |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey

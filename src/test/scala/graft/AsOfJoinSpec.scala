@@ -56,6 +56,43 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == 9L)
   }
 
+  test("physical AsOfJoinExec agrees with the union+window form, both directions") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ords = Tables.orders(spark, sf0001).select(
+      col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    for (fwd <- Seq(false, true)) {
+      val viaWindow =
+        (if (fwd) AsOfJoin.forward _ else AsOfJoin.backward _)
+          .apply(ev, ords, Seq("user_id"), "ts", "o_orderdate", Seq("o_orderkey"))
+          .select("event_id", "o_orderkey").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      val viaExec =
+        (if (fwd) graft.plans.AsOfJoinPlan.forward _ else graft.plans.AsOfJoinPlan.backward _)
+          .apply(ev, ords, Seq("user_id"), "ts", "o_orderdate", Seq("o_orderkey"))
+          .select("event_id", "o_orderkey").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      assert(viaExec == viaWindow, s"forward=$fwd mismatch")
+    }
+  }
+
+  test("AsOfJoinExec plan: custom operator, no window, no union") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ords = Tables.orders(spark, sf0001).select(
+      col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    val plan = graft.plans.AsOfJoinPlan
+      .backward(ev, ords, Seq("user_id"), "ts", "o_orderdate", Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix -> the operator prints as
+    // "AsOfJoin" in the tree
+    assert(plan.contains("AsOfJoin "), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      s"expected the merge-walk plan, not the union+window fallback:\n$plan")
+  }
+
   test("multi-column payload dedup keeps one REAL row, never mixes columns") {
     val left = Seq((1L, ts(10), "e")).toDF("k", "t", "ev")
     // greatest-by-first-payload row is (5, "A"); per-column max would
