@@ -61,7 +61,7 @@ object AsOfJoin {
     require(rightPayload.nonEmpty, "need at least one right payload column")
     val dedupedRight = dedupRight(right, keyCols, rightTime, rightPayload)
 
-    val leftCols = left.columns
+    val leftCols = left.columns.toSeq
     // The entire right payload travels as ONE struct: `last(_, ignoreNulls)`
     // then skips only left rows (whose struct is null), never a right row
     // that happens to carry a null FIELD — per-column fills would resurrect

@@ -31,7 +31,7 @@ object SaltedJoin {
     // deterministic salt from the row content (xxhash64 is codegen'd and
     // stable across runs/partitions)
     val salted = large.withColumn("_salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(factor)).cast("int"))
+      pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(factor)).cast("int"))
     val exploded = small
       .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("_salt", col("_salt").cast("int"))
