@@ -84,6 +84,30 @@ class Collection private[core] (
       .write.mode("append").parquet(dataDir)
   }
 
+  /** Compact the collection's data files — the operational answer to the
+    * small-file problem an append-heavy collection accumulates (every
+    * `appendDf`/chunk import lands new parquet files; a year of appends
+    * is thousands of files whose open cost dominates scans). Rewrites the
+    * data directory into ~`targetFileBytes`-sized files and swaps it in
+    * via rename, keeping `_key`s untouched. Returns the file count
+    * written. Not crash-atomic on a plain filesystem (rename window); on
+    * object stores you'd stage-and-point like any table format.
+    */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    if (isEmpty) return 0
+    val totalBytes = fs.getContentSummary(new Path(dataDir)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(dataDir + "_compacting")
+    val old = new Path(dataDir + "_precompact")
+    fs.delete(tmp, true)
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    fs.rename(new Path(dataDir), old)
+    fs.rename(tmp, new Path(dataDir))
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Import pre-chunked text rows into `column` (S6 / DbImportMarkdownChunks):
     * creates the table when absent; when present but lacking `column`, the
     * schema is widened by writing the chunk rows with the new column and

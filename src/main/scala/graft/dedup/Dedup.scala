@@ -306,6 +306,41 @@ object Dedup {
       .distinct()
   }
 
+  // ---- decontamination -------------------------------------------------
+
+  /** Benchmark decontamination: find corpus documents containing any of
+    * the `probes` as a token-aligned phrase — the standard n-gram overlap
+    * check run before training to drop eval-set leakage.
+    *
+    * Scale shape: each probe contributes ONE shingle (its own n tokens,
+    * hashed); documents explode to their n-token shingle hashes and
+    * equi-join the (broadcast, tiny) probe set — cost is corpus-linear,
+    * never corpus × probes. A document matching k probes reports k.
+    * Returns `(key, n_hits)` for contaminated docs only.
+    */
+  def contaminatedDocs(df: DataFrame, textCol: String, keyCol: String,
+                       probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe phrase")
+    val n = probes.head.trim.split("\\s+").length
+    require(probes.forall(_.trim.split("\\s+").length == n),
+      "all probes must have the same token count")
+    val probeHashes = probes.map(p =>
+      StableHash.fnv64(p.trim.toLowerCase.split("\\s+").mkString(" ")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // distinct probe shingles per doc: one doc matching one probe twice
+    // counts once per probe (set semantics, like the SQL contains check)
+    val docShingles = udf { (text: String) =>
+      val toks = Option(text).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Array.empty[Long]
+      else toks.sliding(n).map(w => StableHash.fnv64(w.mkString(" "))).toArray.distinct
+    }
+    val probeDf = probeHashes.toDF("probe_hash").distinct()
+    df.select(col(keyCol), explode(docShingles(col(textCol))).as("probe_hash"))
+      .join(broadcast(probeDf), "probe_hash")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** Near-dup pairs by embedding cosine >= `threshold`, found via

@@ -150,6 +150,19 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Benchmark decontamination: docs containing any probe 8-gram
+    // (probes = tokens 3..10 of the first five docs, standing in for an
+    // eval set). The Spark path is the corpus-linear inverted-shingle
+    // join; the oracle is the naive token-aligned substring scan.
+    "q49_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      val probes = docs.filter(col("doc_id") < 5).orderBy(col("doc_id"))
+        .select(col("text")).collect()
+        .map(_.getString(0).trim.split("\\s+").slice(2, 10).mkString(" ")).toSeq
+      Dedup.contaminatedDocs(docs, "text", "doc_id", probes)
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus vocabulary: top-20 tokens (explode + count — the wordcount
     // shape; partial agg keeps the shuffle at vocab size).
     "q41_vocab" -> ((s, d) =>
@@ -320,6 +333,15 @@ object TextQueries {
     "q31_langid" -> langidOracle,
     "q32_rolling_fp" -> rollingFpOracle,
     "q33_chunks" -> chunksOracle,
+    "q49_contamination" ->
+      """WITH p AS (
+        | SELECT DISTINCT array_to_string(
+        |   (string_split_regex(trim(lower(text)), '\s+'))[3:10], ' ') AS probe
+        | FROM documents WHERE doc_id < 5)
+        |SELECT d.doc_id, count(*) AS n_hits
+        | FROM documents d JOIN p
+        |  ON strpos(' ' || lower(trim(d.text)) || ' ', ' ' || p.probe || ' ') > 0
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

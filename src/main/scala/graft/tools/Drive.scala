@@ -34,6 +34,14 @@ object Drive {
     val n2 = coll.embedColumn("text", emb)
     println(s"after append count=${coll.count()} newly-embedded=$n2 (expect 20)")
 
+    println("=== 3b. compact the appended small files ===")
+    val preCount = coll.count()
+    val nFiles = coll.compact()
+    require(coll.count() == preCount, "compact must not change row count")
+    val n3 = coll.embedColumn("text", emb)
+    require(n3 == 0, s"compact must not disturb the embed watermark (re-embedded $n3)")
+    println(s"compacted into $nFiles file(s); count stable at $preCount; watermark intact")
+
     println("=== 4. search ===")
     coll.search("text", "fast key order sort table scan", 5, emb).show(5, 60)
 

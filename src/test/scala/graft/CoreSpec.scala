@@ -73,6 +73,25 @@ class CatalogSpec extends SparkSpec {
     assert(c.count() == 4)
   }
 
+  test("compact rewrites many small files into few, content untouched") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "ccompact"))
+    c.importDf(Seq("a", "b").toDF("text"))
+    (1 to 5).foreach(i => c.appendDf(Seq(s"x$i", s"y$i").toDF("text")))
+    def parquetFiles = new java.io.File(c.dataDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 6, s"appends should have accumulated files, got $before")
+    val rowsBefore = c.df.orderBy("_key").collect().map(_.toSeq).toSeq
+    val written = c.compact()
+    assert(written == 1) // tiny table -> single target file
+    assert(parquetFiles < before)
+    assert(c.df.orderBy("_key").collect().map(_.toSeq).toSeq == rowsBefore)
+    // appends keep working after the rewrite
+    c.appendDf(Seq("z").toDF("text"))
+    assert(c.count() == rowsBefore.length + 1)
+  }
+
   test("importChunks widens schema with a new column") {
     val cat = new Catalog(spark, tmpRoot())
     val c = cat.create(CollectionConfig(name = "c3"))

@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
       s"missed planted near-dups: ${planted -- found}")
   }
 
+  test("decontamination flags exactly the docs carrying a probe phrase") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "noise words here then alpha beta gamma delta embedded deep"),
+      (3L, "completely clean document with none of it"),
+      (4L, "alpha beta gamma delta alpha beta gamma delta twice over")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminatedDocs(docs, "text", "doc_id",
+      probes = Seq("alpha beta gamma delta"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 4 contains the probe twice but matches once (set semantics)
+    assert(hits == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("minhash candidate plan: one bands pass, no join, no window") {
     val docs = Tables.documents(spark, sf0001)
     val plan = Dedup.minhashCandidates(docs, "text", "doc_id")
