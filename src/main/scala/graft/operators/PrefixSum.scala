@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed global running total — the scalable replacement for
+  * `sum(x) OVER (ORDER BY ...)`, whose unpartitioned window collapses the
+  * whole dataset into ONE task's sort buffer.
+  *
+  * Classic two-pass prefix sum:
+  *  1. range-repartition on the order columns and sort within partitions
+  *     (Spark's distributed total sort — no single-node bottleneck);
+  *  2. one tiny job collects the per-partition sums (#partitions rows to
+  *     the driver), whose exclusive prefix becomes each partition's
+  *     offset;
+  *  3. a `mapPartitions` pass adds offset + local running sum.
+  *
+  * Partition boundaries come from range sampling and may vary run to run,
+  * but the result never does: a running total over a TOTAL order is
+  * boundary-independent (callers must pass a tie-broken order).
+  *
+  * The motivating pipeline op is token budgeting — "take the
+  * highest-quality documents until the token budget is spent" — which is
+  * exactly a cumulative sum in quality order (`q50_token_budget`).
+  */
+object PrefixSum {
+
+  /** Append `asCol` = running total of `valueCol` (must be integral; the
+    * running value is a long) over the TOTAL order given by `orderCols`.
+    */
+  def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                   asCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val prepared = df
+      .withColumn("__v", valueCol.cast(LongType))
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    // pass 1: per-partition sums -> exclusive prefix offsets (tiny: one
+    // row per partition)
+    val partSums = prepared
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("__v")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (partSums.isEmpty) -1 else partSums.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    var acc = 0L
+    for (pid <- 0 to maxPid) {
+      offsets(pid) = acc
+      acc += partSums.getOrElse(pid, 0L)
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    // pass 2: offset + local running sum, preserving the per-partition
+    // sort order
+    val outSchema = StructType(prepared.schema.fields :+
+      StructField(asCol, LongType, nullable = false))
+    val resultRdd = prepared.rdd.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var running = bcOffsets.value(math.min(pid, bcOffsets.value.length - 1))
+      it.map { row =>
+        running += row.getLong(row.length - 1) // __v is the last column
+        Row.fromSeq(row.toSeq :+ running)
+      }
+    }
+    spark.createDataFrame(resultRdd, outSchema).drop("__v")
+  }
+}

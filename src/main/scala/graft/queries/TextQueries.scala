@@ -150,6 +150,21 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Token budgeting: take the highest-quality docs until the token
+    // budget is spent — a GLOBAL running sum computed with the two-pass
+    // distributed prefix sum (operators.PrefixSum), never an
+    // unpartitioned window.
+    "q50_token_budget" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.approxBpeCount(col("text")).as("tok"))
+      graft.operators.PrefixSum.runningTotal(docs,
+        Seq(col("q").desc, col("doc_id").asc), col("tok"), "cum_tokens")
+        .filter(col("cum_tokens") <= 30000)
+        .select(col("doc_id"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: docs containing any probe 8-gram
     // (probes = tokens 3..10 of the first five docs, standing in for an
     // eval set). The Spark path is the corpus-linear inverted-shingle
@@ -333,6 +348,32 @@ object TextQueries {
     "q31_langid" -> langidOracle,
     "q32_rolling_fp" -> rollingFpOracle,
     "q33_chunks" -> chunksOracle,
+    "q50_token_budget" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |                        'for','on','with','as','at','by','that','this'], t))) AS n_stop
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+        |   + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 4.0, 1.0)
+        |   + 0.15 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+        |   + 0.15 * (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0)), 6) AS q,
+        |  CAST(ceil(n_tokens * 1.3) AS BIGINT) AS tok
+        | FROM m),
+        |c AS (
+        | SELECT doc_id, CAST(sum(tok) OVER (ORDER BY q DESC, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM s)
+        |SELECT doc_id, cum_tokens FROM c WHERE cum_tokens <= 30000
+        | ORDER BY doc_id""".stripMargin,
     "q49_contamination" ->
       """WITH p AS (
         | SELECT DISTINCT array_to_string(

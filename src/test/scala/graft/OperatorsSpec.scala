@@ -196,6 +196,23 @@ class AnnSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).contains(5L))
   }
 
+  test("distributed prefix sum equals the single-partition window") {
+    import graft.operators.PrefixSum
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice")) // o_orderkey is unique
+    val got = PrefixSum.runningTotal(ord,
+      Seq(col("o_orderkey").asc), col("o_totalprice"), "running")
+      .select(col("o_orderkey"), col("running"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = ord.withColumn("running",
+      sum(col("o_totalprice").cast("long")).over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == want.size && got == want)
+  }
+
   test("time-bucketed range join equals the naive band join") {
     import graft.operators.RangeJoin
     val e = Tables.events(spark, sf0001).select(col("user_id"), col("ts"), col("event_id"))
