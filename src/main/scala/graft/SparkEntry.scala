@@ -264,11 +264,14 @@ object SparkEntry {
        |a AS (SELECT vec_id, v, $argmin AS list_id FROM d),
        |p AS (SELECT list_transform(list_sort($structs), x -> x.i) AS probes
        |      FROM d WHERE vec_id = 0),
-       |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
-       |SELECT a.vec_id, round(list_cosine_similarity(a.v, qv.qvec), 6) AS score
+       |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+       |top AS (
+       | SELECT a.vec_id, list_cosine_similarity(a.v, qv.qvec) AS raw
        | FROM a, p, qv
        | WHERE a.list_id IN (p.probes[1], p.probes[2], p.probes[3])
-       | ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
+       | ORDER BY raw DESC, a.vec_id LIMIT 10)
+       |SELECT vec_id, round(raw, 6) AS score FROM top
+       | ORDER BY raw DESC, vec_id""".stripMargin
   }
 
   /** LSH ANN twin. The hyperplane family is a pure function of
@@ -291,14 +294,20 @@ object SparkEntry {
     val bucket = planes.zipWithIndex.map { case (p, b) =>
       s"(CASE WHEN ${dot(p)} > 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
+    // top-10 selected by the RAW score (like Spark's orderBy-then-round),
+    // rounding applied only to the surviving rows — ordering by the
+    // rounded alias could pick a different set on a near-tie at rank 10
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
-       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
-       |SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS score
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+       |top AS (
+       | SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS raw
        | FROM b, q
        | WHERE b.bucket IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4),
        |   xor(q.qb, 8), xor(q.qb, 16), xor(q.qb, 32))
-       | ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin
+       | ORDER BY raw DESC, b.vec_id LIMIT 10)
+       |SELECT vec_id, round(raw, 6) AS score FROM top
+       | ORDER BY raw DESC, vec_id""".stripMargin
   }
 
   /** One entry per implemented operator from SURVEY.md §2 (plus the

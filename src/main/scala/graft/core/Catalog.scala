@@ -99,11 +99,24 @@ class Collection private[core] (
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(dataDir + "_compacting")
     val old = new Path(dataDir + "_precompact")
+    val dataPath = new Path(dataDir)
     fs.delete(tmp, true)
     df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true)
-    fs.rename(new Path(dataDir), old)
-    fs.rename(tmp, new Path(dataDir))
+    // every rename result is CHECKED: falling through a failed swap to
+    // the final delete would destroy the only copy of the data
+    if (!fs.rename(dataPath, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: could not stage $dataDir aside")
+    }
+    if (!fs.rename(tmp, dataPath)) {
+      // roll the original back into place before failing
+      if (!fs.rename(old, dataPath))
+        throw new java.io.IOException(
+          s"compact: swap failed AND rollback failed; original data is at $old")
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: could not swap in compacted files (rolled back)")
+    }
     fs.delete(old, true)
     nFiles
   }

@@ -37,16 +37,26 @@ object PrefixSum {
       .withColumn("__v", valueCol.cast(LongType))
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    // BOTH passes run over this one RDD lineage: its single range-shuffle
+    // dependency is computed once and its map outputs reused, so the
+    // (sampled, run-varying) partition boundaries are identical for the
+    // sum pass and the output pass. Converting to .rdd twice would build
+    // two independent shuffles whose boundaries may disagree — offsets
+    // applied to the wrong partitions, silently wrong totals.
+    val rdd = prepared.rdd
+    val vIdx = prepared.schema.length - 1 // __v is the last column
     // pass 1: per-partition sums -> exclusive prefix offsets (tiny: one
-    // row per partition)
-    val partSums = prepared
-      .groupBy(spark_partition_id().as("__pid"))
-      .agg(sum(col("__v")).as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (partSums.isEmpty) -1 else partSums.keys.max
-    val offsets = new Array[Long](maxPid + 2)
+    // row per partition). Null values contribute nothing, matching
+    // `sum() OVER` semantics.
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
+      Iterator((pid, s))
+    }.collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](math.max(1, nParts))
     var acc = 0L
-    for (pid <- 0 to maxPid) {
+    for (pid <- 0 until nParts) {
       offsets(pid) = acc
       acc += partSums.getOrElse(pid, 0L)
     }
@@ -55,11 +65,11 @@ object PrefixSum {
     // sort order
     val outSchema = StructType(prepared.schema.fields :+
       StructField(asCol, LongType, nullable = false))
-    val resultRdd = prepared.rdd.mapPartitions { it =>
+    val resultRdd = rdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      var running = bcOffsets.value(math.min(pid, bcOffsets.value.length - 1))
+      var running = bcOffsets.value(pid)
       it.map { row =>
-        running += row.getLong(row.length - 1) // __v is the last column
+        if (!row.isNullAt(vIdx)) running += row.getLong(vIdx)
         Row.fromSeq(row.toSeq :+ running)
       }
     }

@@ -88,7 +88,12 @@ case class AsOfJoinExec(
       val lTimeProj = UnsafeProjection.create(Seq(lTimeB), lOutput)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rOutput)
       val payloadProj = UnsafeProjection.create(payloadB, rOutput)
-      val outProj = UnsafeProjection.create(outAttrs, lOutput ++ payloadB)
+      // the joined row's payload side can be the all-null row for
+      // unmatched lefts, so the projection must bind against NULLABLE
+      // payload attributes (the declared output) — binding the original
+      // right-side attrs would skip the null check and read 0/defaults
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOutput ++ payloadB.map(_.withNullability(true)))
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeysB.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeB.dataType))
       val nullPayload: InternalRow = new GenericInternalRow(payloadB.length)

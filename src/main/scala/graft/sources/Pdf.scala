@@ -93,7 +93,10 @@ object Pdf {
         if (dataStart < ascii.length && ascii.charAt(dataStart) == '\n') dataStart += 1
         val end = ascii.indexOf("endstream", dataStart)
         if (end > dataStart) {
-          val dictStart = ascii.lastIndexOf("<<", i)
+          // walk back to the OUTERMOST `<<` of the stream dict, balancing
+          // nested dictionaries (e.g. /DecodeParms << ... >>) — a plain
+          // lastIndexOf would stop at the innermost and lose /FlateDecode
+          val dictStart = outermostDictStart(ascii, i)
           val dict = if (dictStart >= 0) ascii.substring(dictStart, i) else ""
           // strip the EOL that precedes `endstream`
           var dataEnd = end
@@ -108,9 +111,30 @@ object Pdf {
     out.result()
   }
 
-  private[sources] def inflate(data: Array[Byte]): Array[Byte] =
+  /** Scanning back from `beforePos`, the position of the `<<` opening the
+    * outermost dictionary (nested `<< >>` pairs balanced); -1 if none.
+    */
+  private[sources] def outermostDictStart(ascii: String, beforePos: Int): Int = {
+    // the stream dict closes with `>>` just before `stream`; scanning
+    // backwards, the `<<` that brings the depth back to zero is its
+    // outermost opener — stop there, never walk into the previous object
+    var depth = 0
+    var i = beforePos - 1
+    while (i > 0) {
+      if (ascii.charAt(i) == '>' && ascii.charAt(i - 1) == '>') {
+        depth += 1; i -= 2
+      } else if (ascii.charAt(i) == '<' && ascii.charAt(i - 1) == '<') {
+        if (depth <= 1) return i - 1
+        depth -= 1
+        i -= 2
+      } else i -= 1
+    }
+    -1
+  }
+
+  private[sources] def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
       val buf = new Array[Byte](8192)
@@ -119,9 +143,10 @@ object Pdf {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return out.toByteArray // stuck (truncated)
       }
-      inf.end()
       out.toByteArray
     } catch { case _: Exception => Array.emptyByteArray }
+    finally inf.end() // native zlib memory — must not wait for finalization
+  }
 
   /** Text-showing operators in one decoded content stream: `(s) Tj`,
     * `(s) '`, and `[ ... ] TJ` arrays — for both literal strings (escapes

@@ -67,6 +67,28 @@ class PdfSpec extends SparkSpec {
     assert(pages.head.contains("paren ( and ) ok \\ back AB"))
   }
 
+  test("nested dict before stream keyword still sees /FlateDecode") {
+    // dict shape: << /Filter /FlateDecode /DecodeParms << /K 1 >> /Length N >>
+    val content = s"BT ($LongLine) Tj ET"
+    val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val bos0 = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) bos0.write(buf, 0, d.deflate(buf))
+    val data = bos0.toByteArray
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(("%PDF-1.4\n1 0 obj << /X 1 >> endobj\n" +
+      s"4 0 obj << /Filter /FlateDecode /DecodeParms << /K 1 >> /Length ${data.length} >>\nstream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    bos.write(data)
+    bos.write("\nendstream\nendobj\n%%EOF\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val pages = Pdf.extractPageTexts(bos.toByteArray)
+    assert(pages.nonEmpty && pages.head.contains(LongLine),
+      s"nested dict broke filter detection: $pages")
+  }
+
   test("hex strings decode in Tj and TJ forms") {
     // "Hello" = 48 65 6C 6C 6F; odd-length hex pads a trailing 0 per spec
     val content = "BT <48656C6C6F> Tj [<20776F726C64> (!)] TJ <4> Tj ET"
