@@ -150,6 +150,30 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Gopher-style repetition filters: the fraction of the document made
+    // of its most-frequent unigram and bigram — high values flag
+    // boilerplate/spam for removal before training. Pure Catalyst
+    // (explode + two-level aggregate), all equi-shuffles.
+    "q51_repetition" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val uni = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_uni"), sum(col("c")).as("n_uni"))
+      val bi = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShinglesUdf(lower(col("text")), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
+      uni.join(bi, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(col("top_uni").cast("double") / col("n_uni"), 6).as("uni_rep"),
+          round(coalesce(col("top_bi").cast("double") / col("n_bi"), lit(0.0)), 6)
+            .as("bi_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token budgeting: take the highest-quality docs until the token
     // budget is spent — a GLOBAL running sum computed with the two-pass
     // distributed prefix sum (operators.PrefixSum), never an
@@ -348,6 +372,22 @@ object TextQueries {
     "q31_langid" -> langidOracle,
     "q32_rolling_fp" -> rollingFpOracle,
     "q33_chunks" -> chunksOracle,
+    "q51_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
+         |uc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, max(c) AS top_uni, CAST(sum(c) AS BIGINT) AS n_uni
+         |        FROM uc GROUP BY doc_id),
+         |bt AS (SELECT doc_id, $Toks AS t FROM documents),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1])) AS bg FROM bt),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2),
+         |bi AS (SELECT doc_id, max(c) AS top_bi, CAST(sum(c) AS BIGINT) AS n_bi
+         |       FROM bc GROUP BY doc_id)
+         |SELECT u.doc_id,
+         | round(CAST(u.top_uni AS DOUBLE) / u.n_uni, 6) AS uni_rep,
+         | round(coalesce(CAST(b.top_bi AS DOUBLE) / b.n_bi, 0.0), 6) AS bi_rep
+         | FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+         | ORDER BY u.doc_id""".stripMargin,
     "q50_token_budget" ->
       """WITH m AS (
         | SELECT doc_id,
