@@ -99,11 +99,10 @@ object SparkEntry {
       import s.implicits._
       val embedder = new HashingEmbedder(dim = 384)
       val docs = Keys.withKey(documents(s, d))
-      val emb = docs
-        .select(col(Keys.KeyCol), coalesce(col("text"), lit("")).as("text"))
-        .as[(Long, String)]
-        .mapPartitions(it => it.grouped(32).flatMap(b =>
-          b.iterator.map(_._1).zip(embedder.embed(b.iterator.map(_._2)))))
+      val emb = graft.embed.EmbedBatch.pairs(
+        docs.select(col(Keys.KeyCol), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)],
+        embedder, batchSize = 32)
         .toDF(Keys.KeyCol, "embedding")
       Search.searchAndFetch(docs, emb,
         embedder.embedOne("fast key order sort table scan"), 10, "text")

@@ -201,11 +201,7 @@ class Collection private[core] (
     // metadata-cheap) before/after index counts.
     if (pending.isEmpty) return 0L
     val variant = config.model_variant
-    val embedded0 = pending.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map(_._1).zip(embedder.embed(batch.iterator.map(_._2)))
-      }
-    }
+    val embedded0 = graft.embed.EmbedBatch.pairs(pending, embedder, batchSize)
     // f16/i8 variants quantize the stored payload (2 or ~1 bytes/dim vs 4);
     // reads dequantize transparently in embeddings().
     val embedded =
@@ -236,18 +232,19 @@ class Collection private[core] (
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
-        // per-batch max-key watermark makes the sink idempotent: rows
-        // already in the index (pre-existing before the stream started, or
-        // written by a batch that crashed before its offset commit and got
-        // replayed) are filtered out instead of appended twice
-        val alreadyIndexed =
-          if (indexedCount(column) == 0L) 0L else Keys.maxKey(embeddings(column))
-        val batch = batch0.filter(_._1 > alreadyIndexed)
-        val embedded0 = batch.mapPartitions { it =>
-          it.grouped(batchSize).flatMap { b =>
-            b.iterator.map(_._1).zip(embedder.embed(b.iterator.map(_._2)))
-          }
-        }
+        // replay safety: dedup against the ACTUAL indexed keys, not a
+        // max-key watermark — a crash mid-append can leave the index with
+        // a key gap (later files visible, earlier ones not), and a max
+        // watermark would then skip the gap forever. The anti-join reads
+        // only the index's key column (column-pruned scan) and drops
+        // exactly the keys already present, so replays stay idempotent
+        // even under partially visible commits.
+        val batch =
+          if (indexedCount(column) == 0L) batch0
+          else batch0.toDF(KeyCol, "__text")
+            .join(embeddings(column).select(KeyCol), Seq(KeyCol), "left_anti")
+            .as[(Long, String)]
+        val embedded0 = graft.embed.EmbedBatch.pairs(batch, embedder, batchSize)
         val embedded =
           if (variant == "f32") embedded0.toDF(KeyCol, "embedding")
           else embedded0

@@ -74,7 +74,13 @@ object Dedup {
     }
   }
 
-  /** Exact word-shingle Jaccard similarity of two texts. */
+  /** Exact word-shingle Jaccard similarity of two texts. NOTE the
+    * deliberate divergence from [[jaccardCol]] on the both-empty case:
+    * this scalar returns 1.0 (two blank docs are identical), while the
+    * column twin yields SQL's 0/0 = null so blank pairs drop out of
+    * `>=` filters exactly like the DuckDB oracle's — blank-vs-blank
+    * identity is the exact-dedup pass's job, not the similarity join's.
+    */
   def jaccard(a: String, b: String, shingleSize: Int): Double = {
     val sa = shingleSet(a, shingleSize)
     val sb = shingleSet(b, shingleSize)
@@ -360,6 +366,17 @@ object Dedup {
   def embeddingNearDups(embDf: DataFrame, keyCol: String, embCol: String,
                         threshold: Double, bits: Int = 4, tables: Int = 8,
                         seed: Long = 42L): DataFrame = {
+    val spark = embDf.sparkSession
+    if (embDf.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key_a",
+            embDf.schema(keyCol).dataType),
+          org.apache.spark.sql.types.StructField("key_b",
+            embDf.schema(keyCol).dataType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
     val dim = embDf.select(size(col(embCol))).head().getInt(0)
     val allPlanes = (0 until tables).map(t =>
       graft.search.Ann.hyperplanes(dim, bits, seed + 1000L * t))

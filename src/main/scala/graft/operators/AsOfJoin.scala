@@ -50,6 +50,10 @@ object AsOfJoin {
   def dedupRight(right: DataFrame, keyCols: Seq[String], rightTime: String,
                  rightPayload: Seq[String]): DataFrame =
     right
+      // a null rightTime can never satisfy the as-of inequality (SQL ASOF
+      // semantics); left in, a nulls-first sort would wrongly treat the
+      // row as "earlier than everything" and attach its payload
+      .filter(col(rightTime).isNotNull)
       .groupBy((keyCols :+ rightTime).map(col): _*)
       .agg(max(struct(rightPayload.map(col): _*)).as("_p"))
       .select((keyCols :+ rightTime).map(col) ++

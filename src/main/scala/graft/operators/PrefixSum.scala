@@ -27,14 +27,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object PrefixSum {
 
+  // collision-proof internal column name (guarded by the require below)
+  private val ValCol = "__prefix_sum_v"
+
   /** Append `asCol` = running total of `valueCol` (must be integral; the
     * running value is a long) over the TOTAL order given by `orderCols`.
     */
   def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
                    asCol: String): DataFrame = {
+    require(!df.columns.contains(ValCol) && !df.columns.contains(asCol),
+      s"input must not already contain '$ValCol' or '$asCol'")
     val spark = df.sparkSession
     val prepared = df
-      .withColumn("__v", valueCol.cast(LongType))
+      .withColumn(ValCol, valueCol.cast(LongType))
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     // BOTH passes run over this one RDD lineage: its single range-shuffle
@@ -44,7 +49,7 @@ object PrefixSum {
     // two independent shuffles whose boundaries may disagree — offsets
     // applied to the wrong partitions, silently wrong totals.
     val rdd = prepared.rdd
-    val vIdx = prepared.schema.length - 1 // __v is the last column
+    val vIdx = prepared.schema.length - 1 // ValCol is the last column
     // pass 1: per-partition sums -> exclusive prefix offsets (tiny: one
     // row per partition). Null values contribute nothing, matching
     // `sum() OVER` semantics.
@@ -73,6 +78,6 @@ object PrefixSum {
         Row.fromSeq(row.toSeq :+ running)
       }
     }
-    spark.createDataFrame(resultRdd, outSchema).drop("__v")
+    spark.createDataFrame(resultRdd, outSchema).drop(ValCol)
   }
 }

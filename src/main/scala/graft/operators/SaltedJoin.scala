@@ -45,7 +45,11 @@ object SaltedJoin {
     * high-cardinality aggregation states, e.g. collect-like buffers).
     */
   def twoStageCount(df: DataFrame, key: String, factor: Int = 8): DataFrame = {
-    df.withColumn("_salt", pmod(xxhash64(col(key)), lit(factor)).cast("int"))
+    // the salt must vary WITHIN a key or nothing is split: a key-derived
+    // salt sends every partial of the hot key to one reducer anyway.
+    // spark_partition_id varies per input partition, so a hot key's
+    // partials spread over up to `factor` stage-1 reducers.
+    df.withColumn("_salt", pmod(spark_partition_id(), lit(factor)))
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum(col("_partial")).as("n"))
   }

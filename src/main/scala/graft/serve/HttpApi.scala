@@ -102,7 +102,10 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int) {
   private def configJson(c: graft.core.CollectionConfig): String =
     graft.core.CollectionConfig.toJson(c)
 
-  private def js(s: String): String = JsonMethods.compact(JString(s))
+  private def js(s: String): String =
+    // a row whose indexed text column is null still embeds (as "") and
+    // can surface in top-k — render JSON null, not a 500
+    if (s == null) "null" else JsonMethods.compact(JString(s))
   private def ok(time: Double, data: String): String =
     s"""{"status":"ok","time":$time,"data":$data}"""
   private def err(time: Double, msg: String): String =

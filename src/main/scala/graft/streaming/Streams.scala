@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** Default for how many session-gaps an idle user's (empty) session
+    * counter is retained before its state is evicted — bounds streaming
+    * state by recently-active users instead of all users ever seen. A
+    * user returning after eviction restarts session_seq at 1 (the
+    * standard streaming state-TTL trade-off).
+    */
+  val DefaultSeqRetentionGaps = 1000L
+
   // ---- batch twins (oracle-checkable) ---------------------------------
 
   /** Tumbling 1-hour windows per event type: count + value sum. */
@@ -101,7 +109,8 @@ object Streams {
     * is executor-memory-bounded state, not corpus-bounded.
     */
   def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30,
-                       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+                       watermarkDelay: String = "10 minutes",
+                       seqRetentionGaps: Long = DefaultSeqRetentionGaps): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
     events
@@ -120,12 +129,25 @@ object Streams {
             // half-even and diverges on .xx5 sums
             BigDecimal(s.valueSum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
         if (state.hasTimedOut) {
-          // close and emit, but KEEP the state (with an empty session) so
-          // the per-user session counter survives — removing it would
-          // restart session_seq at 1 and emit duplicate (user, seq) keys,
-          // diverging from the batch twin's monotonic numbering
-          close(st)
-          state.update(st.copy(n = 0, valueSum = 0.0))
+          if (st.n > 0) {
+            // close and emit, but KEEP the state (with an empty session)
+            // for a retention horizon so the per-user session counter
+            // survives a gap — removing it immediately would restart
+            // session_seq at 1 and emit duplicate (user, seq) keys
+            close(st)
+            state.update(st.copy(n = 0, valueSum = 0.0))
+            // anchor the retention horizon to the CURRENT watermark — the
+            // session's own timestamps can be far behind it by the time
+            // the timeout fires, and a timeout in the past throws
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + gapMs * seqRetentionGaps)
+          } else {
+            // second timeout with nothing new: evict, keeping state
+            // bounded by users active within the retention horizon. A
+            // user returning later restarts session_seq — the standard
+            // streaming state-TTL trade-off, documented here.
+            state.remove()
+          }
         }
         else {
           evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
