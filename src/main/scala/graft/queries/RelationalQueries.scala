@@ -236,6 +236,57 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("sum_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q3 (shipping priority): BUILDING customers' orders placed
+    // before the cutoff with line items shipped after it, top 10 by
+    // revenue. Small side (filtered customers) broadcast; top-k selected
+    // by the RAW revenue then rounded.
+    "q52_tpch_q3" -> ((s, d) => {
+      val cust = customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("rev")).as("rev_raw"))
+        .orderBy(desc("rev_raw"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          r2(col("rev_raw")).as("revenue"))
+    }),
+
+    // TPC-H Q5 (local supplier volume): revenue by nation for orders in
+    // one year where the supplier and customer share the nation, ASIA
+    // region. Dims (region, nation, supplier, filtered customers)
+    // broadcast; only the lineitem-orders fact join shuffles.
+    "q53_tpch_q5" -> ((s, d) => {
+      val asia = region(s, d).filter(col("r_name") === "ASIA")
+      val nat = nation(s, d)
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(r2(sum(col("rev"))).as("revenue"))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -349,6 +400,33 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n,
         | round(sum(l_extendedprice), 2) AS sum_price
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        | GROUP BY 1 ORDER BY 1""".stripMargin
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_tpch_q3" ->
+      """WITH top AS (
+        | SELECT l_orderkey, o_orderdate,
+        |  sum(l_extendedprice * (1 - l_discount)) AS rev_raw
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        | GROUP BY 1, 2
+        | ORDER BY rev_raw DESC, l_orderkey LIMIT 10)
+        |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | round(rev_raw, 2) AS revenue
+        | FROM top ORDER BY rev_raw DESC, l_orderkey""".stripMargin,
+    "q53_tpch_q5" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        | GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }
