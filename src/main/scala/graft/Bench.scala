@@ -30,15 +30,30 @@ object Bench {
         .select(graft.functions.VectorFunctions.l2Norm(col("embedding"))).count()
     } catch { case _: Throwable => () }
 
-    // (name, seconds, error). A failed query keeps its wall time (the
-    // failure cost is real) but is listed in "failures" so a regression
-    // can't hide inside the total as a silent -1.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    // n runs per query, MEDIAN reported: the suite's run-to-run noise
+    // floor is ±10-15%, so a single-run bench can't distinguish a real
+    // regression from variance (r2's +16% shared-set drift was exactly
+    // that ambiguity). A failed query keeps its wall time (the failure
+    // cost is real) but is listed in "failures" so a regression can't
+    // hide inside the total as a silent -1.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to runs).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.indices.map { i =>
+      val perRun = samples.map(_(i))
+      (perRun.head._1, median(perRun.map(_._2)), perRun.flatMap(_._3).headOption)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -58,7 +73,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for log-wrapping launchers: also drop the line in
     // a well-known file next to the build.

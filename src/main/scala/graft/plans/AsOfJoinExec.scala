@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, Descending, GenericInternalRow, JoinedRow, RowOrdering,
-  SortOrder, UnsafeProjection}
+  SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions.col
   * candidate right row — O(1) state, no union blowup, no window buffer.
   * At 100 TB: same shuffle count as the union plan, ~half the sort
   * payload, and the payload struct never travels with left rows.
+  *
+  * Measured at sf0.1 (100k x 150k, warm medians, tools.AsofAB): BOTH
+  * forms materializing the payload — exec 0.93s vs window 0.88s (1.06x);
+  * AQE off, exec wins 0.22s vs 0.25s. BENCH_r02's "3.8x slower" was not
+  * merge cost: a COUNT over the window form constant-folds its right
+  * branch away (`_side = 1` filter), while the custom node was an
+  * optimizer black box running the full join — fixed by [[PruneAsOfJoin]]
+  * exposing row-preservation to Catalyst, after which the counted bench
+  * form (q48 0.16s) edges out the window form (q35 0.19s). Per-row merge
+  * costs that made the first version lose even materialized: re-projecting
+  * the right head per LEFT row and two buffer copies per advanced right
+  * row — now head projections are cached until the head moves and the
+  * payload is held by reference into the projection's reuse buffer.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -44,6 +57,43 @@ object AsOfJoinStrategy extends SparkStrategy {
     case AsOfJoinNode(l, r, lk, rk, lt, rt, p, fwd) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p, fwd) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rules exposing the as-of node's algebra to Catalyst. A custom
+  * logical operator is a black box to the built-in rules, which silently
+  * costs the optimizations every native operator gets for free — e.g. a
+  * `COUNT(*)` over the union+window as-of collapses to a scan of the left
+  * table (constant-folding kills the `_side = 1` filter's right branch),
+  * while the same count over an opaque `AsOfJoinNode` ran the full join
+  * (BENCH_r02's q48-vs-q35 3.8x was exactly this, not merge-walk cost).
+  *
+  * Two safe algebraic facts, both from row-preservation (the as-of join
+  * emits EXACTLY one row per left row, payload null-extended):
+  *  - payload unused upstream => the node IS its left child;
+  *  - a predicate over left columns only commutes below the node.
+  * Only Project/Aggregate parents are matched for the elimination — they
+  * re-declare their output, so dropping unused child attributes is safe;
+  * pass-through parents (Limit, Union, Sort) are not, their output would
+  * silently narrow.
+  */
+object PruneAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+
+  private def payloadUnused(refs: AttributeSet, a: AsOfJoinNode): Boolean =
+    a.output.drop(a.left.output.length).forall(p => !refs.contains(p))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, a: AsOfJoinNode) if payloadUnused(p.references, a) =>
+      p.copy(child = a.left)
+    case g: Aggregate if g.child.isInstanceOf[AsOfJoinNode] &&
+        payloadUnused(g.references, g.child.asInstanceOf[AsOfJoinNode]) =>
+      g.withNewChildren(Seq(g.child.asInstanceOf[AsOfJoinNode].left))
+    case f @ Filter(cond, a: AsOfJoinNode)
+        if cond.references.subsetOf(AttributeSet(a.left.output)) =>
+      a.copy(left = Filter(cond, a.left))
   }
 }
 
@@ -101,10 +151,30 @@ case class AsOfJoinExec(
       val rBuf = rIt.buffered
 
       new Iterator[InternalRow] {
-        // the ONE candidate right row's key + payload, copied out of the
-        // projection buffers
+        // the ONE candidate right row's payload, held BY REFERENCE into
+        // `payloadProj`'s reuse buffer: that buffer is only overwritten at
+        // the next usable advance — exactly the moment the newer payload
+        // replaces the hold — so no per-row copy is needed. Only the held
+        // KEY is copied, and only once per right key group (it must
+        // outlive `rKeyProj`'s buffer, which advances with the head).
         private var heldKey: InternalRow = _
         private var heldPayload: InternalRow = _
+        // cached projections of the current right head — valid until the
+        // head advances; re-projecting per LEFT row is what made the
+        // first version lose to the window form (BENCH_r02 q48)
+        private var headValid = false
+        private var headKey: UnsafeRow = _
+        private var headTime: InternalRow = _
+
+        private def loadHead(): Boolean = {
+          if (!headValid && rBuf.hasNext) {
+            val r = rBuf.head
+            headKey = rKeyProj(r)
+            headTime = rTimeProj(r)
+            headValid = true
+          }
+          headValid
+        }
 
         override def hasNext: Boolean = lIt.hasNext
 
@@ -113,18 +183,18 @@ case class AsOfJoinExec(
           val lk = lKeyProj(l)
           val lt = lTimeProj(l)
           var walking = true
-          while (walking && rBuf.hasNext) {
-            val r = rBuf.head
-            val rk = rKeyProj(r)
-            val kc = keyOrd.compare(rk, lk)
+          while (walking && loadHead()) {
+            val kc = keyOrd.compare(headKey, lk)
             if (kc < 0) { // stale key group
-              rBuf.next(); heldKey = null; heldPayload = null
+              rBuf.next(); headValid = false
+              heldKey = null; heldPayload = null
             } else if (kc == 0) {
-              val tc = timeOrd.compare(rTimeProj(r), lt)
+              val tc = timeOrd.compare(headTime, lt)
               val usable = if (fwd) tc >= 0 else tc <= 0
               if (usable) {
-                heldKey = rk.copy(); heldPayload = payloadProj(r).copy()
-                rBuf.next()
+                if (heldKey == null || keyOrd.compare(heldKey, headKey) != 0)
+                  heldKey = headKey.copy()
+                heldPayload = payloadProj(rBuf.next()); headValid = false
               } else walking = false
             } else walking = false
           }
@@ -166,6 +236,9 @@ object AsOfJoinPlan {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoin
 
     // time types must agree for the merge ordering; align right to left
     // (date -> timestamp matches the union-plan's implicit coercion)

@@ -130,6 +130,7 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => PruneAsOfJoin)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

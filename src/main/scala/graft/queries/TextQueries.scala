@@ -97,10 +97,12 @@ object TextQueries {
       val e0 = embeddings(s, d)
       // guard: this all-pairs BNLJ twin is for verification fixtures only —
       // it must never be reachable on production-scale inputs (q30 is the
-      // LSH scale path).
-      val n = e0.count()
+      // LSH scale path). limit(10001) bounds the guard's own cost: the
+      // LocalLimit stops the scan at the threshold instead of counting the
+      // whole table (a full eager count() doubled q29's runtime in r2).
+      val n = e0.limit(10001).count()
       require(n <= 10000,
-        s"q29_cosine_pairs is an all-pairs verification twin (n=$n rows); use q30's LSH path at scale")
+        s"q29_cosine_pairs is an all-pairs verification twin (at least $n rows); use q30's LSH path at scale")
       val e = e0
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val cos = graft.functions.VectorFunctions.cosine(col("a.emb"), col("b.emb"))

@@ -19,10 +19,21 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    if (args.length > 2 && args(2) == "run") {
-      val t0 = System.nanoTime()
-      println(s"rows: ${df.count()}")
-      println(f"secs: ${(System.nanoTime() - t0) / 1e9}%.2f")
+    // `run` = once; `run=N` = N timed repeats (median reported) so two
+    // operators can be A/B'd warm in one JVM
+    if (args.length > 2 && args(2).startsWith("run")) {
+      val n = args(2).split("=") match {
+        case Array(_, k) => k.toInt
+        case _ => 1
+      }
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        println(s"rows: ${df.count()}")
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"secs: $s%.2f")
+        s
+      }
+      if (n > 1) println(f"median: ${times.sorted.apply(n / 2)}%.2f")
     }
     spark.stop()
   }

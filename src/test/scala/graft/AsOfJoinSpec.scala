@@ -93,6 +93,58 @@ class AsOfJoinSpec extends SparkSpec {
       s"expected the merge-walk plan, not the union+window fallback:\n$plan")
   }
 
+  test("PruneAsOfJoin: payload-unused count collapses to the left child") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ords = Tables.orders(spark, sf0001).select(
+      col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    val asof = graft.plans.AsOfJoinPlan
+      .backward(ev, ords, Seq("user_id"), "ts", "o_orderdate", Seq("o_orderkey"))
+    // count references no payload column -> the row-preserving node must
+    // vanish from the optimized plan (same freebie the union+window form
+    // gets from constant folding)
+    val counted = asof.groupBy().count()
+    val optimized = counted.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("AsOfJoin"),
+      s"payload-unused as-of should prune to its left child:\n$optimized")
+    assert(counted.head().getLong(0) == ev.count())
+    // but a payload-referencing query keeps the operator
+    val kept = asof.select("o_orderkey").queryExecution.optimizedPlan.toString
+    assert(kept.contains("AsOfJoin"), s"payload in use, node must stay:\n$kept")
+  }
+
+  test("PruneAsOfJoin: left-only filter pushes below the as-of node") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ords = Tables.orders(spark, sf0001).select(
+      col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    val asof = graft.plans.AsOfJoinPlan
+      .backward(ev, ords, Seq("user_id"), "ts", "o_orderdate", Seq("o_orderkey"))
+    val filtered = asof.filter(col("event_id") < 100L)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the Filter must sit BELOW AsOfJoinNode (on its left child), not above
+    val nodeIdx = optimized.collect {
+      case n: graft.plans.AsOfJoinNode => n
+    }
+    assert(nodeIdx.nonEmpty, "as-of node missing entirely")
+    val leftHasFilter = nodeIdx.head.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("event_id") => f
+    }.nonEmpty
+    assert(leftHasFilter,
+      s"left-only predicate should commute below the as-of join:\n$optimized")
+    // and results agree with filtering after the window form
+    val expect = AsOfJoin.backward(ev, ords, Seq("user_id"), "ts",
+      "o_orderdate", Seq("o_orderkey")).filter(col("event_id") < 100L)
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val got = filtered.select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got == expect)
+  }
+
   test("multi-column payload dedup keeps one REAL row, never mixes columns") {
     val left = Seq((1L, ts(10), "e")).toDF("k", "t", "ev")
     // greatest-by-first-payload row is (5, "A"); per-column max would

@@ -128,6 +128,18 @@ class DedupSpec extends SparkSpec {
     // OR-amplified LSH at cosine>=0.9 should reach full recall on 500 rows
     assert(lsh == exact, s"missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
+
+  test("q29's all-pairs guard still trips on oversized input (limit-bounded probe)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q29-guard").toString
+    spark.range(10001)
+      .select(col("id").as("vec_id"),
+        array(lit(0.1f), lit(0.2f)).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q29_cosine_pairs")(spark, dir)
+    }
+    assert(ex.getMessage.contains("verification twin"))
+  }
 }
 
 class AnnSpec extends SparkSpec {
