@@ -46,10 +46,38 @@ class Collection private[core] (
     * (importChunks adding a new column) never require rewriting existing
     * data; rows from older files read the new columns as null.
     */
-  def df: DataFrame =
+  def df: DataFrame = {
+    recoverCompaction()
     spark.read.option("mergeSchema", "true").parquet(dataDir)
+  }
 
-  def isEmpty: Boolean = !fs.exists(new Path(dataDir))
+  def isEmpty: Boolean = { recoverCompaction(); !fs.exists(new Path(dataDir)) }
+
+  /** Crash recovery for [[compact]]'s rename window. A crash between the
+    * two renames leaves the data directory MISSING, the original staged
+    * at `_precompact`, and the rewrite at `_compacting`. Reads heal it:
+    * roll the rewrite forward when it finished (its `_SUCCESS` commit
+    * marker exists — same data, fewer files), otherwise roll the
+    * original back. Either way the collection's rows are never lost and
+    * the next read sees a complete directory.
+    */
+  private[core] def recoverCompaction(): Unit = {
+    val dataPath = new Path(dataDir)
+    val old = new Path(dataDir + "_precompact")
+    if (!fs.exists(dataPath) && fs.exists(old)) {
+      val tmp = new Path(dataDir + "_compacting")
+      val tmpComplete =
+        fs.exists(tmp) && fs.exists(new Path(tmp, "_SUCCESS"))
+      if (tmpComplete && fs.rename(tmp, dataPath)) {
+        fs.delete(old, true)
+      } else {
+        if (!fs.rename(old, dataPath))
+          throw new java.io.IOException(
+            s"compaction recovery failed: original data is at $old")
+        fs.delete(tmp, true)
+      }
+    }
+  }
 
   /** Row count. The reference's `SELECT COUNT('{col}')` counts a string
     * literal — effectively COUNT(*) (collection_actor.rs:380-389); we match
@@ -90,8 +118,11 @@ class Collection private[core] (
     * is thousands of files whose open cost dominates scans). Rewrites the
     * data directory into ~`targetFileBytes`-sized files and swaps it in
     * via rename, keeping `_key`s untouched. Returns the file count
-    * written. Not crash-atomic on a plain filesystem (rename window); on
-    * object stores you'd stage-and-point like any table format.
+    * written. The two-rename swap is not atomic on a plain filesystem,
+    * but a crash inside the window is healed by [[recoverCompaction]] on
+    * the next read (roll forward if the rewrite committed, roll back
+    * otherwise); on object stores you'd stage-and-point like any table
+    * format.
     */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     if (isEmpty) return 0
@@ -221,29 +252,48 @@ class Collection private[core] (
     * files, so each batch embeds exactly the appended rows, exactly once
     * (checkpointed source offsets + append-only sink).
     */
+  /** Observability for specs/ops: number of micro-batches that took the
+    * recovery anti-join path since this Collection object was created.
+    */
+  @volatile private[graft] var streamRecoveryAntiJoins: Long = 0L
+
   def embedColumnStream(column: String, embedder: graft.embed.Embedder,
                         checkpointDir: String, batchSize: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val variant = config.model_variant
+    // Replay safety, bounded: only the FIRST batch after (re)start can be
+    // a replay of a partially-committed batch (the file source delivers
+    // each file exactly once per checkpoint; a crash mid-append leaves at
+    // most the last uncommitted batch partially visible in the index). So
+    // the index-scanning dedup runs in that one-batch recovery window and
+    // never steady-state — at 10^10 indexed rows the previous
+    // every-batch anti-join re-read the whole index key column per
+    // trigger. The recovery scan itself is pruned to the batch's key
+    // range (min-key pushdown -> parquet row-group pruning), because an
+    // append-only, monotonically-keyed index can only overlap the replay
+    // at keys >= the batch's minimum.
+    @volatile var recovered = false
     spark.readStream.schema(df.schema).parquet(dataDir)
       .select(col(KeyCol), coalesce(col(column).cast(StringType), lit("")))
       .as[(Long, String)]
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
-        // replay safety: dedup against the ACTUAL indexed keys, not a
-        // max-key watermark — a crash mid-append can leave the index with
-        // a key gap (later files visible, earlier ones not), and a max
-        // watermark would then skip the gap forever. The anti-join reads
-        // only the index's key column (column-pruned scan) and drops
-        // exactly the keys already present, so replays stay idempotent
-        // even under partially visible commits.
         val batch =
-          if (indexedCount(column) == 0L) batch0
-          else batch0.toDF(KeyCol, "__text")
-            .join(embeddings(column).select(KeyCol), Seq(KeyCol), "left_anti")
-            .as[(Long, String)]
+          if (recovered || indexedCount(column) == 0L) batch0
+          else {
+            streamRecoveryAntiJoins += 1
+            val minKey = batch0.agg(min(col(KeyCol))).as[Option[Long]].head()
+            minKey match {
+              case None => batch0 // empty batch
+              case Some(mk) => batch0.toDF(KeyCol, "__text")
+                .join(embeddings(column).select(KeyCol)
+                  .filter(col(KeyCol) >= mk), Seq(KeyCol), "left_anti")
+                .as[(Long, String)]
+            }
+          }
+        recovered = true
         val embedded0 = graft.embed.EmbedBatch.pairs(batch, embedder, batchSize)
         val embedded =
           if (variant == "f32") embedded0.toDF(KeyCol, "embedding")

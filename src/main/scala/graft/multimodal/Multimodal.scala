@@ -13,10 +13,13 @@ import graft.functions.StableHash
   * IMAGE decoding is REAL: [[Codec]] parses PNG/JPEG/GIF/BMP payloads
   * with JDK `javax.imageio` (no external library) into actual pixels —
   * features are luminance statistics of the decoded image, resize is a
-  * real bilinear rescale re-encoded as PNG. Payloads ImageIO cannot
-  * parse (and the audio/video modalities, for which the JDK ships no
-  * codec) fall back to deterministic byte-hash stubs, so every operator
-  * stays total and reproducible on arbitrary bytes.
+  * real bilinear rescale re-encoded as PNG. AUDIO decoding is REAL too:
+  * `javax.sound.sampled` parses WAV/AIFF/AU containers to PCM, and
+  * features (RMS, zero-crossing rate, peak, time-banded energy) come
+  * from the decoded samples. Payloads neither codec recognizes — and
+  * video, for which the JDK ships no codec — fall back to deterministic
+  * byte-hash stubs, so every operator stays total and reproducible on
+  * arbitrary bytes.
   *
   * At scale the decode runs inside `mapPartitions` — one codec instance
   * per task, vectorized batches in, no driver involvement — the same
@@ -151,6 +154,91 @@ object Multimodal {
         val end = math.min(bytes.length, start + math.max(1, bytes.length / n))
         java.util.Arrays.copyOfRange(bytes, start, math.max(start + 1, end))
       }
+
+    /** Decoded audio: mono-mixed 16-bit samples + source rate. */
+    final case class AudioInfo(samples: Array[Int], sampleRate: Float)
+
+    /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU ship in
+      * the JDK — no external codec needed, unlike video). Any input
+      * encoding is converted to 16-bit signed PCM; multi-channel frames
+      * are mixed down by per-frame channel average (floor division, so
+      * the mix is integer-exact and deterministic). Unrecognized bytes
+      * yield None and callers fall back to the hash stub, mirroring
+      * exactly what [[decodeImage]] does for images.
+      */
+    def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            fmt.getChannels * 2, fmt.getSampleRate, /*bigEndian=*/ false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val raw = pcm.readAllBytes()
+          val ch = fmt.getChannels
+          val nFrames = raw.length / (2 * ch)
+          val out = new Array[Int](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var sum = 0
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2
+              sum += ((raw(o) & 0xFF) | (raw(o + 1) << 8)) // LE signed 16-bit
+              c += 1
+            }
+            out(f) = Math.floorDiv(sum, ch)
+            f += 1
+          }
+          Some(AudioInfo(out, fmt.getSampleRate))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Scalar audio features + time-banded energy. Every scalar derives
+      * from EXACT integer aggregates of the decoded samples (sum of
+      * squares, sign-flip count, max abs) before the single f64
+      * conversion, so the values are bit-reproducible across JVMs and
+      * replicable in SQL — the same determinism contract the dedup hashes
+      * keep.
+      */
+    final case class AudioFeatures(
+        nSamples: Long, sampleRateHz: Double, rms: Double, zcr: Double,
+        peak: Double, bandEnergy: Array[Double])
+
+    def audioFeatures(bytes: Array[Byte], nBands: Int = 8): Option[AudioFeatures] =
+      decodeAudio(bytes).map { a =>
+        val v = a.samples
+        val n = v.length
+        var sumsq = 0L
+        var flips = 0L
+        var pk = 0L
+        val bandSq = new Array[Long](nBands)
+        val bandN = new Array[Long](nBands)
+        var i = 0
+        while (i < n) {
+          val x = v(i).toLong
+          sumsq += x * x
+          if (i > 0 && ((v(i) >= 0) != (v(i - 1) >= 0))) flips += 1
+          if (math.abs(x) > pk) pk = math.abs(x)
+          val b = ((i.toLong * nBands) / math.max(n, 1)).toInt.min(nBands - 1)
+          bandSq(b) += x * x
+          bandN(b) += 1
+          i += 1
+        }
+        AudioFeatures(
+          nSamples = n,
+          sampleRateHz = a.sampleRate.toDouble,
+          rms = if (n == 0) 0.0 else math.sqrt(sumsq.toDouble / n) / 32768.0,
+          zcr = if (n < 2) 0.0 else flips.toDouble / (n - 1),
+          peak = pk.toDouble / 32768.0,
+          bandEnergy = Array.tabulate(nBands)(b =>
+            if (bandN(b) == 0) 0.0
+            else math.sqrt(bandSq(b).toDouble / bandN(b)) / 32768.0))
+      }
   }
 
   /** Back-compat alias (the codec is no longer a pure stub). */
@@ -171,6 +259,78 @@ object Multimodal {
         Row(r.getLong(0), Codec.imageFeatures(r.getAs[Array[Byte]](1), dim).toSeq)
       })
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio feature extraction partition-parallel, same `mapPartitions`
+    * batch shape as [[extractFeatures]]: one decoder per task, no driver
+    * involvement. Undecodable payloads keep their row with
+    * `decoded = false` and null features (total over arbitrary binaries,
+    * never an exception mid-scan).
+    */
+  def extractAudioFeatures(df: DataFrame, keyCol: String, contentCol: String,
+                           nBands: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sample_rate", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("zcr", DoubleType, nullable = true),
+      StructField("peak", DoubleType, nullable = true),
+      StructField("band_energy", ArrayType(DoubleType), nullable = true)))
+    val rdd = df.select(col(keyCol).cast(LongType), col(contentCol)).rdd
+      .mapPartitions(_.map { r =>
+        Codec.audioFeatures(r.getAs[Array[Byte]](1), nBands) match {
+          case Some(f) => Row(r.getLong(0), true, f.nSamples, f.sampleRateHz,
+            f.rms, f.zcr, f.peak, f.bandEnergy.toSeq)
+          case None => Row(r.getLong(0), false, null, null, null, null, null, null)
+        }
+      })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic audio fixture: a pure-INTEGER sample generator (no
+    * trig, no floats) rendered to real RIFF/WAVE bytes through the JDK's
+    * own writer. Integer-only synthesis keeps the decoded features
+    * SQL-replicable bit-for-bit (the oracle reproduces the generator with
+    * BIGINT arithmetic), while the payload still exercises the full
+    * WAV container + PCM decode path.
+    */
+  object SyntheticAudio {
+    val SampleRate = 16000
+
+    /** `n = 1600 + (id % 5) * 160` samples;
+      * `v_i = ((id*7919 + 31*i^2 + 12345*i) mod 65536) - 32768`.
+      */
+    def samples(docId: Long): Array[Int] = {
+      val n = 1600 + (docId % 5).toInt * 160
+      Array.tabulate(n)(i =>
+        (((docId * 7919L + 31L * i * i + 12345L * i) % 65536L) - 32768L).toInt)
+    }
+
+    /** 16-bit mono PCM WAV of [[samples]]. */
+    def wav(docId: Long): Array[Byte] = pcmToWav(samples(docId), SampleRate, 1)
+
+    /** Render 16-bit interleaved samples as WAV via `AudioSystem.write`. */
+    def pcmToWav(pcm: Array[Int], sampleRate: Int, channels: Int): Array[Byte] = {
+      val bytes = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        bytes(2 * i) = (pcm(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
   }
 
   /** Resize operator over image rows (real bilinear rescale for decodable

@@ -38,6 +38,24 @@ object SaltedJoin {
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Left-outer variant: same salting scheme, null-extension preserved.
+    * Correctness argument: the exploded small side carries EVERY key at
+    * EVERY salt value, so a large row matches on `(key, salt)` iff its
+    * key exists in `small` at all — an unmatched large row null-extends
+    * exactly once (its single salt bucket), never `factor` times and
+    * never zero.
+    */
+  def leftOuter(large: DataFrame, small: DataFrame, key: String,
+                factor: Int = 8): DataFrame = {
+    require(factor >= 1)
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(factor)).cast("int"))
+    val exploded = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("_salt", col("_salt").cast("int"))
+    salted.join(exploded, Seq(key, "_salt"), "left_outer").drop("_salt")
+  }
+
   /** Two-stage (salted) aggregation: partial-aggregate on `(key, salt)`,
     * then final-aggregate on `key`. Spark's hash aggregate already does
     * map-side partials; this adds an extra reduce tier for the case where
@@ -52,5 +70,23 @@ object SaltedJoin {
     df.withColumn("_salt", pmod(spark_partition_id(), lit(factor)))
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum(col("_partial")).as("n"))
+  }
+
+  /** The collect-like-buffer case the two-stage tier exists for: a
+    * distinct-set aggregation whose hot key's state is too large for one
+    * reducer. Stage 1 builds per-`(key, salt)` partial sets (each at most
+    * `1/factor`-ish of the hot key's distincts per reducer — dedup
+    * happens IN the partial, so the stage-2 merge sees pre-shrunk
+    * arrays), stage 2 unions them. Returns `(key, n_distinct, vals)` with
+    * `vals` sorted for determinism.
+    */
+  def twoStageDistinctSet(df: DataFrame, key: String, valueCol: String,
+                          factor: Int = 8): DataFrame = {
+    df.withColumn("_salt", pmod(spark_partition_id(), lit(factor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_set(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("_partial"))))).as("vals"))
+      .select(col(key), size(col("vals")).cast("long").as("n_distinct"), col("vals"))
   }
 }

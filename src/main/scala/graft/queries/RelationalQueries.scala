@@ -238,6 +238,33 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Salted LEFT-OUTER join: null-extension must survive salting (the
+    // exploded small side carries every key at every salt, so unmatched
+    // large rows null-extend exactly once). Lineitems against one brand's
+    // parts — 96% of rows exercise the null-extension path.
+    "q57_salted_left" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_partkey").as("pkey"), col("l_quantity"))
+      val brand = part(s, d).filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey").as("pkey"), col("p_brand"))
+      graft.operators.SaltedJoin.leftOuter(li, brand, "pkey", factor = 8)
+        .groupBy(coalesce(col("p_brand"), lit("(none)")).as("brand"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("brand"))
+    }),
+
+    // Salted high-cardinality DISTINCT-SET aggregation: the collect-like
+    // buffer case twoStageCount's doc names — partial sets per
+    // (key, salt) shrink the hot key's state before the final merge.
+    // Output flattened to a string so the oracle compares exactly.
+    "q58_salted_distinct" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
+      graft.operators.SaltedJoin.twoStageDistinctSet(li, "l_suppkey", "l_orderkey")
+        .select(col("l_suppkey"), col("n_distinct"),
+          concat_ws(",", col("vals")).as("orderkeys"))
+        .orderBy(col("l_suppkey"))
+        .limit(50)
+    }),
+
     // TPC-H Q3 (shipping priority): BUILDING customers' orders placed
     // before the cutoff with line items shipped after it, top 10 by
     // revenue. Small side (filtered customers) broadcast; top-k selected
@@ -287,6 +314,45 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(r2(sum(col("rev"))).as("revenue"))
         .orderBy(col("n_name"))
+    }),
+
+    // TPC-H Q17 shape (correlated scalar aggregate): small-order revenue
+    // for one brand — lineitems whose quantity is below 20% of their
+    // part's average quantity. Decorrelated the way the plan should look
+    // at 100 TB: the brand filter is per-part, so it commutes INTO the
+    // correlated aggregate — broadcast the filtered part dim first and
+    // 25 of 26 brands never leave the scan; the per-part average then
+    // rides a window over the single (l_partkey) shuffle instead of a
+    // second aggregate-join pass over the fact.
+    "q55_tpch_q17" -> ((s, d) => {
+      val brandParts = part(s, d)
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val li = lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      li.withColumn("avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(r2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q2 shape (correlated scalar subquery): the cheapest supplier
+    // per nation, written AS the correlated SQL and left to Catalyst's
+    // RewriteCorrelatedScalarSubquery to decorrelate into the
+    // aggregate-join — the declarative path a user migrating SQL takes.
+    // The decorrelated plan aggregates the supplier dim (tiny) and
+    // broadcasts; nothing fact-sized shuffles.
+    "q56_tpch_q2" -> ((s, d) => {
+      supplier(s, d).createOrReplaceTempView("g56_supplier")
+      nation(s, d).createOrReplaceTempView("g56_nation")
+      s.sql(
+        """SELECT n.n_name, s.s_name, round(s.s_acctbal, 2) AS acctbal
+          |FROM g56_supplier s JOIN g56_nation n ON s.s_nationkey = n.n_nationkey
+          |WHERE s.s_acctbal = (SELECT min(s2.s_acctbal)
+          |                     FROM g56_supplier s2
+          |                     WHERE s2.s_nationkey = s.s_nationkey)
+          |ORDER BY n.n_name, s.s_name""".stripMargin)
     })
   )
 
@@ -401,6 +467,18 @@ object RelationalQueries {
         | round(sum(l_extendedprice), 2) AS sum_price
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_salted_left" ->
+      """SELECT coalesce(p_brand, '(none)') AS brand, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        | FROM lineitem LEFT JOIN
+        |  (SELECT p_partkey, p_brand FROM part WHERE p_brand = 'Brand#23') p
+        |  ON l_partkey = p_partkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_salted_distinct" ->
+      """SELECT l_suppkey,
+        | CAST(len(list_distinct(list(l_orderkey))) AS BIGINT) AS n_distinct,
+        | array_to_string(list_sort(list_distinct(list(l_orderkey))), ',') AS orderkeys
+        | FROM lineitem GROUP BY 1 ORDER BY 1 LIMIT 50""".stripMargin,
     "q52_tpch_q3" ->
       """WITH top AS (
         | SELECT l_orderkey, o_orderdate,
@@ -427,6 +505,22 @@ object RelationalQueries {
         | WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        | GROUP BY n_name ORDER BY n_name""".stripMargin
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the correlated form verbatim — DuckDB decorrelates it on its side
+    "q55_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        | count(*) AS n_items
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q56_tpch_q2" ->
+      """SELECT n.n_name, s.s_name, round(s.s_acctbal, 2) AS acctbal
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_acctbal = (SELECT min(s2.s_acctbal)
+        |                     FROM supplier s2
+        |                     WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY n.n_name, s.s_name""".stripMargin
   )
 }

@@ -276,6 +276,25 @@ object TextQueries {
         .select(col("media_id"), col("modality"), col("n_bytes"),
           round(graft.functions.VectorFunctions.l2Norm(col("features")), 4).as("feat_norm"))
         .orderBy(col("media_id"))
+    }),
+
+    // REAL audio decode: deterministic integer-synth WAV payloads go
+    // through the full javax.sound container+PCM decode, and the features
+    // are exact-integer aggregates of the DECODED samples — the oracle
+    // reproduces the generator in BIGINT SQL, so any decode defect
+    // (header, endianness, sign, frame walk) breaks the hash match.
+    "q54_audio_features" -> ((s, d) => {
+      val wavUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticAudio.wav(id))
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"), wavUdf(col("doc_id")).as("content"))
+      graft.multimodal.Multimodal.extractAudioFeatures(media, "media_id", "content")
+        .filter(col("decoded"))
+        .select(col("media_id"), col("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          round(col("rms"), 6).as("rms"),
+          round(col("zcr"), 6).as("zcr"),
+          round(col("peak"), 6).as("peak"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -431,7 +450,38 @@ object TextQueries {
         |  ELSE 'video' END AS modality,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(CASE WHEN strlen(text) = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS feat_norm
-        | FROM documents ORDER BY media_id""".stripMargin
+        | FROM documents ORDER BY media_id""".stripMargin,
+
+    // Replicates SyntheticAudio's integer generator in BIGINT arithmetic;
+    // all aggregates are integer-exact before the one double conversion,
+    // so rms/zcr/peak match the Scala decode path bit-for-bit (round 6 is
+    // belt and braces).
+    "q54_audio_features" ->
+      """WITH s AS (
+        | SELECT doc_id AS media_id, 1600 + (doc_id % 5) * 160 AS n,
+        |  unnest(range(0, 1600 + (doc_id % 5) * 160)) AS i
+        | FROM documents),
+        |v AS (
+        | SELECT media_id, n, i,
+        |  ((media_id * 7919 + 31 * i * i + 12345 * i) % 65536) - 32768 AS v
+        | FROM s),
+        |lagged AS (
+        | SELECT media_id, n, i, v,
+        |  lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+        | FROM v),
+        |agg AS (
+        | SELECT media_id, max(n) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sumsq,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS flips,
+        |  max(abs(v)) AS pk
+        | FROM lagged GROUP BY 1)
+        |SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,
+        | CAST(16000 AS BIGINT) AS sample_rate,
+        | round(sqrt(CAST(sumsq AS DOUBLE) / n_samples) / 32768.0, 6) AS rms,
+        | round(CAST(flips AS DOUBLE) / (n_samples - 1), 6) AS zcr,
+        | round(CAST(pk AS DOUBLE) / 32768.0, 6) AS peak
+        | FROM agg ORDER BY media_id""".stripMargin
   )
 
   /** The chunker on a header-less, paragraph-less corpus is exactly the

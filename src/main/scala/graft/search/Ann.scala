@@ -162,19 +162,28 @@ object Ann {
     ivfAssign(embDf, embCol, centers)
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
 
-  /** IVF top-k: probe the `nProbe` centroid lists nearest to the query. */
-  def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
-              queryVec: Array[Float], k: Int, nProbe: Int = 2,
-              keyCol: String = graft.core.Keys.KeyCol,
-              embCol: String = "embedding"): DataFrame = {
+  /** The `nProbe` centroid lists nearest to the query — the IVF probe
+    * set (public so callers/specs can reason about exactly which
+    * `list_id=` directories a query is allowed to touch).
+    */
+  def ivfProbes(centers: Array[Array[Double]], queryVec: Array[Float],
+                nProbe: Int): Seq[Int] = {
     val q = queryVec.map(_.toDouble)
-    val probes = centers.indices
+    centers.indices
       .sortBy { c =>
         var d = 0.0; var i = 0
         while (i < q.length) { val x = q(i) - centers(c)(i); d += x * x; i += 1 }
         d
       }
-      .take(nProbe).map(Integer.valueOf)
+      .take(nProbe)
+  }
+
+  /** IVF top-k: probe the `nProbe` centroid lists nearest to the query. */
+  def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
+              queryVec: Array[Float], k: Int, nProbe: Int = 2,
+              keyCol: String = graft.core.Keys.KeyCol,
+              embCol: String = "embedding"): DataFrame = {
+    val probes = ivfProbes(centers, queryVec, nProbe).map(Integer.valueOf)
     assigned
       .filter(col("list_id").isin(probes: _*))
       .select(col(keyCol), Search.scoreAgainst(col(embCol), queryVec).as("score"))

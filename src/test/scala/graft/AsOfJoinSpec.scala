@@ -182,6 +182,46 @@ class SaltedJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(two == plain)
   }
+
+  test("salted left-outer preserves null-extension exactly once per unmatched row") {
+    // hot key 1 matches; keys 200+ have NO small-side row
+    val large = ((1 to 900).map(_ => (1L, "hot")) ++
+      (200 to 299).map(i => (i.toLong, s"miss$i"))).toDF("k", "v").repartition(8)
+    val small = (1 to 101).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "left_outer")
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        sum(when(col("name").isNull, 1).otherwise(0)).as("nulls"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = graft.operators.SaltedJoin.leftOuter(large, small, "k", factor = 4)
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        sum(when(col("name").isNull, 1).otherwise(0)).as("nulls"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == plain)
+    assert(salted(250L) == ((1L, 1L)), "unmatched row must null-extend exactly once")
+    assert(salted(1L) == ((900L, 0L)))
+  }
+
+  test("salting spreads the hot key across factor partitions") {
+    import org.apache.spark.sql.functions._
+    val large = (1 to 2000).map(_ => (1L, "hot")).toDF("k", "v").repartition(8)
+    val small = Seq((1L, "dim")).toDF("k", "name")
+    // observe the partition each joined row of the hot key lands in AFTER
+    // the salted join's (key, salt) shuffle
+    val parts = graft.operators.SaltedJoin.inner(large, small, "k", factor = 8)
+      .select(spark_partition_id().as("pid"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(parts.size > 1,
+      s"hot key stayed on ${parts.size} partition(s) — salting was a no-op")
+    // and the distinct-set variant spreads stage-1 partials the same way
+    val stage1 = large
+      .withColumn("_salt", pmod(spark_partition_id(), lit(8)))
+      .groupBy(col("k"), col("_salt")).count()
+    assert(stage1.count() > 1, "stage-1 must hold multiple partials for the hot key")
+    val ds = graft.operators.SaltedJoin.twoStageDistinctSet(
+      large.withColumn("o", pmod(monotonically_increasing_id(), lit(97))), "k", "o")
+      .head()
+    assert(ds.getLong(1) == 97L, "distinct merge must dedup across partials")
+  }
 }
 
 class BucketingSpec extends SparkSpec {

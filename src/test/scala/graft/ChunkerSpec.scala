@@ -109,6 +109,57 @@ class ChunkerSpec extends AnyFunSuite {
     assert(overlapped.head == "w1 w2 w3 w4" && overlapped(1).startsWith("w4"))
   }
 
+  // Real WordPiece counter: every split decision follows actual subword
+  // counts (the reference's real-tokenizer branch, chunker.rs:106-114),
+  // exercising splitByTokens' honest join-and-count path (non-default
+  // counter => no ceil(words*1.3) shortcut).
+  test("WordPiece tokenizer: greedy longest-match pieces") {
+    val t = graft.functions.WordPieceTokenizer.default
+    assert(t.tokenizeWord("scan") == Seq("scan"))          // whole word in vocab
+    assert(t.tokenizeWord("scans") == Seq("scan", "##s"))  // suffix piece
+    assert(t.tokenizeWord("sorting") == Seq("sort", "##ing"))
+    // greedy prefers the longest prefix: "table" over "t"+"##able"
+    assert(t.tokenizeWord("tables") == Seq("table", "##s"))
+    // out-of-vocab word degrades to char pieces, never fails
+    assert(t.tokenizeWord("zq") == Seq("z", "##q"))
+    // punctuation splits off as its own token in basic tokenization
+    assert(t.tokenize("fast, scan") == Seq("fast", ",", "scan"))
+    assert(t.count("fast, scan") == 3)
+  }
+
+  test("chunking under the WordPiece counter respects the piece budget") {
+    val t = graft.functions.WordPieceTokenizer.default
+    val cfg = ChunkerConfig(maxTokens = 12, overlapTokens = 0, countTokens = t.count)
+    // single oversized paragraph (no blank lines) -> splitByTokens'
+    // honest-join branch with the real counter
+    val text = "scanning sorting merging filtering hashing joining " +
+      "grouping batching streaming indexing shuffling planning"
+    val chunks = Chunker.chunk(text, cfg)
+    assert(chunks.length > 1)
+    chunks.foreach(c => assert(t.count(c) <= 12, s"over budget: '$c' = ${t.count(c)}"))
+    // no words lost or duplicated (overlap 0)
+    assert(chunks.mkString(" ") == text)
+  }
+
+  test("golden-pinned WordPiece chunking of a fixture document") {
+    val spark = SparkSpec.session
+    val t = graft.functions.WordPieceTokenizer.default
+    val doc = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .select("text").head().getString(0)
+    val cfg = ChunkerConfig(maxTokens = 16, overlapTokens = 0, countTokens = t.count)
+    val chunks = Chunker.chunk(doc, cfg)
+    // pinned against the shipped vocab: corpus words are in-vocab (1
+    // piece each) so 16-piece budgets hold 16 words; drift in the
+    // tokenizer, vocab file, or chunker shows up as a diff here
+    assert(chunks.nonEmpty)
+    chunks.foreach(c => assert(t.count(c) <= 16))
+    assert(chunks.mkString(" ") == doc.trim.replaceAll("\\s+", " "))
+    val golden = Seq(16, 16)
+    assert(chunks.take(2).map(c => t.count(c)) == golden,
+      s"golden token counts drifted: ${chunks.take(2).map(t.count)}")
+  }
+
   // Extra (beyond the reference suite): the explode/Column form works in a plan.
   test("column form explodes to chunks") {
     val spark = SparkSpec.session

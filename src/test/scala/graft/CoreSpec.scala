@@ -92,6 +92,41 @@ class CatalogSpec extends SparkSpec {
     assert(c.count() == rowsBefore.length + 1)
   }
 
+  test("crashed compaction swap recovers on next read (roll back and roll forward)") {
+    // CASE 1: crash after the original was staged aside, rewrite
+    // incomplete -> reads roll the original back
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "crash1"))
+    c.importDf(Seq("a", "b", "c").toDF("text"))
+    val rows = c.df.orderBy("_key").collect().map(_.toSeq).toSeq
+    val data = new java.io.File(c.dataDir)
+    val old = new java.io.File(c.dataDir + "_precompact")
+    val tmp = new java.io.File(c.dataDir + "_compacting")
+    assert(data.renameTo(old), "test setup: stage data aside")
+    tmp.mkdirs() // incomplete rewrite: no _SUCCESS marker
+    java.nio.file.Files.write(tmp.toPath.resolve("part-garbage.parquet"),
+      "not parquet".getBytes)
+    assert(c.df.orderBy("_key").collect().map(_.toSeq).toSeq == rows,
+      "read after crash must see the original data")
+    assert(!old.exists && !tmp.exists, "recovery must clean the staging dirs")
+
+    // CASE 2: crash after the rewrite committed (_SUCCESS present) but
+    // before the final swap -> reads roll the rewrite forward
+    val c2 = cat.create(CollectionConfig(name = "crash2"))
+    c2.importDf(Seq("x", "y").toDF("text"))
+    val rows2 = c2.df.orderBy("_key").collect().map(_.toSeq).toSeq
+    val data2 = new java.io.File(c2.dataDir)
+    val tmp2 = new java.io.File(c2.dataDir + "_compacting")
+    // build a COMPLETE rewrite of the same rows, then simulate the crash
+    c2.df.repartition(1).write.mode("overwrite").parquet(tmp2.toString)
+    assert(new java.io.File(tmp2, "_SUCCESS").exists)
+    assert(data2.renameTo(new java.io.File(c2.dataDir + "_precompact")))
+    assert(c2.df.orderBy("_key").collect().map(_.toSeq).toSeq == rows2,
+      "read after crash must see the committed rewrite")
+    assert(new java.io.File(c2.dataDir).exists)
+    assert(!new java.io.File(c2.dataDir + "_precompact").exists)
+  }
+
   test("importChunks widens schema with a new column") {
     val cat = new Catalog(spark, tmpRoot())
     val c = cat.create(CollectionConfig(name = "c3"))

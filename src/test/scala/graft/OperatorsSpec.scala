@@ -206,6 +206,19 @@ class AnnSpec extends SparkSpec {
       s"partition pruning missing from plan:\n$plan")
     val hits = Ann.ivfTopK(indexed, centers, q, k = 5, nProbe = nProbe).collect()
     assert(hits.map(_.getLong(0)).contains(5L))
+    // proof from the data path, not just the plan string: the files the
+    // probed query ACTUALLY reads all live under the nProbe probed
+    // list_id= directories
+    val probes = Ann.ivfProbes(centers, q, nProbe)
+    val dirsRead = indexed
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0))
+      .flatMap(_.split("/").find(_.startsWith("list_id=")))
+      .toSet
+    assert(dirsRead.nonEmpty && dirsRead.subsetOf(probes.map(p => s"list_id=$p").toSet),
+      s"scan escaped the probed lists: read $dirsRead, probed $probes")
+    assert(dirsRead.size <= nProbe)
   }
 
   test("distributed prefix sum equals the single-partition window") {
@@ -516,6 +529,36 @@ class EmbedStreamSpec extends SparkSpec {
       // searchable immediately
       val hits = c.search("text", "third doc", 1, emb).collect()
       assert(hits.head.getLong(1) == 3L)
+      // steady-state never took the index-scanning recovery path: batch 1
+      // hit the empty-index fast path, batch 2 ran post-recovery
+      assert(c.streamRecoveryAntiJoins == 0L,
+        "steady-state micro-batches must not anti-join against the index")
     } finally q.stop()
+  }
+
+  test("restart anti-joins exactly once (recovery window), then streams free") {
+    val root = java.nio.file.Files.createTempDirectory("graft_es2").toString
+    val cat = new graft.core.Catalog(spark, root)
+    val c = cat.create(graft.core.CollectionConfig(name = "s2"))
+    c.importDf(Seq("one text", "two text").toDF("text"))
+    val emb = new graft.embed.HashingEmbedder(dim = 32)
+    val q1 = c.embedColumnStream("text", emb, s"$root/_ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(c.indexedCount("text") == 2)
+
+    // restart against a NON-empty index: the first micro-batch is the
+    // only one allowed to scan the index (bounded by min-key pushdown)
+    c.appendDf(Seq("three text").toDF("text"))
+    val q2 = c.embedColumnStream("text", emb, s"$root/_ckpt")
+    try {
+      q2.processAllAvailable()
+      assert(c.streamRecoveryAntiJoins == 1L, "restart batch must recover once")
+      c.appendDf(Seq("four text").toDF("text"))
+      q2.processAllAvailable()
+      assert(c.streamRecoveryAntiJoins == 1L,
+        "post-recovery batches must use the fast path")
+      val keys = c.embeddings("text").select("_key").as[Long].collect().sorted
+      assert(keys.toSeq == Seq(1L, 2L, 3L, 4L), "exactly-once across restarts")
+    } finally q2.stop()
   }
 }
