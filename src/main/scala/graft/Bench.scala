@@ -37,6 +37,7 @@ object Bench {
     // cost is real) but is listed in "failures" so a regression can't
     // hide inside the total as a silent -1.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = (1 to runs).map { _ =>
       names.map { case (name, fn) =>

@@ -61,7 +61,7 @@ class Collection private[core] (
     * original back. Either way the collection's rows are never lost and
     * the next read sees a complete directory.
     */
-  private[core] def recoverCompaction(): Unit = {
+  private[core] def recoverCompaction(): Unit = synchronized {
     val dataPath = new Path(dataDir)
     val old = new Path(dataDir + "_precompact")
     if (!fs.exists(dataPath) && fs.exists(old)) {
@@ -133,6 +133,15 @@ class Collection private[core] (
     val dataPath = new Path(dataDir)
     fs.delete(tmp, true)
     df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    // the swap itself holds the same monitor as recoverCompaction: a
+    // concurrent read inside the rename window would otherwise "heal"
+    // the half-finished swap out from under this thread (single-JVM
+    // guarantee; cross-process compaction needs an external lock)
+    synchronized { compactSwap(dataPath, old, tmp) }
+    nFiles
+  }
+
+  private def compactSwap(dataPath: Path, old: Path, tmp: Path): Unit = {
     fs.delete(old, true)
     // every rename result is CHECKED: falling through a failed swap to
     // the final delete would destroy the only copy of the data
@@ -149,7 +158,6 @@ class Collection private[core] (
       throw new java.io.IOException(s"compact: could not swap in compacted files (rolled back)")
     }
     fs.delete(old, true)
-    nFiles
   }
 
   /** Import pre-chunked text rows into `column` (S6 / DbImportMarkdownChunks):
@@ -262,38 +270,44 @@ class Collection private[core] (
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val variant = config.model_variant
-    // Replay safety, bounded: only the FIRST batch after (re)start can be
-    // a replay of a partially-committed batch (the file source delivers
-    // each file exactly once per checkpoint; a crash mid-append leaves at
-    // most the last uncommitted batch partially visible in the index). So
-    // the index-scanning dedup runs in that one-batch recovery window and
-    // never steady-state — at 10^10 indexed rows the previous
-    // every-batch anti-join re-read the whole index key column per
-    // trigger. The recovery scan itself is pruned to the batch's key
+    // Replay safety, bounded: the index-scanning anti-join runs ONLY for
+    // batches that could overlap what's already indexed — detected by
+    // "batch min key <= max key this stream has seen indexed". That
+    // covers every duplicate source at once: the first batch after a
+    // restart (replay of a partially-committed batch), AND files
+    // re-delivered because compact() rewrote the data directory (the
+    // file source sees rewritten files as new, but their keys are all
+    // old). Steady-state appends carry strictly increasing keys, skip
+    // the check, and never scan the index — at 10^10 indexed rows the
+    // previous every-batch anti-join re-read the whole index key column
+    // per trigger. The recovery scan itself is pruned to the batch's key
     // range (min-key pushdown -> parquet row-group pruning), because an
-    // append-only, monotonically-keyed index can only overlap the replay
-    // at keys >= the batch's minimum.
-    @volatile var recovered = false
+    // append-only, monotonically-keyed index can only overlap at keys
+    // >= the batch's minimum.
+    @volatile var maxSeen = Long.MinValue // max indexed key; lazily seeded
+    @volatile var seeded = false
     spark.readStream.schema(df.schema).parquet(dataDir)
       .select(col(KeyCol), coalesce(col(column).cast(StringType), lit("")))
       .as[(Long, String)]
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
-        val batch =
-          if (recovered || indexedCount(column) == 0L) batch0
-          else {
+        val range = batch0.agg(min(col(KeyCol)), max(col(KeyCol)))
+          .as[(Option[Long], Option[Long])].head()
+        if (!seeded) {
+          maxSeen = if (indexedCount(column) == 0L) Long.MinValue
+                    else Keys.maxKey(embeddings(column))
+          seeded = true
+        }
+        val batch = range match {
+          case (Some(mk), _) if mk <= maxSeen =>
             streamRecoveryAntiJoins += 1
-            val minKey = batch0.agg(min(col(KeyCol))).as[Option[Long]].head()
-            minKey match {
-              case None => batch0 // empty batch
-              case Some(mk) => batch0.toDF(KeyCol, "__text")
-                .join(embeddings(column).select(KeyCol)
-                  .filter(col(KeyCol) >= mk), Seq(KeyCol), "left_anti")
-                .as[(Long, String)]
-            }
-          }
-        recovered = true
+            batch0.toDF(KeyCol, "__text")
+              .join(embeddings(column).select(KeyCol)
+                .filter(col(KeyCol) >= mk), Seq(KeyCol), "left_anti")
+              .as[(Long, String)]
+          case _ => batch0
+        }
         val embedded0 = graft.embed.EmbedBatch.pairs(batch, embedder, batchSize)
         val embedded =
           if (variant == "f32") embedded0.toDF(KeyCol, "embedding")
@@ -301,6 +315,7 @@ class Collection private[core] (
             .map { case (k, v) => (k, graft.embed.Quantization.encode(variant, v)) }
             .toDF(KeyCol, "qembedding")
         embedded.write.mode("append").parquet(indexDir(column))
+        range._2.foreach(bx => if (bx > maxSeen) maxSeen = bx)
         ()
       }
       .start()

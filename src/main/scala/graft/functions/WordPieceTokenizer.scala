@@ -25,7 +25,9 @@ final class WordPieceTokenizer(vocab: Seq[String], unkToken: String = "[UNK]")
 
   /** WordPiece pieces of one already-basic-tokenized token. */
   def tokenizeWord(word0: String): Seq[String] = {
-    val word = word0.toLowerCase
+    // Locale.ROOT: default-locale lowercasing (e.g. Turkish dotless i)
+    // would change token counts per machine and break the golden pins
+    val word = word0.toLowerCase(java.util.Locale.ROOT)
     if (word.isEmpty) return Seq.empty
     val out = Seq.newBuilder[String]
     var start = 0

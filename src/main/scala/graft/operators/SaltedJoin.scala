@@ -26,17 +26,8 @@ object SaltedJoin {
     * logical row always lands in the same salt bucket.
     */
   def inner(large: DataFrame, small: DataFrame, key: String,
-            factor: Int = 8): DataFrame = {
-    require(factor >= 1)
-    // deterministic salt from the row content (xxhash64 is codegen'd and
-    // stable across runs/partitions)
-    val salted = large.withColumn("_salt",
-      pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(factor)).cast("int"))
-    val exploded = small
-      .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
-      .withColumn("_salt", col("_salt").cast("int"))
-    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
-  }
+            factor: Int = 8): DataFrame =
+    saltedJoin(large, small, key, factor, "inner")
 
   /** Left-outer variant: same salting scheme, null-extension preserved.
     * Correctness argument: the exploded small side carries EVERY key at
@@ -46,14 +37,20 @@ object SaltedJoin {
     * never zero.
     */
   def leftOuter(large: DataFrame, small: DataFrame, key: String,
-                factor: Int = 8): DataFrame = {
+                factor: Int = 8): DataFrame =
+    saltedJoin(large, small, key, factor, "left_outer")
+
+  private def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                         factor: Int, joinType: String): DataFrame = {
     require(factor >= 1)
+    // deterministic salt from the row content (xxhash64 is codegen'd and
+    // stable across runs/partitions)
     val salted = large.withColumn("_salt",
       pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(factor)).cast("int"))
     val exploded = small
       .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("_salt", col("_salt").cast("int"))
-    salted.join(exploded, Seq(key, "_salt"), "left_outer").drop("_salt")
+    salted.join(exploded, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
   /** Two-stage (salted) aggregation: partial-aggregate on `(key, salt)`,

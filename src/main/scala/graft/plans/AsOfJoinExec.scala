@@ -92,7 +92,11 @@ object PruneAsOfJoin
         payloadUnused(g.references, g.child.asInstanceOf[AsOfJoinNode]) =>
       g.withNewChildren(Seq(g.child.asInstanceOf[AsOfJoinNode].left))
     case f @ Filter(cond, a: AsOfJoinNode)
-        if cond.references.subsetOf(AttributeSet(a.left.output)) =>
+        if cond.deterministic &&
+          cond.references.subsetOf(AttributeSet(a.left.output)) =>
+      // the deterministic guard mirrors Catalyst's PushDownPredicates: a
+      // rand()-style predicate evaluates differently before vs after the
+      // node's shuffle+sort reorders rows
       a.copy(left = Filter(cond, a.left))
   }
 }

@@ -536,7 +536,7 @@ class EmbedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("restart anti-joins exactly once (recovery window), then streams free") {
+  test("overlapping batches anti-join (checkpoint loss, compaction), new keys stream free") {
     val root = java.nio.file.Files.createTempDirectory("graft_es2").toString
     val cat = new graft.core.Catalog(spark, root)
     val c = cat.create(graft.core.CollectionConfig(name = "s2"))
@@ -546,19 +546,35 @@ class EmbedStreamSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
     assert(c.indexedCount("text") == 2)
 
-    // restart against a NON-empty index: the first micro-batch is the
-    // only one allowed to scan the index (bounded by min-key pushdown)
+    // clean restart, only-new keys: no overlap -> the fast path, no
+    // index scan even on the first batch
     c.appendDf(Seq("three text").toDF("text"))
     val q2 = c.embedColumnStream("text", emb, s"$root/_ckpt")
     try {
       q2.processAllAvailable()
-      assert(c.streamRecoveryAntiJoins == 1L, "restart batch must recover once")
-      c.appendDf(Seq("four text").toDF("text"))
-      q2.processAllAvailable()
-      assert(c.streamRecoveryAntiJoins == 1L,
-        "post-recovery batches must use the fast path")
-      val keys = c.embeddings("text").select("_key").as[Long].collect().sorted
-      assert(keys.toSeq == Seq(1L, 2L, 3L, 4L), "exactly-once across restarts")
+      assert(c.streamRecoveryAntiJoins == 0L,
+        "non-overlapping restart batch must not scan the index")
+      assert(c.indexedCount("text") == 3)
     } finally q2.stop()
+
+    // checkpoint loss: every file redelivered, keys 1..3 all overlap ->
+    // anti-join fires, index stays exactly-once
+    val q3 = c.embedColumnStream("text", emb, s"$root/_ckpt_fresh")
+    try {
+      q3.processAllAvailable()
+      assert(c.streamRecoveryAntiJoins == 1L, "overlapping batch must dedup")
+      val keys = c.embeddings("text").select("_key").as[Long].collect().sorted
+      assert(keys.toSeq == Seq(1L, 2L, 3L), "exactly-once after full redelivery")
+
+      // compaction rewrites the data files mid-stream: the file source
+      // re-delivers every row with OLD keys; the overlap check must
+      // catch it (this was the round-3 review's duplicate-embedding bug)
+      c.compact()
+      c.appendDf(Seq("four text").toDF("text"))
+      q3.processAllAvailable()
+      val keys2 = c.embeddings("text").select("_key").as[Long].collect().sorted
+      assert(keys2.toSeq == Seq(1L, 2L, 3L, 4L),
+        s"exactly-once across compaction, got ${keys2.toSeq}")
+    } finally q3.stop()
   }
 }
