@@ -99,6 +99,24 @@ object TextFunctions {
     */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 
+  /** PII scrubbing for training corpora: emails, NANP-style phone
+    * numbers, and IPv4 addresses replaced by typed redaction markers.
+    * Pure Catalyst `regexp_replace` chain (codegen'd, no UDF) with
+    * RE2-compatible patterns, so the exact scrubbed string is
+    * SQL-oracle-checkable. Email first: after its replacement the
+    * digit-based patterns can't partially match inside an address.
+    */
+  val PiiEmail = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiPhone, "<PHONE>"),
+      PiiIpv4, "<IP>")
+
   /** Word n-gram shingles as an array column (pure Catalyst: slice over a
     * generated index sequence — no UDF, no explode).
     */

@@ -283,6 +283,74 @@ object TextQueries {
     // are exact-integer aggregates of the DECODED samples — the oracle
     // reproduces the generator in BIGINT SQL, so any decode defect
     // (header, endianness, sign, frame walk) breaks the hash match.
+    // PII scrubbing: the fixture corpus is clean word soup, so the query
+    // PLANTS deterministic PII (email / phone / IPv4 by doc_id % 3) and
+    // scrubs it back out — the oracle replicates both the planting and
+    // the RE2-compatible regex scrub, and compares the exact scrubbed
+    // string per doc. Pure codegen'd regexp_replace chain, no UDF.
+    // REAL video-container path: deterministic pattern frames inside a
+    // real RIFF/AVI container; the query samples 4 frames per video via
+    // the container parser (Codec.parseAviFrames) and the oracle
+    // recomputes frame selection, lengths, and weighted byte checksums
+    // in pure BIGINT SQL — any container-walk defect (chunk sizes,
+    // padding, list recursion) breaks the match. Real-JPEG MJPEG decode
+    // is exercised in VideoSpec with ImageIO payloads.
+    "q61_video_frames" -> ((s, d) => {
+      val aviUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticVideo.avi(id))
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("content"))
+      val sampled = graft.multimodal.Multimodal.sampleFrames(
+        media, "media_id", "content", nFrames = 4)
+      val checksum = udf((b: Array[Byte]) => {
+        var s = 0L; var i = 0
+        while (i < b.length) { s += (i + 1).toLong * (b(i) & 0xFF); i += 1 }
+        s
+      })
+      sampled.select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        checksum(col("frame")).as("checksum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    "q59_pii_scrub" -> ((s, d) => {
+      val dirty = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact User"), col("doc_id").cast("string"),
+              lit("@Example.COM now")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit(" call 555-123-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit(" today")))
+          .otherwise(concat(lit(" host 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 up")))
+        ).as("dirty"))
+      dirty.select(col("doc_id"),
+        graft.functions.TextFunctions.scrubPii(col("dirty")).as("scrubbed"))
+        .filter(col("scrubbed").contains("<"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Training-sequence packing: documents packed into fixed token-budget
+    // sequences by offset (seq_id = floor(start_offset / 512)) over the
+    // GLOBAL doc_id order — the distributed two-pass prefix sum carries
+    // the running offset, so no unpartitioned window exists anywhere.
+    // This is the "pack the corpus into 4k-token training rows" shape.
+    "q60_pack_sequences" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.approxBpeCount(col("text")).as("tok"))
+      graft.operators.PrefixSum.runningTotal(
+        docs, Seq(col("doc_id").asc), col("tok"), "cum")
+        .withColumn("seq_id",
+          floor((col("cum") - col("tok")) / lit(512)).cast("long"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("seq_id"))
+    }),
+
     "q54_audio_features" -> ((s, d) => {
       val wavUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticAudio.wav(id))
       val media = documents(s, d).select(
@@ -451,6 +519,57 @@ object TextQueries {
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(CASE WHEN strlen(text) = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS feat_norm
         | FROM documents ORDER BY media_id""".stripMargin,
+
+    "q61_video_frames" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id, 6 + (doc_id % 3) * 2 AS nf,
+        |  unnest(range(0, 4)) AS frame_idx
+        | FROM documents),
+        |sel AS (
+        | SELECT media_id, frame_idx, (frame_idx * nf) // 4 AS j FROM m),
+        |f AS (
+        | SELECT media_id, frame_idx, j, 64 + (j % 4) * 16 AS len FROM sel),
+        |b AS (
+        | SELECT media_id, frame_idx, j, len, unnest(range(0, len)) AS i FROM f)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(max(len) AS BIGINT) AS frame_len,
+        | CAST(sum((i + 1) * ((media_id * 31 + j * 7 + i) % 256)) AS BIGINT) AS checksum
+        | FROM b GROUP BY media_id, frame_idx ORDER BY 1, 2""".stripMargin,
+
+    "q59_pii_scrub" ->
+      """WITH dirty AS (
+        | SELECT doc_id, text ||
+        |  CASE CAST(doc_id % 3 AS INT)
+        |   WHEN 0 THEN ' contact User' || doc_id || '@Example.COM now'
+        |   WHEN 1 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+        |   ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' END AS d
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(d, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        | FROM dirty
+        | WHERE strpos(regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(d, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '<') > 0
+        | ORDER BY doc_id""".stripMargin,
+
+    "q60_pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(ceil((CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) * 1.3) AS BIGINT) AS tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, tok, CAST(sum(tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        |SELECT CAST((cum - tok) // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
+        | CAST(sum(tok) AS BIGINT) AS seq_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        | FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replicates SyntheticAudio's integer generator in BIGINT arithmetic;
     // all aggregates are integer-exact before the one double conversion,

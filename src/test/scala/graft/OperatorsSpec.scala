@@ -266,6 +266,22 @@ class AnnSpec extends SparkSpec {
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("PII scrub redacts emails, phones, IPv4s and leaves clean text alone") {
+    val df = Seq(
+      "write to Jane.Doe+tag@Corp.Example.ORG today",
+      "call 555-123-4567 or 555.987.6543",
+      "server at 192.168.1.254 timed out",
+      "version 1.2 of chapter 3.4 is out",       // dotted numbers, NOT an IP
+      "clean text with no pii at all").toDF("text")
+      .select(TextFunctions.scrubPii(col("text")).as("s"))
+    val got = df.as[String].collect().toSeq
+    assert(got(0) == "write to <EMAIL> today")
+    assert(got(1) == "call <PHONE> or <PHONE>")
+    assert(got(2) == "server at <IP> timed out")
+    assert(got(3) == "version 1.2 of chapter 3.4 is out")
+    assert(got(4) == "clean text with no pii at all")
+  }
+
   test("token counts handle blanks and whitespace runs") {
     val df = Seq("a b  c", "", "   ", "one").toDF("text")
       .select(TextFunctions.tokenCount(col("text")).as("n"))
