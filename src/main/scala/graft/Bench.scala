@@ -52,12 +52,19 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Median over SUCCESSFUL runs when at least one run succeeds, so a
+    // flaky query's reported time isn't a failure-path wall time; the
+    // failure entry carries the failed/total run count either way.
     val results = names.indices.map { i =>
       val perRun = samples.map(_(i))
-      (perRun.head._1, median(perRun.map(_._2)), perRun.flatMap(_._3).headOption)
+      val ok = perRun.collect { case (_, t, None) => t }
+      val med = median(if (ok.nonEmpty) ok else perRun.map(_._2))
+      val err = perRun.flatMap(_._3).headOption.map { e =>
+        val nFail = perRun.count(_._3.isDefined)
+        s"$e ($nFail/$runs runs failed)"
+      }
+      (perRun.head._1, med, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // full JSON string escape (incl. every control char): a tab or CR in
     // a Spark error message must not make the whole line unparseable
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -69,19 +76,35 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val fails = results.collect { case (k, _, Some(e)) =>
-      jstr(k) + ":" + jstr(e)
-    }.mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+    def render(short: Boolean, ms3: Boolean): String = {
+      // The launcher keeps only a bounded tail of stdout and greps it for
+      // this line, so the line must stay short: 3-decimal seconds, empty
+      // failures omitted, and (as a last resort) numbered query names
+      // abbreviated q62_dup_cc -> q62. Full precision + full names always
+      // go to BENCH_LAST.json.
+      def key(k: String): String =
+        if (short) "q(\\d+)_.*".r.replaceAllIn(k, m => "q" + m.group(1)) else k
+      val qs = results.map { case (k, v, _) =>
+        jstr(key(k)) + ":" + (if (ms3) fmt(v) else v.toString)
+      }.mkString("{", ",", "}")
+      val fails = results.collect { case (k, _, Some(e)) => jstr(key(k)) + ":" + jstr(e) }
+      val failsPart = if (fails.isEmpty && (short || ms3)) "" else ",\"failures\":" + fails.mkString("{", ",", "}")
+      val tv = if (ms3) fmt(total) else total.toString
+      val sfv = if (short || ms3) new java.io.File(sfDir).getName else sfDir
+      s"""{"metric":"total","value":$tv,"unit":"sec","runs":$runs,"queries":$qs$failsPart,"sf":"$sfv"}"""
+    }
+    val full = render(short = false, ms3 = false)
+    val compact = render(short = false, ms3 = true)
+    val line = if (compact.length <= 1900) compact else render(short = true, ms3 = true)
     println(line)
-    // Belt-and-braces for log-wrapping launchers: also drop the line in
-    // a well-known file next to the build.
+    // Belt-and-braces for log-wrapping launchers: also drop the FULL
+    // (unabbreviated, full-precision) line in a well-known file.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LAST.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -41,6 +41,17 @@ class Collection private[core] (
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Serializes data-directory WRITERS (append/import/compact) against
+    * each other. [[compact]] holds it across its whole rewrite+swap — not
+    * just the swap — because an append that lands between the rewrite and
+    * the swap would be staged to `_precompact` by the swap and then
+    * deleted (silent row loss; the roll-forward recovery would do the
+    * same after a crash). Readers stay lock-free apart from the brief
+    * `synchronized` rename window. Single-JVM guarantee only:
+    * cross-process compaction needs an external lock.
+    */
+  private val writeLock = new java.util.concurrent.locks.ReentrantLock
+
   /** The collection as a DataFrame (lazy scan — filters/projections push
     * down). `mergeSchema` unions file schemas so schema-widening appends
     * (importChunks adding a new column) never require rewriting existing
@@ -89,8 +100,11 @@ class Collection private[core] (
     * (dense 1..N) unless the source already carries one (S1/S2).
     */
   def importDf(source: DataFrame): Unit = {
-    require(isEmpty, s"collection ${config.name} already has data; use append")
-    Keys.withKey(source).write.mode("errorifexists").parquet(dataDir)
+    writeLock.lock()
+    try {
+      require(isEmpty, s"collection ${config.name} already has data; use append")
+      Keys.withKey(source).write.mode("errorifexists").parquet(dataDir)
+    } finally writeLock.unlock()
   }
 
   /** Append rows, aligning to the existing schema (missing columns -> null,
@@ -99,17 +113,20 @@ class Collection private[core] (
     * sequence default fire, collection_actor.rs:222-291).
     */
   def appendDf(source: DataFrame): Unit = {
-    if (isEmpty) { importDf(source); return }
-    val existing = df
-    val start = Keys.maxKey(existing) + 1
-    val targetFields = existing.schema.fields.filter(_.name != KeyCol)
-    val aligned = source.select(targetFields.map { f =>
-      if (source.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
-    Keys.withKey(aligned, start)
-      .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
-      .write.mode("append").parquet(dataDir)
+    writeLock.lock()
+    try {
+      if (isEmpty) { importDf(source); return }
+      val existing = df
+      val start = Keys.maxKey(existing) + 1
+      val targetFields = existing.schema.fields.filter(_.name != KeyCol)
+      val aligned = source.select(targetFields.map { f =>
+        if (source.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+      Keys.withKey(aligned, start)
+        .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .write.mode("append").parquet(dataDir)
+    } finally writeLock.unlock()
   }
 
   /** Compact the collection's data files — the operational answer to the
@@ -125,20 +142,26 @@ class Collection private[core] (
     * format.
     */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    if (isEmpty) return 0
-    val totalBytes = fs.getContentSummary(new Path(dataDir)).getLength
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new Path(dataDir + "_compacting")
-    val old = new Path(dataDir + "_precompact")
-    val dataPath = new Path(dataDir)
-    fs.delete(tmp, true)
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    // the swap itself holds the same monitor as recoverCompaction: a
-    // concurrent read inside the rename window would otherwise "heal"
-    // the half-finished swap out from under this thread (single-JVM
-    // guarantee; cross-process compaction needs an external lock)
-    synchronized { compactSwap(dataPath, old, tmp) }
-    nFiles
+    // writeLock across the WHOLE rewrite+swap: an append landing between
+    // the rewrite and the swap would otherwise be swept into _precompact
+    // and deleted (see writeLock doc). Readers are only excluded during
+    // the brief rename window below.
+    writeLock.lock()
+    try {
+      if (isEmpty) return 0
+      val totalBytes = fs.getContentSummary(new Path(dataDir)).getLength
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val tmp = new Path(dataDir + "_compacting")
+      val old = new Path(dataDir + "_precompact")
+      val dataPath = new Path(dataDir)
+      fs.delete(tmp, true)
+      df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+      // the swap itself holds the same monitor as recoverCompaction: a
+      // concurrent read inside the rename window would otherwise "heal"
+      // the half-finished swap out from under this thread
+      synchronized { compactSwap(dataPath, old, tmp) }
+      nFiles
+    } finally writeLock.unlock()
   }
 
   private def compactSwap(dataPath: Path, old: Path, tmp: Path): Unit = {
@@ -173,13 +196,16 @@ class Collection private[core] (
     Identifiers.validate(column)
     import spark.implicits._
     val chunkDf = chunks.toDF(column)
-    if (isEmpty) { importDf(chunkDf); return }
-    val existing = df
-    if (existing.schema.fieldNames.contains(column)) appendDf(chunkDf)
-    else {
-      val start = Keys.maxKey(existing) + 1
-      Keys.withKey(chunkDf, start).write.mode("append").parquet(dataDir)
-    }
+    writeLock.lock()
+    try {
+      if (isEmpty) { importDf(chunkDf); return }
+      val existing = df
+      if (existing.schema.fieldNames.contains(column)) appendDf(chunkDf)
+      else {
+        val start = Keys.maxKey(existing) + 1
+        Keys.withKey(chunkDf, start).write.mode("append").parquet(dataDir)
+      }
+    } finally writeLock.unlock()
   }
 
   /** The `(_key, embedding)` index table for `column`, empty-schema'd when
@@ -189,7 +215,15 @@ class Collection private[core] (
     * always see `array<float>` (SURVEY §1.3).
     */
   def embeddings(column: String): DataFrame = {
-    if (!fs.exists(new Path(indexDir(column))))
+    val idx = new Path(indexDir(column))
+    // "exists but holds no data files" counts as empty too: a write task
+    // aborted mid-append (e.g. a streaming micro-batch killed between
+    // directory creation and first file commit) leaves the directory
+    // behind with no parquet footers, and a bare read would die with
+    // UNABLE_TO_INFER_SCHEMA instead of reporting an empty index.
+    val hasData = fs.exists(idx) &&
+      fs.listStatus(idx).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (!hasData)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -286,7 +320,14 @@ class Collection private[core] (
     // >= the batch's minimum.
     @volatile var maxSeen = Long.MinValue // max indexed key; lazily seeded
     @volatile var seeded = false
-    spark.readStream.schema(df.schema).parquet(dataDir)
+    // ignoreMissingFiles: compact() may delete a source file AFTER the
+    // stream listed it but BEFORE the micro-batch read it (rewrite+swap
+    // replaces every data file). Skipping the vanished file is safe —
+    // its rows live on in the compacted files, which the source lists as
+    // new and the key-overlap anti-join above dedups — so the stream
+    // stays exactly-once instead of dying with FileNotFoundException.
+    spark.readStream.schema(df.schema)
+      .option("ignoreMissingFiles", "true").parquet(dataDir)
       .select(col(KeyCol), coalesce(col(column).cast(StringType), lit("")))
       .as[(Long, String)]
       .writeStream

@@ -102,20 +102,32 @@ object TextFunctions {
   /** PII scrubbing for training corpora: emails, NANP-style phone
     * numbers, and IPv4 addresses replaced by typed redaction markers.
     * Pure Catalyst `regexp_replace` chain (codegen'd, no UDF) with
-    * RE2-compatible patterns, so the exact scrubbed string is
-    * SQL-oracle-checkable. Email first: after its replacement the
-    * digit-based patterns can't partially match inside an address.
+    * RE2-compatible patterns (no lookaround — DuckDB's RE2 lacks it), so
+    * the exact scrubbed string is SQL-oracle-checkable.
+    *
+    * Order matters: email first (so digit patterns can't partially match
+    * inside an address), then IPv4, then phone. IPv4 octets are
+    * range-validated (0-255), so a version-like `1.2.3.400` is NOT
+    * redacted as an IP. The phone pattern anchors against adjacent dots
+    * and digits by consuming one char of context on each side (restored
+    * via `$1`/`$3` backrefs): inside a longer dotted digit run such as
+    * `192.168.100.1234` no phone sub-match fires, while a phone at
+    * sentence end (`call 555-123-4567.`) still redacts because a dot
+    * followed by a non-digit is accepted as trailing context. Known
+    * limitation of consumed context: two phones separated by a single
+    * character redact only the first.
     */
   val PiiEmail = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PiiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
-  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val PiiIpv4 = s"\\b($Octet\\.){3}$Octet\\b"
+  val PiiPhone = "(^|[^.\\d])(\\d{3}[-.]\\d{3}[-.]\\d{4})(\\.[^\\d]|\\.$|[^.\\d]|$)"
 
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(text, PiiEmail, "<EMAIL>"),
-        PiiPhone, "<PHONE>"),
-      PiiIpv4, "<IP>")
+        PiiIpv4, "<IP>"),
+      PiiPhone, "$1<PHONE>$3")
 
   /** Word n-gram shingles as an array column (pure Catalyst: slice over a
     * generated index sequence — no UDF, no explode).

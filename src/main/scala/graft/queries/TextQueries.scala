@@ -544,18 +544,16 @@ object TextQueries {
         |   WHEN 1 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
         |   ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' END AS d
         | FROM documents)
-        |SELECT doc_id,
-        | regexp_replace(
+        |, scrub AS (
+        | SELECT doc_id,
         |  regexp_replace(
-        |   regexp_replace(d, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
-        | FROM dirty
-        | WHERE strpos(regexp_replace(
-        |  regexp_replace(
-        |   regexp_replace(d, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '<') > 0
+        |   regexp_replace(
+        |    regexp_replace(d, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g'),
+        |   '(^|[^.\d])(\d{3}[-.]\d{3}[-.]\d{4})(\.[^\d]|\.$|[^.\d]|$)', '\1<PHONE>\3', 'g') AS scrubbed
+        | FROM dirty)
+        |SELECT doc_id, scrubbed FROM scrub
+        | WHERE strpos(scrubbed, '<') > 0
         | ORDER BY doc_id""".stripMargin,
 
     "q60_pack_sequences" ->

@@ -282,6 +282,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(4) == "clean text with no pii at all")
   }
 
+  test("PII scrub edge cases: dotted digit runs, octet ranges, sentence-end phones") {
+    val df = Seq(
+      "host 192.168.100.1234 up",  // longer dotted run: neither phone nor IP fires
+      "ver 1.2.3.400 here",        // octet > 255: not an IP
+      "ip 10.0.200.7 up",
+      "call 555-123-4567.",        // phone before a sentence-ending dot still redacts
+      "x 555.123.4567.8901 y",     // dotted run: no partial phone
+      "edge 255.255.255.255!",
+      "a255.1.1.1 not-ip",         // no word boundary before first octet
+      "555-123-4567 starts").toDF("text")
+      .select(TextFunctions.scrubPii(col("text")).as("s"))
+    val got = df.as[String].collect().toSeq
+    assert(got(0) == "host 192.168.100.1234 up")
+    assert(got(1) == "ver 1.2.3.400 here")
+    assert(got(2) == "ip <IP> up")
+    assert(got(3) == "call <PHONE>.")
+    assert(got(4) == "x 555.123.4567.8901 y")
+    assert(got(5) == "edge <IP>!")
+    assert(got(6) == "a255.1.1.1 not-ip")
+    assert(got(7) == "<PHONE> starts")
+  }
+
   test("token counts handle blanks and whitespace runs") {
     val df = Seq("a b  c", "", "   ", "one").toDF("text")
       .select(TextFunctions.tokenCount(col("text")).as("n"))
@@ -592,5 +614,64 @@ class EmbedStreamSpec extends SparkSpec {
       assert(keys2.toSeq == Seq(1L, 2L, 3L, 4L),
         s"exactly-once across compaction, got ${keys2.toSeq}")
     } finally q3.stop()
+  }
+
+  test("compact() while the stream is BEHIND: listed-then-deleted files don't kill the query") {
+    // The dangerous window: the source has committed a batch's file list
+    // to the offset log, compact() then deletes those very files, and the
+    // batch (re)executes against the logged list. Without
+    // ignoreMissingFiles on the stream reader that replay dies with
+    // FileNotFoundException; with it the vanished files are skipped and
+    // the rows arrive via the compacted files instead, exactly once.
+    val root = java.nio.file.Files.createTempDirectory("graft_es3").toString
+    val cat = new graft.core.Catalog(spark, root)
+    val c = cat.create(graft.core.CollectionConfig(name = "s3"))
+    c.importDf(Seq("alpha text", "beta text").toDF("text").repartition(1))
+    c.appendDf(Seq("gamma text").toDF("text"))
+    val gated = new GateEmbedder(32)
+    val q1 = c.embedColumnStream("text", gated, s"$root/_ckpt")
+    try {
+      // wait until batch 0's embed scan is running -> its offset (file
+      // list) is committed but the batch is not; then kill the query
+      // mid-batch, leaving a replay pending against the logged files
+      assert(EmbedGate.started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "stream never reached the embed stage")
+    } finally q1.stop()
+    EmbedGate.block = false
+    assert(c.indexedCount("text") == 0, "killed batch must not have committed")
+
+    // compaction rewrites the data dir: every file the offset log names
+    // is deleted and replaced by one compacted file
+    c.compact()
+
+    // restart: batch 0 replays against now-missing files (skipped), the
+    // compacted file is then listed as new and carries all the rows
+    val emb = new graft.embed.HashingEmbedder(dim = 32)
+    val q2 = c.embedColumnStream("text", emb, s"$root/_ckpt")
+    try {
+      q2.processAllAvailable()
+      val keys = c.embeddings("text").select("_key").as[Long].collect().sorted
+      assert(keys.toSeq == Seq(1L, 2L, 3L),
+        s"exactly-once across behind-stream compaction, got ${keys.toSeq}")
+    } finally q2.stop()
+  }
+}
+
+/** Latch shared between the test thread and executor tasks (local[*] =
+  * one JVM, so a plain object works). */
+object EmbedGate {
+  val started = new java.util.concurrent.CountDownLatch(1)
+  @volatile var block = true
+}
+
+/** HashingEmbedder that parks on first use so a test can stop the stream
+  * mid-batch (the park is interruptible: stop() interrupts the task). */
+class GateEmbedder(dim0: Int) extends graft.embed.Embedder {
+  private val inner = new graft.embed.HashingEmbedder(dim = dim0)
+  def dim: Int = dim0
+  def embed(texts: Iterator[String]): Iterator[Array[Float]] = {
+    EmbedGate.started.countDown()
+    while (EmbedGate.block) Thread.sleep(10)
+    inner.embed(texts)
   }
 }
