@@ -316,7 +316,8 @@ object SparkEntry {
     referenceQueries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -325,5 +326,6 @@ object SparkEntry {
     referenceOracles ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.TextQueries.oracles
+      graft.queries.TextQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

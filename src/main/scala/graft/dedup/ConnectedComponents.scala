@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that turns
+  * pairwise near-dup PAIRS (MinHash/SimHash/embedding candidates) into
+  * dedup GROUPS: "keep one doc per component" is the semantics every
+  * large-scale training-data dedup pipeline actually ships (the reference
+  * has no grouping stage at all; pairs alone under-delete whenever dups
+  * chain a-b-c).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with itself; each round every node takes the min label among itself and
+  * its neighbors; converged when no label changes. Each round is one
+  * shuffle (join on src) + one partial-aggregated min — the same plan
+  * shape at 32 rows or 10^10, with no driver-side graph state. Rounds
+  * needed = component diameter; near-dup components are overwhelmingly
+  * tiny (pairs and small chains), so 3-5 rounds close virtually any real
+  * corpus. For adversarially long chains the large-star/small-star
+  * variant (Kiveris et al., "Connected Components in MapReduce") drops
+  * rounds to O(log d) at the cost of two joins per round — the iteration
+  * below is the place to swap it in; the fixpoint is identical.
+  *
+  * Convergence detection is a single scalar: labels only ever decrease,
+  * so `sum(label)` strictly decreases until the fixpoint — one cheap
+  * fully-aggregated job per round, no row-by-row diff join. Lineage is
+  * cut every round with `localCheckpoint` (label tables are tiny — two
+  * longs per node — but an uncut 20-round loop would nest 20 shuffle
+  * plans and replay them all on every action).
+  */
+object ConnectedComponents {
+
+  /** `(node, comp)` for every node appearing in `edges`; `comp` is the
+    * minimum node id in the component (deterministic, join-stable).
+    */
+  def labels(edges: DataFrame, aCol: String, bCol: String,
+             maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    // undirected: propagate both ways
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var lab = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var sum = lab.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = lab
+        .join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+        .union(lab)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
+      converged = nextSum == sum
+      sum = nextSum
+      lab = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter; raise it or switch the " +
+          "round body to large-star/small-star)")
+    lab.select(col("node"), col("label").as("comp"))
+  }
+
+  /** Component summary: one row per dup group with its size and key span —
+    * the table a dedup pipeline joins back to pick survivors.
+    */
+  def components(edges: DataFrame, aCol: String, bCol: String,
+                 maxIter: Int = 20): DataFrame =
+    labels(edges, aCol, bCol, maxIter)
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("node")).as("first_doc"),
+        max(col("node")).as("last_doc"))
+}

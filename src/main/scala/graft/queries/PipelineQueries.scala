@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.dedup.{ConnectedComponents, Dedup}
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+
+/** Round-4 training-pipeline operators: dup-group formation (connected
+  * components), corpus mixing (stratified sampling), LM-style quality
+  * scoring (unigram cross-entropy), repeated-span detection, distribution
+  * stats (exact quantiles), and the TPC-H Q21 EXISTS/NOT-EXISTS shape.
+  *
+  * Oracle-parity notes follow the house rules: integer sums CAST to
+  * BIGINT, float outputs rounded identically on both sides, and every
+  * sequential f64 reduction expressed as an idx-ordered fold on BOTH
+  * sides (Spark `aggregate` over a sorted array == DuckDB `list_reduce`
+  * over `list(... ORDER BY ...)`).
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Near-dup PAIRS -> dup GROUPS: connected components over the exact
+    // jaccard >= 0.8 edge list. comp_id = min doc_id in the component.
+    // The pair generator is the inverted-index equi-join (never all
+    // pairs); the CC loop is one shuffle per round, diameter-bounded.
+    "q62_dup_cc" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+        blockCol = None, threshold = 0.8, shingleSize = 3)
+      ConnectedComponents.components(pairs, "key_a", "key_b")
+        .orderBy(col("comp_id"))
+    }),
+
+    // TPC-H Q21 shape (EXISTS + NOT EXISTS, both correlated): suppliers
+    // who were the ONLY late supplier on a multi-supplier order. Written
+    // as the SQL a migrating user ships; Catalyst decorrelates both
+    // subqueries into semi/anti joins on l_orderkey (equality-correlated
+    // on purpose: the late-cutoff comparison re-derives o_orderdate via
+    // an inner join instead of referencing the outer table, which Spark's
+    // decorrelation rejects in non-equality predicates).
+    "q63_tpch_q21" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("g63_lineitem")
+      orders(s, d).createOrReplaceTempView("g63_orders")
+      supplier(s, d).createOrReplaceTempView("g63_supplier")
+      s.sql(
+        """SELECT s.s_name, count(*) AS numwait
+          |FROM g63_supplier s
+          | JOIN g63_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+          | JOIN g63_orders o ON o.o_orderkey = l1.l_orderkey
+          |WHERE o.o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (SELECT 1 FROM g63_lineitem l2
+          |       WHERE l2.l_orderkey = l1.l_orderkey
+          |         AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM g63_lineitem l3
+          |       JOIN g63_orders o2 ON l3.l_orderkey = o2.o_orderkey
+          |       WHERE l3.l_orderkey = l1.l_orderkey
+          |         AND l3.l_suppkey <> l1.l_suppkey
+          |         AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s.s_name
+          |LIMIT 10""".stripMargin)
+    }),
+
+    // Deterministic stratified sampling by language (corpus mixing).
+    // Reproducible across engines/runs: membership is md5(doc_id)-bucket
+    // < per-lang rate, a pure map-side filter.
+    "q64_sample" -> ((s, d) =>
+      Sampling.stratified(documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          rates = Map("en" -> 25, "de" -> 50, "es" -> 75, "fr" -> 100),
+          defaultRate = 10)
+        .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // Unigram cross-entropy under the corpus's own LM: per-doc mean
+    // -ln p(token), the classic cheap LM-quality filter. The corpus
+    // unigram table is one agg; per-doc scores need only a token-keyed
+    // join (sort-merge at scale; no all-pairs anywhere). The f64 sum is
+    // folded in sorted-token order on both sides so accumulation order
+    // cannot flip the hash.
+    "q65_xent" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).as("total"))
+      val contrib = tf.join(vocab, "tok").crossJoin(broadcast(tot))
+        .withColumn("c",
+          col("tf") * log(col("cnt").cast("double") / col("total")))
+      val agg = contrib.groupBy(col("doc_id")).agg(
+        aggregate(sort_array(collect_list(struct(col("tok"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("sumc"),
+        sum(col("tf")).as("n"))
+      documents(s, d).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(-col("sumc") / col("n"), lit(0.0)), 6).as("xent"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repeated-span detection: docs sharing any verbatim 8-token span
+    // with another doc (the doc-level form of exact-substring dedup,
+    // Lee et al. 2021). Inverted index on the span — corpus-LINEAR:
+    // unlike pair generation there is no self-join, just df >= 2 on the
+    // posting list, so this scales further than any pairwise method.
+    // Spans shuffle as 64-bit FNV hashes, not ~50-char strings (same
+    // trade as ngramJaccardPairs: 6x less shuffle payload, long-equality
+    // grouping; a cross-doc collision — ~(distinct spans)^2/2^65 — could
+    // perturb one count by 1). The oracle keeps literal strings, so a
+    // collision would surface as a gate mismatch rather than hide.
+    "q66_spans" -> ((s, d) => {
+      val spanHashes = udf { (text: String) =>
+        val toks = Option(text).getOrElse("")
+          .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        if (toks.length < 8) Array.empty[Long]
+        else {
+          // hash each token once, then FNV-fold the 8 per-token hashes per
+          // window — O(tokens) long ops, no per-span string allocation
+          // (building+hashing ~50-char span strings was 2x the query cost)
+          val th = toks.map(graft.functions.StableHash.fnv64)
+          val out = new Array[Long](th.length - 7)
+          var i = 0
+          while (i <= th.length - 8) {
+            var h = -3750763034362895579L // FNV-1a offset basis
+            var j = i
+            while (j < i + 8) { h = (h ^ th(j)) * 1099511628211L; j += 1 }
+            out(i) = h
+            i += 1
+          }
+          out.distinct
+        }
+      }
+      val spans = documents(s, d).select(col("doc_id"),
+        explode(spanHashes(col("text"))).as("span"))
+      val shared = spans.groupBy(col("span"))
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+        .select(col("span"))
+      spans.join(shared, Seq("span"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact length quantiles per language (length-clipping thresholds).
+    // Spark `percentile` == DuckDB `quantile_cont`: both interpolate at
+    // rank p*(n-1).
+    "q67_quantiles" -> ((s, d) =>
+      documents(s, d).groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
+        .orderBy(col("lang")))
+  )
+
+  private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** First 8 hex chars of an md5 hex string -> BIGINT (matches
+    * `Sampling.hashBucket`'s `conv(substring(md5(..), 1, 8), 16, 10)`).
+    */
+  private val Hex8 =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |   list_transform(range(1, 9),
+      |     i -> CAST(strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+      |   (a, b) -> a * 16 + b)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q62_dup_cc" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         | s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
+         |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+         |  FROM t),
+         | pairs AS (
+         |  SELECT a.doc_id AS ka, b.doc_id AS kb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         | edges AS (SELECT ka AS src, kb AS dst FROM pairs
+         |           UNION ALL SELECT kb, ka FROM pairs),
+         | nodes AS (SELECT DISTINCT src AS node FROM edges),
+         | reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+         | lab AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
+         |SELECT comp AS comp_id, CAST(count(*) AS BIGINT) AS n_docs,
+         | min(node) AS first_doc, max(node) AS last_doc
+         |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin,
+
+    "q63_tpch_q21" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        | JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        | JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |       WHERE l2.l_orderkey = l1.l_orderkey
+        |         AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |       JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
+        |       WHERE l3.l_orderkey = l1.l_orderkey
+        |         AND l3.l_suppkey <> l1.l_suppkey
+        |         AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 10""".stripMargin,
+
+    "q64_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         | b AS (SELECT doc_id, lang, $Hex8 % 100 AS bucket FROM h),
+         | r AS (SELECT *, CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50
+         |   WHEN 'es' THEN 75 WHEN 'fr' THEN 100 ELSE 10 END AS rate FROM b)
+         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM r
+         |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+
+    "q65_xent" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |   unnest(list_filter($Toks, t -> t <> '')) AS tok FROM documents),
+         | tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |   FROM toks GROUP BY 1, 2),
+         | vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+         |   FROM tf GROUP BY tok),
+         | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         | contrib AS (SELECT t.doc_id, t.tok, t.tf,
+         |     t.tf * ln(CAST(v.cnt AS DOUBLE) / (SELECT total FROM tot)) AS c
+         |   FROM tf t JOIN vocab v USING (tok)),
+         | agg AS (SELECT doc_id,
+         |     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |       list(c ORDER BY tok)), (x, y) -> x + y) AS sumc,
+         |     CAST(sum(tf) AS BIGINT) AS n
+         |   FROM contrib GROUP BY doc_id)
+         |SELECT d.doc_id, round(coalesce(-a.sumc / a.n, 0.0), 6) AS xent
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q66_spans" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks
+         |  FROM documents),
+         | s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |     range(1, len(toks) - 6),
+         |     i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))) AS span
+         |   FROM t WHERE len(toks) >= 8),
+         | shared AS (SELECT span FROM s GROUP BY span HAVING count(*) >= 2)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM s JOIN shared USING (span) GROUP BY s.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q67_quantiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        | round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        | round(quantile_cont(n_chars, 0.99), 6) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

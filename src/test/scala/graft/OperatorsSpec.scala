@@ -20,6 +20,49 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("connected components: chains, singleton pairs, determinism") {
+    import graft.dedup.ConnectedComponents
+    // components: {1,2,3,4} (a chain, diameter 3), {10,11}, {20,21,22} (star)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("a", "b")
+    val lab = ConnectedComponents.labels(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val comps = ConnectedComponents.components(edges, "a", "b")
+      .orderBy("comp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(comps.toSeq == Seq((1L, 4L, 1L, 4L), (10L, 2L, 10L, 11L), (20L, 3L, 20L, 22L)))
+    // a chain longer than maxIter must fail loudly, not return wrong labels
+    val longChain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.labels(longChain, "a", "b", maxIter = 3).collect()
+    }
+    // ...and converge fine with enough rounds
+    val ok = ConnectedComponents.labels(longChain, "a", "b", maxIter = 15)
+    assert(ok.select("comp").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("stratified sampling: deterministic, rate-proportional, append-stable") {
+    import graft.operators.Sampling
+    val df = (0L until 2000L).map(k => (k, if (k % 2 == 0) "a" else "b"))
+      .toDF("k", "s")
+    val rates = Map("a" -> 25, "b" -> 80)
+    val s1 = Sampling.stratified(df, "k", "s", rates, defaultRate = 0)
+    val s2 = Sampling.stratified(df, "k", "s", rates, defaultRate = 0)
+    val keys1 = s1.select("k").as[Long].collect().sorted.toSeq
+    assert(keys1 == s2.select("k").as[Long].collect().sorted.toSeq, "deterministic")
+    val byStratum = s1.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 keys per stratum; md5 buckets are near-uniform
+    assert(math.abs(byStratum("a") - 250L) < 60, s"got ${byStratum("a")}")
+    assert(math.abs(byStratum("b") - 800L) < 60, s"got ${byStratum("b")}")
+    // membership is per-key stable: sampling a subset yields the subset's rows
+    val subset = Sampling.stratified(df.filter(col("k") < 1000), "k", "s", rates, 0)
+      .select("k").as[Long].collect().toSet
+    assert(subset == keys1.filter(_ < 1000L).toSet, "append-stable membership")
+  }
+
   test("minhash signature determinism and similarity monotonicity") {
     val p = Dedup.MinHashParams()
     val s1 = Dedup.minhashSignature("a b c d e f g h", p)
