@@ -79,4 +79,20 @@ object ConnectedComponents {
       .agg(count(lit(1)).as("n_docs"),
         min(col("node")).as("first_doc"),
         max(col("node")).as("last_doc"))
+
+  /** Apply the dedup: drop every component member except its minimum key
+    * (the survivor). `pairs` is ANY near-dup pair source — exact jaccard,
+    * MinHash-LSH, SimHash, or embedding candidates — so the same apply
+    * step serves every dedup family. An anti-join against the (tiny
+    * relative to the corpus) non-survivor set; the corpus itself is
+    * scanned once and never shuffled on anything but the key.
+    */
+  def dropDuplicates(corpus: DataFrame, keyCol: String, pairs: DataFrame,
+                     aCol: String = "key_a", bCol: String = "key_b",
+                     maxIter: Int = 20): DataFrame = {
+    val gone = labels(pairs, aCol, bCol, maxIter)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as(keyCol))
+    corpus.join(gone, Seq(keyCol), "left_anti")
+  }
 }

@@ -145,6 +145,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The dedup APPLIED: survivors = corpus minus non-minimum component
+    // members. Per-language kept/dropped counts prove the whole chain
+    // (pair gen -> components -> anti-join) end to end. MinHash pairs
+    // would plug in identically; the exact pairs keep the oracle exact.
+    "q68_dedup_apply" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        blockCol = None, threshold = 0.8, shingleSize = 3)
+      val kept = ConnectedComponents.dropDuplicates(docs, "doc_id", pairs)
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+          Seq("lang"))
+        .withColumn("n_dropped", col("n_total") - col("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // Exact length quantiles per language (length-clipping thresholds).
     // Spark `percentile` == DuckDB `quantile_cont`: both interpolate at
     // rank p*(n-1).
@@ -252,6 +268,35 @@ object PipelineQueries {
          |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM s JOIN shared USING (span) GROUP BY s.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "q68_dedup_apply" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         | s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
+         |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+         |  FROM t),
+         | pairs AS (
+         |  SELECT a.doc_id AS ka, b.doc_id AS kb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         | edges AS (SELECT ka AS src, kb AS dst FROM pairs
+         |           UNION ALL SELECT kb, ka FROM pairs),
+         | nodes AS (SELECT DISTINCT src AS node FROM edges),
+         | reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+         | gone AS (SELECT node FROM reach GROUP BY node
+         |          HAVING min(label) <> node),
+         | tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+         |         FROM documents GROUP BY lang),
+         | kept AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+         |          FROM documents WHERE doc_id NOT IN (SELECT node FROM gone)
+         |          GROUP BY lang)
+         |SELECT lang, n_total, n_kept, n_total - n_kept AS n_dropped
+         |FROM tot JOIN kept USING (lang) ORDER BY lang""".stripMargin,
 
     "q67_quantiles" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,

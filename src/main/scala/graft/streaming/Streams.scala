@@ -96,6 +96,49 @@ object Streams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_sum"))
 
+  /** Batch twin of click attribution: every (view, click) pair per user
+    * where the click lands within `windowMinutes` after the view — the
+    * interval-join shape of ad/funnel attribution. Equi-keyed on user_id
+    * (one shuffle) with the time band as a post-join predicate, same as
+    * `RangeJoin`.
+    */
+  def attributionPairsBatch(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  /** Stream-STREAM twin: the same attribution as a watermarked
+    * stream-stream inner join. The time-band condition is what lets
+    * Spark bound the join state: each side buffers only `watermarkDelay
+    * + windowMinutes` of rows per key instead of the whole stream —
+    * without a range condition a stream-stream join's state grows
+    * forever. Late rows beyond the watermark are dropped on both sides
+    * (the standard streaming trade-off; the batch twin on a closed
+    * input is the exactness check).
+    */
+  def attributionPairsStream(views: DataFrame, clicks: DataFrame,
+                             windowMinutes: Int = 10,
+                             watermarkDelay: String = "20 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    v.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, valueSum: Double, seq: Long)
   final case class SessionOut(user_id: Long, session_seq: Long,

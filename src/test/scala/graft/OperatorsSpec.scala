@@ -489,6 +489,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch interval join on a closed input") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // (event_id, ts, user_id, event_type): user 1 has a view with two
+    // clicks inside the 10-min window and one outside; user 2's click
+    // precedes their view (no attribution); user 3 is click-only
+    val rows = Seq(
+      (100L, ts(0), 1L, "view"), (101L, ts(3), 1L, "click"),
+      (102L, ts(9), 1L, "click"), (103L, ts(12), 1L, "click"),
+      (200L, ts(5), 2L, "click"), (201L, ts(6), 2L, "view"),
+      (300L, ts(7), 3L, "click"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val batch = Streams.attributionPairsBatch(ev, 10)
+      .collect().map(_.toSeq).toSet
+    assert(batch == Set(Seq(1L, 100L, 101L), Seq(1L, 100L, 102L)),
+      s"batch twin wrong: $batch")
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Long)] // (event_id, ts, user_id)
+    val cMem = MemoryStream[(Long, Long, Long)]
+    def shape(ds: org.apache.spark.sql.Dataset[(Long, Long, Long)], typ: String) =
+      ds.map(t => (t._1, new java.sql.Timestamp(t._2), t._3, typ))
+        .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Streams.attributionPairsStream(
+      shape(vMem.toDS(), "view"), shape(cMem.toDS(), "click"), 10)
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // deliver across several micro-batches, views and clicks interleaved
+      vMem.addData(rows.filter(_._4 == "view").map(r => (r._1, r._2.getTime, r._3)))
+      q.processAllAvailable()
+      cMem.addData(rows.filter(_._4 == "click").map(r => (r._1, r._2.getTime, r._3)))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
+    } finally q.stop()
+  }
+
   test("hourly windowed stream over events parquet matches batch twin") {
     import org.apache.spark.sql.types._
     // stream the µs-converted events through a temp dir (stream source needs
