@@ -89,8 +89,10 @@ object Bench {
       val qs = results.map { case (k, v, _) =>
         jstr(key(k)) + ":" + (if (ms3) fmt(v) else v.toString)
       }.mkString("{", ",", "}")
+      // "failures" is always present, even empty — the launcher has parsed
+      // that key since round 2 and format drift is how BENCH_r01/r03 died
       val fails = results.collect { case (k, _, Some(e)) => jstr(key(k)) + ":" + jstr(e) }
-      val failsPart = if (fails.isEmpty && (short || ms3)) "" else ",\"failures\":" + fails.mkString("{", ",", "}")
+      val failsPart = ",\"failures\":" + fails.mkString("{", ",", "}")
       val tv = if (ms3) fmt(total) else total.toString
       val sfv = if (short || ms3) new java.io.File(sfDir).getName else sfDir
       s"""{"metric":"total","value":$tv,"unit":"sec","runs":$runs,"queries":$qs$failsPart,"sf":"$sfv"}"""

@@ -36,7 +36,6 @@ object ConnectedComponents {
     */
   def labels(edges: DataFrame, aCol: String, bCol: String,
              maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
     // undirected: propagate both ways
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -44,7 +43,16 @@ object ConnectedComponents {
     var lab = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var sum = lab.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
+    // DECIMAL(38,0) sum: exact (no f64 rounding), never overflows
+    // (10^10 nodes x 2^63-magnitude hashed ids ~ 1e29 << 1e38), and —
+    // unlike a LongType sum under Spark 4's default ANSI mode — never
+    // throws on large ids. Null sum == empty edge list: a clean corpus
+    // has zero near-dup pairs, return the empty labeling rather than NPE.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(org.apache.spark.sql.functions.sum(
+        col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var sum = labelSum(lab)
+    if (sum == null) return lab.select(col("node"), col("label").as("comp"))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -55,8 +63,8 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
-      converged = nextSum == sum
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(sum) == 0
       sum = nextSum
       lab = next
       it += 1

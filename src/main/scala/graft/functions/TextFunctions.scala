@@ -106,28 +106,37 @@ object TextFunctions {
     * the exact scrubbed string is SQL-oracle-checkable.
     *
     * Order matters: email first (so digit patterns can't partially match
-    * inside an address), then IPv4, then phone. IPv4 octets are
+    * inside an address), then IPv4, then phones. IPv4 octets are
     * range-validated (0-255), so a version-like `1.2.3.400` is NOT
-    * redacted as an IP. The phone pattern anchors against adjacent dots
-    * and digits by consuming one char of context on each side (restored
-    * via `$1`/`$3` backrefs): inside a longer dotted digit run such as
-    * `192.168.100.1234` no phone sub-match fires, while a phone at
-    * sentence end (`call 555-123-4567.`) still redacts because a dot
-    * followed by a non-digit is accepted as trailing context. Known
-    * limitation of consumed context: two phones separated by a single
-    * character redact only the first.
+    * redacted as an IP. Phones split into two patterns by separator:
+    *
+    *  - A phone containing at least one HYPHEN cannot be confused with a
+    *    dotted digit run, so it keeps plain `\b` anchors — sentence-end
+    *    (`call 555-123-4567.`), dot-adjacent (`end.555-123-4567`,
+    *    `555-123-4567.5`), and adjacent-phone contexts all redact.
+    *  - An all-DOT phone is exactly the ambiguous shape, so it anchors
+    *    against adjacent dots and digits by consuming one char of
+    *    context per side (restored via `$1`/`$3` backrefs): inside a
+    *    longer dotted run such as `192.168.100.1234` no phone sub-match
+    *    fires, while `call 555.123.4567.` still redacts (dot followed by
+    *    a non-digit is valid trailing context). Known limitation of the
+    *    consumed context: two all-dot phones separated by a single
+    *    character redact only the first.
     */
   val PiiEmail = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
   val PiiIpv4 = s"\\b($Octet\\.){3}$Octet\\b"
-  val PiiPhone = "(^|[^.\\d])(\\d{3}[-.]\\d{3}[-.]\\d{4})(\\.[^\\d]|\\.$|[^.\\d]|$)"
+  val PiiPhoneHyphen = "\\b\\d{3}(-\\d{3}[-.]\\d{4}|\\.\\d{3}-\\d{4})\\b"
+  val PiiPhoneDot = "(^|[^.\\d])(\\d{3}\\.\\d{3}\\.\\d{4})(\\.[^\\d]|\\.$|[^.\\d]|$)"
 
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, PiiEmail, "<EMAIL>"),
-        PiiIpv4, "<IP>"),
-      PiiPhone, "$1<PHONE>$3")
+        regexp_replace(
+          regexp_replace(text, PiiEmail, "<EMAIL>"),
+          PiiIpv4, "<IP>"),
+        PiiPhoneHyphen, "<PHONE>"),
+      PiiPhoneDot, "$1<PHONE>$3")
 
   /** Word n-gram shingles as an array column (pure Catalyst: slice over a
     * generated index sequence — no UDF, no explode).

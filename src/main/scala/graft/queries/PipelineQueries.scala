@@ -83,8 +83,13 @@ object PipelineQueries {
     // folded in sorted-token order on both sides so accumulation order
     // cannot flip the hash.
     "q65_xent" -> ((s, d) => {
+      // array_remove drops the empty tokens split() leaves at the edges of
+      // tab/newline-padded text (Spark trim strips only spaces) — the
+      // oracle's list_filter(t <> '') twin; fixture docs never hit it but
+      // the operator must not depend on that
       val toks = documents(s, d).select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        explode(array_remove(TextFunctions.tokens(lower(col("text"))), ""))
+          .as("tok"))
       val tf = toks.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
       val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))

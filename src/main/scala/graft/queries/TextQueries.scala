@@ -548,9 +548,11 @@ object TextQueries {
         | SELECT doc_id,
         |  regexp_replace(
         |   regexp_replace(
-        |    regexp_replace(d, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g'),
-        |   '(^|[^.\d])(\d{3}[-.]\d{3}[-.]\d{4})(\.[^\d]|\.$|[^.\d]|$)', '\1<PHONE>\3', 'g') AS scrubbed
+        |    regexp_replace(
+        |     regexp_replace(d, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |     '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g'),
+        |    '\b\d{3}(-\d{3}[-.]\d{4}|\.\d{3}-\d{4})\b', '<PHONE>', 'g'),
+        |   '(^|[^.\d])(\d{3}\.\d{3}\.\d{4})(\.[^\d]|\.$|[^.\d]|$)', '\1<PHONE>\3', 'g') AS scrubbed
         | FROM dirty)
         |SELECT doc_id, scrubbed FROM scrub
         | WHERE strpos(scrubbed, '<') > 0

@@ -98,19 +98,30 @@ object Streams {
 
   /** Batch twin of click attribution: every (view, click) pair per user
     * where the click lands within `windowMinutes` after the view — the
-    * interval-join shape of ad/funnel attribution. Equi-keyed on user_id
-    * (one shuffle) with the time band as a post-join predicate, same as
-    * `RangeJoin`.
+    * interval-join shape of ad/funnel attribution.
+    *
+    * Joined on (user_id, time-bucket) like [[graft.operators.RangeJoin]],
+    * NOT user_id alone with the band as a post-filter: a hot user (a bot
+    * with 10^6 views and clicks) would otherwise materialize 10^12 pairs
+    * in one shuffle group before the filter runs. Bucket width = the
+    * window, views probe their own bucket and the next, so a click's
+    * candidates are bounded by a (user, bucket) population and each
+    * qualifying pair matches exactly one probe (the click's bucket is
+    * the view's or the next, never both — no dedup needed).
     */
   def attributionPairsBatch(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val micros = windowMinutes * 60L * 1000000L
     val v = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"),
+        explode(array(
+          floor(unix_micros(col("ts")) / lit(micros)),
+          floor(unix_micros(col("ts")) / lit(micros)) + 1)).as("__bkt"))
     val c = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    v.join(c, col("user_id") === col("c_user") &&
-        col("click_ts") >= col("view_ts") &&
-        col("click_ts") < col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"),
+        floor(unix_micros(col("ts")) / lit(micros)).as("__bkt"))
+    v.join(c, Seq("user_id", "__bkt"))
+      .filter(col("click_ts") >= col("view_ts") &&
+        unix_micros(col("click_ts")) < unix_micros(col("view_ts")) + micros)
       .select(col("user_id"), col("view_id"), col("click_id"))
   }
 

@@ -43,6 +43,22 @@ class DedupSpec extends SparkSpec {
     assert(ok.select("comp").distinct().as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("connected components: empty edge list yields empty labels, dedup keeps everything") {
+    import graft.dedup.ConnectedComponents
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.labels(noEdges, "a", "b").count() == 0)
+    // the common production case: a clean corpus with zero near-dup pairs
+    val corpus = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val kept = ConnectedComponents.dropDuplicates(corpus, "doc_id", noEdges, "a", "b")
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // hashed (near-2^63) node ids must not break convergence detection
+    val big = Seq((Long.MaxValue - 1, Long.MaxValue - 3),
+      (Long.MaxValue - 3, Long.MaxValue - 5)).toDF("a", "b")
+    val labs = ConnectedComponents.labels(big, "a", "b")
+      .select("comp").distinct().as[Long].collect()
+    assert(labs.toSeq == Seq(Long.MaxValue - 5))
+  }
+
   test("stratified sampling: deterministic, rate-proportional, append-stable") {
     import graft.operators.Sampling
     val df = (0L until 2000L).map(k => (k, if (k % 2 == 0) "a" else "b"))
@@ -334,7 +350,10 @@ class TextFunctionsSpec extends SparkSpec {
       "x 555.123.4567.8901 y",     // dotted run: no partial phone
       "edge 255.255.255.255!",
       "a255.1.1.1 not-ip",         // no word boundary before first octet
-      "555-123-4567 starts").toDF("text")
+      "555-123-4567 starts",
+      "end.555-123-4567",          // hyphen phone right after a dot still redacts
+      "x 555-123-4567.5 y",        // ...and before a dotted decimal
+      "call 555.123.4567. next").toDF("text")
       .select(TextFunctions.scrubPii(col("text")).as("s"))
     val got = df.as[String].collect().toSeq
     assert(got(0) == "host 192.168.100.1234 up")
@@ -345,6 +364,9 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(5) == "edge <IP>!")
     assert(got(6) == "a255.1.1.1 not-ip")
     assert(got(7) == "<PHONE> starts")
+    assert(got(8) == "end.<PHONE>")
+    assert(got(9) == "x <PHONE>.5 y")
+    assert(got(10) == "call <PHONE>. next")
   }
 
   test("token counts handle blanks and whitespace runs") {
