@@ -152,6 +152,58 @@ object Dedup {
       .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental near-dedup: near-dup pairs BETWEEN a new batch and an
+    * existing corpus — "dedup tonight's crawl against the archive", the
+    * shape an append-only training pipeline actually runs (re-pairing the
+    * whole corpus per batch would be O(corpus) every night; this is
+    * O(batch) plus a band join).
+    *
+    * The corpus side's bands are exactly [[minhashBands]] output, so in
+    * production they are computed once, stored next to the data, and only
+    * the batch side hashes text per run — pass them via `corpusBands`.
+    * The band join is an equi-join on (band, band_hash); `maxBucket`
+    * drops degenerate corpus buckets (boilerplate that would explode the
+    * candidate set — those are exact dups, [[dedupExact]] territory).
+    * Candidates carry keys only; texts rejoin for the exact-Jaccard
+    * verify. Returns `(corpus_key, new_key, jaccard)`.
+    */
+  def incrementalNearDups(newDf: DataFrame, corpusDf: DataFrame,
+                          textCol: String, keyCol: String,
+                          threshold: Double = 0.8,
+                          p: MinHashParams = MinHashParams(),
+                          maxBucket: Int = 1000): DataFrame = {
+    val corpusBands = minhashBands(corpusDf, textCol, keyCol, p)
+    incrementalNearDupsFromBands(newDf, corpusBands, corpusDf, textCol,
+      keyCol, threshold, p, maxBucket)
+  }
+
+  def incrementalNearDupsFromBands(newDf: DataFrame, corpusBands: DataFrame,
+                                   corpusDf: DataFrame,
+                                   textCol: String, keyCol: String,
+                                   threshold: Double, p: MinHashParams,
+                                   maxBucket: Int): DataFrame = {
+    val newBands = minhashBands(newDf, textCol, keyCol, p)
+      .withColumnRenamed(keyCol, "new_key")
+    val smallBuckets = corpusBands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("band"), col("band_hash"))
+    val cand = corpusBands
+      .join(smallBuckets, Seq("band", "band_hash"), "left_semi")
+      .withColumnRenamed(keyCol, "corpus_key")
+      .join(newBands, Seq("band", "band_hash"))
+      .select(col("corpus_key"), col("new_key"))
+      .distinct()
+    val shC = corpusDf.select(col(keyCol).as("corpus_key"),
+      shingleArray(col(textCol), p.shingleSize).as("sh_a"))
+    val shN = newDf.select(col(keyCol).as("new_key"),
+      shingleArray(col(textCol), p.shingleSize).as("sh_b"))
+    cand.join(shC, "corpus_key").join(shN, "new_key")
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_key"), col("new_key"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ---- n-gram Jaccard (exact) -----------------------------------------
 
   /** Distinct lowercase word-`n`-gram shingle set as an array column —

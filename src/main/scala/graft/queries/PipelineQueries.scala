@@ -166,6 +166,18 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // Incremental near-dedup: the nightly-crawl shape — new batch
+    // (doc_id >= 250) deduped AGAINST the standing corpus (doc_id < 250)
+    // via the band join, never corpus x corpus. Graded against the exact
+    // cross-Jaccard oracle, so LSH recall must be 1.0 on the fixture.
+    "q69_incr" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        "text", "doc_id", threshold = 0.8)
+        .orderBy(col("corpus_key"), col("new_key"))
+    }),
+
     // Exact length quantiles per language (length-clipping thresholds).
     // Spark `percentile` == DuckDB `quantile_cont`: both interpolate at
     // rank p*(n-1).
@@ -302,6 +314,21 @@ object PipelineQueries {
          |          GROUP BY lang)
          |SELECT lang, n_total, n_kept, n_total - n_kept AS n_dropped
          |FROM tot JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+
+    "q69_incr" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         | s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
+         |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+         |  FROM t)
+         |SELECT a.doc_id AS corpus_key, b.doc_id AS new_key,
+         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         | FROM s a JOIN s b ON a.doc_id < 250 AND b.doc_id >= 250
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         | ORDER BY corpus_key, new_key""".stripMargin,
 
     "q67_quantiles" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,

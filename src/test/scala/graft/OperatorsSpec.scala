@@ -79,6 +79,20 @@ class DedupSpec extends SparkSpec {
     assert(subset == keys1.filter(_ < 1000L).toSet, "append-stable membership")
   }
 
+  test("incremental near-dedup finds exactly the cross-batch pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", None, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // key_a < key_b, so a cross-split pair is already (corpus, new)
+    val cross = full.filter { case (a, b) => a < 250 && b >= 250 }
+    assert(cross.nonEmpty, "fixture must have cross-split near-dup pairs")
+    val incr = Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == cross, s"incremental=$incr vs cross-split exact=$cross")
+  }
+
   test("minhash signature determinism and similarity monotonicity") {
     val p = Dedup.MinHashParams()
     val s1 = Dedup.minhashSignature("a b c d e f g h", p)
