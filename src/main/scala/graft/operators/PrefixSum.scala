@@ -80,4 +80,64 @@ object PrefixSum {
     }
     spark.createDataFrame(resultRdd, outSchema).drop(ValCol)
   }
+
+  /** GROUPED running total — the scalable replacement for
+    * `sum(x) OVER (PARTITION BY g ORDER BY ...)` when single groups are
+    * huge: a plain window puts each group in ONE task's sort buffer, so
+    * "cumulative tokens per language" with a 40 TB English slice is a
+    * one-task sort. Same two-pass scheme as [[runningTotal]], range-
+    * partitioned on (group, order) so groups may SPAN partitions freely:
+    * pass 1 collects per-(partition, group) sums (one row per group per
+    * partition it touches — #partitions x #groups-per-partition, tiny),
+    * pass 2 seeds each group's running value from its cross-partition
+    * exclusive prefix and resets at group boundaries within a partition
+    * (rows arrive group-contiguous from the sort).
+    */
+  def runningTotalBy(df: DataFrame, groupCols: Seq[String],
+                     orderCols: Seq[Column], valueCol: Column,
+                     asCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "use runningTotal for the ungrouped form")
+    require(!df.columns.contains(ValCol) && !df.columns.contains(asCol),
+      s"input must not already contain '$ValCol' or '$asCol'")
+    val spark = df.sparkSession
+    val prepared = df
+      .withColumn(ValCol, valueCol.cast(LongType))
+      .repartitionByRange(groupCols.map(col) ++ orderCols: _*)
+      .sortWithinPartitions(groupCols.map(col) ++ orderCols: _*)
+    val rdd = prepared.rdd // one lineage for both passes (see runningTotal)
+    val vIdx = prepared.schema.length - 1
+    val gIdx = groupCols.map(prepared.schema.fieldIndex)
+    def key(r: Row): List[Any] = gIdx.map(r.get(_)).toList
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[List[Any], Long]
+      it.foreach { r =>
+        if (!r.isNullAt(vIdx))
+          sums.updateWith(key(r))(s => Some(s.getOrElse(0L) + r.getLong(vIdx)))
+        else sums.getOrElseUpdate(key(r), 0L)
+      }
+      sums.iterator.map { case (k, s) => (pid, k, s) }
+    }.collect()
+    val offsets: Map[(Int, List[Any]), Long] = partSums.groupBy(_._2)
+      .flatMap { case (k, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, s) =>
+          val entry = (pid, k) -> acc; acc += s; entry
+        }
+      }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(prepared.schema.fields :+
+      StructField(asCol, LongType, nullable = false))
+    val resultRdd = rdd.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var cur: List[Any] = null
+      var running = 0L
+      it.map { row =>
+        val k = key(row)
+        if (k != cur) { cur = k; running = bcOffsets.value.getOrElse((pid, k), 0L) }
+        if (!row.isNullAt(vIdx)) running += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq :+ running)
+      }
+    }
+    spark.createDataFrame(resultRdd, outSchema).drop(ValCol)
+  }
 }

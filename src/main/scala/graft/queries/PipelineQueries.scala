@@ -178,6 +178,23 @@ object PipelineQueries {
         .orderBy(col("corpus_key"), col("new_key"))
     }),
 
+    // Per-language token budgeting ("sample 20k tokens per domain"): a
+    // GROUPED running total in doc order, kept while the doc starts
+    // inside its language's budget. The grouped two-pass prefix sum
+    // replaces sum() OVER (PARTITION BY lang ORDER BY doc_id) — a plain
+    // window sorts each whole language inside ONE task, which at 100 TB
+    // means a 40 TB English slice in a single sort buffer.
+    "q70_mix" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.approxBpeCount(col("text")).as("tok"))
+      graft.operators.PrefixSum.runningTotalBy(
+        docs, Seq("lang"), Seq(col("doc_id").asc), col("tok"), "cum")
+        .filter(col("cum") - col("tok") < 20000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Exact length quantiles per language (length-clipping thresholds).
     // Spark `percentile` == DuckDB `quantile_cont`: both interpolate at
     // rank p*(n-1).
@@ -329,6 +346,21 @@ object PipelineQueries {
          | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          | ORDER BY corpus_key, new_key""".stripMargin,
+
+    "q70_mix" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CAST(ceil((CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) * 1.3) AS BIGINT) AS tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, lang, tok,
+        |  CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+        | FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(tok) AS BIGINT) AS tokens
+        | FROM c WHERE cum - tok < 20000
+        | GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q67_quantiles" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,

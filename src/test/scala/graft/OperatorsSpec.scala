@@ -311,6 +311,25 @@ class AnnSpec extends SparkSpec {
     assert(got.size == want.size && got == want)
   }
 
+  test("grouped prefix sum equals the per-group window, groups spanning partitions") {
+    import graft.operators.PrefixSum
+    // customers grouped by mktsegment: ~5 groups over the range partitions
+    // (shuffle.partitions=4 in tests), so groups straddle boundaries
+    val cust = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val got = PrefixSum.runningTotalBy(cust, Seq("c_mktsegment"),
+      Seq(col("c_custkey").asc), col("c_acctbal"), "running")
+      .select(col("c_custkey"), col("running"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("c_custkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = cust.withColumn("running",
+      sum(col("c_acctbal").cast("long")).over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.size == want.size && got == want)
+  }
+
   test("time-bucketed range join equals the naive band join") {
     import graft.operators.RangeJoin
     val e = Tables.events(spark, sf0001).select(col("user_id"), col("ts"), col("event_id"))
