@@ -129,6 +129,19 @@ object SparkEntry {
       graft.search.Ann.ivfTopK(assigned, centers, q, k = 10, nProbe = 3,
           keyCol = "vec_id", embCol = "embedding")
         .withColumn("score", round(col("score"), 6))
+    }),
+
+    // K1 approximate, memory-scale: product-quantization top-10 by ADC
+    // distance — the scan reads m=8-byte codes, never float vectors.
+    // Oracle: Verify-time dynamic twin with codebook + query-table
+    // literals (same scheme as q_ivf_topk).
+    "q71_pq" -> ((s, d) => {
+      val q = queryVec(s, d)
+      val e = embeddings(s, d)
+      val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+      val enc = graft.search.Ann.pqEncode(e, "embedding", cb)
+      graft.search.Ann.pqTopK(enc, cb, q, k = 10, keyCol = "vec_id")
+        .withColumn("pq_dist", round(col("pq_dist"), 6))
     })
   )
 
@@ -236,9 +249,50 @@ object SparkEntry {
     * (stable (distance, index) sort, matching `ivfTopK`'s `sortBy`).
     */
   def dynamicOracleSql(s: SparkSession, sfDir: String): Map[String, String] = {
-    val centers = graft.search.Ann.ivfTrain(
-      embeddings(s, sfDir), "vec_id", "embedding", k = 8)
-    Map("q_ivf_topk" -> ivfTopkOracle(centers))
+    val e = embeddings(s, sfDir)
+    val centers = graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8)
+    val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    val table = graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb)
+    Map("q_ivf_topk" -> ivfTopkOracle(centers),
+      "q71_pq" -> pqOracle(cb, table))
+  }
+
+  /** PQ twin: per-subspace assignment is a first-wins argmin over 16
+    * strictly-sequential squared-L2 distances against codebook literals
+    * (exactly `nearestCentroid`'s loop), and the ADC score is the sum of
+    * the matching QUERY-table literals in subspace order — the table is
+    * computed by the same `pqDistTable` call the query itself makes, so
+    * its doubles round-trip bit-exactly through `toString`.
+    */
+  private def pqOracle(cb: Array[Array[Array[Double]]],
+                       table: Array[Array[Double]]): String = {
+    val m = cb.length
+    val k = cb.head.length
+    val sub = cb.head.head.length
+    def clit(c: Array[Double]): String =
+      c.mkString("CAST([", ", ", "] AS DOUBLE[])")
+    def dist(s: Int, j: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${sub + 1}),
+         |   i -> (v[CAST(i + ${s * sub} AS INT)] - (${clit(cb(s)(j))})[CAST(i AS INT)])
+         |      * (v[CAST(i + ${s * sub} AS INT)] - (${clit(cb(s)(j))})[CAST(i AS INT)]))),
+         |  (a, b) -> a + b)""".stripMargin
+    val dcols = (for (s <- 0 until m; j <- 0 until k)
+      yield s"${dist(s, j)} AS d${s}_$j").mkString(",\n ")
+    def pick(s: Int): String = {
+      val dlist = (0 until k).map(j => s"d${s}_$j").mkString(", ")
+      // CAST each table literal: a bare decimal literal is DECIMAL in
+      // DuckDB and would turn the whole ADC sum into decimal arithmetic
+      (0 until k).map(j =>
+        s"WHEN d${s}_$j = least($dlist) THEN CAST(${table(s)(j)} AS DOUBLE)")
+        .mkString("CASE ", " ", " END")
+    }
+    val adc = (0 until m).map(pick).mkString("(", ") + (", ")")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT vec_id, $dcols FROM e),
+       |a AS (SELECT vec_id, $adc AS dist FROM d)
+       |SELECT vec_id, round(dist, 6) AS pq_dist FROM a
+       | ORDER BY dist ASC, vec_id LIMIT 10""".stripMargin
   }
 
   private def ivfTopkOracle(centers: Array[Array[Double]]): String = {

@@ -112,6 +112,15 @@ object Ann {
     val sample = embDf.orderBy(col(keyCol)).limit(sampleN)
       .select(col(embCol)).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty table")
+    lloyd(sample, k, iters)
+  }
+
+  /** Deterministic Lloyd k-means on an in-memory sample (evenly-spaced
+    * init, fixed iteration count, first-wins argmin, sequential f64
+    * accumulation — every step reproducible, which is what lets the
+    * IVF/PQ oracles re-derive the identical centroids).
+    */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     var centers = Array.tabulate(math.min(k, sample.length))(i =>
       sample(i * sample.length / math.min(k, sample.length)).clone())
@@ -188,6 +197,86 @@ object Ann {
       .filter(col("list_id").isin(probes: _*))
       .select(col(keyCol), Search.scoreAgainst(col(embCol), queryVec).as("score"))
       .orderBy(desc("score"), col(keyCol))
+      .limit(k)
+  }
+
+  // ---- Product quantization (PQ) --------------------------------------
+  //
+  // The memory-scale path past IVF: at 10^10 vectors even array<float>
+  // storage is ~2.5 TB per 64 dims; PQ stores m BYTES per vector (m
+  // subspace codes into per-subspace codebooks) and scores queries with
+  // ADC — one m x k distance table per query, one table lookup per
+  // subspace per vector. All training is the same deterministic
+  // sample-side Lloyd as IVF, so a PQ query has an exact SQL twin (the
+  // driver oracle re-derives codebooks + query table as literals).
+
+  /** Per-subspace codebooks: `m` x `k` x (dim/m). `dim % m == 0`. */
+  def pqTrain(embDf: DataFrame, keyCol: String, embCol: String,
+              m: Int, k: Int = 16, iters: Int = 10,
+              sampleN: Int = 10000): Array[Array[Array[Double]]] = {
+    val sample = embDf.orderBy(col(keyCol)).limit(sampleN)
+      .select(col(embCol)).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty table")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      lloyd(sample.map(v => v.slice(s * sub, (s + 1) * sub)), k, iters)
+    }
+  }
+
+  /** Encode vectors to `m`-byte codes (argmin centroid per subspace,
+    * first-wins like `nearestCentroid`).
+    */
+  def pqEncode(embDf: DataFrame, embCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val enc = udf { (v: Seq[Float]) =>
+      val d = v.map(_.toDouble).toArray
+      Array.tabulate(m) { s =>
+        nearestCentroid(d.slice(s * sub, (s + 1) * sub), codebooks(s)).toByte
+      }
+    }
+    embDf.withColumn("code", enc(col(embCol)))
+  }
+
+  /** Query's ADC table: squared L2 distance from each query subvector to
+    * every centroid — `m x k` doubles, computed once per query driver-side.
+    */
+  def pqDistTable(queryVec: Array[Float],
+                  codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val q = queryVec.map(_.toDouble)
+    val sub = codebooks.head.head.length
+    Array.tabulate(codebooks.length) { s =>
+      val qs = q.slice(s * sub, (s + 1) * sub)
+      Array.tabulate(codebooks(s).length) { j =>
+        var d = 0.0
+        var i = 0
+        while (i < qs.length) { val x = qs(i) - codebooks(s)(j)(i); d += x * x; i += 1 }
+        d
+      }
+    }
+  }
+
+  /** PQ top-k by approximate squared L2 distance (ascending): the scan
+    * touches only the m-byte codes — never the float vectors — and each
+    * row costs m table lookups + m-1 adds. `TakeOrderedAndProject`
+    * keeps it one pass, no shuffle of anything but k rows.
+    */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+             queryVec: Array[Float], k: Int,
+             keyCol: String = graft.core.Keys.KeyCol): DataFrame = {
+    val table = pqDistTable(queryVec, codebooks)
+    val adc = udf { (code: Array[Byte]) =>
+      var d = 0.0
+      var s = 0
+      while (s < code.length) { d += table(s)(code(s) & 0xFF); s += 1 }
+      d
+    }
+    encoded
+      .select(col(keyCol), adc(col("code")).as("pq_dist"))
+      .orderBy(asc("pq_dist"), col(keyCol))
       .limit(k)
   }
 }

@@ -245,6 +245,36 @@ class AnnSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("PQ: codes are m bytes, self-match ranks first, ADC tracks true distance") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = e.filter(col("_key") === 7).select("embedding").head().getSeq[Float](0).toArray
+    val cb = Ann.pqTrain(e, "_key", "embedding", m = 8, k = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
+    val enc = Ann.pqEncode(e, "embedding", cb).cache()
+    assert(enc.select("code").head().getAs[Array[Byte]](0).length == 8)
+    // the query IS a database vector: its ADC distance is the minimum
+    // achievable for its own code, so it must rank at the very top
+    val top = Ann.pqTopK(enc, cb, q, 10, "_key").collect()
+    assert(top.head.getLong(0) == 7L || top.map(_.getLong(0)).take(3).contains(7L),
+      s"self-match missing from PQ top-3: ${top.map(_.getLong(0)).toSeq}")
+    // deterministic across invocations
+    val top2 = Ann.pqTopK(enc, cb, q, 10, "_key").collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      top2.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // ADC approximates true L2: the PQ top-10 should overlap the exact
+    // L2 top-10 (loose bound — 8 bytes per 64-dim vector is a hard ask)
+    import org.apache.spark.sql.functions.{udf => sudf}
+    val l2 = sudf { (v: Seq[Float]) =>
+      v.zip(q).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    }
+    val exact = e.select(col("_key"), l2(col("embedding")).as("d"))
+      .orderBy(asc("d"), col("_key")).limit(10).collect().map(_.getLong(0)).toSet
+    val overlap = top.map(_.getLong(0)).toSet.intersect(exact).size
+    assert(overlap >= 2, s"PQ/exact overlap too low: $overlap")
+    enc.unpersist()
+  }
+
   test("bucket-partitioned index prunes partitions on probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/idx"
     val e = Tables.embeddings(spark, sf0001)
