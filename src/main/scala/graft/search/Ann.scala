@@ -279,4 +279,18 @@ object Ann {
       .orderBy(asc("pq_dist"), col(keyCol))
       .limit(k)
   }
+
+  /** IVF-PQ: coarse centroid pruning THEN byte-code ADC — the classic
+    * billion-scale layout (probe `nProbe` lists, scan only their codes).
+    * `df` must carry both `list_id` (from [[ivfAssign]]) and `code`
+    * (from [[pqEncode]]); written `partitionBy("list_id")` the probe
+    * filter prunes directories exactly like [[ivfWriteIndex]].
+    */
+  def ivfPqTopK(df: DataFrame, centers: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                queryVec: Array[Float], k: Int, nProbe: Int = 2,
+                keyCol: String = graft.core.Keys.KeyCol): DataFrame = {
+    val probes = ivfProbes(centers, queryVec, nProbe).map(Integer.valueOf)
+    pqTopK(df.filter(col("list_id").isin(probes: _*)), codebooks, queryVec, k, keyCol)
+  }
 }

@@ -275,6 +275,23 @@ class AnnSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("IVF-PQ: coarse probe + ADC equals PQ restricted to the probed lists") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = e.filter(col("_key") === 7).select("embedding").head().getSeq[Float](0).toArray
+    val centers = Ann.ivfTrain(e, "_key", "embedding", k = 8)
+    val cb = Ann.pqTrain(e, "_key", "embedding", m = 8, k = 16)
+    val both = Ann.pqEncode(Ann.ivfAssign(e, "embedding", centers), "embedding", cb).cache()
+    val got = Ann.ivfPqTopK(both, centers, cb, q, 10, nProbe = 3, "_key")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probes = Ann.ivfProbes(centers, q, 3).map(Integer.valueOf)
+    val want = Ann.pqTopK(both.filter(col("list_id").isin(probes: _*)), cb, q, 10, "_key")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    assert(got.map(_._1).contains(7L), "self-match must survive its own probed list")
+    both.unpersist()
+  }
+
   test("bucket-partitioned index prunes partitions on probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/idx"
     val e = Tables.embeddings(spark, sf0001)
