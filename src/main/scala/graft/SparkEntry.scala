@@ -249,12 +249,22 @@ object SparkEntry {
     * (stable (distance, index) sort, matching `ivfTopK`'s `sortBy`).
     */
   def dynamicOracleSql(s: SparkSession, sfDir: String): Map[String, String] = {
+    // each dynamic oracle fails INDEPENDENTLY: a PQ training error must
+    // not drop the IVF oracle too (Verify's outer catch would otherwise
+    // degrade every dynamic query to rows-only at once)
+    def attempt(name: String)(build: => String): Map[String, String] =
+      try Map(name -> build)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle $name skipped: ${e.getMessage}")
+        Map.empty
+      }
     val e = embeddings(s, sfDir)
-    val centers = graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8)
-    val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
-    val table = graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb)
-    Map("q_ivf_topk" -> ivfTopkOracle(centers),
-      "q71_pq" -> pqOracle(cb, table))
+    attempt("q_ivf_topk") {
+      ivfTopkOracle(graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8))
+    } ++ attempt("q71_pq") {
+      val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+      pqOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb))
+    }
   }
 
   /** PQ twin: per-subspace assignment is a first-wins argmin over 16

@@ -184,14 +184,20 @@ object Dedup {
                                    maxBucket: Int): DataFrame = {
     val newBands = minhashBands(newDf, textCol, keyCol, p)
       .withColumnRenamed(keyCol, "new_key")
-    val smallBuckets = corpusBands.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
-      .select(col("band"), col("band_hash"))
-    val cand = corpusBands
-      .join(smallBuckets, Seq("band", "band_hash"), "left_semi")
-      .withColumnRenamed(keyCol, "corpus_key")
+    // ONE pass over the corpus bands (the per-document minhash UDF is
+    // the expensive part — a separate bucket-count aggregate would
+    // evaluate it over the whole corpus a second time, Catalyst does
+    // not CSE across join inputs): aggregate each bucket's corpus keys,
+    // cap degenerate buckets by the aggregated size, and explode
+    // against the matching batch-side bands. Same collect_list shape as
+    // minhashCandidates — safe ONLY because maxBucket bounds the array.
+    val corpusBuckets = corpusBands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(keyCol)).as("ckeys"))
+      .filter(size(col("ckeys")) <= maxBucket)
+    val cand = corpusBuckets
       .join(newBands, Seq("band", "band_hash"))
-      .select(col("corpus_key"), col("new_key"))
+      .select(explode(col("ckeys")).as("corpus_key"), col("new_key"))
       .distinct()
     val shC = corpusDf.select(col(keyCol).as("corpus_key"),
       shingleArray(col(textCol), p.shingleSize).as("sh_a"))

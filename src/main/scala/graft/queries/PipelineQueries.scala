@@ -220,7 +220,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q62_dup_cc" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS toks FROM documents),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
          | s AS (SELECT doc_id,
          |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
          |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
@@ -304,7 +304,7 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q68_dedup_apply" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS toks FROM documents),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
          | s AS (SELECT doc_id,
          |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
          |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
@@ -332,8 +332,11 @@ object PipelineQueries {
          |SELECT lang, n_total, n_kept, n_total - n_kept AS n_dropped
          |FROM tot JOIN kept USING (lang) ORDER BY lang""".stripMargin,
 
+    // the empty-token filter mirrors shingleSet's nonEmpty: a blank doc
+    // must yield an EMPTY shingle set (null jaccard, pair dropped), not
+    // the [''] set string_split_regex leaves behind
     "q69_incr" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
          | s AS (SELECT doc_id,
          |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
          |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),

@@ -626,7 +626,7 @@ object TextQueries {
     * exact query and the MinHash recall gate.
     */
   private lazy val JaccardOracle: String =
-    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
        | s AS (SELECT doc_id,
        |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
        |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),

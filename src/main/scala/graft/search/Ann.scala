@@ -214,6 +214,7 @@ object Ann {
   def pqTrain(embDf: DataFrame, keyCol: String, embCol: String,
               m: Int, k: Int = 16, iters: Int = 10,
               sampleN: Int = 10000): Array[Array[Array[Double]]] = {
+    require(k <= 256, s"PQ codes are single bytes: k must be <= 256, got $k")
     val sample = embDf.orderBy(col(keyCol)).limit(sampleN)
       .select(col(embCol)).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "cannot train PQ on an empty table")
@@ -230,6 +231,8 @@ object Ann {
     */
   def pqEncode(embDf: DataFrame, embCol: String,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(codebooks.forall(_.length <= 256),
+      "PQ codes are single bytes: codebooks must have <= 256 centroids")
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val enc = udf { (v: Seq[Float]) =>
