@@ -31,6 +31,15 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("golden: q71_pq ADC top-10 (codebook-pinned)") {
+    val got = q("q71_pq").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Seq(
+      0L -> 0.399067, 12L -> 0.909351, 232L -> 0.947182, 73L -> 0.962963,
+      306L -> 0.992444, 285L -> 0.997102, 155L -> 1.019453, 443L -> 1.026115,
+      402L -> 1.030248, 347L -> 1.036975)
+    assert(got == want)
+  }
+
   test("golden: q_embed_search top-10 keys and scores") {
     val got = q("q_embed_search").select("key", "score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
