@@ -65,6 +65,30 @@ object PipelineQueries {
           |LIMIT 10""".stripMargin)
     }),
 
+    // TPC-H Q18 shape (large-volume customers): semi-join against an
+    // AGGREGATED subquery (IN over GROUP BY ... HAVING) — Catalyst
+    // rewrites the IN to a left-semi join on the aggregate, so the big
+    // lineitem table is aggregated once and the fact join shuffles on
+    // the same orderkey; nothing correlates row-at-a-time.
+    "q72_q18" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("g72_lineitem")
+      orders(s, d).createOrReplaceTempView("g72_orders")
+      customer(s, d).createOrReplaceTempView("g72_customer")
+      s.sql(
+        """SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+          | round(o.o_totalprice, 2) AS totalprice,
+          | round(sum(l.l_quantity), 2) AS sum_qty
+          |FROM g72_customer c
+          | JOIN g72_orders o ON c.c_custkey = o.o_custkey
+          | JOIN g72_lineitem l ON o.o_orderkey = l.l_orderkey
+          |WHERE o.o_orderkey IN (
+          |  SELECT l_orderkey FROM g72_lineitem
+          |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+          |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+          |ORDER BY o.o_totalprice DESC, o.o_orderkey
+          |LIMIT 10""".stripMargin)
+    }),
+
     // Deterministic stratified sampling by language (corpus mixing).
     // Reproducible across engines/runs: membership is md5(doc_id)-bucket
     // < per-lang rate, a pure map-side filter.
@@ -349,6 +373,19 @@ object PipelineQueries {
          | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          | ORDER BY corpus_key, new_key""".stripMargin,
+
+    "q72_q18" ->
+      """SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+        | round(o.o_totalprice, 2) AS totalprice,
+        | round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q70_mix" ->
       """WITH t AS (
