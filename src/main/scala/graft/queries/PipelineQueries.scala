@@ -89,6 +89,29 @@ object PipelineQueries {
           |LIMIT 10""".stripMargin)
     }),
 
+    // Funnel conversion (view -> click -> purchase, each step within 6
+    // hours of the previous step's FIRST occurrence): the standard
+    // product-analytics shape. Three per-user aggregates chained by
+    // equi-joins on user_id — stage outputs shrink monotonically, every
+    // shuffle is on the same key, nothing is per-event quadratic.
+    "q73_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 6 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 6 HOURS"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_n"))
+      ev.select(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+    }),
+
     // Deterministic stratified sampling by language (corpus mixing).
     // Reproducible across engines/runs: membership is md5(doc_id)-bucket
     // < per-lang rate, a pure map-side filter.
@@ -373,6 +396,21 @@ object PipelineQueries {
          | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          | ORDER BY corpus_key, new_key""".stripMargin,
+
+    "q73_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |   JOIN v ON e.user_id = v.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > v.t1
+        |     AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
+        | p AS (SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |     AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY e.user_id)
+        |SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+        | CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+        | CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked,
+        | CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased""".stripMargin,
 
     "q72_q18" ->
       """SELECT c.c_name, o.o_orderkey, o.o_orderdate,
