@@ -76,30 +76,35 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(v: Double, dp: Int): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    def render(short: Boolean, ms3: Boolean): String = {
+    def render(short: Boolean, dp: Int): String = {
       // The launcher keeps only a bounded tail of stdout and greps it for
-      // this line, so the line must stay short: 3-decimal seconds, empty
-      // failures omitted, and (as a last resort) numbered query names
-      // abbreviated q62_dup_cc -> q62. Full precision + full names always
-      // go to BENCH_LAST.json.
+      // this line, so the line must stay short: rounded seconds, and (as
+      // a last resort) numbered query names abbreviated q62_dup_cc ->
+      // q62. Full precision + full names always go to BENCH_LAST.json.
       def key(k: String): String =
         if (short) "q(\\d+)_.*".r.replaceAllIn(k, m => "q" + m.group(1)) else k
       val qs = results.map { case (k, v, _) =>
-        jstr(key(k)) + ":" + (if (ms3) fmt(v) else v.toString)
+        jstr(key(k)) + ":" + (if (dp < 0) v.toString else fmt(v, dp))
       }.mkString("{", ",", "}")
       // "failures" is always present, even empty — the launcher has parsed
       // that key since round 2 and format drift is how BENCH_r01/r03 died
       val fails = results.collect { case (k, _, Some(e)) => jstr(key(k)) + ":" + jstr(e) }
       val failsPart = ",\"failures\":" + fails.mkString("{", ",", "}")
-      val tv = if (ms3) fmt(total) else total.toString
-      val sfv = if (short || ms3) new java.io.File(sfDir).getName else sfDir
+      val tv = if (dp < 0) total.toString else fmt(total, 3)
+      val sfv = if (dp < 0) sfDir else new java.io.File(sfDir).getName
       s"""{"metric":"total","value":$tv,"unit":"sec","runs":$runs,"queries":$qs$failsPart,"sf":"$sfv"}"""
     }
-    val full = render(short = false, ms3 = false)
-    val compact = render(short = false, ms3 = true)
-    val line = if (compact.length <= 1900) compact else render(short = true, ms3 = true)
+    val full = render(short = false, dp = -1)
+    // prefer full names at reduced precision over abbreviated names: the
+    // per-query keys are what a human reads in the launcher's record
+    val line = Seq(
+      render(short = false, dp = 3),
+      render(short = false, dp = 2),
+      render(short = true, dp = 3)).find(_.length <= 1900)
+      .getOrElse(render(short = true, dp = 2))
     println(line)
     // Belt-and-braces for log-wrapping launchers: also drop the FULL
     // (unabbreviated, full-precision) line in a well-known file.
