@@ -93,17 +93,18 @@ object Bench {
       // that key since round 2 and format drift is how BENCH_r01/r03 died
       val fails = results.collect { case (k, _, Some(e)) => jstr(key(k)) + ":" + jstr(e) }
       val failsPart = ",\"failures\":" + fails.mkString("{", ",", "}")
-      val tv = if (dp < 0) total.toString else fmt(total, 3)
+      val tv = if (dp < 0) total.toString else fmt(total, dp)
       val sfv = if (dp < 0) sfDir else new java.io.File(sfDir).getName
       s"""{"metric":"total","value":$tv,"unit":"sec","runs":$runs,"queries":$qs$failsPart,"sf":"$sfv"}"""
     }
     val full = render(short = false, dp = -1)
     // prefer full names at reduced precision over abbreviated names: the
     // per-query keys are what a human reads in the launcher's record
-    val line = Seq(
-      render(short = false, dp = 3),
-      render(short = false, dp = 2),
-      render(short = true, dp = 3)).find(_.length <= 1900)
+    val line = LazyList(
+      () => render(short = false, dp = 3),
+      () => render(short = false, dp = 2),
+      () => render(short = true, dp = 3))
+      .map(_.apply()).find(_.length <= 1900)
       .getOrElse(render(short = true, dp = 2))
     println(line)
     // Belt-and-braces for log-wrapping launchers: also drop the FULL

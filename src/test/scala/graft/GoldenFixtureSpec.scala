@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Pinned-result checks for the queries the DuckDB oracle cannot express
-  * (approximate search, the chunker UDTF, media features): exact expected
-  * outputs on the sf0.001 fixture, computed once and frozen here. A
-  * behavior change in any of these operators — hash family, probe set,
-  * chunk splitting — trips an equality failure instead of sliding through
-  * a rows-only gate.
+  * (approximate search, the chunker UDTF, media features) — plus the
+  * dynamic-oracle queries (q_ivf_topk, q71_pq), where the pin is
+  * deliberate redundancy: if the Verify-time oracle build ever fails and
+  * the gate silently degrades to rows-only, the frozen values still trip.
+  * Exact expected outputs on the sf0.001 fixture, computed once and
+  * frozen here. A behavior change in any of these operators — hash
+  * family, probe set, chunk splitting — fails an equality check instead
+  * of sliding through a rows-only gate.
   */
 class GoldenFixtureSpec extends SparkSpec {
 
