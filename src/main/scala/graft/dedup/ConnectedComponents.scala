@@ -40,8 +40,14 @@ object ConnectedComponents {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
-    var lab = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed each node with min(self, neighbors) — the first propagation
+    // round folded into the node-list aggregation itself (same shuffle
+    // that a distinct() would cost). Pair components (the overwhelming
+    // near-dup case) are final after this seed, so the loop below runs
+    // exactly one confirming round instead of propagate + confirm.
+    var lab = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("label"))
       .localCheckpoint(true)
     // DECIMAL(38,0) sum: exact (no f64 rounding), never overflows
     // (10^10 nodes x 2^63-magnitude hashed ids ~ 1e29 << 1e38), and —

@@ -41,4 +41,25 @@ object Sampling {
     df.withColumn("bucket", hashBucket(col(keyCol)))
       .filter(col("bucket") < rate)
   }
+
+  /** Uniform hash fraction in [0, 1) for a key column — the first 8 hex
+    * chars of `md5(key)` over 16^8, a finer-grained sibling of
+    * [[hashBucket]] for continuous per-row probabilities.
+    */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Importance-weighted sampling: keep each row iff its key's hash
+    * fraction is below `prob` (any per-row probability expression in
+    * [0, 1], e.g. a quality score or a length-proportional weight). The
+    * continuous analogue of [[stratified]]: same determinism story (pure
+    * function of the key — reproducible, append-stable, engine-checkable
+    * via md5), same scale shape (map-side filter, no shuffle, no RNG
+    * state across executors). E[kept] = Σ min(1, prob); downstream
+    * estimators reweight by 1/prob per the usual importance-sampling
+    * correction.
+    */
+  def weighted(df: DataFrame, keyCol: String, prob: Column): DataFrame =
+    df.filter(hashFraction(col(keyCol)) < prob)
 }

@@ -96,6 +96,34 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Semi-structured JSON props: extraction is a per-row codegen'd path
+    // lookup (get_json_object), then an ordinary aggregate — no UDF, no
+    // driver-side parsing; the JSON column stays opaque until the one
+    // field the query needs is plucked in the scan projection.
+    "q77_json_props" -> ((s, d) =>
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // Native session_window sessionization (the built-in operator twin of
+    // q17's manual gaps-and-islands): one groupBy pass, sessions merge
+    // while consecutive events are < 30 min apart (a gap of EXACTLY 30
+    // min starts a new session — session windows are half-open
+    // [ts, ts+gap)), which the oracle mirrors with `diff >= 1800`.
+    "q78_session_native" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .select(col("user_id"),
+          date_format(col("w.start"), TsFmt).as("session_start"),
+          col("n_events"), col("value_sum"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Interval range join: per user, pairs of events within one minute.
     // Time-bucketed equi-join (user_id, minute) — a hot user in one
     // minute stays bounded to that minute's bucket, not the whole user.
@@ -109,6 +137,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q78_session_native" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        | numbered AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | count(*) AS n_events, round(sum(value), 2) AS value_sum
+        | FROM numbered GROUP BY user_id, session_seq
+        | ORDER BY user_id, session_start""".stripMargin,
     "q16_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour,
         | event_type, count(*) AS n, round(sum(value), 2) AS value_sum

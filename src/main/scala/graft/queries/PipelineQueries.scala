@@ -259,7 +259,20 @@ object PipelineQueries {
         round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
         round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // Importance-weighted sampling: keep each doc with probability
+    // proportional to its length (min(1, n_chars/2000)) — the continuous
+    // sibling of q64's stratified rates. Membership is a pure function
+    // of doc_id (md5 fraction vs the weight), so the exact kept set is
+    // reproducible and SQL-checkable; the hash fraction is a 32-bit
+    // integer over 2^32 — exact in f64 on both engines.
+    "q80_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weighted(
+          documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id",
+          least(lit(1.0), col("n_chars").cast("double") / lit(2000.0)))
+        .orderBy(col("doc_id")))
   )
 
   private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -325,6 +338,15 @@ object PipelineQueries {
          |   WHEN 'es' THEN 75 WHEN 'fr' THEN 100 ELSE 10 END AS rate FROM b)
          |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM r
          |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+
+    "q80_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |   md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         | f AS (SELECT doc_id, lang, n_chars,
+         |   CAST($Hex8 AS DOUBLE) / 4294967296.0 AS frac FROM h)
+         |SELECT doc_id, lang, n_chars FROM f
+         |WHERE frac < least(1.0, CAST(n_chars AS DOUBLE) / 2000.0)
+         |ORDER BY doc_id""".stripMargin,
 
     "q65_xent" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -337,6 +337,73 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-returnflag and per-linestatus marginals plus the grand total in
+    // ONE pass — Spark expands the sets and aggregates with partial
+    // aggregation per set, never rescanning the fact per set.
+    // grouping_id() disambiguates which set produced a row (bit i set =
+    // column i aggregated away), same bit order as DuckDB's GROUPING().
+    "q74_grouping_sets" -> ((s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Pivot (long -> wide): per-cell aggregates become columns. Spark's
+    // .pivot with an EXPLICIT value list — never the value-discovery
+    // variant, which runs a distinct() job over the fact before planning.
+    // An absent cell is NULL on both engines (sum over empty set).
+    "q75_pivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(r2(sum(col("l_quantity"))))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+        .orderBy(col("l_returnflag"))),
+
+    // Ranking/navigation window battery: ntile, percent_rank, cume_dist,
+    // lag, lead in one partitioned pass. The window ordering is TOTAL
+    // (totalprice, then orderkey) so rank-derived values are
+    // deterministic; one shuffle on the partition key serves all five
+    // functions.
+    "q76_window_fns" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"),
+        ntile(8).over(w).cast("long").as("bucket8"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // Bloom-prefiltered fact⋈dim join: the urgent-orders dim (1 in 5
+    // keys) is condensed to a broadcast Bloom filter that drops
+    // non-matching lineitems BEFORE the join shuffle. Result is
+    // bit-identical to the plain join (no false negatives; false
+    // positives die in the real join) — the oracle IS the plain join.
+    "q79_bloom_join" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.BloomJoin.prefilterInner(
+          li, urgent, "l_orderkey", "o_orderkey", expectedKeys = 20000)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("ym"))
+    }),
+
     // TPC-H Q2 shape (correlated scalar subquery): the cheapest supplier
     // per nation, written AS the correlated SQL and left to Catalyst's
     // RewriteCorrelatedScalarSubquery to decorrelate into the
@@ -506,6 +573,34 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q74_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        | ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q75_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q76_window_fns" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | ntile(8) OVER w AS bucket8,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | lag(o_orderkey, 1) OVER w AS prev_key,
+        | lead(o_orderkey, 1) OVER w AS next_key
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        | ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q79_bloom_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderpriority = '1-URGENT'
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
     // the correlated form verbatim — DuckDB decorrelates it on its side
     "q55_tpch_q17" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,

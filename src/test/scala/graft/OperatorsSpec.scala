@@ -79,6 +79,47 @@ class DedupSpec extends SparkSpec {
     assert(subset == keys1.filter(_ < 1000L).toSet, "append-stable membership")
   }
 
+  test("weighted sampling: deterministic, weight-proportional, append-stable") {
+    import graft.operators.Sampling
+    val df = (0L until 4000L).map(k => (k, (k % 4) * 0.25)).toDF("k", "w")
+    val s1 = Sampling.weighted(df, "k", col("w"))
+    val keys1 = s1.select("k").as[Long].collect().sorted.toSeq
+    assert(keys1 == Sampling.weighted(df, "k", col("w"))
+      .select("k").as[Long].collect().sorted.toSeq, "deterministic")
+    // w=0 rows never kept; w in {0.25, 0.5, 0.75} kept ~proportionally
+    val byW = s1.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!byW.contains(0.0), "zero-weight rows must be dropped")
+    assert(math.abs(byW(0.25) - 250L) < 60, s"got ${byW.get(0.25)}")
+    assert(math.abs(byW(0.5) - 500L) < 70, s"got ${byW.get(0.5)}")
+    assert(math.abs(byW(0.75) - 750L) < 70, s"got ${byW.get(0.75)}")
+    // membership is per-key stable under corpus growth
+    val subset = Sampling.weighted(df.filter(col("k") < 2000), "k", col("w"))
+      .select("k").as[Long].collect().toSet
+    assert(subset == keys1.filter(_ < 2000L).toSet, "append-stable membership")
+  }
+
+  test("bloom-prefiltered join: exact result, fact side actually pruned") {
+    import graft.operators.BloomJoin
+    val fact = (0L until 5000L).map(k => (k % 500, k)).toDF("fk", "payload")
+    val dim = (0L until 50L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val expected = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val got = BloomJoin.prefilterInner(fact, dim, "fk", "dk", expectedKeys = 64)
+      .select("fk", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected, "bloom join must equal the plain join")
+    // the prefilter itself drops (nearly all) non-matching fact rows
+    // BEFORE the join: 50 of 500 distinct keys match, so <= ~11% + fpp
+    // of the fact survives the filter
+    val bf = dim.stat.bloomFilter("dk", 64, 0.01)
+    val survivors = fact.filter(
+      udf((k: Long) => bf.mightContainLong(k)).apply(col("fk"))).count()
+    assert(survivors < 700, s"prefilter should prune most rows, kept $survivors")
+    assert(survivors >= 500, "no false negatives: every matching row survives")
+  }
+
   test("incremental near-dedup finds exactly the cross-batch pairs") {
     val docs = Tables.documents(spark, sf0001)
     val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", None, 0.8)
