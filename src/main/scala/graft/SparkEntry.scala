@@ -142,6 +142,20 @@ object SparkEntry {
       val enc = graft.search.Ann.pqEncode(e, "embedding", cb)
       graft.search.Ann.pqTopK(enc, cb, q, k = 10, keyCol = "vec_id")
         .withColumn("pq_dist", round(col("pq_dist"), 6))
+    }),
+
+    // K1 two-stage serving: PQ ADC selects 40 candidates from byte codes,
+    // exact cosine re-ranks them to the final 10 — float vectors are read
+    // for 40 rows, never the whole table. Oracle: Verify-time dynamic
+    // twin (codebook + query-table literals, candidate CTE, exact cosine).
+    "q84_pq_rerank" -> ((s, d) => {
+      val q = queryVec(s, d)
+      val e = embeddings(s, d)
+      val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+      val enc = graft.search.Ann.pqEncode(e, "embedding", cb)
+      graft.search.Ann.pqTopKRerank(enc, e, cb, q, k = 10, fetchK = 40,
+          keyCol = "vec_id", embCol = "embedding")
+        .withColumn("score", round(col("score"), 6))
     })
   )
 
@@ -264,6 +278,10 @@ object SparkEntry {
     } ++ attempt("q71_pq") {
       val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
       pqOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb))
+    } ++ attempt("q84_pq_rerank") {
+      val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+      pqRerankOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb),
+        fetchK = 40)
     }
   }
 
@@ -303,6 +321,26 @@ object SparkEntry {
        |a AS (SELECT vec_id, $adc AS dist FROM d)
        |SELECT vec_id, round(dist, 6) AS pq_dist FROM a
        | ORDER BY dist ASC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Rerank twin: the same ADC CTEs select the `fetchK`-candidate window
+    * (identical dist ordering + vec_id tie-break as `pqTopK`), then the
+    * exact cosine against the vec_id = 0 query row re-ranks — matching
+    * `pqTopKRerank`'s broadcast-rejoin + `Search.scoreAgainst` pass.
+    */
+  private def pqRerankOracle(cb: Array[Array[Array[Double]]],
+                             table: Array[Array[Double]],
+                             fetchK: Int): String = {
+    val base = pqOracle(cb, table)
+    val prefix = base.substring(0, base.indexOf("\nSELECT vec_id, round(dist, 6)"))
+    s"""$prefix,
+       |cand AS (SELECT vec_id FROM a ORDER BY dist ASC, vec_id LIMIT $fetchK),
+       |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+       |top AS (SELECT e.vec_id, list_cosine_similarity(e.v, qv.qvec) AS raw
+       | FROM e JOIN cand USING (vec_id), qv
+       | ORDER BY raw DESC, e.vec_id LIMIT 10)
+       |SELECT vec_id, round(raw, 6) AS score FROM top
+       | ORDER BY raw DESC, vec_id""".stripMargin
   }
 
   private def ivfTopkOracle(centers: Array[Array[Double]]): String = {

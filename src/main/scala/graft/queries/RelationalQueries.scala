@@ -337,6 +337,73 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join so zero-order customers survive, count(col) ignoring the
+    // null-extended rows, then a second tiny aggregation over the count
+    // domain. The first shuffle is on the join/group key (custkey — AQE
+    // reuses the join partitioning for the agg); the second groups tens
+    // of distinct counts, a broadcast-scale reduce.
+    "q81_tpch_q13" -> ((s, d) => {
+      val ord = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      customer(s, d).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q22 shape (global-average scalar subquery + NOT EXISTS):
+    // wealthy customers with no URGENT order, per nation (plain no-order
+    // customers don't exist in the synthetic data). Written declaratively —
+    // Catalyst turns the uncorrelated scalar into a one-row broadcast
+    // and the NOT EXISTS into a left-anti join; customer is scanned
+    // twice but the second scan is the filtered average (tiny result),
+    // never a per-row subquery execution.
+    "q82_tpch_q22" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("g82_customer")
+      orders(s, d).createOrReplaceTempView("g82_orders")
+      s.sql(
+        """SELECT c_nationkey, count(*) AS numcust,
+          | round(sum(c_acctbal), 2) AS totacctbal
+          |FROM g82_customer
+          |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+          |  AND c_acctbal > (SELECT avg(c_acctbal) FROM g82_customer
+          |                   WHERE c_acctbal > 0.0
+          |                     AND c_nationkey IN (1, 3, 5, 7, 9))
+          |  AND NOT EXISTS (SELECT 1 FROM g82_orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderpriority = '1-URGENT')
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+
+    // TPC-H Q19 shape (disjunction of conjunctive clauses): the OR does
+    // not defeat pushdown — the brand/size envelope (brand IN (...) AND
+    // size <= 15) commutes out of the disjunction and prunes the part
+    // dim BEFORE the broadcast, so the fact join only sees the 3 brands'
+    // parts; the residual per-brand quantity windows evaluate post-join.
+    "q83_tpch_q19" -> ((s, d) => {
+      val p = part(s, d)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+          col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Explicit GROUPING SETS (the general form rollup/cube specialize):
     // per-returnflag and per-linestatus marginals plus the grand total in
     // ONE pass — Spark expands the sets and aggregates with partial
@@ -573,6 +640,35 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q81_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q82_tpch_q22" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        | round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0
+        |                     AND c_nationkey IN (1, 3, 5, 7, 9))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q83_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q74_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

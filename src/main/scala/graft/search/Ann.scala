@@ -283,6 +283,31 @@ object Ann {
       .limit(k)
   }
 
+  /** PQ candidates re-ranked by EXACT cosine — the standard two-stage
+    * ANN serving shape: the ADC scan touches only byte codes, keeps
+    * `fetchK` candidates, and the expensive float-vector read happens
+    * for `fetchK` rows instead of the whole table. The candidate set is
+    * tiny (<= fetchK), so the rejoin to the vector table broadcasts —
+    * at 10^10 rows the full vectors are only ever fetched pointwise.
+    * Quantization error that demoted a true neighbor INTO the candidate
+    * window is repaired by the exact pass; rerank recall >= plain PQ
+    * recall by construction.
+    */
+  def pqTopKRerank(encoded: DataFrame, vectors: DataFrame,
+                   codebooks: Array[Array[Array[Double]]],
+                   queryVec: Array[Float], k: Int, fetchK: Int,
+                   keyCol: String = graft.core.Keys.KeyCol,
+                   embCol: String = "embedding"): DataFrame = {
+    require(fetchK >= k, s"fetchK ($fetchK) must be >= k ($k)")
+    val cand = pqTopK(encoded, codebooks, queryVec, fetchK, keyCol)
+      .select(col(keyCol))
+    vectors.join(broadcast(cand), Seq(keyCol))
+      .select(col(keyCol),
+        Search.scoreAgainst(col(embCol), queryVec).as("score"))
+      .orderBy(desc("score"), col(keyCol))
+      .limit(k)
+  }
+
   /** IVF-PQ: coarse centroid pruning THEN byte-code ADC — the classic
     * billion-scale layout (probe `nProbe` lists, scan only their codes).
     * `df` must carry both `list_id` (from [[ivfAssign]]) and `code`

@@ -316,6 +316,37 @@ class AnnSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("PQ rerank: candidates from ADC, final ranking exact, recall >= plain PQ") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = e.filter(col("_key") === 7).select("embedding").head().getSeq[Float](0).toArray
+    val cb = Ann.pqTrain(e, "_key", "embedding", m = 8, k = 16)
+    val enc = Ann.pqEncode(e, "embedding", cb).cache()
+    val cand = Ann.pqTopK(enc, cb, q, 40, "_key").collect().map(_.getLong(0)).toSet
+    val rr = Ann.pqTopKRerank(enc, e, cb, q, k = 10, fetchK = 40, "_key")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // reranked rows all come from the candidate window, exact-ordered
+    assert(rr.map(_._1).forall(cand.contains), "rerank must stay inside candidates")
+    assert(rr.map(_._2).toSeq == rr.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    // the exact pass recovers the true top within the window: rerank
+    // top-10 == exact cosine top-10 restricted to the candidate set
+    val exactInWindow = e.filter(col("_key").isin(cand.toSeq.map(Long.box): _*))
+      .select(col("_key"), graft.search.Search.scoreAgainst(col("embedding"), q).as("s"))
+      .orderBy(desc("s"), col("_key")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rr.map(_._1).toSeq == exactInWindow)
+    // recall vs the true exact top-10 can only improve over plain PQ
+    val exactTop = e.select(col("_key"),
+        graft.search.Search.scoreAgainst(col("embedding"), q).as("s"))
+      .orderBy(desc("s"), col("_key")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pqRecall = Ann.pqTopK(enc, cb, q, 10, "_key").collect()
+      .map(_.getLong(0)).toSet.intersect(exactTop).size
+    val rrRecall = rr.map(_._1).toSet.intersect(exactTop).size
+    assert(rrRecall >= pqRecall, s"rerank recall $rrRecall < plain PQ $pqRecall")
+    enc.unpersist()
+  }
+
   test("IVF-PQ: coarse probe + ADC equals PQ restricted to the probed lists") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("vec_id").as("_key"), col("embedding"))
