@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
   * its neighbors; converged when no label changes. Each round is one
   * shuffle (join on src) + one partial-aggregated min — the same plan
   * shape at 32 rows or 10^10, with no driver-side graph state. Rounds
-  * needed = component diameter; near-dup components are overwhelmingly
-  * tiny (pairs and small chains), so 3-5 rounds close virtually any real
-  * corpus. For adversarially long chains the large-star/small-star
-  * variant (Kiveris et al., "Connected Components in MapReduce") drops
-  * rounds to O(log d) at the cost of two joins per round — the iteration
-  * below is the place to swap it in; the fixpoint is identical.
+  * needed: O(log diameter) — each round ALSO pointer-jumps the label
+  * forest (label(u) <- min(label(u), label(label(u))), one extra
+  * self-join on the two-long label table), so known-reach doubles per
+  * round instead of growing by one hop. Near-dup components are
+  * overwhelmingly tiny (pairs and small chains) and close in 1-2 rounds
+  * either way; the jump is what keeps an adversarial 10^6-long chain at
+  * ~20 rounds instead of 10^6 (the same bound the large-star/small-star
+  * construction of Kiveris et al., "Connected Components in MapReduce",
+  * achieves — with a simpler per-round body: the jump join touches only
+  * the label table, never the edge list). The fixpoint is identical to
+  * plain propagation: jumps only shortcut within a component.
   *
   * Convergence detection is a single scalar: labels only ever decrease,
   * so `sum(label)` strictly decreases until the fixpoint — one cheap
@@ -62,13 +67,29 @@ object ConnectedComponents {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = lab
+      val prop = lab
         .join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
         .union(lab)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      // pointer jump: adopt the label OF my label if smaller. Every label
+      // is itself a node in `lab` (labels start as node ids and min only
+      // ever selects among them), so the left join hits except transient
+      // races that coalesce covers; reach doubles per round. Skipped in
+      // round 1: shallow components (the overwhelming near-dup case)
+      // converge there from the seed alone, so the common case never
+      // pays the extra join — only graphs still open after round 1
+      // (deep chains) buy the doubling.
+      val jumped =
+        if (it == 0) prop
+        else {
+          val parent = prop.select(col("node").as("p_node"), col("label").as("p_label"))
+          prop.join(parent, col("label") === col("p_node"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
+        }
+      val next = jumped.localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(sum) == 0
       sum = nextSum
@@ -78,8 +99,8 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
-          "(component diameter exceeds maxIter; raise it or switch the " +
-          "round body to large-star/small-star)")
+          "(component diameter exceeds the ~2^maxIter pointer-jumped " +
+          "reach; raise maxIter)")
     lab.select(col("node"), col("label").as("comp"))
   }
 

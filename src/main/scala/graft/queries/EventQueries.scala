@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -124,6 +125,21 @@ object EventQueries {
           col("n_events"), col("value_sum"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // RANGE-framed moving window (vs q5's ROWS frame): per-user trailing
+    // 1-hour average — the frame is defined by the ORDER-BY VALUE
+    // (epoch seconds), so peers and near-peers join the frame no matter
+    // how many rows share a second. One shuffle on user_id; the frame
+    // walk is a per-partition two-pointer, never quadratic.
+    "q85_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600L, Window.currentRow)
+      events(s, d).select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 4).as("avg_1h"),
+          count(lit(1)).over(w).as("n_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Interval range join: per user, pairs of events within one minute.
     // Time-bucketed equi-join (user_id, minute) — a hot user in one
     // minute stays bounded to that minute's bucket, not the whole user.
@@ -209,6 +225,15 @@ object EventQueries {
         |  FROM orders GROUP BY 1, 2) o
         | ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
         | ORDER BY e.event_id""".stripMargin,
+    "q85_moving_avg" ->
+      """SELECT event_id, user_id,
+        | round(avg(value) OVER w, 4) AS avg_1h,
+        | count(*) OVER w AS n_1h
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin,
     "q36_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         | FROM events a JOIN events b ON a.user_id = b.user_id

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -261,6 +262,37 @@ object PipelineQueries {
         round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
         .orderBy(col("lang"))),
 
+    // Exact-substring dedup APPLIED at chunk granularity (Lee et al.
+    // 2021, shard-friendly form): segment every doc into 10-token
+    // chunks, keep only the globally FIRST occurrence of each distinct
+    // chunk (min (doc_id, chunk_idx)), and rewrite each doc from its
+    // surviving chunks. Two shuffles total — groupBy chunk (uniform:
+    // chunk strings are near-unique) and regroup by doc — where a true
+    // suffix-array dedup needs a global sort; chunk granularity is what
+    // actually shards at 100 TB. q66 COUNTS shared spans; this rewrites
+    // the corpus.
+    "q86_chunk_dedup" -> ((s, d) => {
+      val chunks = documents(s, d)
+        .select(col("doc_id"),
+          array_remove(split(col("text"), "\\s+"), "").as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) > 0,
+            expr("transform(sequence(0, cast(ceil(size(toks)/10.0) as int) - 1," +
+              " 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
+            .otherwise(expr("array()")).as("chunks"))
+        .select(col("doc_id"),
+          posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      val w = Window.partitionBy(col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(chunk_idx, chunk)))," +
+              " x -> x.chunk)"), " ").as("text_dedup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Importance-weighted sampling: keep each doc with probability
     // proportional to its length (min(1, n_chars/2000)) — the continuous
     // sibling of q64's stratified rates. Membership is a pure function
@@ -338,6 +370,25 @@ object PipelineQueries {
          |   WHEN 'es' THEN 75 WHEN 'fr' THEN 100 ELSE 10 END AS rate FROM b)
          |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM r
          |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+
+    "q86_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        | e AS (SELECT doc_id, toks,
+        |   unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS chunk_idx
+        |  FROM t WHERE len(toks) > 0),
+        | c AS (SELECT doc_id, chunk_idx,
+        |   array_to_string(
+        |     toks[CAST(chunk_idx*10+1 AS INT):CAST(chunk_idx*10+10 AS INT)],
+        |     ' ') AS chunk
+        |  FROM e),
+        | k AS (SELECT doc_id, chunk_idx, chunk,
+        |   row_number() OVER (PARTITION BY chunk
+        |     ORDER BY doc_id, chunk_idx) AS rn FROM c)
+        |SELECT doc_id, count(*) AS n_kept,
+        | string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q80_weighted_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, n_chars,

@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     assert(ok.select("comp").distinct().as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("connected components: pointer jumping closes a 200-chain in O(log d) rounds") {
+    import graft.dedup.ConnectedComponents
+    // diameter 199: plain one-hop propagation would need ~200 rounds;
+    // the per-round pointer jump doubles reach, so 12 rounds must do
+    val chain = (1L to 200L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val lab = ConnectedComponents.labels(chain, "a", "b", maxIter = 12)
+    assert(lab.select("comp").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(lab.count() == 200)
+  }
+
   test("connected components: empty edge list yields empty labels, dedup keeps everything") {
     import graft.dedup.ConnectedComponents
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
