@@ -268,6 +268,30 @@ class DedupSpec extends SparkSpec {
 
 class AnnSpec extends SparkSpec {
 
+  test("range-sorted layout: a key-range scan skips non-overlapping row groups") {
+    import graft.operators.Layout
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    // sorted layout: 8 files, each covering ~1/8 of the key range
+    Layout.writeRangeSorted(docs, s"$base/sorted", "doc_id", nFiles = 8)
+    // unsorted layout: same 8 files, keys scattered round-robin
+    docs.repartition(8).write.parquet(s"$base/shuffled")
+    val pred = col("doc_id").between(100, 120)
+    val sortedRead = scanRows(spark.read.parquet(s"$base/sorted").filter(pred))
+    val shuffledRead = scanRows(spark.read.parquet(s"$base/shuffled").filter(pred))
+    // parquet min/max stats let the sorted layout skip ~7 of 8 row
+    // groups; the scattered layout must surface every row group's rows
+    assert(sortedRead <= 130, s"sorted layout read $sortedRead rows, expected ~1 row group")
+    assert(shuffledRead >= 450, s"scattered layout should read ~everything, got $shuffledRead")
+    // both layouts produce identical query results
+    assert(spark.read.parquet(s"$base/sorted").filter(pred).count() == 21)
+  }
+
   test("LSH ANN recall@10 against exact top-10") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("vec_id").as("_key"), col("embedding"))
