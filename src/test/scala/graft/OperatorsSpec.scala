@@ -647,6 +647,40 @@ class StreamsSpec extends SparkSpec {
       s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
 
+  test("native session_window streaming agg agrees with its batch form on a closed input") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(100), 3.0),
+      (2L, ts(5), 4.0), (2L, ts(50), 5.0))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("value_sum"))
+    val batch = sessions(rows.toDF("user_id", "ts", "value"))
+      .collect().map(_.toSeq).toSet
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val evs = mem.toDF().toDF("user_id", "tsl", "value")
+      .withColumn("ts", timestamp_millis(col("tsl")))
+      .withWatermark("ts", "1 minute")
+    val query = sessions(evs).writeStream.format("memory")
+      .queryName("native_sessions_out").outputMode("append").start()
+    mem.addData(rows.map(r => (r._1, r._2.getTime, r._3)))
+    query.processAllAvailable()
+    // two more batches push the watermark past every session's close
+    mem.addData((99L, ts(10000).getTime, 0.0)); query.processAllAvailable()
+    mem.addData((99L, ts(20000).getTime, 0.0)); query.processAllAvailable()
+    val streamed = spark.table("native_sessions_out")
+      .filter(col("user_id") =!= 99L)
+      .collect().map(_.toSeq).toSet
+    query.stop()
+    assert(streamed == batch,
+      s"native session_window stream/batch divergence:\n stream=$streamed\n batch=$batch")
+  }
+
   test("session numbering survives a timeout-closed session (no duplicate seq)") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
