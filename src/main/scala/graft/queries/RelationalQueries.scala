@@ -337,6 +337,37 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Key-skew diagnostics (measure before you join): one-row frequency
+    // profiles of two join keys — the facts that decide broadcast vs
+    // shuffle vs salted vs bloom. One aggregation per key; the profile
+    // reduce is a single row.
+    "q87_skew_profile" -> ((s, d) => {
+      val li = lineitem(s, d)
+      graft.operators.SkewStats.profile(li, "l_orderkey")
+        .withColumn("key_name", lit("l_orderkey"))
+        .unionByName(graft.operators.SkewStats.profile(li, "l_suppkey")
+          .withColumn("key_name", lit("l_suppkey")))
+        .select(col("key_name"), col("n_keys"), col("max_n"), col("avg_n"),
+          col("p50_n"), col("p99_n"), col("skew_ratio"))
+        .orderBy(col("key_name"))
+    }),
+
+    // Hot-key-aware salted join: only above-average-frequency suppkeys
+    // take the salted path (bounded driver-side hot list), the rest join
+    // plain — the split that confines the small-side explosion to
+    // |hot| x factor rows instead of |small| x factor. Oracle = the
+    // plain join, proving the two paths partition the key space exactly.
+    "q88_hot_salted" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_suppkey").as("skey"), col("l_quantity"))
+      val sup = supplier(s, d).select(col("s_suppkey").as("skey"), col("s_nationkey"))
+      val hot = graft.operators.SkewStats.hotKeys(li, "skey",
+        minCount = 601, maxKeys = 100)
+      graft.operators.SaltedJoin.innerHotAware(li, sup, "skey", hot, factor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
     // join so zero-order customers survive, count(col) ignoring the
     // null-extended rows, then a second tiny aggregation over the count
@@ -640,6 +671,23 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q87_skew_profile" ->
+      """WITH ok AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+        | sk AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+        | p AS (
+        |  SELECT 'l_orderkey' AS key_name, count(*) AS n_keys, max(n) AS max_n,
+        |   round(avg(n), 4) AS avg_n, round(quantile_cont(n, 0.5), 4) AS p50_n,
+        |   round(quantile_cont(n, 0.99), 4) AS p99_n FROM ok
+        |  UNION ALL
+        |  SELECT 'l_suppkey', count(*), max(n), round(avg(n), 4),
+        |   round(quantile_cont(n, 0.5), 4), round(quantile_cont(n, 0.99), 4) FROM sk)
+        |SELECT key_name, n_keys, max_n, avg_n, p50_n, p99_n,
+        | round(max_n / avg_n, 4) AS skew_ratio
+        |FROM p ORDER BY key_name""".stripMargin,
+    "q88_hot_salted" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q81_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist FROM (
         | SELECT c_custkey, count(o_orderkey) AS c_count

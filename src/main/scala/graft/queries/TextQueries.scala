@@ -176,6 +176,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The C4/Gopher-style filter CASCADE: every per-doc quality signal
+    // (q21 quality, q22 token count, q31 lang-id, q51 repetition)
+    // composed into one keep/drop verdict with machine-readable reasons —
+    // the shape a production corpus filter actually ships. One scan
+    // computes all scalar signals in a single projection; only the
+    // repetition signal needs its token aggregation, joined back on
+    // doc_id. Filters compose as data (a reasons array), not as chained
+    // jobs — the corpus is read ONCE no matter how many rules run.
+    "q89_filter_cascade" -> ((s, d) => {
+      val docs = documents(s, d)
+      val base = docs.select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.langId(col("text")).as("detected"))
+      val uni = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_uni"), sum(col("c")).as("n_uni"))
+      val empty = array().cast("array<string>")
+      base.join(uni, Seq("doc_id"), "left")
+        .withColumn("uni_rep",
+          coalesce(col("top_uni").cast("double") / col("n_uni"), lit(0.0)))
+        .withColumn("reasons", concat(
+          when(col("quality") < 0.72, array(lit("low_quality"))).otherwise(empty),
+          when(col("n_tokens") < 15, array(lit("too_short"))).otherwise(empty),
+          when(col("uni_rep") > 0.16, array(lit("repetitive"))).otherwise(empty),
+          when(col("detected") =!= col("lang"), array(lit("lang_mismatch")))
+            .otherwise(empty)))
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
+          round(col("uni_rep"), 6).as("uni_rep"),
+          (size(col("reasons")) === 0).as("keep"),
+          concat_ws(",", col("reasons")).as("reasons"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token budgeting: take the highest-quality docs until the token
     // budget is spent — a GLOBAL running sum computed with the two-pass
     // distributed prefix sum (operators.PrefixSum), never an
@@ -477,6 +513,71 @@ object TextQueries {
          | round(coalesce(CAST(b.top_bi AS DOUBLE) / b.n_bi, 0.0), 6) AS bi_rep
          | FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
          | ORDER BY u.doc_id""".stripMargin,
+    "q89_filter_cascade" ->
+      s"""WITH m AS (
+         | SELECT doc_id, lang,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |  length(text) AS n_chars,
+         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+         |                        'for','on','with','as','at','by','that','this'], t))) AS n_stop
+         | FROM documents),
+         |q AS (SELECT doc_id, lang, n_tokens,
+         |  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+         |   + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 4.0, 1.0)
+         |   + 0.15 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+         |   + 0.15 * (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0)), 6) AS quality
+         | FROM m),
+         |toks AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
+         |uc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS uni_rep
+         |        FROM uc GROUP BY doc_id),
+         |lm AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ltoks,
+         |  length(text) AS n_chars,
+         |  length(text) - length(regexp_replace(text,
+         |    '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]', '', 'g')) AS cjk
+         | FROM documents),
+         |ls AS (
+         | SELECT doc_id, n_chars, cjk,
+         |  len(list_filter(ltoks, t -> list_contains(
+         |   ['the','and','of','to','is','in','that','it','for','with'], t))) AS en_h,
+         |  len(list_filter(ltoks, t -> list_contains(
+         |   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], t))) AS de_h,
+         |  len(list_filter(ltoks, t -> list_contains(
+         |   ['el','la','los','las','es','una','que','por','para','con'], t))) AS es_h,
+         |  len(list_filter(ltoks, t -> list_contains(
+         |   ['le','la','les','et','est','une','que','pour','dans','avec'], t))) AS fr_h,
+         |  len(list_filter(ltoks, t -> list_contains(
+         |   ['il','la','che','di','è','una','per','con','del','non'], t))) AS it_h
+         | FROM lm),
+         |lid AS (SELECT doc_id,
+         | CASE
+         |  WHEN 2 * cjk > n_chars THEN 'zh'
+         |  WHEN greatest(en_h, de_h, es_h, fr_h, it_h) = 0 THEN 'und'
+         |  WHEN it_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'it'
+         |  WHEN fr_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'fr'
+         |  WHEN es_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'es'
+         |  WHEN en_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'en'
+         |  ELSE 'de' END AS detected
+         | FROM ls),
+         |f AS (SELECT q.doc_id, q.lang, q.quality, q.n_tokens,
+         |   coalesce(u.uni_rep, 0.0) AS uni_rep,
+         |   flatten([
+         |     CASE WHEN q.quality < 0.72 THEN ['low_quality'] ELSE [] END,
+         |     CASE WHEN q.n_tokens < 15 THEN ['too_short'] ELSE [] END,
+         |     CASE WHEN coalesce(u.uni_rep, 0.0) > 0.16 THEN ['repetitive'] ELSE [] END,
+         |     CASE WHEN l.detected <> q.lang THEN ['lang_mismatch'] ELSE [] END]) AS reasons
+         |  FROM q LEFT JOIN uni u ON q.doc_id = u.doc_id
+         |  JOIN lid l ON q.doc_id = l.doc_id)
+         |SELECT doc_id, lang, quality, n_tokens, round(uni_rep, 6) AS uni_rep,
+         | len(reasons) = 0 AS keep,
+         | coalesce(array_to_string(reasons, ','), '') AS reasons
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q50_token_budget" ->
       """WITH m AS (
         | SELECT doc_id,

@@ -130,6 +130,28 @@ class DedupSpec extends SparkSpec {
     assert(survivors >= 500, "no false negatives: every matching row survives")
   }
 
+  test("hot-key-aware salted join equals the plain join; profile flags the skew") {
+    import graft.operators.{SaltedJoin, SkewStats}
+    // key 7 holds 2/3 of the fact; 50 uniform cold keys
+    val large = (0L until 3000L)
+      .map(k => (if (k < 2000) 7L else k % 50, k)).toDF("key", "payload")
+    val small = (0L until 50L).map(k => (k, s"v$k")).toDF("key", "name")
+    val prof = SkewStats.profile(large, "key").head()
+    assert(prof.getAs[Long]("max_n") == 2020 &&
+      prof.getAs[Double]("skew_ratio") > 10, s"profile missed the skew: $prof")
+    val hot = SkewStats.hotKeys(large, "key", minCount = 1000)
+    assert(hot == Seq(7L))
+    val plain = large.join(small, Seq("key"))
+      .select("key", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val got = SaltedJoin.innerHotAware(large, small, "key", hot, factor = 8)
+      .select("key", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == plain, "hot/cold split must partition the key space exactly")
+    // empty hot list degenerates to the plain join
+    assert(SaltedJoin.innerHotAware(large, small, "key", Nil).count() == plain.size)
+  }
+
   test("incremental near-dedup finds exactly the cross-batch pairs") {
     val docs = Tables.documents(spark, sf0001)
     val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", None, 0.8)
