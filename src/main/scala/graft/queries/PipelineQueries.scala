@@ -293,6 +293,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Copy-on-write upsert (MERGE): every 50th doc re-crawled (text
+    // prefixed), five brand-new docs appended — one full-outer join on
+    // the key, per-column COALESCE merge. The result is the next
+    // immutable corpus snapshot; at scale the base side rides a bucketed
+    // layout so only the update side shuffles.
+    "q90_upsert" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val recrawled = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          concat(lit("re-crawl: "), col("text")).as("text"), col("lang"))
+      val fresh = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          col("text"), lit("new").as("lang"))
+      graft.operators.Upsert(docs, recrawled.unionByName(fresh), "doc_id")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"),
+          col("lang"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Importance-weighted sampling: keep each doc with probability
     // proportional to its length (min(1, n_chars/2000)) — the continuous
     // sibling of q64's stratified rates. Membership is a pure function
@@ -389,6 +408,22 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_kept,
         | string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q90_upsert" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents),
+        | upd AS (
+        |  SELECT doc_id, 're-crawl: ' || text AS text, lang FROM documents
+        |  WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'new' FROM documents WHERE doc_id < 5),
+        | m AS (
+        |  SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+        |   coalesce(u.text, b.text) AS text,
+        |   coalesce(u.lang, b.lang) AS lang
+        |  FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id)
+        |SELECT doc_id, substring(text, 1, 24) AS head, lang,
+        | length(text) AS n_chars
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q80_weighted_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, n_chars,

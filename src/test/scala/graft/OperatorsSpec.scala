@@ -469,6 +469,24 @@ class AnnSpec extends SparkSpec {
     assert(dirsRead.size <= nProbe)
   }
 
+  test("upsert: updates replace, new keys append, untouched rows survive") {
+    import graft.operators.Upsert
+    import spark.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n")
+    val upd = Seq((2L, "B2", 99), (9L, "new", 1)).toDF("k", "v", "n")
+    val got = Upsert(base, upd, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a", 10), (2L, "B2", 99), (3L, "c", 30), (9L, "new", 1)))
+    // the documented COALESCE caveat: a null update column falls back
+    val nullUpd = Seq((3L, null.asInstanceOf[String], 77)).toDF("k", "v", "n")
+    val merged = Upsert(base, nullUpd, "k").filter(col("k") === 3L).head()
+    assert(merged.getString(1) == "c" && merged.getInt(2) == 77)
+    // schema mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      Upsert(base, upd.select("k", "v"), "k")
+    }
+  }
+
   test("distributed prefix sum equals the single-partition window") {
     import graft.operators.PrefixSum
     val ord = Tables.orders(spark, sf0001)
