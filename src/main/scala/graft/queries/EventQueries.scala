@@ -125,6 +125,30 @@ object EventQueries {
           col("n_events"), col("value_sum"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Gap-filled hourly series (dimension densification): the full
+    // (event_type x hour) grid over the data's span, zero-filled where
+    // no events landed. The grid is generated (types x sequence of
+    // hours — thousands of rows, broadcast-scale), the observed counts
+    // aggregate once, and a left join fills the gaps; the fact table is
+    // never crossed with anything.
+    "q93_gapfill" -> ((s, d) => {
+      val ev = events(s, d)
+      val span = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = span.select(
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val grid = ev.select(col("event_type")).distinct().crossJoin(hours)
+      val counts = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      grid.join(counts, Seq("event_type", "hour"), "left")
+        .select(col("event_type"),
+          date_format(col("hour"), TsFmt).as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // RANGE-framed moving window (vs q5's ROWS frame): per-user trailing
     // 1-hour average — the frame is defined by the ORDER-BY VALUE
     // (epoch seconds), so peers and near-peers join the frame no matter
@@ -225,6 +249,25 @@ object EventQueries {
         |  FROM orders GROUP BY 1, 2) o
         | ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
         | ORDER BY e.event_id""".stripMargin,
+    "q93_gapfill" ->
+      """WITH span AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1 FROM events),
+        | hours AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM span),
+        | grid AS (
+        |  SELECT t.event_type, h.hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hours h),
+        | counts AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.event_type,
+        | strftime(g.hour, '%Y-%m-%d %H:%M:%S.%f') AS hour,
+        | coalesce(c.n, 0) AS n
+        |FROM grid g LEFT JOIN counts c
+        | ON g.event_type = c.event_type AND g.hour = c.hour
+        |ORDER BY g.event_type, g.hour""".stripMargin,
     "q85_moving_avg" ->
       """SELECT event_id, user_id,
         | round(avg(value) OVER w, 4) AS avg_1h,

@@ -337,6 +337,52 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Data-profiling in ONE pass: per-column null counts, distinct
+    // counts, and min/max over orders — every column's aggregates in a
+    // single agg (Spark plans the multi-distinct via one Expand pass,
+    // never one scan per column), then stack() unpivots the single
+    // result row to a row per column. The data-quality step that gates
+    // real ingest pipelines.
+    "q91_table_profile" -> ((s, d) => {
+      val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nnull"),
+        countDistinct(col(c)).as(s"${c}__ndist"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}__nnull, ${c}__ndist, ${c}__min, ${c}__max").mkString(", ")
+      val allAggs = count(lit(1)).as("n_rows") +: aggs
+      orders(s, d)
+        .agg(allAggs.head, allAggs.tail: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.length}, $stackArgs) AS " +
+            "(column_name, n_null, n_distinct, min_val, max_val)"))
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+        .orderBy(col("column_name"))
+    }),
+
+    // Per-user outlier detection: events whose value deviates from the
+    // user's own mean by >= 2.5 standard deviations. One window pass
+    // computes mean/sd/count per user; the filter runs on the ROUNDED
+    // z-score so the keep/drop boundary is identical in both engines.
+    "q92_outliers" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          avg(col("value")).over(w).as("mu"),
+          stddev_samp(col("value")).over(w).as("sd"),
+          count(lit(1)).over(w).as("n"))
+        .filter(col("n") >= 20 && col("sd") > 0)
+        .withColumn("z", round(abs(col("value") - col("mu")) / col("sd"), 4))
+        .filter(col("z") >= 2.5)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Key-skew diagnostics (measure before you join): one-row frequency
     // profiles of two join keys — the facts that decide broadcast vs
     // shuffle vs salted vs bloom. One aggregation per key; the profile
@@ -671,6 +717,45 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q91_table_profile" ->
+      """WITH p AS (
+        | SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders
+        | UNION ALL
+        | SELECT 'o_orderkey', count(*),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderkey),
+        |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders)
+        |SELECT column_name, n_rows, n_null, n_distinct, min_val, max_val
+        |FROM p ORDER BY column_name""".stripMargin,
+    "q92_outliers" ->
+      """WITH s AS (
+        | SELECT event_id, user_id, value,
+        |  avg(value) OVER w AS mu,
+        |  stddev_samp(value) OVER w AS sd,
+        |  count(*) OVER w AS n
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id)),
+        |z AS (
+        | SELECT event_id, user_id, value,
+        |  round(abs(value - mu) / sd, 4) AS z
+        | FROM s WHERE n >= 20 AND sd > 0)
+        |SELECT event_id, user_id, round(value, 4) AS value, z
+        |FROM z WHERE z >= 2.5 ORDER BY event_id""".stripMargin,
     "q87_skew_profile" ->
       """WITH ok AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
         | sk AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
