@@ -292,8 +292,13 @@ object SparkEntry {
     * computed by the same `pqDistTable` call the query itself makes, so
     * its doubles round-trip bit-exactly through `toString`.
     */
-  private def pqOracle(cb: Array[Array[Array[Double]]],
-                       table: Array[Array[Double]]): String = {
+  /** Shared ADC CTE block (`e`, `d`, `a`): per-row subspace distances
+    * against codebook literals and the CASE-matched query-table ADC sum.
+    * Both PQ twins build on this structurally — no string splicing, so
+    * rewording one oracle cannot silently desync the other.
+    */
+  private def pqAdcCtes(cb: Array[Array[Array[Double]]],
+                        table: Array[Array[Double]]): String = {
     val m = cb.length
     val k = cb.head.length
     val sub = cb.head.head.length
@@ -316,12 +321,17 @@ object SparkEntry {
         .mkString("CASE ", " ", " END")
     }
     val adc = (0 until m).map(pick).mkString("(", ") + (", ")")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |d AS (SELECT vec_id, $dcols FROM e),
-       |a AS (SELECT vec_id, $adc AS dist FROM d)
-       |SELECT vec_id, round(dist, 6) AS pq_dist FROM a
-       | ORDER BY dist ASC, vec_id LIMIT 10""".stripMargin
+       |a AS (SELECT vec_id, $adc AS dist FROM d)""".stripMargin
   }
+
+  private def pqOracle(cb: Array[Array[Array[Double]]],
+                       table: Array[Array[Double]],
+                       k: Int = 10): String =
+    s"""WITH ${pqAdcCtes(cb, table)}
+       |SELECT vec_id, round(dist, 6) AS pq_dist FROM a
+       | ORDER BY dist ASC, vec_id LIMIT $k""".stripMargin
 
   /** Rerank twin: the same ADC CTEs select the `fetchK`-candidate window
     * (identical dist ordering + vec_id tie-break as `pqTopK`), then the
@@ -330,18 +340,15 @@ object SparkEntry {
     */
   private def pqRerankOracle(cb: Array[Array[Array[Double]]],
                              table: Array[Array[Double]],
-                             fetchK: Int): String = {
-    val base = pqOracle(cb, table)
-    val prefix = base.substring(0, base.indexOf("\nSELECT vec_id, round(dist, 6)"))
-    s"""$prefix,
+                             fetchK: Int, k: Int = 10): String =
+    s"""WITH ${pqAdcCtes(cb, table)},
        |cand AS (SELECT vec_id FROM a ORDER BY dist ASC, vec_id LIMIT $fetchK),
        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
        |top AS (SELECT e.vec_id, list_cosine_similarity(e.v, qv.qvec) AS raw
        | FROM e JOIN cand USING (vec_id), qv
-       | ORDER BY raw DESC, e.vec_id LIMIT 10)
+       | ORDER BY raw DESC, e.vec_id LIMIT $k)
        |SELECT vec_id, round(raw, 6) AS score FROM top
        | ORDER BY raw DESC, vec_id""".stripMargin
-  }
 
   private def ivfTopkOracle(centers: Array[Array[Double]]): String = {
     val dim = centers.head.length

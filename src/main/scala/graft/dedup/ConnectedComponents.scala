@@ -81,15 +81,19 @@ object ConnectedComponents {
       // converge there from the seed alone, so the common case never
       // pays the extra join — only graphs still open after round 1
       // (deep chains) buy the doubling.
-      val jumped =
-        if (it == 0) prop
+      val next =
+        if (it == 0) prop.localCheckpoint(true)
         else {
-          val parent = prop.select(col("node").as("p_node"), col("label").as("p_label"))
-          prop.join(parent, col("label") === col("p_node"), "left")
+          // materialize BEFORE the self-join: a lazy prop would embed the
+          // propagation subtree twice in the jump plan and re-run its
+          // aggregation (ReusedExchange dedups only the shuffle write)
+          val p = prop.localCheckpoint(true)
+          val parent = p.select(col("node").as("p_node"), col("label").as("p_label"))
+          p.join(parent, col("label") === col("p_node"), "left")
             .select(col("node"),
               least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
+            .localCheckpoint(true)
         }
-      val next = jumped.localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(sum) == 0
       sum = nextSum

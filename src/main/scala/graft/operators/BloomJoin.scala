@@ -38,13 +38,33 @@ object BloomJoin {
                      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedKeys > 0, s"expectedKeys must be positive, got $expectedKeys")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    // the bloom's hash is TYPE-SENSITIVE (integrals insert as longs,
+    // strings as UTF8 bytes): build and probe through one explicitly
+    // normalized type per family, and reject anything else loudly —
+    // a silent build/probe type mismatch would drop matching rows,
+    // breaking the operator's no-false-negatives contract.
+    import org.apache.spark.sql.types._
+    def family(df: DataFrame, c: String): String = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case StringType => "string"
+      case dt => throw new IllegalArgumentException(
+        s"BloomJoin supports integral and string keys, got $dt for '$c'")
+    }
+    val fam = family(fact, factKey)
+    require(fam == family(dim, dimKey),
+      s"join key type families differ: fact=$fam dim=${family(dim, dimKey)}")
     // one pass over the dim keys (internally a treeAggregate of fixed-size
     // bit arrays — no shuffle, merge cost = filter size x partials)
-    val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+    val keyed = dim.select(col(dimKey).cast(if (fam == "long") "long" else "string")
+      .as("_bloom_key"))
+    val bf = keyed.stat.bloomFilter("_bloom_key", expectedKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    val mightContain =
+      if (fam == "long")
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      else
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+    fact.filter(mightContain(col(factKey).cast(if (fam == "long") "long" else "string")))
       .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -26,8 +26,21 @@ object Upsert {
     require(base.columns.sameElements(updates.columns),
       s"upsert requires identical schemas; base=${base.columns.toSeq} " +
         s"updates=${updates.columns.toSeq}")
+    // SQL MERGE errors on multiple matches for one target row; so do we —
+    // a duplicate update key would multiply through the join and corrupt
+    // the snapshot. The guard rides the update side's key column (which
+    // the join needs, so it can't be pruned away) and costs one window
+    // pass over the UPDATE side only — the small side by assumption.
+    val dupGuard = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val guarded = updates
+      .withColumn("_upd_n", count(lit(1)).over(dupGuard))
+      .withColumn(key,
+        when(col("_upd_n") === 1, col(key))
+          .otherwise(raise_error(concat(
+            lit("duplicate update key in upsert: "), col(key).cast("string")))))
+      .drop("_upd_n")
     val cols = base.columns.filter(_ != key)
-    base.as("b").join(updates.as("u"),
+    base.as("b").join(guarded.as("u"),
         col(s"b.$key") === col(s"u.$key"), "full_outer")
       .select(
         coalesce(col(s"u.$key"), col(s"b.$key")).as(key) +:

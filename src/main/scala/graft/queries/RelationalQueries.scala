@@ -365,21 +365,31 @@ object RelationalQueries {
     }),
 
     // Per-user outlier detection: events whose value deviates from the
-    // user's own mean by >= 2.5 standard deviations. One window pass
-    // computes mean/sd/count per user; the filter runs on the ROUNDED
-    // z-score so the keep/drop boundary is identical in both engines.
+    // user's own mean by >= 2.5 standard deviations. The filter boundary
+    // must be IDENTICAL in both engines, and windowed f64 avg/stddev is
+    // not (summation order differs) — so the moments come from EXACT
+    // decimal sums (values are 2-decimal; v and v² are exact in
+    // DECIMAL), and mu/sd/z derive from those exact sums through the
+    // same double expression on both sides: bit-identical decisions.
     "q92_outliers" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
+      val dv = col("value").cast("decimal(18,2)")
       events(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
-          avg(col("value")).over(w).as("mu"),
-          stddev_samp(col("value")).over(w).as("sd"),
+          sum(dv).over(w).as("s1"),
+          sum(dv * dv).over(w).as("s2"),
           count(lit(1)).over(w).as("n"))
-        .filter(col("n") >= 20 && col("sd") > 0)
-        .withColumn("z", round(abs(col("value") - col("mu")) / col("sd"), 4))
+        .filter(col("n") >= 20)
+        .withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("vr",
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1))
+        .filter(col("vr") > 0)
+        .withColumn("z", abs(col("value") - col("mu")) / sqrt(col("vr")))
         .filter(col("z") >= 2.5)
         .select(col("event_id"), col("user_id"),
-          round(col("value"), 4).as("value"), col("z"))
+          round(col("value"), 4).as("value"), round(col("z"), 4).as("z"))
         .orderBy(col("event_id"))
     }),
 
@@ -745,16 +755,21 @@ object RelationalQueries {
     "q92_outliers" ->
       """WITH s AS (
         | SELECT event_id, user_id, value,
-        |  avg(value) OVER w AS mu,
-        |  stddev_samp(value) OVER w AS sd,
+        |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS s1,
+        |  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS s2,
         |  count(*) OVER w AS n
         | FROM events
         | WINDOW w AS (PARTITION BY user_id)),
-        |z AS (
+        |d AS (
         | SELECT event_id, user_id, value,
-        |  round(abs(value - mu) / sd, 4) AS z
-        | FROM s WHERE n >= 20 AND sd > 0)
-        |SELECT event_id, user_id, round(value, 4) AS value, z
+        |  CAST(s1 AS DOUBLE) / n AS mu,
+        |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |    / (n - 1) AS vr
+        | FROM s WHERE n >= 20),
+        |z AS (
+        | SELECT event_id, user_id, value, abs(value - mu) / sqrt(vr) AS z
+        | FROM d WHERE vr > 0)
+        |SELECT event_id, user_id, round(value, 4) AS value, round(z, 4) AS z
         |FROM z WHERE z >= 2.5 ORDER BY event_id""".stripMargin,
     "q87_skew_profile" ->
       """WITH ok AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),

@@ -21,6 +21,18 @@ import graft.functions.{Chunker, TextFunctions}
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-doc unigram counts (top token count, total tokens) — the shared
+    * input of the repetition signal (q51) and the filter cascade (q89);
+    * one definition so the tokenization can never drift between them.
+    */
+  private def uniCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_uni"), sum(col("c")).as("n_uni"))
+
+
   val queries: Map[String, Q] = Map(
     // Token / char / approx-BPE counting (pure Catalyst).
     "q20_token_stats" -> ((s, d) =>
@@ -158,11 +170,7 @@ object TextQueries {
     // (explode + two-level aggregate), all equi-shuffles.
     "q51_repetition" -> ((s, d) => {
       val docs = documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      val uni = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top_uni"), sum(col("c")).as("n_uni"))
+      val uni = uniCounts(docs)
       val bi = docs.select(col("doc_id"),
         explode(TextFunctions.wordShinglesUdf(lower(col("text")), 2)).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
@@ -190,11 +198,7 @@ object TextQueries {
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFunctions.langId(col("text")).as("detected"))
-      val uni = docs.select(col("doc_id"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top_uni"), sum(col("c")).as("n_uni"))
+      val uni = uniCounts(docs)
       val empty = array().cast("array<string>")
       base.join(uni, Seq("doc_id"), "left")
         .withColumn("uni_rep",
@@ -212,10 +216,6 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Token budgeting: take the highest-quality docs until the token
-    // budget is spent — a GLOBAL running sum computed with the two-pass
-    // distributed prefix sum (operators.PrefixSum), never an
-    // unpartitioned window.
     "q50_token_budget" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("q"),
@@ -412,6 +412,76 @@ object TextQueries {
   private val ToksGuarded =
     s"(CASE WHEN length(trim(text)) = 0 THEN [] ELSE $Toks END)"
 
+  /** The quality-metrics CTE body (token/char/punct/digit/stopword/
+    * non-whitespace counts) — ONE definition shared by the q21/q50/q89
+    * oracles, mirroring `TextFunctions`' metric set. `cols` prepends the
+    * projected identity columns (e.g. "doc_id" or "doc_id, lang").
+    */
+  private def MetricsCteFor(cols: String): String =
+    s"""SELECT $cols,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       |  length(text) AS n_chars,
+       |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+       |  length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
+       |  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+       |                        'for','on','with','as','at','by','that','this'], t))) AS n_stop
+       | FROM documents""".stripMargin
+
+  /** `TextFunctions.qualityScore` over MetricsCteFor's columns — the one
+    * SQL spelling of the composite score.
+    */
+  private lazy val QualityExpr =
+    """round(0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+      |   + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 4.0, 1.0)
+      |   + 0.15 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
+      |   + 0.15 * (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0)), 6)""".stripMargin
+
+  /** Per-doc unigram count CTEs — the oracle twin of [[uniCounts]],
+    * shared by the q51 and q89 oracles.
+    */
+  private lazy val UniCountCtes =
+    s"""toks AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
+       |uc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)""".stripMargin
+
+  /** Lang-id heuristic CTEs (token hit counts per language + cjk density)
+    * and the detection CASE ladder — shared by langidOracle and the q89
+    * cascade so the tie-break order can never drift between them.
+    */
+  private lazy val LangHitCtes =
+    """lm AS (
+      | SELECT doc_id, lang,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ltoks,
+      |  length(text) AS n_chars,
+      |  length(text) - length(regexp_replace(text,
+      |    '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk
+      | FROM documents),
+      |ls AS (
+      | SELECT doc_id, lang, n_chars, cjk,
+      |  len(list_filter(ltoks, t -> list_contains(
+      |   ['the','and','of','to','is','in','that','it','for','with'], t))) AS en_h,
+      |  len(list_filter(ltoks, t -> list_contains(
+      |   ['der','die','das','und','ist','nicht','ein','mit','f\u00fcr','auf'], t))) AS de_h,
+      |  len(list_filter(ltoks, t -> list_contains(
+      |   ['el','la','los','las','es','una','que','por','para','con'], t))) AS es_h,
+      |  len(list_filter(ltoks, t -> list_contains(
+      |   ['le','la','les','et','est','une','que','pour','dans','avec'], t))) AS fr_h,
+      |  len(list_filter(ltoks, t -> list_contains(
+      |   ['il','la','che','di','\u00e8','una','per','con','del','non'], t))) AS it_h
+      | FROM lm)""".stripMargin
+
+  private lazy val LangidCase =
+    """CASE
+      |  WHEN 2 * cjk > n_chars THEN 'zh'
+      |  WHEN greatest(en_h, de_h, es_h, fr_h, it_h) = 0 THEN 'und'
+      |  WHEN it_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'it'
+      |  WHEN fr_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'fr'
+      |  WHEN es_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'es'
+      |  WHEN en_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'en'
+      |  ELSE 'de' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
       s"""SELECT doc_id,
@@ -420,27 +490,13 @@ object TextQueries {
          | CAST(ceil((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksRaw) END) * 1.3) AS BIGINT) AS n_bpe
          | FROM documents ORDER BY doc_id""".stripMargin,
     "q21_quality" ->
-      """WITH m AS (
-        | SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-        |  length(text) AS n_chars,
-        |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
-        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-        |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
-        |                        'for','on','with','as','at','by','that','this'], t))) AS n_stop
-        | FROM documents)
-        |SELECT doc_id,
-        | round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
-        | round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
-        | round(CAST(n_nonws AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_word_len,
-        | round(0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-        |  + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 4.0, 1.0)
-        |  + 0.15 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
-        |  + 0.15 * (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0)), 6) AS quality
-        | FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS (${MetricsCteFor("doc_id")})
+         |SELECT doc_id,
+         | round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+         | round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+         | round(CAST(n_nonws AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_word_len,
+         | $QualityExpr AS quality
+         | FROM m ORDER BY doc_id""".stripMargin,
     "q22_lang_dist" ->
       s"""SELECT lang, count(*) AS n,
          | round(avg(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($ToksRaw) END), 4) AS avg_tokens
@@ -498,8 +554,7 @@ object TextQueries {
     "q32_rolling_fp" -> rollingFpOracle,
     "q33_chunks" -> chunksOracle,
     "q51_repetition" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
-         |uc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      s"""WITH $UniCountCtes,
          |uni AS (SELECT doc_id, max(c) AS top_uni, CAST(sum(c) AS BIGINT) AS n_uni
          |        FROM uc GROUP BY doc_id),
          |bt AS (SELECT doc_id, $Toks AS t FROM documents),
@@ -514,57 +569,13 @@ object TextQueries {
          | FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
          | ORDER BY u.doc_id""".stripMargin,
     "q89_filter_cascade" ->
-      s"""WITH m AS (
-         | SELECT doc_id, lang,
-         |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         |  length(text) AS n_chars,
-         |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
-         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-         |  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
-         |                        'for','on','with','as','at','by','that','this'], t))) AS n_stop
-         | FROM documents),
-         |q AS (SELECT doc_id, lang, n_tokens,
-         |  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-         |   + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 4.0, 1.0)
-         |   + 0.15 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
-         |   + 0.15 * (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0)), 6) AS quality
-         | FROM m),
-         |toks AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
-         |uc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      s"""WITH m AS (${MetricsCteFor("doc_id, lang")}),
+         |q AS (SELECT doc_id, lang, n_tokens, $QualityExpr AS quality FROM m),
+         |$UniCountCtes,
          |uni AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS uni_rep
          |        FROM uc GROUP BY doc_id),
-         |lm AS (
-         | SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ltoks,
-         |  length(text) AS n_chars,
-         |  length(text) - length(regexp_replace(text,
-         |    '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]', '', 'g')) AS cjk
-         | FROM documents),
-         |ls AS (
-         | SELECT doc_id, n_chars, cjk,
-         |  len(list_filter(ltoks, t -> list_contains(
-         |   ['the','and','of','to','is','in','that','it','for','with'], t))) AS en_h,
-         |  len(list_filter(ltoks, t -> list_contains(
-         |   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], t))) AS de_h,
-         |  len(list_filter(ltoks, t -> list_contains(
-         |   ['el','la','los','las','es','una','que','por','para','con'], t))) AS es_h,
-         |  len(list_filter(ltoks, t -> list_contains(
-         |   ['le','la','les','et','est','une','que','pour','dans','avec'], t))) AS fr_h,
-         |  len(list_filter(ltoks, t -> list_contains(
-         |   ['il','la','che','di','è','una','per','con','del','non'], t))) AS it_h
-         | FROM lm),
-         |lid AS (SELECT doc_id,
-         | CASE
-         |  WHEN 2 * cjk > n_chars THEN 'zh'
-         |  WHEN greatest(en_h, de_h, es_h, fr_h, it_h) = 0 THEN 'und'
-         |  WHEN it_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'it'
-         |  WHEN fr_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'fr'
-         |  WHEN es_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'es'
-         |  WHEN en_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'en'
-         |  ELSE 'de' END AS detected
-         | FROM ls),
+         |$LangHitCtes,
+         |lid AS (SELECT doc_id, $LangidCase AS detected FROM ls),
          |f AS (SELECT q.doc_id, q.lang, q.quality, q.n_tokens,
          |   coalesce(u.uni_rep, 0.0) AS uni_rep,
          |   flatten([
@@ -579,31 +590,17 @@ object TextQueries {
          | coalesce(array_to_string(reasons, ','), '') AS reasons
          |FROM f ORDER BY doc_id""".stripMargin,
     "q50_token_budget" ->
-      """WITH m AS (
-        | SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-        |  length(text) AS n_chars,
-        |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
-        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
-        |                        'for','on','with','as','at','by','that','this'], t))) AS n_stop
-        | FROM documents),
-        |s AS (
-        | SELECT doc_id,
-        |  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-        |   + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 4.0, 1.0)
-        |   + 0.15 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0))
-        |   + 0.15 * (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 5.0, 1.0)), 6) AS q,
-        |  CAST(ceil(n_tokens * 1.3) AS BIGINT) AS tok
-        | FROM m),
-        |c AS (
-        | SELECT doc_id, CAST(sum(tok) OVER (ORDER BY q DESC, doc_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-        | FROM s)
-        |SELECT doc_id, cum_tokens FROM c WHERE cum_tokens <= 30000
-        | ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS (${MetricsCteFor("doc_id")}),
+         |s AS (
+         | SELECT doc_id, $QualityExpr AS q,
+         |  CAST(ceil(n_tokens * 1.3) AS BIGINT) AS tok
+         | FROM m),
+         |c AS (
+         | SELECT doc_id, CAST(sum(tok) OVER (ORDER BY q DESC, doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         | FROM s)
+         |SELECT doc_id, cum_tokens FROM c WHERE cum_tokens <= 30000
+         | ORDER BY doc_id""".stripMargin,
     "q49_contamination" ->
       """WITH p AS (
         | SELECT DISTINCT array_to_string(
@@ -783,36 +780,9 @@ object TextQueries {
     * text length, like `detectLang`.
     */
   private lazy val langidOracle: String =
-    """WITH m AS (
-      | SELECT doc_id, lang,
-      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks,
-      |  length(text) AS n_chars,
-      |  length(text) - length(regexp_replace(text,
-      |    '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk
-      | FROM documents),
-      |s AS (
-      | SELECT doc_id, lang, n_chars, cjk,
-      |  len(list_filter(toks, t -> list_contains(
-      |   ['the','and','of','to','is','in','that','it','for','with'], t))) AS en_h,
-      |  len(list_filter(toks, t -> list_contains(
-      |   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], t))) AS de_h,
-      |  len(list_filter(toks, t -> list_contains(
-      |   ['el','la','los','las','es','una','que','por','para','con'], t))) AS es_h,
-      |  len(list_filter(toks, t -> list_contains(
-      |   ['le','la','les','et','est','une','que','pour','dans','avec'], t))) AS fr_h,
-      |  len(list_filter(toks, t -> list_contains(
-      |   ['il','la','che','di','è','una','per','con','del','non'], t))) AS it_h
-      | FROM m)
-      |SELECT doc_id, lang AS declared,
-      | CASE
-      |  WHEN 2 * cjk > n_chars THEN 'zh'
-      |  WHEN greatest(en_h, de_h, es_h, fr_h, it_h) = 0 THEN 'und'
-      |  WHEN it_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'it'
-      |  WHEN fr_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'fr'
-      |  WHEN es_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'es'
-      |  WHEN en_h = greatest(en_h, de_h, es_h, fr_h, it_h) THEN 'en'
-      |  ELSE 'de' END AS detected
-      | FROM s ORDER BY doc_id""".stripMargin
+    s"""WITH $LangHitCtes
+       |SELECT doc_id, lang AS declared, $LangidCase AS detected
+       | FROM ls ORDER BY doc_id""".stripMargin
 
   /** Base-257 polynomial hash mod 2^61-1 over the normalized text, char by
     * char via `list_reduce` in HUGEINT (the per-step product peaks at
