@@ -337,6 +337,83 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q16 shape: NOT IN with a subquery — the null-aware anti-join
+    // (different semantics from NOT EXISTS when the subquery can yield
+    // NULL; here s_suppkey is non-null so Catalyst plans the efficient
+    // anti join) — plus a multi-key count-distinct aggregation.
+    "q94_tpch_q16" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("g94_lineitem")
+      part(s, d).createOrReplaceTempView("g94_part")
+      supplier(s, d).createOrReplaceTempView("g94_supplier")
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          | count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM g94_lineitem JOIN g94_part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#23' AND p_size IN (1, 5, 9, 13)
+          |  AND l_suppkey NOT IN
+          |    (SELECT s_suppkey FROM g94_supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    }),
+
+    // TPC-H Q20 shape (nested IN + correlated HAVING threshold):
+    // suppliers who shipped > 30% of a 'large' part's 1997 volume.
+    // Decorrelated the way the 100 TB plan should look: one filtered
+    // fact pass grouped by (supplier, part), the per-part total as a
+    // window over the SAME aggregate (no second fact scan), threshold
+    // exact because quantities are integral in f64. The oracle keeps
+    // the correlated HAVING-subquery spelling.
+    "q95_tpch_q20" -> ((s, d) => {
+      val largeParts = part(s, d).filter(col("p_name").startsWith("large"))
+        .select(col("p_partkey"))
+      val li97 = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+      val perSupp = li97
+        .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val qualified = perSupp
+        .withColumn("part_total", sum(col("qty")).over(w))
+        .filter(col("qty") > lit(0.3) * col("part_total"))
+        .select(col("l_suppkey")).distinct()
+      supplier(s, d)
+        .join(qualified, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_name"), col("s_suppkey"))
+        .orderBy(col("s_name"))
+    }),
+
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // OR-of-nation-pairs condition rides the two broadcast nation dims;
+    // the fact side shuffles once on the lineitem-orders key. Yearly
+    // revenue per direction.
+    "q96_tpch_q7" -> ((s, d) => {
+      val n1 = nation(s, d).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(r2(sum(col("volume"))).as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // Data-profiling in ONE pass: per-column null counts, distinct
     // counts, and min/max over orders — every column's aggregates in a
     // single agg (Spark plans the multi-distinct via one Expand pass,
@@ -727,6 +804,46 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q94_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#23' AND p_size IN (1, 5, 9, 13)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q95_tpch_q20" ->
+      """SELECT s_name, s_suppkey FROM supplier WHERE s_suppkey IN (
+        | SELECT l_suppkey
+        | FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+        | WHERE p_name LIKE 'large%'
+        |  AND l1.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l1.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | GROUP BY l_suppkey, l1.l_partkey
+        | HAVING sum(l1.l_quantity) > 0.3 * (
+        |   SELECT sum(l2.l_quantity) FROM lineitem l2
+        |   WHERE l2.l_partkey = l1.l_partkey
+        |    AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_name""".stripMargin,
+    "q96_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | round(sum(volume), 2) AS revenue, count(*) AS n
+        |FROM (
+        | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  l_extendedprice * (1 - l_discount) AS volume
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q91_table_profile" ->
       """WITH p AS (
         | SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
