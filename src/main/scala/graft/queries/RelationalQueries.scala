@@ -337,6 +337,123 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q4 shape (order priority of late orders): EXISTS with a
+    // non-equi correlated condition (lateness vs the OUTER order date).
+    // Spark's decorrelation rejects non-equality correlations, so the
+    // plan is written as the semi-join it should become: the lateness
+    // comparison re-joins the (date-filtered, tiny) order slice on the
+    // equality key and filters INSIDE the subquery — same q63 move.
+    "q97_tpch_q4" -> ((s, d) => {
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01") &&
+          col("o_orderdate") < lit("1997-10-01"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val late = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("l_orderkey"))
+      ord.join(late, ord("o_orderkey") === late("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q10 shape (returned-item revenue): top 20 customers by
+    // revenue lost to returns in a quarter. Dims broadcast; top-k
+    // selected on the RAW revenue then rounded (house pattern).
+    "q98_tpch_q10" -> ((s, d) => {
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev")).as("rev_raw"))
+        .orderBy(desc("rev_raw"), col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          r2(col("rev_raw")).as("revenue"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): conditional sum over a
+    // broadcast-dim attribute, one fact pass, ratio of the two sums.
+    "q99_tpch_q14" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("promo_revenue_pct"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q15 shape (top supplier via scalar-max subquery): quarterly
+    // revenue per supplier, keep the max. The revenue table is computed
+    // ONCE (tiny: one row per supplier) and probed twice — the
+    // scalar max is a one-row broadcast, never a re-aggregation of the
+    // fact.
+    "q100_tpch_q15" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+        .localCheckpoint(true)
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          r2(col("total_revenue")).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q8 shape (market share): one nation's share of a customer
+    // region's import volume per year — two aliases of the nation dim
+    // (supplier side inside the share numerator, customer side as the
+    // region filter), conditional-sum ratio per year.
+    "q101_tpch_q8" -> ((s, d) => {
+      val custAsia = customer(s, d)
+        .join(broadcast(nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNat = supplier(s, d)
+        .join(broadcast(nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(0.0)) /
+            sum(col("volume")), 6).as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_year"))
+    }),
+
     // TPC-H Q16 shape: NOT IN with a subquery — the null-aware anti-join
     // (different semantics from NOT EXISTS when the subquery can yield
     // NULL; here s_suppkey is non-null so Catalyst plans the efficient
@@ -804,6 +921,68 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q97_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q98_tpch_q10" ->
+      """WITH top AS (
+        | SELECT c_custkey, c_name, n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS rev_raw
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        | GROUP BY c_custkey, c_name, n_name
+        | ORDER BY rev_raw DESC, c_custkey LIMIT 20)
+        |SELECT c_custkey, c_name, n_name, round(rev_raw, 2) AS revenue
+        |FROM top ORDER BY rev_raw DESC, c_custkey""".stripMargin,
+    "q99_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+    "q100_tpch_q15" ->
+      """WITH revenue AS (
+        | SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q101_tpch_q8" ->
+      """SELECT o_year,
+        | round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
+        |   / sum(volume), 6) AS mkt_share,
+        | count(*) AS n
+        |FROM (
+        | SELECT year(o_orderdate) AS o_year,
+        |  l_extendedprice * (1 - l_discount) AS volume,
+        |  n1.n_name AS supp_nation
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q94_tpch_q16" ->
       """SELECT p_brand, p_type, p_size,
         | count(DISTINCT l_suppkey) AS supplier_cnt
