@@ -454,6 +454,19 @@ object RelationalQueries {
         .orderBy(col("o_year"))
     }),
 
+    // TPC-H Q6 (forecast revenue change): pure scan + conjunctive
+    // range predicates + ungrouped aggregate — every filter reaches the
+    // parquet reader as a pushed-down predicate; no shuffle at all
+    // (partial sums reduce to the driver).
+    "q102_tpch_q6" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 24)
+        .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))),
+
     // TPC-H Q16 shape: NOT IN with a subquery — the null-aware anti-join
     // (different semantics from NOT EXISTS when the subquery can yield
     // NULL; here s_suppkey is non-null so Catalyst plans the efficient
@@ -921,6 +934,14 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q102_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
     "q97_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
