@@ -277,21 +277,14 @@ object SparkEntry {
       ivfTopkOracle(graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8))
     } ++ attempt("q71_pq") {
       val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
-      pqOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb))
+      pqOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb), k = 10)
     } ++ attempt("q84_pq_rerank") {
       val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
       pqRerankOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb),
-        fetchK = 40)
+        fetchK = 40, k = 10)
     }
   }
 
-  /** PQ twin: per-subspace assignment is a first-wins argmin over 16
-    * strictly-sequential squared-L2 distances against codebook literals
-    * (exactly `nearestCentroid`'s loop), and the ADC score is the sum of
-    * the matching QUERY-table literals in subspace order — the table is
-    * computed by the same `pqDistTable` call the query itself makes, so
-    * its doubles round-trip bit-exactly through `toString`.
-    */
   /** Shared ADC CTE block (`e`, `d`, `a`): per-row subspace distances
     * against codebook literals and the CASE-matched query-table ADC sum.
     * Both PQ twins build on this structurally — no string splicing, so
@@ -326,9 +319,16 @@ object SparkEntry {
        |a AS (SELECT vec_id, $adc AS dist FROM d)""".stripMargin
   }
 
+  /** PQ twin: per-subspace assignment is a first-wins argmin over 16
+    * strictly-sequential squared-L2 distances against codebook literals
+    * (exactly `nearestCentroid`'s loop), and the ADC score is the sum of
+    * the matching QUERY-table literals in subspace order — the table is
+    * computed by the same `pqDistTable` call the query itself makes, so
+    * its doubles round-trip bit-exactly through `toString`.
+    */
   private def pqOracle(cb: Array[Array[Array[Double]]],
                        table: Array[Array[Double]],
-                       k: Int = 10): String =
+                       k: Int): String =
     s"""WITH ${pqAdcCtes(cb, table)}
        |SELECT vec_id, round(dist, 6) AS pq_dist FROM a
        | ORDER BY dist ASC, vec_id LIMIT $k""".stripMargin
@@ -340,7 +340,7 @@ object SparkEntry {
     */
   private def pqRerankOracle(cb: Array[Array[Array[Double]]],
                              table: Array[Array[Double]],
-                             fetchK: Int, k: Int = 10): String =
+                             fetchK: Int, k: Int): String =
     s"""WITH ${pqAdcCtes(cb, table)},
        |cand AS (SELECT vec_id FROM a ORDER BY dist ASC, vec_id LIMIT $fetchK),
        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),

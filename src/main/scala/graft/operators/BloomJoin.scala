@@ -55,8 +55,12 @@ object BloomJoin {
       s"join key type families differ: fact=$fam dim=${family(dim, dimKey)}")
     // one pass over the dim keys (internally a treeAggregate of fixed-size
     // bit arrays — no shuffle, merge cost = filter size x partials)
-    val keyed = dim.select(col(dimKey).cast(if (fam == "long") "long" else "string")
-      .as("_bloom_key"))
+    // NULL dim keys can never match an inner join, and the bloom build
+    // NPEs on null strings (and would insert a spurious 0 for null
+    // longs) — drop them before building
+    val keyed = dim.filter(col(dimKey).isNotNull)
+      .select(col(dimKey).cast(if (fam == "long") "long" else "string")
+        .as("_bloom_key"))
     val bf = keyed.stat.bloomFilter("_bloom_key", expectedKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain =

@@ -132,16 +132,18 @@ object EventQueries {
     // aggregate once, and a left join fills the gaps; the fact table is
     // never crossed with anything.
     "q93_gapfill" -> ((s, d) => {
-      val ev = events(s, d)
-      val span = ev.agg(
-        date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
-      val hours = span.select(
-        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
-      val grid = ev.select(col("event_type")).distinct().crossJoin(hours)
-      val counts = ev.groupBy(col("event_type"),
+      // ONE fact scan: the span and the type set both derive from the
+      // (tiny) hourly aggregate — min/max commute with date_trunc, and
+      // every present type appears in at least one count row
+      val counts = events(s, d)
+        .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val hours = counts
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val grid = counts.select(col("event_type")).distinct().crossJoin(hours)
       grid.join(counts, Seq("event_type", "hour"), "left")
         .select(col("event_type"),
           date_format(col("hour"), TsFmt).as("hour"),

@@ -304,7 +304,7 @@ object PipelineQueries {
         .select(col("doc_id"),
           concat(lit("re-crawl: "), col("text")).as("text"), col("lang"))
       val fresh = docs.filter(col("doc_id") < 5)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 100001).as("doc_id"),
           col("text"), lit("new").as("lang"))
       graft.operators.Upsert(docs, recrawled.unionByName(fresh), "doc_id")
         .select(col("doc_id"), substring(col("text"), 1, 24).as("head"),
@@ -415,7 +415,7 @@ object PipelineQueries {
         |  SELECT doc_id, 're-crawl: ' || text AS text, lang FROM documents
         |  WHERE doc_id % 50 = 0
         |  UNION ALL
-        |  SELECT doc_id + 100000, text, 'new' FROM documents WHERE doc_id < 5),
+        |  SELECT doc_id + 100001, text, 'new' FROM documents WHERE doc_id < 5),
         | m AS (
         |  SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
         |   coalesce(u.text, b.text) AS text,

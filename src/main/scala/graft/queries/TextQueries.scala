@@ -216,6 +216,11 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token budgeting: take the highest-quality docs until the token
+    // budget runs out — a GLOBAL running sum in quality order via the
+    // two-pass distributed prefix sum (operators.PrefixSum), never an
+    // unpartitioned `sum() OVER (ORDER BY ...)` window (which would
+    // funnel the whole corpus through one task).
     "q50_token_budget" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("q"),
