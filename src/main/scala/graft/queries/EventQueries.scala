@@ -97,6 +97,27 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Sketch contracts: HLL++ cardinality and quantile-sketch medians —
+    // THE cardinality/quantile tools at 100 TB (bounded state, one
+    // pass, mergeable partials) — graded against their exact twins
+    // computed in the same aggregate. The oracle pins the CONTRACT
+    // (exact values + within-5% booleans = true): if either sketch
+    // drifts out of tolerance the hash compare fails. Both sketches
+    // are deterministic (hash-based, no RNG), so the gate is stable.
+    "q103_sketches" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("hll"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_sketch"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("hll") - col("exact_users")) /
+            col("exact_users") <= 0.05).as("hll_within_5pct"),
+          round(col("p50_exact"), 2).as("p50"),
+          (abs(col("p50_sketch") - col("p50_exact")) /
+            col("p50_exact") <= 0.05).as("p50_within_5pct"))
+        .orderBy(col("event_type"))),
+
     // Semi-structured JSON props: extraction is a per-row codegen'd path
     // lookup (get_json_object), then an ordinary aggregate — no UDF, no
     // driver-side parsing; the JSON column stays opaque until the one
@@ -179,6 +200,12 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_sketches" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | true AS hll_within_5pct,
+        | round(quantile_cont(value, 0.5), 2) AS p50,
+        | true AS p50_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q77_json_props" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
