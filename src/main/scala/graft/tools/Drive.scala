@@ -64,6 +64,34 @@ object Drive {
     println(s"search on empty query string:")
     coll.search("text", "", 3, emb).show(3, 40)
 
+    println("=== 7. training-data pipeline ops over the collection ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // near-dup pairs -> groups -> survivors
+      val pairs = graft.dedup.Dedup.minhashNearDups(docs, "text", "doc_id", 0.8)
+      val unique = graft.dedup.ConnectedComponents
+        .dropDuplicates(docs, "doc_id", pairs)
+      require(unique.count() <= docs.count(), "dedup cannot add rows")
+      // deterministic mixing: two runs, identical membership
+      val s1 = graft.operators.Sampling
+        .stratified(unique, "doc_id", "lang", Map("en" -> 50), 25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val s2 = graft.operators.Sampling
+        .stratified(unique, "doc_id", "lang", Map("en" -> 50), 25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      require(s1 == s2, "stratified sampling must be deterministic")
+      // upsert roundtrip: re-crawl 5 docs, corpus size unchanged
+      val recrawl = docs.filter(col("doc_id") < 5)
+        .withColumn("text", concat(lit("v2 "), col("text")))
+      val merged = graft.operators.Upsert(docs, recrawl, "doc_id")
+      require(merged.count() == docs.count(), "pure-update upsert keeps size")
+      require(merged.filter(col("doc_id") === 0).head().getAs[String]("text")
+        .startsWith("v2 "), "upsert must take the update side")
+      println(s"pipeline ops: ${docs.count()} docs -> ${unique.count()} unique, " +
+        s"sample=${s1.size} deterministic, upsert stable")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }
