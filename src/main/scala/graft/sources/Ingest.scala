@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.core.Collection
 
@@ -43,6 +44,37 @@ object Ingest {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(resolvePath(path))
+
+  /** JSONL read that ROUTES corrupt lines instead of failing the job or
+    * silently dropping them: PERMISSIVE parse with a corrupt-record
+    * column, split into (parsed rows, quarantined raw lines). At 100 TB
+    * one mangled line must neither kill a ten-hour ingest (FAILFAST)
+    * nor vanish (DROPMALFORMED) — the bad lines land in a quarantine
+    * the operator can inspect and replay. The parse is materialized
+    * once before the split (Spark disallows filtering on the internal
+    * corrupt column of a streaming-parsed JSON relation); at cluster
+    * scale the same one-pass materialization is the staging write that
+    * precedes any real ingest.
+    */
+  def readJsonlChecked(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(resolvePath(path))
+    if (!raw.columns.contains("_corrupt")) {
+      // schema inference saw no corrupt lines — nothing to quarantine
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("_corrupt", StringType))))
+      (raw, empty)
+    } else {
+      val parsed = raw.cache()
+      val good = parsed.filter(col("_corrupt").isNull).drop("_corrupt")
+      val bad = parsed.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
+      (good, bad)
+    }
+  }
 
   /** S1: import a JSONL file/glob into an empty collection. */
   def importJsonl(c: Collection, path: String): Unit =

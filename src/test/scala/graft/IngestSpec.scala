@@ -43,6 +43,28 @@ class IngestSpec extends SparkSpec {
     assert(rows.length == 2 && rows(1).isNullAt(rows(1).fieldIndex("v")))
   }
 
+  test("corrupt jsonl lines are quarantined, not dropped or fatal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      """{"id": 1, "text": "ok one"}
+        |{"id": 2, "text": "ok two"}
+        |{"id": 3 "text": MANGLED
+        |{"id": 4, "text": "ok four"}
+        |""".stripMargin)
+    val (good, bad) = graft.sources.Ingest.readJsonlChecked(spark, s"$dir/in.jsonl")
+    assert(good.count() == 3, "all well-formed lines parse")
+    assert(good.columns.toSet == Set("id", "text"), "corrupt column dropped from good rows")
+    val quarantined = bad.collect().map(_.getString(0))
+    assert(quarantined.length == 1 && quarantined.head.contains("MANGLED"),
+      "the raw bad line is preserved for inspection/replay")
+    // a fully clean file quarantines nothing
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/clean.jsonl"),
+      """{"id": 1}
+        |""".stripMargin)
+    val (g2, b2) = graft.sources.Ingest.readJsonlChecked(spark, s"$dir/clean.jsonl")
+    assert(g2.count() == 1 && b2.count() == 0)
+  }
+
   test("isMostlyText boundary matches the reference's 50-char heuristic") {
     val page50 = "x" * 50
     val page49 = "y" * 49
