@@ -687,6 +687,29 @@ class StreamsSpec extends SparkSpec {
       s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
 
+  test("stratified sampling on a stream equals the batch sample (stateless mixing at ingest)") {
+    import graft.operators.Sampling
+    val rows = (0L until 500L).map(k => (k, if (k % 2 == 0) "en" else "fr"))
+    val rates = Map("en" -> 30, "fr" -> 80)
+    val batch = Sampling.stratified(rows.toDF("doc_id", "lang"), "doc_id", "lang", rates, 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sampled = Sampling.stratified(
+      mem.toDF().toDF("doc_id", "lang"), "doc_id", "lang", rates, 0)
+    val query = sampled.writeStream.format("memory")
+      .queryName("sampled_stream_out").outputMode("append").start()
+    mem.addData(rows)
+    query.processAllAvailable()
+    val streamed = spark.table("sampled_stream_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    query.stop()
+    assert(streamed == batch,
+      "hash-threshold sampling must pick the identical subset on stream and batch")
+  }
+
   test("native session_window streaming agg agrees with its batch form on a closed input") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val rows = Seq(
