@@ -5,6 +5,24 @@ import graft.core.{Catalog, CollectionConfig, Keys}
 import graft.embed.HashingEmbedder
 import graft.search.Search
 
+class DriverContractSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("every driver query has an oracle (static or Verify-time dynamic)") {
+    // a query key missing from BOTH maps silently degrades to the
+    // driver's weaker rows-only check — this guard makes that a loud
+    // local failure instead. Keep the dynamic list in sync with
+    // SparkEntry.dynamicOracleSql's attempt() names.
+    val dynamic = Set("q_ivf_topk", "q71_pq", "q84_pq_rerank")
+    val unchecked = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- dynamic
+    assert(unchecked.isEmpty,
+      s"queries without any oracle: ${unchecked.toSeq.sorted.mkString(", ")}")
+    // and no orphan oracles for queries that don't exist
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracles without a query: ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+}
+
 class KeysSpec extends SparkSpec {
   import spark.implicits._
 
