@@ -59,14 +59,16 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
-    // K1 exact top-k cosine over the embeddings table
+    // K1 exact top-k cosine over the embeddings table, through the real
+    // operator (Search.topK) so the gate grades its multi-vector-per-key
+    // semantics: max score per key, one slot per key (vec_ids are unique
+    // here, so values equal the per-vector form — the oracle mirrors the
+    // group-by anyway, and SearchSpec covers the duplicate-key case).
     "q_topk_cosine" -> ((s, d) => {
       val q = queryVec(s, d)
-      embeddings(s, d)
-        .select(col("vec_id"),
-          round(Search.scoreAgainst(col("embedding"), q), 6).as("score"))
-        .orderBy(desc("score"), col("vec_id"))
-        .limit(10)
+      Search.topK(embeddings(s, d), q, k = 10,
+          keyColName = "vec_id", embColName = "embedding")
+        .withColumn("score", round(col("score"), 6))
     }),
 
     // K3 search-and-fetch: top-k joined back for content (vec_id == doc_id)
@@ -166,10 +168,17 @@ object SparkEntry {
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "q_key_fetch" ->
       "SELECT doc_id, text FROM documents WHERE doc_id IN (3,5,8,13,21,34,55,89) ORDER BY doc_id",
+    // max-per-key before the top-k (Search.topK's multi-vector semantics);
+    // the top-10 is selected by the RAW score with rounding applied only
+    // to the survivors, matching the operator's orderBy-then-round
     "q_topk_cosine" ->
-      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        | (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
-        | FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+      """WITH s AS (
+        | SELECT vec_id, max(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))) AS raw
+        | FROM embeddings GROUP BY vec_id),
+        |top AS (SELECT vec_id, raw FROM s ORDER BY raw DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(raw, 6) AS score FROM top
+        | ORDER BY raw DESC, vec_id""".stripMargin,
     "q_search_fetch" ->
       """WITH hits AS (
         | SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

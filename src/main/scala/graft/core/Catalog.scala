@@ -64,19 +64,20 @@ class Collection private[core] (
 
   def isEmpty: Boolean = { recoverCompaction(); !fs.exists(new Path(dataDir)) }
 
-  /** Crash recovery for [[compact]]'s rename window. A crash between the
-    * two renames leaves the data directory MISSING, the original staged
+  /** Crash recovery for a staged directory swap ([[compact]], [[upsert]],
+    * [[reembedChanged]] all share the rename window). A crash between the
+    * two renames leaves the target directory MISSING, the original staged
     * at `_precompact`, and the rewrite at `_compacting`. Reads heal it:
     * roll the rewrite forward when it finished (its `_SUCCESS` commit
-    * marker exists — same data, fewer files), otherwise roll the
-    * original back. Either way the collection's rows are never lost and
-    * the next read sees a complete directory.
+    * marker exists), otherwise roll the original back. Either way the
+    * directory's rows are never lost and the next read sees a complete
+    * directory.
     */
-  private[core] def recoverCompaction(): Unit = synchronized {
-    val dataPath = new Path(dataDir)
-    val old = new Path(dataDir + "_precompact")
+  private[core] def recoverSwap(target: String): Unit = synchronized {
+    val dataPath = new Path(target)
+    val old = new Path(target + "_precompact")
     if (!fs.exists(dataPath) && fs.exists(old)) {
-      val tmp = new Path(dataDir + "_compacting")
+      val tmp = new Path(target + "_compacting")
       val tmpComplete =
         fs.exists(tmp) && fs.exists(new Path(tmp, "_SUCCESS"))
       if (tmpComplete && fs.rename(tmp, dataPath)) {
@@ -84,11 +85,13 @@ class Collection private[core] (
       } else {
         if (!fs.rename(old, dataPath))
           throw new java.io.IOException(
-            s"compaction recovery failed: original data is at $old")
+            s"swap recovery failed: original data is at $old")
         fs.delete(tmp, true)
       }
     }
   }
+
+  private[core] def recoverCompaction(): Unit = recoverSwap(dataDir)
 
   /** Row count. The reference's `SELECT COUNT('{col}')` counts a string
     * literal — effectively COUNT(*) (collection_actor.rs:380-389); we match
@@ -151,16 +154,51 @@ class Collection private[core] (
       if (isEmpty) return 0
       val totalBytes = fs.getContentSummary(new Path(dataDir)).getLength
       val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      val tmp = new Path(dataDir + "_compacting")
-      val old = new Path(dataDir + "_precompact")
-      val dataPath = new Path(dataDir)
-      fs.delete(tmp, true)
-      df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-      // the swap itself holds the same monitor as recoverCompaction: a
-      // concurrent read inside the rename window would otherwise "heal"
-      // the half-finished swap out from under this thread
-      synchronized { compactSwap(dataPath, old, tmp) }
+      writeAndSwap(dataDir) { tmp =>
+        df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+      }
       nFiles
+    } finally writeLock.unlock()
+  }
+
+  /** Stage a replacement directory via `write(tmpPath)` then swap it in
+    * with the checked two-rename pattern ([[compactSwap]]); a crash in
+    * the window is healed by [[recoverSwap]] on the next read. Caller
+    * must hold [[writeLock]]. The swap itself holds the same monitor as
+    * recoverSwap: a concurrent read inside the rename window would
+    * otherwise "heal" the half-finished swap out from under this thread.
+    */
+  private def writeAndSwap(target: String)(write: String => Unit): Unit = {
+    val tmp = new Path(target + "_compacting")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    synchronized {
+      compactSwap(new Path(target), new Path(target + "_precompact"), tmp)
+    }
+  }
+
+  /** Copy-on-write MERGE into the collection (same-key rows replaced,
+    * new keys appended — [[graft.operators.Upsert]] semantics) with the
+    * merged snapshot swapped in atomically-with-recovery like [[compact]].
+    * `updates` must carry `_key` plus the collection's columns (extras
+    * dropped, order-free).
+    *
+    * An upsert on an INDEXED collection leaves changed rows' embeddings
+    * stale — `embedColumn`'s max-key watermark cannot see a rewrite under
+    * an existing key. Call [[reembedChanged]] afterwards; the stored text
+    * fingerprint makes it exact.
+    */
+  def upsert(updates: DataFrame): Unit = {
+    writeLock.lock()
+    try {
+      require(!isEmpty, s"collection ${config.name} has no data; use import")
+      val existing = df
+      val aligned = updates.select(
+        existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val merged = graft.operators.Upsert(existing, aligned, KeyCol)
+      writeAndSwap(dataDir) { tmp =>
+        merged.write.mode("overwrite").parquet(tmp)
+      }
     } finally writeLock.unlock()
   }
 
@@ -215,30 +253,42 @@ class Collection private[core] (
     * always see `array<float>` (SURVEY §1.3).
     */
   def embeddings(column: String): DataFrame = {
-    val idx = new Path(indexDir(column))
-    // "exists but holds no data files" counts as empty too: a write task
-    // aborted mid-append (e.g. a streaming micro-batch killed between
-    // directory creation and first file commit) leaves the directory
-    // behind with no parquet footers, and a bare read would die with
-    // UNABLE_TO_INFER_SCHEMA instead of reporting an empty index.
-    val hasData = fs.exists(idx) &&
-      fs.listStatus(idx).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (!hasData)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField(KeyCol, LongType, nullable = false),
-          StructField("embedding", ArrayType(FloatType), nullable = false))))
-    else {
-      val raw = spark.read.parquet(indexDir(column))
-      if (!raw.schema.fieldNames.contains("qembedding")) raw
-      else {
+    val raw = indexRaw(column)
+    raw match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField(KeyCol, LongType, nullable = false),
+            StructField("embedding", ArrayType(FloatType), nullable = false))))
+      case Some(r) if r.schema.fieldNames.contains("qembedding") =>
         val variant = config.model_variant
         val deq = udf((b: Array[Byte]) =>
           graft.embed.Quantization.decode(variant, b).toSeq)
-        raw.select(col(KeyCol), deq(col("qembedding")).as("embedding"))
-      }
+        r.select(col(KeyCol), deq(col("qembedding")).as("embedding"))
+      case Some(r) =>
+        // readers keep the (_key, embedding) contract; the fingerprint
+        // column (reembedChanged's staleness marker) stays internal
+        r.select(col(KeyCol), col("embedding"))
     }
+  }
+
+  /** The index table as stored (including the `fp` fingerprint column when
+    * present), or None when absent/empty. "Exists but holds no data files"
+    * counts as empty too: a write task aborted mid-append (e.g. a
+    * streaming micro-batch killed between directory creation and first
+    * file commit) leaves the directory behind with no parquet footers,
+    * and a bare read would die with UNABLE_TO_INFER_SCHEMA instead of
+    * reporting an empty index. `mergeSchema` unions file schemas so
+    * pre-fingerprint index files coexist with fingerprinted appends.
+    */
+  private def indexRaw(column: String): Option[DataFrame] = {
+    recoverSwap(indexDir(column))
+    val idx = new Path(indexDir(column))
+    val hasData = fs.exists(idx) &&
+      fs.listStatus(idx).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (!hasData) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(indexDir(column)))
   }
 
   /** Number of indexed vectors for `column` (A2: the reference asks the
@@ -274,16 +324,76 @@ class Collection private[core] (
     // metadata-cheap) before/after index counts.
     if (pending.isEmpty) return 0L
     val variant = config.model_variant
-    val embedded0 = graft.embed.EmbedBatch.pairs(pending, embedder, batchSize)
+    // each index row carries the md5 fingerprint of the text it embeds —
+    // the marker reembedChanged compares against md5(current text) to
+    // find rows an upsert rewrote under an unchanged key
+    val embedded0 = graft.embed.EmbedBatch.triples(pending, embedder, batchSize)
     // f16/i8 variants quantize the stored payload (2 or ~1 bytes/dim vs 4);
     // reads dequantize transparently in embeddings().
     val embedded =
-      if (variant == "f32") embedded0.toDF(KeyCol, "embedding")
+      if (variant == "f32") embedded0.toDF(KeyCol, "fp", "embedding")
       else embedded0
-        .map { case (k, v) => (k, graft.embed.Quantization.encode(variant, v)) }
-        .toDF(KeyCol, "qembedding")
+        .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
+        .toDF(KeyCol, "fp", "qembedding")
     embedded.write.mode("append").parquet(indexDir(column))
     indexedCount(column) - before
+  }
+
+  /** Re-embed rows whose CURRENT text no longer matches the fingerprint
+    * stored next to their indexed vector — the repair step after
+    * [[upsert]] rewrites text under existing keys (which `embedColumn`'s
+    * max-key watermark cannot see). Exact by construction: `md5(text)` is
+    * compared against the md5 the indexer stored, so pure appends,
+    * no-op upserts, and already-repaired rows all re-embed nothing, and
+    * watermark semantics for appends are untouched.
+    *
+    * Scale shape: one key-equi-join between the collection (keys + md5 of
+    * the text column only — no vectors move) and the index's (key, fp)
+    * projection; only the changed rows are embedded. The index rewrite is
+    * an anti-join copy-on-write staged-swap like [[compact]] — O(index)
+    * I/O but no shuffle beyond the key join; at 10^10 rows the same
+    * mechanics apply per index partition. Rows indexed before the
+    * fingerprint column existed read `fp` as null and conservatively
+    * re-embed. Returns the number of rows re-embedded.
+    */
+  def reembedChanged(column: String, embedder: graft.embed.Embedder,
+                     batchSize: Int = 32): Long = {
+    import spark.implicits._
+    writeLock.lock()
+    try {
+      val raw = indexRaw(column).getOrElse { return 0L }
+      val idxFp =
+        if (raw.schema.fieldNames.contains("fp"))
+          raw.select(col(KeyCol), col("fp"))
+        else raw.select(col(KeyCol), lit(null).cast(StringType).as("fp"))
+      val cur = df.select(col(KeyCol),
+        coalesce(col(column).cast(StringType), lit("")).as("__txt"))
+      val changed = cur
+        .join(idxFp, Seq(KeyCol))
+        .filter(col("fp").isNull || col("fp") =!= md5(col("__txt")))
+        .select(col(KeyCol), col("__txt")).as[(Long, String)]
+        // the changed set drives BOTH the embed pass and the anti-join
+        // rewrite — materialize once instead of re-running the join
+        .localCheckpoint(true)
+      val n = changed.count()
+      if (n == 0L) return 0L
+      val variant = config.model_variant
+      val embedded0 = graft.embed.EmbedBatch.triples(changed, embedder, batchSize)
+      val fresh =
+        if (variant == "f32") embedded0.toDF(KeyCol, "fp", "embedding")
+        else embedded0
+          .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
+          .toDF(KeyCol, "fp", "qembedding")
+      val keep = raw.join(changed.toDF(KeyCol, "__txt").select(KeyCol),
+        Seq(KeyCol), "left_anti")
+      // the tmp write still reads the old index dir (keep's scan) — safe:
+      // writeAndSwap renames the target away only after the write commits
+      val next = keep.unionByName(fresh, allowMissingColumns = true)
+      writeAndSwap(indexDir(column)) { tmp =>
+        next.write.mode("overwrite").parquet(tmp)
+      }
+      n
+    } finally writeLock.unlock()
   }
 
   /** Streaming twin of [[embedColumn]]: watch the collection's data
@@ -349,12 +459,14 @@ class Collection private[core] (
               .as[(Long, String)]
           case _ => batch0
         }
-        val embedded0 = graft.embed.EmbedBatch.pairs(batch, embedder, batchSize)
+        // same fingerprinted layout as the batch indexer, so a stream-fed
+        // index supports reembedChanged too
+        val embedded0 = graft.embed.EmbedBatch.triples(batch, embedder, batchSize)
         val embedded =
-          if (variant == "f32") embedded0.toDF(KeyCol, "embedding")
+          if (variant == "f32") embedded0.toDF(KeyCol, "fp", "embedding")
           else embedded0
-            .map { case (k, v) => (k, graft.embed.Quantization.encode(variant, v)) }
-            .toDF(KeyCol, "qembedding")
+            .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
+            .toDF(KeyCol, "fp", "qembedding")
         embedded.write.mode("append").parquet(indexDir(column))
         range._2.foreach(bx => if (bx > maxSeen) maxSeen = bx)
         ()

@@ -38,6 +38,14 @@ object ConnectedComponents {
 
   /** `(node, comp)` for every node appearing in `edges`; `comp` is the
     * minimum node id in the component (deterministic, join-stable).
+    *
+    * Sizing `maxIter`: pointer jumping needs ~log2(max component
+    * diameter) rounds plus 1-2 of slack, so the default 20 covers
+    * diameters up to ~2^18 (~260k hops) — measured: a 5000-node path
+    * graph closes in ~13 rounds (q106_cc_chain benches it; the 10k-chain
+    * spec pins 15). Near-dup graphs are overwhelmingly diameter <= 2 and
+    * close in 2-3 rounds; raise maxIter only for genuinely chain-shaped
+    * edge sources (record-linkage transitivity, web graphs).
     */
   def labels(edges: DataFrame, aCol: String, bCol: String,
              maxIter: Int = 20): DataFrame = {

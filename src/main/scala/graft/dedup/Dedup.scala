@@ -89,18 +89,25 @@ object Dedup {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size
   }
 
+  /** Per-band LSH hashes of one text (band index = position) — the scalar
+    * shared by [[minhashBands]] and the streaming twin
+    * ([[graft.streaming.Streams.nearDedupStream]]) so batch and stream
+    * can never band differently.
+    */
+  def bandHashes(text: String, p: MinHashParams): Seq[Long] = {
+    val sig = minhashSignature(text, p)
+    (0 until p.bands).map { b =>
+      val slice = sig.slice(b * p.rowsPerBand, (b + 1) * p.rowsPerBand)
+      slice.foldLeft(StableHash.mix64(b.toLong))((acc, v) => StableHash.mix64(acc ^ v))
+    }
+  }
+
   /** `(key, band, band_hash)` — one row per band per document; equal
     * `(band, band_hash)` means the band's signature slice matched exactly.
     */
   def minhashBands(df: DataFrame, textCol: String, keyCol: String,
                    p: MinHashParams): DataFrame = {
-    val bandsUdf = udf { (text: String) =>
-      val sig = minhashSignature(text, p)
-      (0 until p.bands).map { b =>
-        val slice = sig.slice(b * p.rowsPerBand, (b + 1) * p.rowsPerBand)
-        slice.foldLeft(StableHash.mix64(b.toLong))((acc, v) => StableHash.mix64(acc ^ v))
-      }
-    }
+    val bandsUdf = udf((text: String) => bandHashes(text, p))
     df.select(col(keyCol), posexplode(bandsUdf(col(textCol))).as(Seq("band", "band_hash")))
   }
 
@@ -252,11 +259,29 @@ object Dedup {
     * docs contributes k² join rows; `maxShingleDf` drops shingles with
     * document frequency above it (boilerplate n-grams) — `None` keeps the
     * result exact.
+    *
+    * The exact (`maxShingleDf = None`) form is Σdf²-cost by construction
+    * and exists for verification fixtures and the oracle gate; it REFUSES
+    * inputs above `maxExactRows` (limit-bounded probe, same guard shape
+    * as q29's all-pairs twin — the scan stops at the threshold instead of
+    * counting the table) so a user cannot point it at a real corpus by
+    * accident. At scale: pass `maxShingleDf` (drops only boilerplate
+    * shingles that exact dedup already owns) or use [[minhashNearDups]].
+    * The guard also protects the q62/q68 compositions built on this pair
+    * source.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, keyCol: String,
                         blockCol: Option[String], threshold: Double,
                         shingleSize: Int = 3,
-                        maxShingleDf: Option[Int] = None): DataFrame = {
+                        maxShingleDf: Option[Int] = None,
+                        maxExactRows: Int = 100000): DataFrame = {
+    if (maxShingleDf.isEmpty) {
+      val n = df.limit(maxExactRows + 1).count()
+      require(n <= maxExactRows,
+        s"ngramJaccardPairs without maxShingleDf is an all-pairs-cost " +
+          s"verification twin (at least $n rows > $maxExactRows); use " +
+          "minhashNearDups or set maxShingleDf at scale")
+    }
     val blockCols = blockCol.toSeq.map(col)
     // shingles are joined on their 64-bit stable hash, not the string:
     // halves the shuffle payload and turns the join compare into a long

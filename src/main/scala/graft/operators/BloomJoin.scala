@@ -68,7 +68,14 @@ object BloomJoin {
         udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
       else
         udf((k: String) => k != null && bc.value.mightContainString(k))
-    fact.filter(mightContain(col(factKey).cast(if (fam == "long") "long" else "string")))
-      .join(dim, col(factKey) === col(dimKey))
+    val pruned =
+      fact.filter(mightContain(col(factKey).cast(if (fam == "long") "long" else "string")))
+    // same-name keys join USING (one key column out, like the plain-join
+    // idiom); distinct names join on explicitly-aliased sides so a stray
+    // same-named payload column on the other side can never make the key
+    // reference ambiguous
+    if (factKey == dimKey) pruned.join(dim, Seq(factKey))
+    else pruned.as("__bloom_f").join(dim.as("__bloom_d"),
+      col(s"__bloom_f.$factKey") === col(s"__bloom_d.$dimKey"))
   }
 }

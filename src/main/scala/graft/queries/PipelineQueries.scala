@@ -222,6 +222,42 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // The PRODUCTION dedup path end-to-end: the SAME apply chain as q68
+    // but fed MinHash-LSH pairs instead of exact pairs — pair gen is the
+    // banded equi-join (the only shape that scales to 100 TB), components
+    // and the anti-join are byte-identical to q68's. Graded against the
+    // exact recursive-CTE oracle: the gate fails unless LSH recall is 1.0
+    // on the fixture, proving "any pair source plugs in identically" with
+    // the source a real pipeline actually ships.
+    "q104_dedup_apply_lsh" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.8)
+      val kept = ConnectedComponents.dropDuplicates(docs, "doc_id", pairs)
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+          Seq("lang"))
+        .withColumn("n_dropped", col("n_total") - col("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // Adversarial CC convergence MEASURED at bench scale: a corpus-sized
+    // path graph (every doc_id linked to its successor — diameter ~n,
+    // the worst case for label propagation) through the same
+    // ConnectedComponents loop the dedup pipeline runs. Pointer jumping
+    // closes diameter d in ~log2(d) rounds (sf0.1: 5000-chain -> ~13
+    // rounds inside the default maxIter 20), so this bench row is the
+    // O(log d) claim as a number, not just a spec. The oracle derives
+    // the components structurally (gaps-and-islands over consecutive
+    // ids), independent of the iterative algorithm.
+    "q106_cc_chain" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val edges = ids
+        .select(col("doc_id").as("key_a"), (col("doc_id") + 1).as("key_b"))
+        .join(ids.withColumnRenamed("doc_id", "key_b"), Seq("key_b"), "left_semi")
+      ConnectedComponents.components(edges, "key_a", "key_b")
+        .orderBy(col("comp_id"))
+    }),
+
     // Incremental near-dedup: the nightly-crawl shape — new batch
     // (doc_id >= 250) deduped AGAINST the standing corpus (doc_id < 250)
     // via the band join, never corpus x corpus. Graded against the exact
@@ -336,6 +372,40 @@ object PipelineQueries {
       |   list_transform(range(1, 9),
       |     i -> CAST(strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1 AS BIGINT))),
       |   (a, b) -> a * 16 + b)""".stripMargin
+
+  /** Exact-pair dedup-apply oracle (recursive-CTE components over the
+    * exact Jaccard >= 0.8 edge list, per-lang kept/dropped counts) —
+    * shared by q68 (exact pairs) and q104 (MinHash-LSH pairs): the apply
+    * chain is pair-source-agnostic, so both must hash-match the same SQL.
+    */
+  private lazy val DedupApplyOracle: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+       | s AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
+       |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+       |  FROM t),
+       | pairs AS (
+       |  SELECT a.doc_id AS ka, b.doc_id AS kb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       | edges AS (SELECT ka AS src, kb AS dst FROM pairs
+       |           UNION ALL SELECT kb, ka FROM pairs),
+       | nodes AS (SELECT DISTINCT src AS node FROM edges),
+       | reach(node, label) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+       | gone AS (SELECT node FROM reach GROUP BY node
+       |          HAVING min(label) <> node),
+       | tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+       |         FROM documents GROUP BY lang),
+       | kept AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+       |          FROM documents WHERE doc_id NOT IN (SELECT node FROM gone)
+       |          GROUP BY lang)
+       |SELECT lang, n_total, n_kept, n_total - n_kept AS n_dropped
+       |FROM tot JOIN kept USING (lang) ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q62_dup_cc" ->
@@ -466,34 +536,21 @@ object PipelineQueries {
          |FROM s JOIN shared USING (span) GROUP BY s.doc_id
          |ORDER BY doc_id""".stripMargin,
 
-    "q68_dedup_apply" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
-         | s AS (SELECT doc_id,
-         |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
-         |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
-         |  FROM t),
-         | pairs AS (
-         |  SELECT a.doc_id AS ka, b.doc_id AS kb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-         | edges AS (SELECT ka AS src, kb AS dst FROM pairs
-         |           UNION ALL SELECT kb, ka FROM pairs),
-         | nodes AS (SELECT DISTINCT src AS node FROM edges),
-         | reach(node, label) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-         | gone AS (SELECT node FROM reach GROUP BY node
-         |          HAVING min(label) <> node),
-         | tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
-         |         FROM documents GROUP BY lang),
-         | kept AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
-         |          FROM documents WHERE doc_id NOT IN (SELECT node FROM gone)
-         |          GROUP BY lang)
-         |SELECT lang, n_total, n_kept, n_total - n_kept AS n_dropped
-         |FROM tot JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+    // structural (non-iterative) derivation: consecutive-id islands of
+    // size >= 2 are exactly the chain's components; isolated ids appear
+    // in no edge and so carry no label
+    "q106_cc_chain" ->
+      """WITH n AS (SELECT DISTINCT doc_id FROM documents),
+        | g AS (SELECT doc_id,
+        |   doc_id - row_number() OVER (ORDER BY doc_id) AS grp FROM n)
+        |SELECT min(doc_id) AS comp_id, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM g GROUP BY grp HAVING count(*) >= 2 ORDER BY comp_id""".stripMargin,
+
+    "q68_dedup_apply" -> DedupApplyOracle,
+    // q104 is the LSH-pair production path graded against the SAME exact
+    // oracle — recall < 1.0 on the fixture fails the hash gate
+    "q104_dedup_apply_lsh" -> DedupApplyOracle,
 
     // the empty-token filter mirrors shingleSet's nonEmpty: a blank doc
     // must yield an EMPTY shingle set (null jaccard, pair dropped), not

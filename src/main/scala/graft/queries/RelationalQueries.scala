@@ -20,6 +20,30 @@ object RelationalQueries {
 
   private def r2(c: org.apache.spark.sql.Column) = round(c, 2)
 
+  /** Columns profiled by q91 (exact) and q105 (sketch) — one list so the
+    * twins can never drift apart.
+    */
+  val ProfileCols: Seq[String] =
+    Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+
+  /** The sketch table profile — the plan to run at 100 TB: one scan,
+    * per-column null counts / HLL++ distinct sketches (rsd 2%) / min /
+    * max, ALL as ordinary partial-aggregating functions. No Expand, no
+    * row replication: the shuffle carries one fixed-size sketch row per
+    * partition (contrast q91's exact multi-distinct, which expands every
+    * fact row x(cols+1)). Returns the single wide row; q105 unpivots it
+    * and grades the sketches against their exact twins.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nnull"),
+      approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__adist"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: map-side partial agg, 2-key shuffle, tiny result.
     "q1_agg" -> ((s, d) =>
@@ -550,8 +574,16 @@ object RelationalQueries {
     // never one scan per column), then stack() unpivots the single
     // result row to a row per column. The data-quality step that gates
     // real ingest pipelines.
+    //
+    // EXPAND COST, deliberate: 4 exact countDistinct in one aggregate
+    // make Spark replicate every fact row x5 into the shuffle (one
+    // Expand branch per distinct column + one for the plain aggs). That
+    // is the right *exact* plan — one scan beats four — but at 100 TB a
+    // profile should run q105's sketch form instead: HLL++ partials
+    // aggregate map-side with NO Expand and a fixed-size shuffle. This
+    // exact form stays as q105's grading twin and for fixture-scale use.
     "q91_table_profile" -> ((s, d) => {
-      val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      val cols = ProfileCols
       val aggs = cols.flatMap { c => Seq(
         sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nnull"),
         countDistinct(col(c)).as(s"${c}__ndist"),
@@ -568,6 +600,33 @@ object RelationalQueries {
             "(column_name, n_null, n_distinct, min_val, max_val)"))
         .select(col("column_name"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min_val"), col("max_val"))
+        .orderBy(col("column_name"))
+    }),
+
+    // The 100 TB profiling plan, graded q103-style: the sketch profile
+    // (approxProfile — ONE scan, HLL++ partial aggregation, NO Expand,
+    // fixed-size shuffle) cross-joined with the exact multi-distinct row
+    // purely to PIN the sketch contract — the output carries the exact
+    // n_distinct plus a within-tolerance boolean, so HLL drift beyond
+    // 5% fails the hash gate while the approx value itself (engine-
+    // specific) never reaches the compare.
+    "q105_table_profile_approx" -> ((s, d) => {
+      val cols = ProfileCols
+      val ord = orders(s, d)
+      val approx = approxProfile(ord, cols)
+      val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__ndist"))
+      val exact = ord.agg(exactAggs.head, exactAggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}__nnull, ${c}__ndist, " +
+          s"abs(cast(${c}__adist as double) - ${c}__ndist) / ${c}__ndist <= 0.05, " +
+          s"${c}__min, ${c}__max").mkString(", ")
+      approx.crossJoin(exact)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.length}, $stackArgs) AS " +
+            "(column_name, n_null, n_distinct, dist_within_rsd, min_val, max_val)"))
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("dist_within_rsd"), col("min_val"),
+          col("max_val"))
         .orderBy(col("column_name"))
     }),
 
@@ -620,11 +679,18 @@ object RelationalQueries {
     // plain — the split that confines the small-side explosion to
     // |hot| x factor rows instead of |small| x factor. Oracle = the
     // plain join, proving the two paths partition the key space exactly.
+    // The hot threshold is MEASURED (avg frequency + 1 from the skew
+    // profile — "measure before you join"), not a constant tuned to one
+    // scale factor: at every sf roughly the above-average half of the
+    // keys clears it (capped at 100), so the salted path is always
+    // exercised.
     "q88_hot_salted" -> ((s, d) => {
       val li = lineitem(s, d).select(col("l_suppkey").as("skey"), col("l_quantity"))
       val sup = supplier(s, d).select(col("s_suppkey").as("skey"), col("s_nationkey"))
+      val minCount = math.ceil(graft.operators.SkewStats.profile(li, "skey")
+        .head().getAs[Double]("avg_n")).toLong + 1
       val hot = graft.operators.SkewStats.hotKeys(li, "skey",
-        minCount = 601, maxKeys = 100)
+        minCount = minCount, maxKeys = 100)
       graft.operators.SaltedJoin.innerHotAware(li, sup, "skey", hot, factor = 8)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
@@ -1068,6 +1134,35 @@ object RelationalQueries {
         |  count(DISTINCT o_orderstatus),
         |  min(o_orderstatus), max(o_orderstatus) FROM orders)
         |SELECT column_name, n_rows, n_null, n_distinct, min_val, max_val
+        |FROM p ORDER BY column_name""".stripMargin,
+    // q91's exact profile plus the pinned sketch contract: the HLL++
+    // estimate must sit within 5% of the exact count (q103's grading
+    // scheme) — the approx value itself never reaches the compare
+    "q105_table_profile_approx" ->
+      """WITH p AS (
+        | SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders
+        | UNION ALL
+        | SELECT 'o_orderkey', count(*),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderkey),
+        |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders)
+        |SELECT column_name, n_rows, n_null, n_distinct,
+        | true AS dist_within_rsd, min_val, max_val
         |FROM p ORDER BY column_name""".stripMargin,
     "q92_outliers" ->
       """WITH s AS (

@@ -103,14 +103,28 @@ object Ann {
 
   // ---- IVF ------------------------------------------------------------
 
-  /** Train `k` centroids with plain Lloyd iterations on a deterministic
-    * sample (first `sampleN` rows by key order). Driver-side on the sample
+  /** Deterministic UNBIASED training sample: the `sampleN` rows whose
+    * `md5(key)` sorts first (key tie-break) — a reproducible stand-in for
+    * a uniform random draw. Key ORDER sampling ("first N rows") is biased
+    * whenever keys correlate with content — a language-sorted or
+    * time-sorted import would train every centroid on the head of the
+    * corpus; the hash order is content-blind (same `Sampling.hashBucket`
+    * idiom, engine-reproducible). Driver-side on the sample only — the
+    * full corpus is never collected; the orderBy-limit plans as a
+    * per-partition top-N + driver merge, never a global sort.
+    */
+  private def trainingSample(embDf: DataFrame, keyCol: String, embCol: String,
+                             sampleN: Int): Array[Array[Double]] =
+    embDf.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(sampleN)
+      .select(col(embCol)).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Train `k` centroids with plain Lloyd iterations on the deterministic
+    * hash-ordered sample ([[trainingSample]]). Driver-side on the sample
     * only — the full corpus is never collected.
     */
   def ivfTrain(embDf: DataFrame, keyCol: String, embCol: String,
                k: Int, iters: Int = 10, sampleN: Int = 10000): Array[Array[Double]] = {
-    val sample = embDf.orderBy(col(keyCol)).limit(sampleN)
-      .select(col(embCol)).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = trainingSample(embDf, keyCol, embCol, sampleN)
     require(sample.nonEmpty, "cannot train IVF on an empty table")
     lloyd(sample, k, iters)
   }
@@ -215,8 +229,7 @@ object Ann {
               m: Int, k: Int = 16, iters: Int = 10,
               sampleN: Int = 10000): Array[Array[Array[Double]]] = {
     require(k <= 256, s"PQ codes are single bytes: k must be <= 256, got $k")
-    val sample = embDf.orderBy(col(keyCol)).limit(sampleN)
-      .select(col(embCol)).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = trainingSample(embDf, keyCol, embCol, sampleN)
     require(sample.nonEmpty, "cannot train PQ on an empty table")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m $m")

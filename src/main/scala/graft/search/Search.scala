@@ -33,13 +33,54 @@ object Search {
   def scoreAgainst(embCol: Column, queryVec: Array[Float]): Column =
     VectorFunctions.cosine(embCol, typedLit(queryVec.map(_.toDouble).toSeq))
 
-  /** K1: exact top-k `(_key, score)` for a query vector. */
+  /** K1: exact top-k `(_key, score)` for a query vector, with
+    * MULTI-VECTOR-PER-KEY semantics: a key's score is the max over all its
+    * vectors, and each key fills at most ONE result slot. The reference
+    * opens its usearch index `multi: true` (collection_actor.rs:409-417),
+    * so several vectors may share a `_key` — e.g. a document embedded at
+    * chunk granularity — and a per-vector top-k would let one document
+    * crowd out the whole result page.
+    *
+    * Scale shape: a naive `groupBy(key).max` puts the whole table through
+    * a key shuffle (with unique keys the partial aggregate collapses
+    * nothing). Instead stage 1 runs per-partition: local per-key max, then
+    * a local top-k cut — so the shuffle carries k rows PER PARTITION, the
+    * same k·p bound as `TakeOrderedAndProject`; stage 2 re-aggregates the
+    * k·p survivors (a key's partial maxima may arrive from several
+    * partitions) and takes the global k. Correctness of the local cut: if
+    * key K belongs in the global top-k with max score s (achieved in
+    * partition p), any key that outranks (s, K) locally in p has a global
+    * max outranking it too, so at most k-1 keys can — K survives p's cut.
+    * Stage-1 memory is one (long, double) entry per distinct key per
+    * partition — the same bound a hash aggregate needs.
+    */
   def topK(embeddings: DataFrame, queryVec: Array[Float], k: Int,
-           keyColName: String = KeyCol, embColName: String = "embedding"): DataFrame =
-    embeddings
-      .select(col(keyColName), scoreAgainst(col(embColName), queryVec).as("score"))
+           keyColName: String = KeyCol, embColName: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // null vectors can never rank (cosine of null is null, which the old
+    // orderBy sorted last anyway) — drop them before the typed decode
+    val scored = embeddings
+      .filter(col(embColName).isNotNull && col(keyColName).isNotNull)
+      .select(col(keyColName).cast("long"),
+        scoreAgainst(col(embColName), queryVec).as("score"))
+      .as[(Long, Double)]
+    val local = scored.mapPartitions { it =>
+      val best = new java.util.HashMap[java.lang.Long, java.lang.Double]
+      it.foreach { case (key, s) =>
+        val cur = best.get(key)
+        if (cur == null || s > cur) best.put(key, s)
+      }
+      import scala.jdk.CollectionConverters._
+      best.entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue, e.getValue.doubleValue))
+        .toArray.sortBy { case (key, s) => (-s, key) }.take(k).iterator
+    }
+    local.toDF(keyColName, "score")
+      .groupBy(col(keyColName)).agg(max(col("score")).as("score"))
       .orderBy(desc("score"), col(keyColName))
       .limit(k)
+  }
 
   /** K3: search-and-fetch — top-k hits joined back to the collection for
     * content; returns `(content, key, score)` like the reference's

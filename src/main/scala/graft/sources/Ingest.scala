@@ -45,6 +45,26 @@ object Ingest {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(resolvePath(path))
 
+  /** A low-collision corrupt-record sentinel: a legitimate input field
+    * named `_corrupt` must parse as an ordinary column, not be mistaken
+    * for the parser's marker (an input actually carrying THIS name would
+    * still collide — document-level caveat, not worth a uuid).
+    */
+  private[sources] val CorruptCol = "_graft_corrupt_record"
+
+  /** One-pass checked JSONL parse: `good` rows, `quarantined` raw lines
+    * (column `raw`), and a handle to release the materialization both
+    * frames share.
+    */
+  final case class CheckedJsonl(good: DataFrame, quarantined: DataFrame,
+                                private val backing: Option[DataFrame]) {
+    /** Unpersist the cached one-pass parse backing both frames. Call once
+      * the good rows are staged/written; without it the cache lives to
+      * session end. Idempotent.
+      */
+    def release(): Unit = backing.foreach(_.unpersist())
+  }
+
   /** JSONL read that ROUTES corrupt lines instead of failing the job or
     * silently dropping them: PERMISSIVE parse with a corrupt-record
     * column, split into (parsed rows, quarantined raw lines). At 100 TB
@@ -52,27 +72,29 @@ object Ingest {
     * nor vanish (DROPMALFORMED) — the bad lines land in a quarantine
     * the operator can inspect and replay. The parse is materialized
     * once before the split (Spark disallows filtering on the internal
-    * corrupt column of a streaming-parsed JSON relation); at cluster
-    * scale the same one-pass materialization is the staging write that
-    * precedes any real ingest.
+    * corrupt column of a streaming-parsed JSON relation) and released
+    * via [[CheckedJsonl.release]]; at cluster scale prefer writing
+    * `good` to a staging path over holding the cache — the cache is the
+    * local-convenience form of that staging write.
     */
-  def readJsonlChecked(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+  def readJsonlChecked(spark: SparkSession, path: String): CheckedJsonl = {
     val raw = spark.read
       .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("columnNameOfCorruptRecord", CorruptCol)
       .json(resolvePath(path))
-    if (!raw.columns.contains("_corrupt")) {
+    if (!raw.columns.contains(CorruptCol)) {
       // schema inference saw no corrupt lines — nothing to quarantine
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("_corrupt", StringType))))
-      (raw, empty)
+        StructType(Seq(StructField("raw", StringType))))
+      CheckedJsonl(raw, empty, None)
     } else {
       val parsed = raw.cache()
-      val good = parsed.filter(col("_corrupt").isNull).drop("_corrupt")
-      val bad = parsed.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
-      (good, bad)
+      val good = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+      val bad = parsed.filter(col(CorruptCol).isNotNull)
+        .select(col(CorruptCol).as("raw"))
+      CheckedJsonl(good, bad, Some(parsed))
     }
   }
 

@@ -84,6 +84,73 @@ object Streams {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming near-dedup: the continuous form of
+    * [[graft.dedup.Dedup.incrementalNearDupsFromBands]] — every arriving
+    * document is checked against a STANDING corpus's stored MinHash bands
+    * and verified with exact shingle Jaccard, emitting
+    * `(corpus_key, new_key, jaccard, ts)` pairs as they are found. The
+    * "nightly batch vs corpus" shape (q69) becomes "every micro-batch vs
+    * corpus" with identical semantics on a closed input (spec'd).
+    *
+    * State story: banding is a map-side UDF; the band match and the
+    * shingle-verify join are STREAM-STATIC equi-joins — stateless, no
+    * watermark needed, corpus side read per micro-batch (pass stored/
+    * pre-aggregated bands; at 10^10 docs that read is pruned by the band
+    * join's keys, and the corpus never joins itself). The ONLY stateful
+    * operator is the final pair dedup (a doc colliding with the same
+    * corpus doc in several bands must emit once):
+    * `dropDuplicatesWithinWatermark` keyed on the pair — its state is
+    * bounded by `watermarkDelay`, the standard trade (a duplicate
+    * candidate arriving later than the delay could re-emit; candidates
+    * for one document all arrive in its own micro-batch, so in practice
+    * the state covers in-flight batches only).
+    *
+    * The stream side carries its text through the band explode (×bands
+    * payload) instead of re-joining the stream to itself — stream-stream
+    * joins buffer both sides; the nightly delta is the small side and
+    * carrying beats buffering.
+    */
+  def nearDedupStream(newDocs: DataFrame, corpusBands: DataFrame,
+                      corpusDf: DataFrame, textCol: String, keyCol: String,
+                      tsCol: String = "ts",
+                      threshold: Double = 0.8,
+                      p: graft.dedup.Dedup.MinHashParams =
+                        graft.dedup.Dedup.MinHashParams(),
+                      maxBucket: Int = 1000,
+                      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.dedup.Dedup
+    // static side, built once and reused every micro-batch: bucketed
+    // corpus bands (capped like the batch operator) and the corpus
+    // shingle sets keyed for the verify join. localCheckpoint pins them
+    // so the per-document minhash/shingle UDFs don't re-run per trigger.
+    val corpusBuckets = corpusBands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(keyCol)).as("ckeys"))
+      .filter(size(col("ckeys")) <= maxBucket)
+      .localCheckpoint(true)
+    val shC = corpusDf.select(col(keyCol).as("corpus_key"),
+      Dedup.shingleArray(col(textCol), p.shingleSize).as("sh_a"))
+      .localCheckpoint(true)
+    val bandsUdf = udf((text: String) => Dedup.bandHashes(text, p))
+    val newBands = newDocs
+      .select(col(keyCol).as("new_key"), col(textCol).as("__text"), col(tsCol))
+      .select(col("new_key"), col("__text"), col(tsCol),
+        posexplode(bandsUdf(col("__text"))).as(Seq("band", "band_hash")))
+    newBands
+      .join(corpusBuckets, Seq("band", "band_hash")) // stream-static, stateless
+      .select(col("new_key"), col("__text"), col(tsCol),
+        explode(col("ckeys")).as("corpus_key"))
+      .join(shC, Seq("corpus_key")) // stream-static, stateless
+      .withColumn("jaccard",
+        Dedup.jaccardCol(col("sh_a"),
+          Dedup.shingleArray(col("__text"), p.shingleSize)))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("corpus_key", "new_key")
+      .select(col("corpus_key"), col("new_key"),
+        round(col("jaccard"), 6).as("jaccard"), col(tsCol))
+  }
+
   /** Watermarked streaming twin of [[hourlyTypeCounts]]. Caller attaches a
     * sink; with `outputMode(Append)` windows emit once the 2h watermark
     * passes.

@@ -174,6 +174,43 @@ class CatalogSpec extends SparkSpec {
     assert(scores.sorted.reverse.toSeq == scores.toSeq)
     assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
   }
+
+  test("upsert then reembedChanged: search reflects new text, watermark untouched") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "c5"))
+    c.importDf(Seq("apple banana fruit", "car truck vehicle",
+      "solar panel energy").toDF("text"))
+    val emb = new HashingEmbedder(dim = 64)
+    assert(c.embedColumn("text", emb) == 3)
+    // the trap: upsert rewrites _key 2's text; the max-key watermark sees
+    // nothing new, so without the fingerprint the embedding stays stale
+    val upd = c.df.filter(col("_key") === 2)
+      .select(lit("quantum physics particle").as("text"), col("_key"))
+    c.upsert(upd)
+    assert(c.df.filter(col("_key") === 2).select("text").head().getString(0)
+      == "quantum physics particle")
+    assert(c.embedColumn("text", emb) == 0, "watermark must see nothing new")
+    // stale: key 2 still scores the OLD text's vector against the new
+    // query (an exact-text query would score ~1.0 on a fresh embedding)
+    val stale = c.search("text", "quantum physics particle", 3, emb)
+      .filter(col("key") === 2).head().getDouble(2)
+    assert(stale < 0.9, s"embedding should still be stale, scored $stale")
+    // the repair: exactly the one changed row re-embeds
+    assert(c.reembedChanged("text", emb) == 1)
+    assert(c.reembedChanged("text", emb) == 0, "second pass finds nothing")
+    assert(c.indexedCount("text") == 3, "rewrite must not duplicate index rows")
+    val fixed = c.search("text", "quantum physics particle", 1, emb).head()
+    assert(fixed.getLong(1) == 2L && fixed.getString(0) == "quantum physics particle")
+    assert(fixed.getDouble(2) > 0.999, "re-embedded exact text must score ~1")
+    // pure appends still ride the watermark (semantics unchanged)
+    c.appendDf(Seq("ocean wave tide").toDF("text"))
+    assert(c.embedColumn("text", emb) == 1)
+    assert(c.reembedChanged("text", emb) == 0)
+    // upserted NEW keys (append-via-merge) are embedColumn's job still
+    val novel = Seq(("mountain hiking trail", 99L)).toDF("text", "_key")
+    c.upsert(novel)
+    assert(c.embedColumn("text", emb) == 1, "new key above watermark embeds normally")
+  }
 }
 
 class EmbedderSpec extends SparkSpec {
@@ -221,5 +258,32 @@ class SearchSpec extends SparkSpec {
     Search.validateLimit(1); Search.validateLimit(100)
     intercept[IllegalArgumentException] { Search.validateLimit(0) }
     intercept[IllegalArgumentException] { Search.validateLimit(101) }
+  }
+
+  test("multi-vector keys fill one slot each with their max score") {
+    // reference parity: usearch is opened multi:true (collection_actor
+    // .rs:409-417) — a doc embedded at chunk granularity stores several
+    // vectors under one _key and must not occupy several result slots.
+    // key 1 has three vectors (best ~1.0), key 2 two (best lower), keys
+    // 3..6 one each; k=3 must return three DISTINCT keys, key 1 first
+    // with its best vector's score.
+    val q = Array(1.0f, 0.0f)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, v(1.0, 0.0)), (1L, v(0.0, 1.0)), (1L, v(0.5, 0.5)),
+      (2L, v(0.9, 0.4359)), (2L, v(-1.0, 0.0)),
+      (3L, v(0.8, 0.6)), (4L, v(0.6, 0.8)), (5L, v(0.0, 1.0)),
+      (6L, v(0.99, 0.141067))
+    ).toDF("_key", "embedding")
+    val top = Search.topK(emb, q, 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSeq == Seq(1L, 6L, 2L),
+      s"expected distinct keys by max score, got ${top.toSeq}")
+    assert(math.abs(top.head._2 - 1.0) < 1e-9, "key 1 scored by its BEST vector")
+    assert(top.map(_._1).distinct.length == 3, "one slot per key")
+    // partition-stability: same result no matter how rows are split
+    val top2 = Search.topK(emb.repartition(7), q, 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top2.toSeq == top.toSeq, "result must not depend on partitioning")
   }
 }

@@ -25,21 +25,25 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // IVF/PQ pins re-frozen when training moved from first-N-by-key to the
+  // deterministic hash-ordered (content-blind) sample — different
+  // centroids, same contract; the dynamic oracles re-derive from the
+  // same sample, so these stay their redundancy.
   test("golden: q_ivf_topk exact top-10 (probed lists, fixture-pinned)") {
     val got = q("q_ivf_topk").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val want = Seq(
       0L -> 1.0, 17L -> 0.334456, 225L -> 0.315127, 12L -> 0.311027,
-      483L -> 0.300451, 260L -> 0.298669, 73L -> 0.297238, 212L -> 0.281399,
-      347L -> 0.274508, 402L -> 0.2745)
+      483L -> 0.300451, 402L -> 0.2745, 299L -> 0.268713, 232L -> 0.267338,
+      497L -> 0.252082, 82L -> 0.2494)
     assert(got == want)
   }
 
   test("golden: q71_pq ADC top-10 (codebook-pinned)") {
     val got = q("q71_pq").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val want = Seq(
-      0L -> 0.399067, 12L -> 0.909351, 232L -> 0.947182, 73L -> 0.962963,
-      306L -> 0.992444, 285L -> 0.997102, 155L -> 1.019453, 443L -> 1.026115,
-      402L -> 1.030248, 347L -> 1.036975)
+      0L -> 0.540217, 12L -> 1.001673, 82L -> 1.026513, 212L -> 1.04696,
+      402L -> 1.04855, 349L -> 1.07384, 468L -> 1.083522, 225L -> 1.086206,
+      145L -> 1.104914, 258L -> 1.107367)
     assert(got == want)
   }
 

@@ -51,18 +51,32 @@ class IngestSpec extends SparkSpec {
         |{"id": 3 "text": MANGLED
         |{"id": 4, "text": "ok four"}
         |""".stripMargin)
-    val (good, bad) = graft.sources.Ingest.readJsonlChecked(spark, s"$dir/in.jsonl")
-    assert(good.count() == 3, "all well-formed lines parse")
-    assert(good.columns.toSet == Set("id", "text"), "corrupt column dropped from good rows")
-    val quarantined = bad.collect().map(_.getString(0))
+    val checked = graft.sources.Ingest.readJsonlChecked(spark, s"$dir/in.jsonl")
+    assert(checked.good.count() == 3, "all well-formed lines parse")
+    assert(checked.good.columns.toSet == Set("id", "text"),
+      "corrupt column dropped from good rows")
+    val quarantined = checked.quarantined.collect().map(_.getString(0))
     assert(quarantined.length == 1 && quarantined.head.contains("MANGLED"),
       "the raw bad line is preserved for inspection/replay")
+    checked.release() // the shared parse cache must be caller-releasable
+    checked.release() // ...and idempotent
     // a fully clean file quarantines nothing
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/clean.jsonl"),
       """{"id": 1}
         |""".stripMargin)
-    val (g2, b2) = graft.sources.Ingest.readJsonlChecked(spark, s"$dir/clean.jsonl")
-    assert(g2.count() == 1 && b2.count() == 0)
+    val c2 = graft.sources.Ingest.readJsonlChecked(spark, s"$dir/clean.jsonl")
+    assert(c2.good.count() == 1 && c2.quarantined.count() == 0)
+    c2.release()
+    // a LEGITIMATE field named "_corrupt" is ordinary data, not the
+    // parser sentinel — good rows keep it, nothing is quarantined
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/field.jsonl"),
+      """{"id": 1, "_corrupt": "just a value"}
+        |{"id": 2 BROKEN
+        |""".stripMargin)
+    val c3 = graft.sources.Ingest.readJsonlChecked(spark, s"$dir/field.jsonl")
+    assert(c3.good.columns.contains("_corrupt"), "user _corrupt field survives")
+    assert(c3.good.count() == 1 && c3.quarantined.count() == 1)
+    c3.release()
   }
 
   test("isMostlyText boundary matches the reference's 50-char heuristic") {
