@@ -62,6 +62,15 @@ class QuantizationSpec extends SparkSpec {
       val hits = c.search("text", "apple fruit", 2, emb).collect()
       assert(hits.head.getString(0).contains("apple"), variant)
       assert(hits.head.getDouble(2) > 0.5, variant)
+      // upsert -> reembedChanged works on the quantized layout too: the
+      // fingerprint rides next to qembedding, and the rewrite re-encodes
+      import org.apache.spark.sql.functions._
+      c.upsert(c.df.filter(col("_key") === 2)
+        .select(lit("ocean coral reef").as("text"), col("_key")))
+      assert(c.reembedChanged("text", emb) == 1, variant)
+      assert(c.indexedCount("text") == 3, variant)
+      val fixed = c.search("text", "ocean coral reef", 1, emb).head()
+      assert(fixed.getLong(1) == 2L && fixed.getDouble(2) > 0.9, variant)
     }
   }
 }
