@@ -58,6 +58,12 @@ object Search {
            keyColName: String = KeyCol, embColName: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // loud guard: the typed stage decodes keys as long; a non-integral
+    // key would cast to null and be silently FILTERED below — an empty
+    // result instead of an error
+    val keyType = embeddings.schema(keyColName).dataType
+    require(Seq("byte", "short", "integer", "long").contains(keyType.typeName),
+      s"topK requires an integral key column, got $keyType for '$keyColName'")
     // null vectors can never rank (cosine of null is null, which the old
     // orderBy sorted last anyway) — drop them before the typed decode
     val scored = embeddings
