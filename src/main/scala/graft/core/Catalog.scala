@@ -292,10 +292,12 @@ class Collection private[core] (
   }
 
   /** Number of indexed vectors for `column` (A2: the reference asks the
-    * usearch index for its size, collection_actor.rs:367-378).
+    * usearch index for its size, collection_actor.rs:367-378). Goes
+    * through [[embeddings]] — NOT a bare directory-existence check —
+    * so a crashed staged swap ([[recoverSwap]]) heals before counting;
+    * the absent-index case is the empty frame, count 0.
     */
-  def indexedCount(column: String): Long =
-    if (!fs.exists(new Path(indexDir(column)))) 0L else embeddings(column).count()
+  def indexedCount(column: String): Long = embeddings(column).count()
 
   /** Embed `column` incrementally and append to its index (E4).
     *

@@ -145,6 +145,28 @@ class CatalogSpec extends SparkSpec {
     assert(!new java.io.File(c2.dataDir + "_precompact").exists)
   }
 
+  test("crashed index-rewrite swap recovers on next read") {
+    // reembedChanged replaces the index dir with the same staged-swap
+    // compact uses; a crash inside the rename window must heal on read
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "crash3"))
+    c.importDf(Seq("aa bb", "cc dd").toDF("text"))
+    val emb = new HashingEmbedder(dim = 32)
+    assert(c.embedColumn("text", emb) == 2)
+    val idx = new java.io.File(c.indexDir("text"))
+    val old = new java.io.File(c.indexDir("text") + "_precompact")
+    val tmp = new java.io.File(c.indexDir("text") + "_compacting")
+    // crash after the original was staged aside, rewrite incomplete
+    // (no _SUCCESS) -> reads roll the original back
+    assert(idx.renameTo(old), "test setup: stage index aside")
+    tmp.mkdirs()
+    java.nio.file.Files.write(tmp.toPath.resolve("part-garbage.parquet"),
+      "not parquet".getBytes)
+    assert(c.indexedCount("text") == 2, "read must heal the index swap")
+    assert(!old.exists && !tmp.exists, "recovery must clean the staging dirs")
+    assert(c.reembedChanged("text", emb) == 0, "healed index is current")
+  }
+
   test("importChunks widens schema with a new column") {
     val cat = new Catalog(spark, tmpRoot())
     val c = cat.create(CollectionConfig(name = "c3"))
