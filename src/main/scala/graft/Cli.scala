@@ -69,6 +69,26 @@ object Cli {
           val n = c.embedColumn(col, embedder)
           println(s"indexed $n new rows for column '$col'")
         }
+      case "upsert" =>
+        // merge corrections/re-crawls into an existing (possibly indexed)
+        // collection: copy-on-write MERGE on _key, then repair the
+        // embeddings — changed keys re-embed via the stored fingerprint,
+        // brand-new keys ride the normal watermark
+        val c = catalog.load(req(flags, "collection"))
+        val path = positional.headOption.getOrElse(fail("updates file required"))
+        val lower = path.toLowerCase
+        val updates =
+          if (lower.endsWith(".jsonl") || lower.endsWith(".json"))
+            Ingest.readJsonl(s, path)
+          else Ingest.readParquet(s, path)
+        c.upsert(updates)
+        println(s"merged $path -> ${c.config.name} (${c.count()} rows)")
+        val embedder = registry.load(c.config.model_name, c.config.model_variant)
+        c.config.index_columns.foreach { col =>
+          val changed = c.reembedChanged(col, embedder)
+          val fresh = c.embedColumn(col, embedder)
+          println(s"column '$col': re-embedded $changed changed rows, embedded $fresh new rows")
+        }
       case "search" =>
         val c = catalog.load(req(flags, "collection"))
         val column = flags.getOrElse("column",
@@ -143,9 +163,10 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Cli <index|add-docs|search|serve|list|list-models> [flags] [file]
+    """usage: graft.Cli <index|add-docs|upsert|search|serve|list|list-models> [flags] [file]
       |  index    --collection C [--index-columns a,b] [--model m] [--variant v] [--overwrite] <file>
       |  add-docs --collection C <file>
+      |  upsert   --collection C <file with _key>   # merge + re-embed changed rows
       |  search   --collection C --query Q [--column col] [--limit n]
       |  serve    [--port 7898]
       |  list
