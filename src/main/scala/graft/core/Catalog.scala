@@ -59,13 +59,16 @@ class Collection private[core] (
     */
   def df: DataFrame = {
     recoverCompaction()
+    recoverFileSwap(dataDir)
     spark.read.option("mergeSchema", "true").parquet(dataDir)
   }
 
   def isEmpty: Boolean = { recoverCompaction(); !fs.exists(new Path(dataDir)) }
 
-  /** Crash recovery for a staged directory swap ([[compact]], [[upsert]],
-    * [[reembedChanged]] all share the rename window). A crash between the
+  /** Crash recovery for a staged directory swap ([[compact]] and
+    * [[compactIndex]] share the rename window; [[upsert]] and
+    * [[reembedChanged]] use the file-granular journal protocol below,
+    * healed by [[recoverFileSwap]]). A crash between the
     * two renames leaves the target directory MISSING, the original staged
     * at `_precompact`, and the rewrite at `_compacting`. Reads heal it:
     * roll the rewrite forward when it finished (its `_SUCCESS` commit
@@ -92,6 +95,123 @@ class Collection private[core] (
   }
 
   private[core] def recoverCompaction(): Unit = recoverSwap(dataDir)
+
+  // ---- file-granular copy-on-write ([[upsert]] / [[reembedChanged]]) ----
+  //
+  // Whole-directory staged swaps (compact's mechanism) rewrite O(table)
+  // bytes for ANY update size — a scale-killer when a 1,000-row correction
+  // batch hits a 100 TB collection. The file-granular protocol instead
+  // replaces only the parquet files whose footer `_key` range intersects
+  // the update keys ([[ParquetStats.fileKeyRanges]] — footer metadata,
+  // no data I/O), leaving every other file untouched on disk.
+  //
+  // Commit protocol (crash-safe, roll-forward):
+  //   1. write the replacement rows to `<target>_staging/` (Spark job);
+  //   2. write a journal listing (files-to-delete, staged-files) to a tmp
+  //      name and RENAME it to `<target>_swapjournal` — this rename is the
+  //      commit point;
+  //   3. move staged files into the target dir, then delete the replaced
+  //      files, then drop the staging dir and the journal.
+  // A crash before (2) leaves an uncommitted staging dir that the next
+  // read discards; a crash after (2) is completed by the next read
+  // re-running (3) — every step is idempotent (move: skip when already
+  // moved; delete: already-gone is fine), so rows are never lost and
+  // duplicates never survive past the heal that every read performs.
+
+  private def journalPath(target: String) = new Path(target + "_swapjournal")
+  private def stagingPath(target: String) = new Path(target + "_staging")
+
+  /** Heal a crashed file-granular swap: roll a committed journal forward,
+    * discard an uncommitted staging dir. Runs before every read of a
+    * directory that [[replaceFiles]] may have been rewriting.
+    */
+  private[core] def recoverFileSwap(target: String): Unit = synchronized {
+    if (fs.exists(journalPath(target))) completeFileSwap(target)
+    else {
+      val stage = stagingPath(target)
+      if (fs.exists(stage)) fs.delete(stage, true)
+      fs.delete(new Path(target + "_swapjournal_tmp"), false)
+    }
+  }
+
+  /** Replace `deleteLeaves` (leaf file names under `target`) with whatever
+    * `write` stages — the file-granular copy-on-write commit. Caller must
+    * hold [[writeLock]]. The journal rename and the swap share the
+    * [[recoverSwap]] monitor so a concurrent reader can't heal a
+    * half-committed swap out from under this thread.
+    */
+  private def replaceFiles(target: String, deleteLeaves: Seq[String])(write: String => Unit): Unit = {
+    val stage = stagingPath(target)
+    fs.delete(stage, true)
+    write(stage.toString)
+    val stagedLeaves =
+      if (!fs.exists(stage)) Seq.empty[String]
+      else fs.listStatus(stage).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName)
+    // Spark part-file names embed a per-job UUID, so a collision with an
+    // existing file would mean something is deeply wrong — refuse rather
+    // than let the journal's delete step destroy the staged replacement
+    stagedLeaves.foreach { n =>
+      require(!fs.exists(new Path(target, n)), s"staged file name collides with existing: $n")
+    }
+    val body = (deleteLeaves.map("D " + _) ++ stagedLeaves.map("S " + _)).mkString("\n")
+    val jTmp = new Path(target + "_swapjournal_tmp")
+    val out = fs.create(jTmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    synchronized {
+      if (!fs.rename(jTmp, journalPath(target)))
+        throw new java.io.IOException(s"could not commit swap journal for $target")
+      completeFileSwap(target)
+    }
+  }
+
+  /** Execute a committed journal to completion (idempotent — safe to
+    * re-run after a crash at any point). Moves staged files in BEFORE
+    * deleting replaced ones: a crash mid-way leaves extra rows that the
+    * next read's re-run removes, never missing rows.
+    */
+  private def completeFileSwap(target: String): Unit = {
+    val j = journalPath(target)
+    val stage = stagingPath(target)
+    val in = fs.open(j)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+      finally in.close()
+    lines.collect { case l if l.startsWith("S ") => l.drop(2) }.foreach { n =>
+      val src = new Path(stage, n)
+      val dst = new Path(target, n)
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(src, false)
+        else if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"file swap: could not move $n into $target")
+      }
+    }
+    lines.collect { case l if l.startsWith("D ") => l.drop(2) }.foreach { n =>
+      fs.delete(new Path(target, n), false)
+    }
+    fs.delete(stage, true)
+    fs.delete(j, false)
+  }
+
+  /** The files under `target` whose footer `_key` range intersects at
+    * least one key in `keys` — the "which files does this batch touch"
+    * planning step. Footer ranges are O(files) driver-side metadata; the
+    * intersection is one broadcast range-join collecting only file ids.
+    */
+  private def touchedFiles(target: String, keys: DataFrame): Seq[FileKeyRange] = {
+    val ranges = ParquetStats.fileKeyRanges(target, KeyCol,
+      spark.sparkContext.hadoopConfiguration)
+    if (ranges.isEmpty) return Seq.empty
+    import spark.implicits._
+    val rangesDf = ranges.zipWithIndex
+      .map { case (r, i) => (i, r.min, r.max) }.toDF("__file", "__min", "__max")
+    val hit = keys.select(col(KeyCol))
+      .join(broadcast(rangesDf),
+        col(KeyCol) >= col("__min") && col(KeyCol) <= col("__max"))
+      .select("__file").distinct().collect().map(_.getInt(0)).toSet
+    ranges.zipWithIndex.collect { case (r, i) if hit(i) => r }
+  }
 
   /** Row count. The reference's `SELECT COUNT('{col}')` counts a string
     * literal — effectively COUNT(*) (collection_actor.rs:380-389); we match
@@ -178,10 +298,20 @@ class Collection private[core] (
   }
 
   /** Copy-on-write MERGE into the collection (same-key rows replaced,
-    * new keys appended — [[graft.operators.Upsert]] semantics) with the
-    * merged snapshot swapped in atomically-with-recovery like [[compact]].
+    * new keys appended — [[graft.operators.Upsert]] semantics).
     * `updates` must carry `_key` plus the collection's columns (extras
     * dropped, order-free).
+    *
+    * Partition-scoped, not whole-table: only the parquet files whose
+    * footer `_key` range intersects an update key are rewritten
+    * ([[touchedFiles]]); every other file stays byte-identical on disk,
+    * so a small correction batch into a huge collection costs O(touched
+    * files + batch), not O(collection). Update rows whose keys land in no
+    * existing file's range (genuinely new keys) simply become new files.
+    * The replacement is range-clustered and key-sorted on write so future
+    * upserts keep tight footer intervals to prune against. Commit is the
+    * journaled file swap ([[replaceFiles]]) — crash-safe with
+    * roll-forward recovery on the next read.
     *
     * An upsert on an INDEXED collection leaves changed rows' embeddings
     * stale — `embedColumn`'s max-key watermark cannot see a rewrite under
@@ -193,11 +323,29 @@ class Collection private[core] (
     try {
       require(!isEmpty, s"collection ${config.name} has no data; use import")
       val existing = df
+      val fields = existing.schema.fields
       val aligned = updates.select(
         existing.schema.fieldNames.map(col).toIndexedSeq: _*)
-      val merged = graft.operators.Upsert(existing, aligned, KeyCol)
-      writeAndSwap(dataDir) { tmp =>
-        merged.write.mode("overwrite").parquet(tmp)
+      val touched = touchedFiles(dataDir, aligned.select(KeyCol))
+      val base =
+        if (touched.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], existing.schema)
+        else {
+          val t = spark.read.option("mergeSchema", "true")
+            .parquet(touched.map(_.path.toString).toIndexedSeq: _*)
+          // touched files may predate a schema-widening append (importChunks);
+          // align them to the full collection schema so the merge never narrows
+          t.select(fields.map { f =>
+            if (t.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        }
+      val merged = graft.operators.Upsert(base, aligned, KeyCol)
+      val nOut = math.max(1, touched.length)
+      replaceFiles(dataDir, touched.map(_.path.getName)) { tmp =>
+        merged.repartitionByRange(nOut, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(tmp)
       }
     } finally writeLock.unlock()
   }
@@ -284,6 +432,7 @@ class Collection private[core] (
     */
   private def indexRaw(column: String): Option[DataFrame] = {
     recoverSwap(indexDir(column))
+    recoverFileSwap(indexDir(column))
     val idx = new Path(indexDir(column))
     val hasData = fs.exists(idx) &&
       fs.listStatus(idx).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -364,18 +513,24 @@ class Collection private[core] (
     writeLock.lock()
     try {
       val raw = indexRaw(column).getOrElse { return 0L }
+      val watermark = Keys.maxKey(raw)
       val idxFp =
         if (raw.schema.fieldNames.contains("fp"))
           raw.select(col(KeyCol), col("fp"))
         else raw.select(col(KeyCol), lit(null).cast(StringType).as("fp"))
-      val cur = df.select(col(KeyCol),
+      // Repair domain: collection keys <= the index watermark. LEFT join —
+      // an upsert can introduce a brand-new key BELOW the watermark, which
+      // embedColumn's max-key scan will never look at; here it surfaces as
+      // a missing index row (fp null) and embeds. Keys above the watermark
+      // stay embedColumn's job (append semantics untouched).
+      val cur = df.filter(col(KeyCol) <= watermark).select(col(KeyCol),
         coalesce(col(column).cast(StringType), lit("")).as("__txt"))
       val changed = cur
-        .join(idxFp, Seq(KeyCol))
+        .join(idxFp, Seq(KeyCol), "left_outer")
         .filter(col("fp").isNull || col("fp") =!= md5(col("__txt")))
         .select(col(KeyCol), col("__txt")).as[(Long, String)]
-        // the changed set drives BOTH the embed pass and the anti-join
-        // rewrite — materialize once instead of re-running the join
+        // the changed set drives the embed pass, the touched-file plan AND
+        // the anti-join rewrite — materialize once
         .localCheckpoint(true)
       val n = changed.count()
       if (n == 0L) return 0L
@@ -386,15 +541,53 @@ class Collection private[core] (
         else embedded0
           .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
           .toDF(KeyCol, "fp", "qembedding")
-      val keep = raw.join(changed.toDF(KeyCol, "__txt").select(KeyCol),
-        Seq(KeyCol), "left_anti")
-      // the tmp write still reads the old index dir (keep's scan) — safe:
-      // writeAndSwap renames the target away only after the write commits
-      val next = keep.unionByName(fresh, allowMissingColumns = true)
-      writeAndSwap(indexDir(column)) { tmp =>
-        next.write.mode("overwrite").parquet(tmp)
+      // Partition-scoped rewrite: only index files whose footer key range
+      // intersects a changed key are rewritten; the rest of the index
+      // stays byte-identical (same O(touched) story as [[upsert]]).
+      val changedKeys = changed.toDF(KeyCol, "__txt").select(KeyCol)
+      val touched = touchedFiles(indexDir(column), changedKeys)
+      val next =
+        if (touched.isEmpty) fresh
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(_.path.toString).toIndexedSeq: _*)
+          .join(changedKeys, Seq(KeyCol), "left_anti")
+          .unionByName(fresh, allowMissingColumns = true)
+      val nOut = math.max(1, touched.length)
+      replaceFiles(indexDir(column), touched.map(_.path.getName)) { tmp =>
+        next.repartitionByRange(nOut, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(tmp)
       }
       n
+    } finally writeLock.unlock()
+  }
+
+  /** Compact the per-column embedding index — the index-side answer to the
+    * small-file problem [[embedColumnStream]] creates (one parquet file
+    * per micro-batch, forever). Same write-lock + staged-swap + recovery
+    * as [[compact]]; rewritten range-clustered and key-sorted so the
+    * stream's replay anti-join and [[reembedChanged]]'s touched-file
+    * planning keep tight footer intervals to prune against. Preserves the
+    * stored layout verbatim — `fp` fingerprints and quantized payloads
+    * ride through because the rewrite reads the index AS STORED (not the
+    * dequantized view). Rows indexed before the fingerprint column
+    * existed materialize `fp` as null, which [[reembedChanged]] already
+    * treats conservatively — semantics unchanged. Safe to run while an
+    * embed stream is live: micro-batch appends and this rewrite hold the
+    * same [[writeLock]], so an append can never land between the rewrite
+    * and the swap and be lost. Returns the file count written, 0 when the
+    * index is absent.
+    */
+  def compactIndex(column: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    writeLock.lock()
+    try {
+      val raw = indexRaw(column).getOrElse { return 0 }
+      val totalBytes = fs.getContentSummary(new Path(indexDir(column))).getLength
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      writeAndSwap(indexDir(column)) { tmp =>
+        raw.repartitionByRange(nFiles, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      nFiles
     } finally writeLock.unlock()
   }
 
@@ -445,6 +638,12 @@ class Collection private[core] (
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
+        // the whole micro-batch holds writeLock: compactIndex's rewrite+swap
+        // must never interleave with this batch's index read (recovery
+        // anti-join) or append — an append landing inside the swap window
+        // would be staged aside and deleted (same hazard compact() documents)
+        writeLock.lock()
+        try {
         val range = batch0.agg(min(col(KeyCol)), max(col(KeyCol)))
           .as[(Option[Long], Option[Long])].head()
         if (!seeded) {
@@ -471,6 +670,7 @@ class Collection private[core] (
             .toDF(KeyCol, "fp", "qembedding")
         embedded.write.mode("append").parquet(indexDir(column))
         range._2.foreach(bx => if (bx > maxSeen) maxSeen = bx)
+        } finally writeLock.unlock()
         ()
       }
       .start()

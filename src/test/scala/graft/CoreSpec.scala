@@ -235,6 +235,141 @@ class CatalogSpec extends SparkSpec {
   }
 }
 
+/** Partition-scoped copy-on-write: upsert/reembedChanged must rewrite ONLY
+  * the parquet files whose footer `_key` range intersects the update keys —
+  * at 100 TB a small correction batch must not cost a full-corpus rewrite.
+  * "Untouched" is asserted at the byte level: same file name, same length,
+  * same mtime.
+  */
+class PartitionScopedCowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_cow").toString
+
+  /** name -> (length, lastModified) for every parquet file under dir. */
+  private def fileMeta(dir: String): Map[String, (Long, Long)] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length, f.lastModified)).toMap
+
+  test("upsert rewrites only the key-range-intersecting data files") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "cow1"))
+    val src = (1L to 40L).map(k => (s"text $k", k)).toDF("text", "_key")
+      .repartitionByRange(4, col("_key")).sortWithinPartitions("_key")
+    c.importDf(src)
+    val before = fileMeta(c.dataDir)
+    assert(before.size == 4, s"expected 4 range-clustered files, got ${before.size}")
+
+    // keys 7 and 9 land in the same range file; the other three must not move
+    c.upsert(Seq(("updated 7", 7L), ("updated 9", 9L)).toDF("text", "_key"))
+    val after = fileMeta(c.dataDir)
+    val survivors = before.filter { case (n, m) => after.get(n).contains(m) }
+    assert(survivors.size == 3,
+      s"exactly one file should be rewritten; byte-identical survivors: ${survivors.keys}")
+    // the merge itself is exact
+    val texts = c.df.select(col("_key"), col("text")).as[(Long, String)]
+      .collect().toMap
+    assert(texts.size == 40)
+    assert(texts(7L) == "updated 7" && texts(9L) == "updated 9")
+    assert((1L to 40L).filterNot(k => k == 7L || k == 9L)
+      .forall(k => texts(k) == s"text $k"))
+
+    // a key beyond every file's range is a pure append: nothing rewritten
+    val before2 = fileMeta(c.dataDir)
+    c.upsert(Seq(("brand new", 100L)).toDF("text", "_key"))
+    val after2 = fileMeta(c.dataDir)
+    assert(before2.forall { case (n, m) => after2.get(n).contains(m) },
+      "new-key-only upsert must leave every existing file byte-identical")
+    assert(c.count() == 41)
+    assert(c.df.filter(col("_key") === 100).select("text").head().getString(0)
+      == "brand new")
+  }
+
+  test("reembedChanged rewrites only the intersecting index files") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "cow2"))
+    val emb = new HashingEmbedder(dim = 32)
+    // three embed passes -> three index files with disjoint key ranges
+    c.importDf((1L to 10L).map(k => s"alpha doc $k").toDF("text"))
+    assert(c.embedColumn("text", emb) == 10)
+    c.appendDf((11L to 20L).map(k => s"beta doc $k").toDF("text"))
+    assert(c.embedColumn("text", emb) == 10)
+    c.appendDf((21L to 30L).map(k => s"gamma doc $k").toDF("text"))
+    assert(c.embedColumn("text", emb) == 10)
+    val idxBefore = fileMeta(c.indexDir("text"))
+    assert(idxBefore.size >= 3, s"expected >=3 index files, got ${idxBefore.size}")
+
+    // change one row in the first file's key range
+    c.upsert(Seq(("changed completely", 5L)).toDF("text", "_key"))
+    assert(c.reembedChanged("text", emb) == 1)
+    val idxAfter = fileMeta(c.indexDir("text"))
+    val survivors = idxBefore.filter { case (n, m) => idxAfter.get(n).contains(m) }
+    assert(survivors.size == idxBefore.size - 1,
+      s"only the key-5 index file should be rewritten; survivors ${survivors.size}/${idxBefore.size}")
+    assert(c.indexedCount("text") == 30, "rewrite must not duplicate or drop rows")
+    val hit = c.search("text", "changed completely", 1, emb).head()
+    assert(hit.getLong(1) == 5L && hit.getDouble(2) > 0.999)
+  }
+
+  test("upserted new key BELOW the watermark is embedded by the repair pass") {
+    // embedColumn's max-key watermark can never see a brand-new key
+    // introduced below it; reembedChanged's left-join repair must
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "cow3"))
+    val emb = new HashingEmbedder(dim = 32)
+    // import with an explicit key GAP at 5
+    val keys = (1L to 10L).filter(_ != 5L)
+    c.importDf(keys.map(k => (s"filler doc $k", k)).toDF("text", "_key"))
+    assert(c.embedColumn("text", emb) == 9)
+    c.upsert(Seq(("quantum entanglement notes", 5L)).toDF("text", "_key"))
+    assert(c.count() == 10)
+    assert(c.embedColumn("text", emb) == 0, "watermark must not see the gap key")
+    assert(c.reembedChanged("text", emb) == 1,
+      "repair must embed the below-watermark new key")
+    assert(c.reembedChanged("text", emb) == 0, "second pass finds nothing")
+    assert(c.indexedCount("text") == 10)
+    val hit = c.search("text", "quantum entanglement notes", 1, emb).head()
+    assert(hit.getLong(1) == 5L && hit.getDouble(2) > 0.999)
+  }
+
+  test("crashed file swap heals on read: journal rolls forward, orphan staging is discarded") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "cow4"))
+    c.importDf((1L to 20L).map(k => (s"orig $k", k)).toDF("text", "_key")
+      .repartitionByRange(2, col("_key")).sortWithinPartitions("_key"))
+
+    // CASE 1: staging dir without a journal = uncommitted write -> discarded
+    val stage = new java.io.File(c.dataDir + "_staging")
+    stage.mkdirs()
+    java.nio.file.Files.write(stage.toPath.resolve("part-garbage.parquet"),
+      "not parquet".getBytes)
+    assert(c.count() == 20, "uncommitted staging must not affect reads")
+    assert(!stage.exists, "orphan staging dir must be cleaned")
+
+    // CASE 2: journal present = committed -> the next read completes the
+    // swap (moves staged files in, deletes the replaced file)
+    (1L to 10L).map(k => (s"healed $k", k)).toDF("text", "_key")
+      .repartition(1).write.mode("overwrite").parquet(stage.toString)
+    val stagedName = stage.listFiles().find(_.getName.endsWith(".parquet")).get.getName
+    val conf = spark.sparkContext.hadoopConfiguration
+    val victim = graft.core.ParquetStats.fileKeyRanges(c.dataDir, "_key", conf)
+      .find(_.intersects(1L)).get.path.getName
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(c.dataDir + "_swapjournal"),
+      s"D $victim\nS $stagedName".getBytes)
+    val texts = c.df.select(col("_key"), col("text")).as[(Long, String)]
+      .collect().toMap
+    assert(texts.size == 20)
+    assert((1L to 10L).forall(k => texts(k) == s"healed $k"),
+      "committed journal must roll forward")
+    assert((11L to 20L).forall(k => texts(k) == s"orig $k"))
+    assert(!new java.io.File(c.dataDir + "_swapjournal").exists && !stage.exists,
+      "heal must clean the journal and staging dir")
+  }
+}
+
 class EmbedderSpec extends SparkSpec {
   test("deterministic, unit-norm, fixed dim") {
     val e = new HashingEmbedder(dim = 96)
