@@ -10,7 +10,36 @@ import org.apache.spark.sql.SparkSession
   * first; queries then run in sorted-name order for stable attribution.
   */
 object Bench {
+
+  /** 1-minute load average from /proc/loadavg (-1 when unreadable). */
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Count of OTHER live JVM/sbt processes (excluding this one and its
+    * ancestors' wrappers is overkill — just exclude self). Round 5's
+    * driver bench was load-contaminated (~20 untouched queries inflated
+    * 1.2-2.5x vs an idle run of the same commit); this plus the load
+    * average makes a contaminated run machine-detectable from the JSON
+    * itself instead of requiring a forensic per-query diff.
+    */
+  private def otherJvms(): Int =
+    try {
+      val self = ProcessHandle.current().pid()
+      new java.io.File("/proc").listFiles()
+        .filter(f => f.getName.forall(_.isDigit) && f.getName.toLong != self)
+        .count { f =>
+          try {
+            val comm = new String(java.nio.file.Files.readAllBytes(
+              f.toPath.resolve("comm")), "UTF-8").trim
+            comm == "java" || comm == "sbt"
+          } catch { case _: Throwable => false }
+        }
+    } catch { case _: Throwable => -1 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = load1()
+    val jvmsStart = otherJvms()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -79,6 +108,10 @@ object Bench {
     def fmt(v: Double, dp: Int): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
+    // sentinel AFTER the timed runs: a competing process that appeared
+    // mid-bench shows up in at least one of the two readings
+    val loadEnd = load1()
+    val jvmsEnd = otherJvms()
     def render(short: Boolean, dp: Int): String = {
       // The launcher keeps only a bounded tail of stdout and greps it for
       // this line, so the line must stay short: rounded seconds, and (as
@@ -95,7 +128,8 @@ object Bench {
       val failsPart = ",\"failures\":" + fails.mkString("{", ",", "}")
       val tv = if (dp < 0) total.toString else fmt(total, dp)
       val sfv = if (dp < 0) sfDir else new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":$tv,"unit":"sec","runs":$runs,"queries":$qs$failsPart,"sf":"$sfv"}"""
+      val sentinel = s""","load1":[${fmt(loadStart, 2)},${fmt(loadEnd, 2)}],"other_jvms":[$jvmsStart,$jvmsEnd]"""
+      s"""{"metric":"total","value":$tv,"unit":"sec","runs":$runs,"queries":$qs$failsPart,"sf":"$sfv"$sentinel}"""
     }
     val full = render(short = false, dp = -1)
     // prefer full names at reduced precision over abbreviated names: the

@@ -127,6 +127,56 @@ object ConnectedComponents {
         min(col("node")).as("first_doc"),
         max(col("node")).as("last_doc"))
 
+  /** Incremental label maintenance: fold a batch of NEW edges into a
+    * standing `(node, comp)` label table WITHOUT re-running connected
+    * components over the whole corpus — the missing piece between
+    * incremental pair generation (`Dedup.incrementalNearDups`, streaming
+    * near-dedup) and group-level dedup decisions. A nightly crawl emits
+    * O(batch) new pairs; re-labeling must cost O(batch + touched
+    * components), never O(all standing pairs).
+    *
+    * New edges are incident only on batch nodes, so the ONLY components
+    * that can change are those containing a batch endpoint. Those are
+    * found with a broadcast semi-join (batch-sized build side — the
+    * standing table is scanned but never shuffled), their membership is
+    * re-encoded as star edges `(node -> comp)` (connectivity-preserving,
+    * diameter 2), and [[labels]] runs over `star ∪ newEdges` — an input
+    * of size O(batch + touched members). Untouched components pass
+    * through by broadcast anti-join, byte-identical.
+    *
+    * The result is exactly `labels(oldEdges ∪ newEdges)`: comp ids are
+    * component-minimum node ids, old comp ids are themselves members, and
+    * min over a merged component equals min over its members — so merged
+    * components adopt the true global minimum, not a batch-local one.
+    *
+    * The batch (its distinct nodes and their components) must fit in a
+    * broadcast — the same assumption incremental pair generation already
+    * makes. For a corpus-sized "batch", use [[labels]] on the full edge
+    * list instead.
+    */
+  def mergeLabels(standing: DataFrame, newPairs: DataFrame,
+                  aCol: String = "key_a", bCol: String = "key_b",
+                  maxIter: Int = 20): DataFrame = {
+    val batchNodes = newPairs.select(col(aCol).as("node"))
+      .union(newPairs.select(col(bCol).as("node"))).distinct()
+    // components the batch touches; materialized once — it drives both
+    // the member pull and the untouched anti-join
+    val touchedComps = standing.join(broadcast(batchNodes), Seq("node"))
+      .select(col("comp")).distinct().localCheckpoint(true)
+    val touchedRows = standing
+      .join(broadcast(touchedComps), Seq("comp"), "left_semi")
+    // (node, comp) IS an edge of the component's spanning star; comp is a
+    // member node itself, so self-rows carry no information and are dropped
+    val starEdges = touchedRows.filter(col("node") =!= col("comp"))
+      .select(col("node").as(aCol), col("comp").as(bCol))
+    val relabeled = labels(
+      starEdges.unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
+    standing.join(broadcast(touchedComps), Seq("comp"), "left_anti")
+      .select(col("node"), col("comp"))
+      .unionByName(relabeled.select(col("node"), col("comp")))
+  }
+
   /** Apply the dedup: drop every component member except its minimum key
     * (the survivor). `pairs` is ANY near-dup pair source — exact jaccard,
     * MinHash-LSH, SimHash, or embedding candidates — so the same apply

@@ -270,17 +270,35 @@ object Dedup {
     * The guard also protects the q62/q68 compositions built on this pair
     * source.
     */
+  /** Inputs that already passed the exact-mode size probe, keyed by
+    * canonicalized-plan semantic hash: compositions that call
+    * [[ngramJaccardPairs]] repeatedly on the same input (q62/q68/q107
+    * chains, bench loops) pay the bounded scan once per plan, not once
+    * per call. The guard is advisory (catch "pointed the verification
+    * twin at a corpus"), so the one staleness window — the same plan
+    * re-read after its underlying files grew past the bound — weakens an
+    * error message, never an answer. Bounded; cleared wholesale on
+    * overflow.
+    */
+  private val exactProbePassed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, keyCol: String,
                         blockCol: Option[String], threshold: Double,
                         shingleSize: Int = 3,
                         maxShingleDf: Option[Int] = None,
                         maxExactRows: Int = 100000): DataFrame = {
     if (maxShingleDf.isEmpty) {
-      val n = df.limit(maxExactRows + 1).count()
-      require(n <= maxExactRows,
-        s"ngramJaccardPairs without maxShingleDf is an all-pairs-cost " +
-          s"verification twin (at least $n rows > $maxExactRows); use " +
-          "minhashNearDups or set maxShingleDf at scale")
+      val planKey = (df.queryExecution.analyzed.semanticHash(), maxExactRows)
+      if (!exactProbePassed.contains(planKey)) {
+        val n = df.limit(maxExactRows + 1).count()
+        require(n <= maxExactRows,
+          s"ngramJaccardPairs without maxShingleDf is an all-pairs-cost " +
+            s"verification twin (at least $n rows > $maxExactRows); use " +
+            "minhashNearDups or set maxShingleDf at scale")
+        if (exactProbePassed.size > 1024) exactProbePassed.clear()
+        exactProbePassed.add(planKey)
+      }
     }
     val blockCols = blockCol.toSeq.map(col)
     // shingles are joined on their 64-bit stable hash, not the string:

@@ -258,6 +258,33 @@ object PipelineQueries {
         .orderBy(col("comp_id"))
     }),
 
+    // Incremental GROUP maintenance: two successive pair batches folded
+    // into a standing label table via mergeLabels — O(batch + touched
+    // components) per fold, the standing table broadcast-filtered and
+    // never shuffled — graded against the SAME full-recompute
+    // recursive-CTE oracle as q62. Any label the merge gets wrong (a
+    // missed cross-batch merge, a stale untouched row, a batch-local
+    // minimum adopted as comp id) fails the hash gate. Pairs are
+    // assigned to the batch of their NEWEST endpoint — exactly what
+    // incremental pair generation emits per crawl (new-vs-corpus and
+    // new-vs-new pairs land in the newest batch).
+    "q107_cc_incr" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+        blockCol = None, threshold = 0.8, shingleSize = 3)
+        .localCheckpoint(true)
+      val newest = greatest(col("key_a"), col("key_b"))
+      val standing0 = ConnectedComponents.labels(
+        pairs.filter(newest < 200), "key_a", "key_b")
+      val standing1 = ConnectedComponents.mergeLabels(
+        standing0, pairs.filter(newest >= 200 && newest < 350))
+      val standing2 = ConnectedComponents.mergeLabels(
+        standing1, pairs.filter(newest >= 350))
+      standing2.groupBy(col("comp").as("comp_id"))
+        .agg(count(lit(1)).as("n_docs"), min(col("node")).as("first_doc"),
+          max(col("node")).as("last_doc"))
+        .orderBy(col("comp_id"))
+    }),
+
     // Incremental near-dedup: the nightly-crawl shape — new batch
     // (doc_id >= 250) deduped AGAINST the standing corpus (doc_id < 250)
     // via the band join, never corpus x corpus. Graded against the exact
@@ -407,9 +434,13 @@ object PipelineQueries {
        |SELECT lang, n_total, n_kept, n_total - n_kept AS n_dropped
        |FROM tot JOIN kept USING (lang) ORDER BY lang""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q62_dup_cc" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+  /** Full-recompute component summary over the exact Jaccard >= 0.8 edge
+    * list — shared by q62 (one-shot CC) and q107 (two-batch incremental
+    * mergeLabels): the incremental result must hash-match the full
+    * recompute or the merge is wrong.
+    */
+  private lazy val CcComponentsOracle: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
          | s AS (SELECT doc_id,
          |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
          |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
@@ -430,7 +461,12 @@ object PipelineQueries {
          | lab AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
          |SELECT comp AS comp_id, CAST(count(*) AS BIGINT) AS n_docs,
          | min(node) AS first_doc, max(node) AS last_doc
-         |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin,
+         |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q62_dup_cc" -> CcComponentsOracle,
+    // incremental mergeLabels graded against the identical full recompute
+    "q107_cc_incr" -> CcComponentsOracle,
 
     "q63_tpch_q21" ->
       """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait

@@ -81,6 +81,38 @@ class DedupSpec extends SparkSpec {
     assert(labs.toSeq == Seq(Long.MaxValue - 5))
   }
 
+  test("mergeLabels: incremental batches match full recompute; untouched components pass through") {
+    import graft.dedup.ConnectedComponents
+    // standing corpus: components {1,2,3} (chain), {10,11}, {20,21}
+    val era0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("key_a", "key_b")
+    val standing0 = ConnectedComponents.labels(era0, "key_a", "key_b")
+      .localCheckpoint(true)
+    // batch 1: merges {1,2,3} with {10,11} via (3,10); adds new comp {30,31}
+    val era1 = Seq((3L, 10L), (30L, 31L)).toDF("key_a", "key_b")
+    val standing1 = ConnectedComponents.mergeLabels(standing0, era1)
+      .localCheckpoint(true)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full1 = toMap(ConnectedComponents.labels(
+      era0.unionByName(era1), "key_a", "key_b"))
+    assert(toMap(standing1) == full1, "one batch folded == full recompute")
+    assert(full1(10L) == 1L && full1(30L) == 30L && full1(20L) == 20L)
+    // batch 2: chains the NEW comp into {20,21} AND brings a brand-new
+    // node 40 into the merged giant — exercises merge-of-merged labels
+    val era2 = Seq((31L, 20L), (40L, 1L)).toDF("key_a", "key_b")
+    val standing2 = ConnectedComponents.mergeLabels(standing1, era2)
+    val full2 = toMap(ConnectedComponents.labels(
+      era0.unionByName(era1).unionByName(era2), "key_a", "key_b"))
+    assert(toMap(standing2) == full2, "two batches folded == full recompute")
+    assert(full2(21L) == 20L && full2(40L) == 1L)
+    // empty batch: standing returned unchanged
+    val noNew = Seq.empty[(Long, Long)].toDF("key_a", "key_b")
+    assert(toMap(ConnectedComponents.mergeLabels(standing2, noNew)) == full2)
+    // empty standing: pure bootstrap
+    val empty = ConnectedComponents.labels(noNew, "key_a", "key_b")
+    assert(toMap(ConnectedComponents.mergeLabels(empty, era0)) == toMap(standing0))
+  }
+
   test("stratified sampling: deterministic, rate-proportional, append-stable") {
     import graft.operators.Sampling
     val df = (0L until 2000L).map(k => (k, if (k % 2 == 0) "a" else "b"))
@@ -1161,6 +1193,55 @@ class EmbedStreamSpec extends SparkSpec {
       assert(keys.toSeq == Seq(1L, 2L, 3L),
         s"exactly-once across behind-stream compaction, got ${keys.toSeq}")
     } finally q2.stop()
+  }
+
+  test("compactIndex bounds micro-batch file accumulation; search + repair unchanged") {
+    // a continuously-fed index accumulates one parquet file per
+    // micro-batch forever; compactIndex is the operational fix — and it
+    // must be safe to run while the embed stream is LIVE (both hold the
+    // collection writeLock, so an append can't land inside the swap
+    // window and be lost)
+    val root = java.nio.file.Files.createTempDirectory("graft_ci").toString
+    val cat = new graft.core.Catalog(spark, root)
+    val c = cat.create(graft.core.CollectionConfig(name = "ci"))
+    val emb = new graft.embed.HashingEmbedder(dim = 32)
+    c.importDf(Seq("seed doc 1").toDF("text"))
+    assert(c.embedColumn("text", emb) == 1)
+    // 49 more one-row batches -> ~50 small index files (the micro-batch
+    // append shape, without paying 50 streaming triggers)
+    (2 to 50).foreach { i =>
+      c.appendDf(Seq(s"doc number $i body").toDF("text"))
+      assert(c.embedColumn("text", emb) == 1)
+    }
+    def idxFiles = new java.io.File(c.indexDir("text")).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(idxFiles >= 50, s"expected >=50 accumulated index files, got $idxFiles")
+    val hitsBefore = c.search("text", "doc number 17 body", 3, emb)
+      .collect().map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSeq
+
+    // compact while a live stream holds the same index
+    val q = c.embedColumnStream("text", emb, s"$root/_ckpt")
+    try {
+      q.processAllAvailable() // catches up; overlap anti-join keeps exactly-once
+      assert(c.indexedCount("text") == 50)
+      val written = c.compactIndex("text")
+      assert(written == 1, "tiny index -> one target file")
+      assert(idxFiles <= 2, s"compaction must bound the file count, got $idxFiles")
+      assert(c.indexedCount("text") == 50)
+      val hitsAfter = c.search("text", "doc number 17 body", 3, emb)
+        .collect().map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSeq
+      assert(hitsAfter == hitsBefore, "compaction must not change search results")
+      // stream keeps appending to the compacted index
+      c.appendDf(Seq("post compaction doc").toDF("text"))
+      q.processAllAvailable()
+      assert(c.indexedCount("text") == 51)
+    } finally q.stop()
+
+    // fingerprints ride through compaction: repair is still exact
+    c.upsert(Seq(("doc ten rewritten", 10L)).toDF("text", "_key"))
+    assert(c.reembedChanged("text", emb) == 1)
+    assert(c.reembedChanged("text", emb) == 0)
+    assert(c.indexedCount("text") == 51)
   }
 }
 
