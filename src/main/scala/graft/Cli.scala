@@ -167,6 +167,9 @@ object Cli {
       |  index    --collection C [--index-columns a,b] [--model m] [--variant v] [--overwrite] <file>
       |  add-docs --collection C <file>
       |  upsert   --collection C <file with _key>   # merge + re-embed changed rows
+      |           (MERGE semantics: a field omitted from an update line — or
+      |            present as null — KEEPS the stored value; an update cannot
+      |            set a field to null. Delete-and-add-docs to null a field.)
       |  search   --collection C --query Q [--column col] [--limit n]
       |  serve    [--port 7898]
       |  list

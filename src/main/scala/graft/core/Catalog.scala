@@ -490,6 +490,43 @@ class Collection private[core] (
     indexedCount(column) - before
   }
 
+  /** Chunk-granularity twin of [[embedColumn]]: every document above the
+    * watermark is markdown-chunked and each chunk embeds as its OWN
+    * vector under the document's `_key` — the reference's multi-vector
+    * index layout (`multi: true`, collection_actor.rs:409-417). Search
+    * needs no special mode: [[graft.search.Search.topK]] scores a key by
+    * its best vector and fills at most one result slot per key, so a
+    * long document surfaces by its best-matching chunk without crowding
+    * out the result page. Fingerprints stay per-document (md5 of full
+    * text), so [[reembedChanged]] repairs chunked indexes too — pass the
+    * same `chunkTokens` there to re-chunk on repair. Returns the number
+    * of VECTORS appended (>= documents embedded); [[indexedCount]]
+    * counts vectors, matching the reference's index-size semantics.
+    */
+  def embedColumnChunked(column: String, embedder: graft.embed.Embedder,
+                         maxTokens: Int = 512, overlapTokens: Int = 50,
+                         batchSize: Int = 32): Long = {
+    import spark.implicits._
+    val before = indexedCount(column)
+    val watermark = if (before == 0L) 0L
+      else Keys.maxKey(embeddings(column))
+    val pending = df
+      .filter(col(KeyCol) > watermark)
+      .select(col(KeyCol), coalesce(col(column).cast(StringType), lit("")))
+      .as[(Long, String)]
+    if (pending.isEmpty) return 0L
+    val variant = config.model_variant
+    val embedded0 = graft.embed.EmbedBatch.chunkedTriples(
+      pending, embedder, batchSize, maxTokens, overlapTokens)
+    val embedded =
+      if (variant == "f32") embedded0.toDF(KeyCol, "fp", "embedding")
+      else embedded0
+        .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
+        .toDF(KeyCol, "fp", "qembedding")
+    embedded.write.mode("append").parquet(indexDir(column))
+    indexedCount(column) - before
+  }
+
   /** Re-embed rows whose CURRENT text no longer matches the fingerprint
     * stored next to their indexed vector — the repair step after
     * [[upsert]] rewrites text under existing keys (which `embedColumn`'s
@@ -508,7 +545,9 @@ class Collection private[core] (
     * re-embed. Returns the number of rows re-embedded.
     */
   def reembedChanged(column: String, embedder: graft.embed.Embedder,
-                     batchSize: Int = 32): Long = {
+                     batchSize: Int = 32,
+                     chunkTokens: Option[Int] = None,
+                     overlapTokens: Int = 50): Long = {
     import spark.implicits._
     writeLock.lock()
     try {
@@ -528,14 +567,23 @@ class Collection private[core] (
       val changed = cur
         .join(idxFp, Seq(KeyCol), "left_outer")
         .filter(col("fp").isNull || col("fp") =!= md5(col("__txt")))
-        .select(col(KeyCol), col("__txt")).as[(Long, String)]
+        // a chunked index ([[embedColumnChunked]]) holds SEVERAL rows per
+        // key, all carrying the same per-document fingerprint — dedup so
+        // one changed doc is embedded once, not once per stale chunk
+        .select(col(KeyCol), col("__txt")).dropDuplicates(KeyCol).as[(Long, String)]
         // the changed set drives the embed pass, the touched-file plan AND
         // the anti-join rewrite — materialize once
         .localCheckpoint(true)
       val n = changed.count()
       if (n == 0L) return 0L
       val variant = config.model_variant
-      val embedded0 = graft.embed.EmbedBatch.triples(changed, embedder, batchSize)
+      // pass the indexing-time chunkTokens so a chunked index repairs back
+      // to chunk granularity; None keeps the one-vector-per-doc layout
+      val embedded0 = chunkTokens match {
+        case Some(mt) => graft.embed.EmbedBatch.chunkedTriples(
+          changed, embedder, batchSize, mt, overlapTokens)
+        case None => graft.embed.EmbedBatch.triples(changed, embedder, batchSize)
+      }
       val fresh =
         if (variant == "f32") embedded0.toDF(KeyCol, "fp", "embedding")
         else embedded0

@@ -45,4 +45,37 @@ object EmbedBatch {
       }
     }
   }
+
+  /** Chunk-granularity twin of [[triples]]: each document is markdown-
+    * chunked ([[graft.functions.Chunker]]) and EVERY chunk embeds as its
+    * own vector under the document's key — the multi-vector-per-key
+    * layout the reference opens its index with (`multi: true`,
+    * collection_actor.rs:409-417). The stored fingerprint stays the md5
+    * of the FULL document text, so staleness detection
+    * ([[graft.core.Collection.reembedChanged]]) remains per-document: one
+    * changed doc invalidates all of its chunk vectors at once. A doc the
+    * chunker returns nothing for (blank text) embeds once as-is so every
+    * key keeps at least one searchable vector. Chunk expansion happens
+    * inside the partition iterator — no explode/shuffle; batches span
+    * documents so short-doc-heavy partitions still fill embedder batches.
+    */
+  def chunkedTriples(ds: Dataset[(Long, String)], embedder: Embedder,
+                     batchSize: Int, maxTokens: Int, overlapTokens: Int)
+      : Dataset[(Long, String, Array[Float])] = {
+    import ds.sparkSession.implicits._
+    val cfg = graft.functions.Chunker.ChunkerConfig(
+      maxTokens = maxTokens, overlapTokens = overlapTokens)
+    ds.mapPartitions { it =>
+      val expanded = it.flatMap { case (k, t) =>
+        val fp = fingerprint(t)
+        val chunks = graft.functions.Chunker.chunk(t, cfg)
+        (if (chunks.isEmpty) Seq(t) else chunks).iterator.map(c => (k, fp, c))
+      }
+      expanded.grouped(batchSize).flatMap { b =>
+        b.iterator.map { case (k, f, _) => (k, f) }
+          .zip(embedder.embed(b.iterator.map(_._3)))
+          .map { case ((k, f), v) => (k, f, v) }
+      }
+    }
+  }
 }

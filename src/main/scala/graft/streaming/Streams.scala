@@ -109,6 +109,22 @@ object Streams {
     * payload) instead of re-joining the stream to itself — stream-stream
     * joins buffer both sides; the nightly delta is the small side and
     * carrying beats buffering.
+    *
+    * ==Corpus snapshot contract (LOUD)==
+    * The corpus side is PINNED when this method is called
+    * (`localCheckpoint` below): documents added to the corpus afterwards
+    * — including accepted stream docs folded back in — are INVISIBLE to
+    * the running query. This is deliberate: re-reading a mutating corpus
+    * mid-query would make emitted pairs depend on trigger timing, and
+    * the band build is a full corpus pass you do not want per trigger.
+    * To pick up corpus growth, use the restart-with-refreshed-bands
+    * pattern (spec'd in OperatorsSpec): stop the query, rebuild
+    * `corpusBands`/`corpusDf` from the grown corpus, call this method
+    * again, and restart against the SAME checkpoint — committed source
+    * offsets carry over, so already-processed documents are not
+    * re-emitted and documents arriving after the restart match the
+    * refreshed corpus. Schedule it like compaction: after each nightly
+    * fold-in, or when the un-banded corpus delta crosses a threshold.
     */
   def nearDedupStream(newDocs: DataFrame, corpusBands: DataFrame,
                       corpusDf: DataFrame, textCol: String, keyCol: String,

@@ -51,6 +51,25 @@ object Drive {
     re.importChunks(Seq("chunk one text", "chunk two text"), "text")
     println(s"after chunk append: ${re.count()} (expect 522)")
 
+    println("=== 5b. chunk-granularity multi-vector search ===")
+    locally {
+      import spark.implicits._
+      val ccoll = cat.create(CollectionConfig(name = "chunked", index_columns = Seq("text")))
+      val longDoc = "# storage\n" +
+        Array.fill(30)("parquet footer row group pruning").mkString(" ") +
+        "\n\n# physics\n" +
+        Array.fill(30)("quantum entanglement teleportation photon").mkString(" ")
+      ccoll.importDf(Seq(longDoc, "short unrelated filler", "another short doc").toDF("text"))
+      val nVec = ccoll.embedColumnChunked("text", emb, maxTokens = 32, overlapTokens = 4)
+      require(nVec > 3, s"long doc must yield multiple chunk vectors, got $nVec")
+      val hits = ccoll.search("text", "quantum entanglement teleportation photon", 3, emb).collect()
+      require(hits.map(_.getLong(1)).distinct.length == hits.length,
+        "multi-vector doc must fill at most one result slot")
+      require(hits.head.getLong(1) == 1L, "best-chunk doc must rank first")
+      println(s"$nVec vectors over 3 docs; top hit key=${hits.head.getLong(1)} " +
+        f"score=${hits.head.getDouble(2)}%.4f; one slot per doc")
+    }
+
     println("=== 6. probes ===")
     try { coll.search("text", "x", 0, emb) } catch {
       case ex: IllegalArgumentException => println(s"limit=0 -> ${ex.getMessage}") }

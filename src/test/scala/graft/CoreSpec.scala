@@ -370,6 +370,78 @@ class PartitionScopedCowSpec extends SparkSpec {
   }
 }
 
+/** Chunk-granularity indexing through the multi-vector search path: one
+  * document's chunks all indexed under the document's `_key`, and
+  * `Collection.search` returns ONE slot per document scored by its best
+  * chunk (reference `multi: true` parity, collection_actor.rs:409-417).
+  */
+class ChunkedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("chunked embed -> multi-vector index -> one slot per doc, best-chunk score") {
+    val root = java.nio.file.Files.createTempDirectory("graft_chunked").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "chunked"))
+    val emb = new HashingEmbedder(dim = 64)
+    // doc 1: two topically-distinct sections, long enough to chunk apart;
+    // docs 2-3: short single-chunk filler
+    val longDoc = "# storage section\n" +
+      Array.fill(30)("parquet footer row group metadata").mkString(" ") +
+      "\n\n# physics section\n" +
+      Array.fill(30)("quantum entanglement teleportation photon").mkString(" ")
+    val docs = Seq(longDoc, "filler text about nothing much", "another short doc")
+    c.importDf(docs.toDF("text"))
+    val nVec = c.embedColumnChunked("text", emb, maxTokens = 32, overlapTokens = 4)
+    assert(nVec > docs.size,
+      s"long doc must contribute multiple chunk vectors, got $nVec total")
+    assert(c.indexedCount("text") == nVec)
+
+    val query = "quantum entanglement teleportation photon"
+    val hits = c.search("text", query, 3, emb).collect()
+    // one slot per document, even though doc 1 holds many vectors
+    assert(hits.map(_.getLong(1)).distinct.length == hits.length,
+      "a key must fill at most one result slot")
+    assert(hits.head.getLong(1) == 1L, "best-chunk doc must rank first")
+    // the reported score is the max over doc 1's chunk cosines — computed
+    // independently with the same chunker config + embedder
+    val cfg = graft.functions.Chunker.ChunkerConfig(maxTokens = 32, overlapTokens = 4)
+    val expected = graft.functions.Chunker.chunk(longDoc, cfg)
+      .map(ch => cosine(emb.embedOne(ch), emb.embedOne(query))).max
+    assert(math.abs(hits.head.getDouble(2) - expected) < 1e-9,
+      s"score ${hits.head.getDouble(2)} != best chunk cosine $expected")
+    // content hydration returns the full document, not a chunk
+    assert(hits.head.getString(0) == longDoc)
+
+    // upsert replaces the long doc; chunk-aware repair re-embeds it at
+    // chunk granularity and search follows the NEW text
+    val newDoc = "# biology section\n" +
+      Array.fill(30)("ribosome translation messenger protein").mkString(" ")
+    c.upsert(Seq((newDoc, 1L)).toDF("text", "_key"))
+    assert(c.reembedChanged("text", emb, chunkTokens = Some(32),
+      overlapTokens = 4) == 1, "one changed document")
+    assert(c.reembedChanged("text", emb, chunkTokens = Some(32),
+      overlapTokens = 4) == 0, "repair is idempotent")
+    val hits2 = c.search("text", "ribosome translation messenger protein", 1, emb).head()
+    assert(hits2.getLong(1) == 1L)
+    val expected2 = graft.functions.Chunker.chunk(newDoc, cfg)
+      .map(ch => cosine(emb.embedOne(ch),
+        emb.embedOne("ribosome translation messenger protein"))).max
+    assert(math.abs(hits2.getDouble(2) - expected2) < 1e-9)
+    // old topic no longer surfaces doc 1 at its former score
+    val old = c.search("text", query, 3, emb).collect()
+      .find(_.getLong(1) == 1L)
+    assert(old.forall(_.getDouble(2) < expected - 0.2),
+      "stale chunk vectors must be gone after repair")
+  }
+}
+
 class EmbedderSpec extends SparkSpec {
   test("deterministic, unit-norm, fixed dim") {
     val e = new HashingEmbedder(dim = 96)

@@ -839,6 +839,62 @@ class StreamsSpec extends SparkSpec {
       s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("near-dedup stream restart with refreshed bands sees corpus additions; offsets carry over") {
+    import graft.dedup.Dedup
+    // the pinned-corpus contract: growth is invisible until the query is
+    // restarted with re-built bands against the SAME checkpoint
+    val doc1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val doc100 = "solar lunar stellar orbital cometary nebular quasar pulsar axial tidal"
+    def corpusDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val v1 = corpusDf(Seq((1L, doc1)))
+    val v2 = corpusDf(Seq((1L, doc1), (100L, doc100)))
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "tsl")
+      .withColumn("ts", (col("tsl") / 1000).cast("timestamp")).drop("tsl")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ckpt").toString
+    def ts(i: Long) = 1700000000000L + i * 1000L
+
+    // foreachBatch sink: unlike the memory sink it supports restarting
+    // from an existing checkpoint, which is the whole point here
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start(corpus: org.apache.spark.sql.DataFrame) =
+      Streams.nearDedupStream(stream,
+          Dedup.minhashBands(corpus, "text", "doc_id", Dedup.MinHashParams()),
+          corpus, "text", "doc_id")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("corpus_key", "new_key").collect()
+            .foreach(r => emitted.add((r.getLong(0), r.getLong(1))))
+          ()
+        }
+        .outputMode("append").start()
+
+    // phase 1: query pinned to corpus v1
+    val q1 = start(v1)
+    try {
+      mem.addData((300L, doc1, ts(0)))    // dup of v1 corpus -> must emit
+      mem.addData((301L, doc100, ts(1)))  // dup of a NOT-YET-ADDED doc -> silent
+      q1.processAllAvailable()
+      assert(emitted.toArray.toSeq == Seq((1L, 300L)),
+        s"pinned corpus must match only v1 docs, got ${emitted.toArray.toSeq}")
+    } finally q1.stop()
+
+    // phase 2: corpus grew; rebuild bands, restart on the SAME checkpoint
+    val q2 = start(v2)
+    try {
+      mem.addData((302L, doc100, ts(2)))  // same text as 301, post-restart
+      q2.processAllAvailable()
+      // 302 matches the refreshed corpus; 300/301's batches committed
+      // before the restart, so they are neither replayed nor retro-matched
+      // (the queue would show duplicates or a (100, 301) pair if they were)
+      assert(emitted.toArray.toSeq == Seq((1L, 300L), (100L, 302L)),
+        s"restart must see the added corpus doc and not replay old batches, got ${emitted.toArray.toSeq}")
+    } finally q2.stop()
+  }
+
   test("stratified sampling on a stream equals the batch sample (stateless mixing at ingest)") {
     import graft.operators.Sampling
     val rows = (0L until 500L).map(k => (k, if (k % 2 == 0) "en" else "fr"))
