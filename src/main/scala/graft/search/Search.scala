@@ -51,11 +51,24 @@ object Search {
     * key K belongs in the global top-k with max score s (achieved in
     * partition p), any key that outranks (s, K) locally in p has a global
     * max outranking it too, so at most k-1 keys can — K survives p's cut.
-    * Stage-1 memory is one (long, double) entry per distinct key per
-    * partition — the same bound a hash aggregate needs.
+    *
+    * Stage-1 memory is BOUNDED at `localStateCap` entries (not one per
+    * distinct key per partition): whenever the per-key-max map exceeds
+    * the cap it is compacted to the current top-k under the emission
+    * order `(-score, key)`. Pruning is safe: the k-th-best entry at any
+    * compaction only ever rises (the kept top-k stay in the map and
+    * their maxima only grow), so a pruned key either (a) never re-enters
+    * — then at the end at least k keys still outrank its true max, so it
+    * could not have made the local cut; or (b) re-enters by meeting the
+    * risen threshold with a post-prune score — which then IS its true
+    * partition max (it outranks every pre-prune score the key had), so
+    * emitted maxima are always exact. With unique keys (the common
+    * one-vector-per-doc case) this is the difference between O(partition
+    * rows) and O(cap) executor heap.
     */
   def topK(embeddings: DataFrame, queryVec: Array[Float], k: Int,
-           keyColName: String = KeyCol, embColName: String = "embedding"): DataFrame = {
+           keyColName: String = KeyCol, embColName: String = "embedding",
+           localStateCap: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // loud guard: the typed stage decodes keys as long; a non-integral
@@ -64,6 +77,7 @@ object Search {
     val keyType = embeddings.schema(keyColName).dataType
     require(Seq("byte", "short", "integer", "long").contains(keyType.typeName),
       s"topK requires an integral key column, got $keyType for '$keyColName'")
+    require(localStateCap >= 1, s"localStateCap must be >= 1, got $localStateCap")
     // null vectors can never rank (cosine of null is null, which the old
     // orderBy sorted last anyway) — drop them before the typed decode
     val scored = embeddings
@@ -71,16 +85,29 @@ object Search {
       .select(col(keyColName).cast("long"),
         scoreAgainst(col(embColName), queryVec).as("score"))
       .as[(Long, Double)]
+    val cap = math.max(k, localStateCap)
     val local = scored.mapPartitions { it =>
       val best = new java.util.HashMap[java.lang.Long, java.lang.Double]
+      def topEntries(n: Int): Array[(Long, Double)] = {
+        import scala.jdk.CollectionConverters._
+        best.entrySet().iterator().asScala
+          .map(e => (e.getKey.longValue, e.getValue.doubleValue))
+          .toArray.sortBy { case (key, s) => (-s, key) }.take(n)
+      }
       it.foreach { case (key, s) =>
         val cur = best.get(key)
-        if (cur == null || s > cur) best.put(key, s)
+        if (cur == null || s > cur) {
+          best.put(key, s)
+          if (best.size > cap) {
+            // compact to the top-k under the emission order; amortized
+            // O(log cap) per row (cap - k inserts between compactions)
+            val keep = topEntries(k)
+            best.clear()
+            keep.foreach { case (kk, ss) => best.put(kk, ss) }
+          }
+        }
       }
-      import scala.jdk.CollectionConverters._
-      best.entrySet().iterator().asScala
-        .map(e => (e.getKey.longValue, e.getValue.doubleValue))
-        .toArray.sortBy { case (key, s) => (-s, key) }.take(k).iterator
+      topEntries(k).iterator
     }
     local.toDF(keyColName, "score")
       .groupBy(col(keyColName)).agg(max(col("score")).as("score"))

@@ -167,6 +167,72 @@ object Streams {
         round(col("jaccard"), 6).as("jaccard"), col(tsCol))
   }
 
+  /** Continuous dup-GROUP maintenance: folds a streaming near-dup PAIR
+    * source (e.g. [[nearDedupStream]]'s output, or any stream with two
+    * key columns) into a standing `(node, comp)` label table, one
+    * [[graft.dedup.ConnectedComponents.mergeLabels]] call per
+    * micro-batch — O(batch + touched components) per trigger, never a
+    * full CC re-run. This closes the incremental-dedup loop end-to-end:
+    * crawl stream -> pairs -> groups, continuously.
+    *
+    * Storage protocol (crash-safe, replay-idempotent): each batch writes
+    * the merged table to `labelDir/v<batchId>` and then atomically
+    * repoints `labelDir/_LATEST` (tmp write + rename) before older
+    * versions are deleted. A replayed batch (crash after the pointer
+    * flip but before the offset commit) re-merges its own edges into a
+    * table that already contains them — [[graft.dedup
+    * .ConnectedComponents.mergeLabels]] is idempotent for repeated
+    * edges, so labels converge to the same fixpoint. Readers
+    * ([[readLabels]]) only ever see a fully-committed version.
+    */
+  def dupGroupsStream(pairs: DataFrame, aCol: String, bCol: String,
+                      labelDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val standing = readLabels(spark, labelDir)
+        val merged = graft.dedup.ConnectedComponents.mergeLabels(
+          standing, batch.select(col(aCol), col(bCol)), aCol, bCol)
+        val vdir = s"$labelDir/v$batchId"
+        merged.write.mode("overwrite").parquet(vdir)
+        val fs = new org.apache.hadoop.fs.Path(labelDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(labelDir, "_LATEST_tmp")
+        val ptr = new org.apache.hadoop.fs.Path(labelDir, "_LATEST")
+        val out = fs.create(tmp, true)
+        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
+        fs.delete(ptr, false)
+        if (!fs.rename(tmp, ptr))
+          throw new java.io.IOException(s"could not commit label pointer $ptr")
+        // GC superseded versions (anything but the one just committed)
+        fs.listStatus(new org.apache.hadoop.fs.Path(labelDir)).foreach { s =>
+          val n = s.getPath.getName
+          if (n.startsWith("v") && n != s"v$batchId") fs.delete(s.getPath, true)
+        }
+        ()
+      }
+      .start()
+
+  /** The committed standing label table written by [[dupGroupsStream]]
+    * (empty `(node, comp)` frame before the first commit).
+    */
+  def readLabels(spark: SparkSession, labelDir: String): DataFrame = {
+    val ptr = new org.apache.hadoop.fs.Path(labelDir, "_LATEST")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("node", LongType), StructField("comp", LongType))))
+    } else {
+      val in = fs.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      spark.read.parquet(s"$labelDir/$v")
+    }
+  }
+
   /** Watermarked streaming twin of [[hourlyTypeCounts]]. Caller attaches a
     * sink; with `outputMode(Append)` windows emit once the 2h watermark
     * passes.

@@ -515,4 +515,35 @@ class SearchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(top2.toSeq == top.toSeq, "result must not depend on partitioning")
   }
+
+  test("bounded local state: tiny cap forces compactions yet results stay exact") {
+    // adversarial for the capped per-key-max map: 500 mostly-unique keys
+    // per partition in ASCENDING score order (every insert beats the
+    // pruned threshold's history), plus multi-vector keys whose best
+    // vector arrives AFTER the key was pruned (the re-entry path), plus
+    // a best-vector-first key (the underreport trap: its later, smaller
+    // score must not survive as its max).
+    val q = Array(1.0f, 0.0f)
+    def vecAt(c: Double) = { // cosine with q == c, exactly
+      val s = math.sqrt(1 - c * c); Seq(c.toFloat, s.toFloat)
+    }
+    val rows = (1 to 500).map { i => (i.toLong, vecAt(i / 1000.0)) } ++
+      Seq((600L, vecAt(0.001)), (601L, vecAt(0.9995)),
+        (600L, vecAt(0.999)),  // re-enters long after pruning
+        (601L, vecAt(0.002)))  // must NOT demote 601's max
+    val emb = rows.toDF("_key", "embedding").repartition(1) // one big partition
+    val expected = rows.groupBy(_._1)
+      .map { case (k2, vs) => (k2, vs.map(v2 => v2._2.head.toDouble).max) }
+      .toSeq.sortBy { case (k2, s) => (-s, k2) }.take(5)
+    val got = Search.topK(emb, q, 5, localStateCap = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == expected.map(_._1),
+      s"capped result keys ${got.map(_._1).toSeq} != ${expected.map(_._1)}")
+    got.zip(expected).foreach { case ((_, s), (_, e)) =>
+      assert(math.abs(s - e) < 1e-6, s"score $s != expected $e") }
+    // and the uncapped path agrees
+    val unbounded = Search.topK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(unbounded.toSeq == got.toSeq)
+  }
 }

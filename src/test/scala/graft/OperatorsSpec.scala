@@ -839,6 +839,44 @@ class StreamsSpec extends SparkSpec {
       s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("dupGroupsStream maintains standing labels equal to a full CC recompute, across restart") {
+    import graft.dedup.ConnectedComponents
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val pairs = mem.toDF().toDF("key_a", "key_b")
+    val root = java.nio.file.Files.createTempDirectory("graft_dgs").toString
+    val labelDir = s"$root/labels"
+    val ckpt = s"$root/ckpt"
+    def labelMap = Streams.readLabels(spark, labelDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val b2 = Seq((3L, 10L), (20L, 21L)) // merges {1,2,3}+{10,11}; new comp
+    val b3 = Seq((21L, 1L))             // merges everything but nothing else
+
+    val q1 = Streams.dupGroupsStream(pairs, "key_a", "key_b", labelDir, ckpt)
+    try {
+      mem.addData(b1); q1.processAllAvailable()
+      assert(labelMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      mem.addData(b2); q1.processAllAvailable()
+      val full2 = ConnectedComponents.labels((b1 ++ b2).toDF("key_a", "key_b"),
+        "key_a", "key_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labelMap == full2, "two folded batches == full recompute")
+    } finally q1.stop()
+
+    // restart on the same checkpoint + label dir: the standing table and
+    // source offsets both carry over
+    val q2 = Streams.dupGroupsStream(pairs, "key_a", "key_b", labelDir, ckpt)
+    try {
+      mem.addData(b3); q2.processAllAvailable()
+      val full3 = ConnectedComponents.labels((b1 ++ b2 ++ b3).toDF("key_a", "key_b"),
+        "key_a", "key_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labelMap == full3, "post-restart fold == full recompute")
+      assert(labelMap.values.toSet == Set(1L),
+        s"b3 chains every component into comp 1: $labelMap")
+    } finally q2.stop()
+  }
+
   test("near-dedup stream restart with refreshed bands sees corpus additions; offsets carry over") {
     import graft.dedup.Dedup
     // the pinned-corpus contract: growth is invisible until the query is
