@@ -285,6 +285,18 @@ object PipelineQueries {
         .orderBy(col("comp_id"))
     }),
 
+    // Deterministic global shuffle: the reproducible random order a
+    // training set is written in (spreads correlated/adjacent docs).
+    // Order is (md5(doc_id), doc_id); the dense rank is assigned by
+    // range-repartition on the hash + local sort + zipWithIndex — no
+    // single-task global window anywhere (the oracle's row_number()
+    // IS that single-task sort, which is exactly what this operator
+    // exists to avoid at scale).
+    "q108_shuffle" -> ((s, d) =>
+      graft.operators.Shuffle.deterministicShuffle(
+          documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy(col("pos"))),
+
     // Incremental near-dedup: the nightly-crawl shape — new batch
     // (doc_id >= 250) deduped AGAINST the standing corpus (doc_id < 250)
     // via the band join, never corpus x corpus. Graded against the exact
@@ -582,6 +594,12 @@ object PipelineQueries {
         |SELECT min(doc_id) AS comp_id, CAST(count(*) AS BIGINT) AS n_docs,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM g GROUP BY grp HAVING count(*) >= 2 ORDER BY comp_id""".stripMargin,
+
+    "q108_shuffle" ->
+      """SELECT doc_id, lang,
+        | CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |   AS BIGINT) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
 
     "q68_dedup_apply" -> DedupApplyOracle,
     // q104 is the LSH-pair production path graded against the SAME exact

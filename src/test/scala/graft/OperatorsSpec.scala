@@ -113,6 +113,27 @@ class DedupSpec extends SparkSpec {
     assert(toMap(ConnectedComponents.mergeLabels(empty, era0)) == toMap(standing0))
   }
 
+  test("deterministic shuffle: dense reproducible ranks, salt re-deals, matches window oracle") {
+    import graft.operators.Shuffle
+    val df = (0L until 1000L).map(k => (k, s"doc $k")).toDF("k", "v").repartition(7)
+    val s1 = Shuffle.deterministicShuffle(df, "k")
+    val posMap = s1.select("k", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(posMap.values.toSeq.sorted == (0L until 1000L), "ranks are dense 0..n-1")
+    val s2 = Shuffle.deterministicShuffle(df.repartition(3), "k")
+      .select("k", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2 == posMap, "order is independent of input partitioning")
+    // equals the single-task window form (what the operator replaces)
+    val oracle = df.withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("k").cast("string")), col("k"))) - 1)
+      .select("k", "pos").collect().map(r => r.getLong(0) -> (r.getInt(1).toLong)).toMap
+    assert(posMap == oracle, "distributed rank == global window rank")
+    // a salt deals a different permutation with the same membership
+    val salted = Shuffle.deterministicShuffle(df, "k", salt = "epoch2")
+      .select("k", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted.keySet == posMap.keySet && salted != posMap)
+  }
+
   test("stratified sampling: deterministic, rate-proportional, append-stable") {
     import graft.operators.Sampling
     val df = (0L until 2000L).map(k => (k, if (k % 2 == 0) "a" else "b"))
