@@ -652,8 +652,16 @@ class Collection private[core] (
     */
   @volatile private[graft] var streamRecoveryAntiJoins: Long = 0L
 
+  /** `chunkTokens = Some(n)` embeds each micro-batch at CHUNK granularity
+    * (multi-vector per key, [[embedColumnChunked]]'s layout) so a
+    * stream-fed index matches a batch-chunked one; the recovery anti-join
+    * and watermark logic are unchanged — they operate on document keys,
+    * which chunking never splits across batches.
+    */
   def embedColumnStream(column: String, embedder: graft.embed.Embedder,
-                        checkpointDir: String, batchSize: Int = 32)
+                        checkpointDir: String, batchSize: Int = 32,
+                        chunkTokens: Option[Int] = None,
+                        overlapTokens: Int = 50)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val variant = config.model_variant
@@ -710,7 +718,11 @@ class Collection private[core] (
         }
         // same fingerprinted layout as the batch indexer, so a stream-fed
         // index supports reembedChanged too
-        val embedded0 = graft.embed.EmbedBatch.triples(batch, embedder, batchSize)
+        val embedded0 = chunkTokens match {
+          case Some(mt) => graft.embed.EmbedBatch.chunkedTriples(
+            batch, embedder, batchSize, mt, overlapTokens)
+          case None => graft.embed.EmbedBatch.triples(batch, embedder, batchSize)
+        }
         val embedded =
           if (variant == "f32") embedded0.toDF(KeyCol, "fp", "embedding")
           else embedded0

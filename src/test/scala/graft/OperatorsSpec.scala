@@ -1270,6 +1270,35 @@ class EmbedStreamSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("chunked embed stream builds the same multi-vector index as the batch path") {
+    val root = java.nio.file.Files.createTempDirectory("graft_es_ch").toString
+    val cat = new graft.core.Catalog(spark, root)
+    val emb = new graft.embed.HashingEmbedder(dim = 32)
+    val longDoc = "# part one\n" +
+      Array.fill(30)("alpha beta gamma delta").mkString(" ") +
+      "\n\n# part two\n" +
+      Array.fill(30)("quantum photon entangle spin").mkString(" ")
+    val docs = Seq(longDoc, "short filler one", "short filler two")
+
+    val cb = cat.create(graft.core.CollectionConfig(name = "chb"))
+    cb.importDf(docs.toDF("text"))
+    val nBatch = cb.embedColumnChunked("text", emb, maxTokens = 32, overlapTokens = 4)
+
+    val cs = cat.create(graft.core.CollectionConfig(name = "chs"))
+    cs.importDf(docs.toDF("text"))
+    val q = cs.embedColumnStream("text", emb, s"$root/_ckpt",
+      chunkTokens = Some(32), overlapTokens = 4)
+    try q.processAllAvailable() finally q.stop()
+
+    assert(cs.indexedCount("text") == nBatch,
+      s"stream wrote ${cs.indexedCount("text")} vectors, batch wrote $nBatch")
+    assert(nBatch > docs.size, "long doc must contribute several vectors")
+    val query = "quantum photon entangle spin"
+    def hits(c: graft.core.Collection) = c.search("text", query, 3, emb)
+      .collect().map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSeq
+    assert(hits(cs) == hits(cb), "stream-built and batch-built chunked indexes must search identically")
+  }
+
   test("compact() while the stream is BEHIND: listed-then-deleted files don't kill the query") {
     // The dangerous window: the source has committed a batch's file list
     // to the offset log, compact() then deletes those very files, and the
