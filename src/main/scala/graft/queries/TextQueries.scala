@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.dedup.Dedup
 import graft.functions.{Chunker, TextFunctions}
+import graft.search.{Keyword, Search}
 
 /** Training-data-pipeline operators over `documents`/`embeddings`: token
   * stats, quality scoring, fingerprints, the dedup family, similarity
@@ -404,8 +405,28 @@ object TextQueries {
           round(col("zcr"), 6).as("zcr"),
           round(col("peak"), 6).as("peak"))
         .orderBy(col("media_id"))
+    }),
+
+    // BM25 keyword top-k (graft.search.Keyword): sparse retrieval over the
+    // corpus for a fixed 3-term query; raw-score top-k, survivors rounded.
+    "q109_bm25" -> ((s, d) =>
+      Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 10)
+        .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))),
+
+    // Hybrid retrieval: RRF fusion of the BM25 page and the dense cosine
+    // page (Search.topK vs the vec_id=0 query vector) — ranks re-derived
+    // from (raw score desc, key) on both sides, 1/(60+r) contributions.
+    "q110_hybrid_rrf" -> ((s, d) => {
+      val kw = Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 20)
+      val qv = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val dn = Search.topK(embeddings(s, d), qv, k = 20, keyColName = "vec_id")
+        .select(col("vec_id").as("key"), col("score"))
+      Keyword.rrfFuse(Seq(kw, dn), "key", k = 10)
+        .select(col("key").as("doc_id"), round(col("score"), 6).as("rrf_score"))
     })
   )
+
 
   // DuckDB twins. Tokenization parity: Spark `split(trim(x), '\s+')` ==
   // DuckDB `string_split_regex(trim(x), '\s+')` (both drop the leading
@@ -416,6 +437,38 @@ object TextQueries {
   // but Spark's tokens() yields [] — guard wherever tokens are unnested
   private val ToksGuarded =
     s"(CASE WHEN length(trim(text)) = 0 THEN [] ELSE $Toks END)"
+
+  /** Fixed keyword query for q109/q110 — terms present across the synthetic
+    * corpus with differing document frequencies.
+    */
+  private val Bm25Terms = Seq("vector", "hash", "join")
+
+  /** BM25 oracle CTE chain ending in `bm25agg(doc_id, score)` — the exact
+    * twin of `Keyword.bm25TopK` at k1=1.2, b=0.75 for the q109/q110 terms.
+    * Float discipline: every arithmetic step forced to DOUBLE (DuckDB
+    * decimal literals would otherwise pull the formula into DECIMAL
+    * arithmetic), same association order as `Keyword.bm25Contrib`, and the
+    * per-doc sum folds in token order (list_reduce over list ORDER BY tok)
+    * mirroring the operator's sort_array/aggregate fold. n_docs/avgdl are
+    * defined over docs with >= 1 token on BOTH sides.
+    */
+  private val Bm25Cte =
+    s"""toks2 AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
+       | bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |   FROM toks2 GROUP BY 1),
+       | bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |   avg(CAST(dl AS DOUBLE)) AS avgdl FROM bdl),
+       | btf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |   FROM toks2 WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+       | bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+       | bcontrib AS (SELECT btf.doc_id, btf.tok,
+       |     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1)
+       |      * (CAST(tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
+       |   FROM btf JOIN bdf USING (tok) JOIN bdl USING (doc_id) CROSS JOIN bstats),
+       | bm25agg AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list(c ORDER BY tok)), (x, y) -> x + y) AS score
+       |   FROM bcontrib GROUP BY doc_id)""".stripMargin
 
   /** The quality-metrics CTE body (token/char/punct/digit/stopword/
     * non-whitespace counts) — ONE definition shared by the q21/q50/q89
@@ -703,7 +756,35 @@ object TextQueries {
         | round(sqrt(CAST(sumsq AS DOUBLE) / n_samples) / 32768.0, 6) AS rms,
         | round(CAST(flips AS DOUBLE) / (n_samples - 1), 6) AS zcr,
         | round(CAST(pk AS DOUBLE) / 32768.0, 6) AS peak
-        | FROM agg ORDER BY media_id""".stripMargin
+        | FROM agg ORDER BY media_id""".stripMargin,
+
+    "q109_bm25" ->
+      s"""WITH $Bm25Cte,
+         | top AS (SELECT doc_id, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 6) AS score FROM top
+         | ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q110_hybrid_rrf" ->
+      s"""WITH $Bm25Cte,
+         | ktop AS (SELECT doc_id, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 20),
+         | kr AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM ktop),
+         | dvec AS (SELECT vec_id,
+         |   max(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+         |      WHERE vec_id = 0))) AS raw
+         |   FROM embeddings GROUP BY vec_id),
+         | dtop AS (SELECT vec_id, raw FROM dvec ORDER BY raw DESC, vec_id LIMIT 20),
+         | dr AS (SELECT vec_id,
+         |   row_number() OVER (ORDER BY raw DESC, vec_id) AS r FROM dtop),
+         | fused AS (SELECT coalesce(kr.doc_id, dr.vec_id) AS doc_id,
+         |     coalesce(1.0 / (60 + kr.r), 0) + coalesce(1.0 / (60 + dr.r), 0) AS rrf
+         |   FROM kr FULL JOIN dr ON kr.doc_id = dr.vec_id),
+         | ftop AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(rrf, 6) AS rrf_score FROM ftop
+         | ORDER BY rrf DESC, doc_id""".stripMargin
   )
 
   /** The chunker on a header-less, paragraph-less corpus is exactly the

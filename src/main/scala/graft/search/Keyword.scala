@@ -1,0 +1,197 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Keyword (BM25) search and keyword+vector hybrid rank fusion.
+  *
+  * The reference engine is vector-only (src/collection/vector_index.rs);
+  * a training-data / retrieval pipeline at corpus scale also needs the
+  * sparse side: BM25 over an inverted index, and reciprocal-rank fusion
+  * to combine keyword and dense rankings into one result page. Both are
+  * expressed as declarative Spark plans so Catalyst keeps the scan
+  * pruned and the aggregates map-side-combined.
+  *
+  * Scale shape:
+  *   - scoring touches ONLY postings of the query's terms — the corpus
+  *     text is never re-scanned at query time once an index is built;
+  *   - the persistent index is parquet `partitionBy(bucket)` where
+  *     `bucket = md5(token) % nBuckets`, so a query reads just the
+  *     directories its terms hash to (partition pruning, proven from
+  *     the executed plan in KeywordSpec — same layout discipline as
+  *     `Ann.writeIndex`);
+  *   - per-document score assembly folds at most |queryTerms| entries,
+  *     in token order (a deterministic f64 reduction, the q65 pattern),
+  *     so executor state per key is O(|query|), never O(corpus);
+  *   - document length norms and corpus stats are computed once at
+  *     index-build time and stored; the query-time stats side is one
+  *     broadcast row.
+  */
+object Keyword {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+  /** Standard RRF dampening constant (Cormack et al., SIGIR'09). */
+  val DefaultRrfC = 60
+
+  /** Lowercased whitespace tokens, blank-safe — the corpus-wide
+    * tokenization shared with TextFunctions (oracle parity depends on
+    * both sides splitting identically).
+    */
+  private def explodedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("key"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+
+  /** BM25 contribution of one (term, doc) posting. Literal constants are
+    * written as decimal literals (not Scala-side arithmetic like `k1 + 1`)
+    * when defaults are in play so the DuckDB oracle parses the identical
+    * double — `double(1.2) + 1 != double(2.2)` in the last ulp.
+    */
+  private def bm25Contrib(tf: Column, df: Column, dl: Column,
+                          nDocs: Column, avgdl: Column,
+                          k1: Double, b: Double): Column = {
+    val idf = log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1))
+    idf * (tf * lit(k1 + 1)) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+  }
+
+  /** (postings, doclen, stats) from a raw document table in one pass over
+    * the exploded tokens: postings (tok, key, tf), doclen (key, dl) and a
+    * single-row stats frame (n_docs, avgdl). `n_docs`/`avgdl` are defined
+    * over documents with >= 1 token (token-less docs can never match a
+    * term, so they are excluded from the norm on both the operator and
+    * the oracle side — one definition, no drift).
+    */
+  def corpusTables(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val t = explodedTokens(docs, idCol, textCol)
+    val postings = t.groupBy(col("tok"), col("key"))
+      .agg(count(lit(1)).as("tf"))
+    val doclen = t.groupBy(col("key")).agg(count(lit(1)).as("dl"))
+    val stats = doclen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    (postings, doclen, stats)
+  }
+
+  /** Score postings restricted to `queryTerms` and return the top-k
+    * `(key, score)` page, ordered by raw score (rounding, if the caller
+    * wants it, applies to survivors only — the q_topk_cosine discipline).
+    *
+    * The per-key sum folds contributions in token order via the
+    * sort_array/aggregate idiom so the f64 total is run-deterministic.
+    */
+  def bm25FromTables(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
+                     queryTerms: Seq[String], k: Int,
+                     k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val qt = queryTerms.map(_.toLowerCase).distinct
+    require(qt.nonEmpty, "bm25 requires at least one query term")
+    val tf = postings.filter(col("tok").isin(qt: _*))
+    // df over the matched postings only — corpus-wide df per query term
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "tok")
+      .join(doclen, "key")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", bm25Contrib(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+    scored.groupBy(col("key")).agg(
+        aggregate(sort_array(collect_list(struct(col("tok"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+      .orderBy(desc("score"), col("key"))
+      .limit(k)
+  }
+
+  /** One-shot BM25 over a raw document table (index-free path; the
+    * corpus is scanned once for postings + norms).
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val (postings, doclen, stats) = corpusTables(docs, idCol, textCol)
+    bm25FromTables(postings, doclen, stats, queryTerms, k, k1, b)
+  }
+
+  // --- persistent bucketed inverted index --------------------------------
+
+  /** md5-derived token bucket — computable identically on the driver
+    * (for pruning-filter literals) and in DuckDB (md5 is bit-identical
+    * everywhere; Spark's murmur `hash()` is not portable off-cluster).
+    */
+  def tokenBucket(tok: String, nBuckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .take(3).map(b => f"$b%02x").mkString
+    (Integer.parseInt(hex, 16) % nBuckets + nBuckets) % nBuckets
+  }
+
+  private def tokenBucketCol(tok: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 6), 16, 10).cast("int"), lit(nBuckets))
+
+  /** Build the persistent index: postings partitioned by token bucket
+    * (query-time reads prune to the buckets of the query terms), plus
+    * doclen and the one-row stats table. One corpus scan.
+    */
+  def buildIndex(docs: DataFrame, dir: String,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 nBuckets: Int = 64): Unit = {
+    val (postings, doclen, stats) = corpusTables(docs, idCol, textCol)
+    postings
+      .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/postings")
+    doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    stats.withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Query the persistent index. The postings read carries a `bucket`
+    * partition filter derived driver-side from the query terms, so only
+    * |distinct term buckets| directories are listed and scanned.
+    */
+  def searchIndex(spark: SparkSession, dir: String,
+                  queryTerms: Seq[String], k: Int,
+                  k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val stats = spark.read.parquet(s"$dir/stats")
+    val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
+    val qt = queryTerms.map(_.toLowerCase).distinct
+    val buckets = qt.map(tokenBucket(_, nBuckets)).distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+    val doclen = spark.read.parquet(s"$dir/doclen")
+    bm25FromTables(postings, doclen, stats.drop("n_buckets"), qt, k, k1, b)
+  }
+
+  // --- reciprocal-rank fusion --------------------------------------------
+
+  /** Fuse ranked lists by RRF: score(d) = sum over lists of
+    * 1 / (c + rank_list(d)), missing entries contributing 0. Each input
+    * is a ranked page `(keyCol, score)` ordered by (score desc, key) —
+    * the shape `bm25TopK` / `Search.topK` return; ranks are re-derived
+    * from that order so fusion never trusts row order across a shuffle.
+    *
+    * Inputs are top-k pages (driver-bounded, k <= ~100), so the
+    * rank window and the fold-up run on k-sized frames — the single
+    * partition window is deliberate and cheap here, not a scale hazard.
+    * The per-key sum folds in list-index order (deterministic f64).
+    */
+  def rrfFuse(lists: Seq[DataFrame], keyCol: String, k: Int,
+              c: Int = DefaultRrfC): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse requires at least one ranked list")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), col(keyCol))
+    val ranked = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(keyCol), col("score"))
+        .withColumn("r", row_number().over(w))
+        .select(col(keyCol), lit(i).as("li"),
+          (lit(1.0) / (lit(c) + col("r"))).as("contrib"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col(keyCol)).agg(
+        aggregate(sort_array(collect_list(struct(col("li"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy(desc("score"), col(keyCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.Keyword
+
+class KeywordSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: hand-computed score on a 3-doc fixture") {
+    val docs = Seq(
+      (1L, "spark engine spark"), // tf(spark)=2, dl=3
+      (2L, "spark shuffle"),      // tf(spark)=1, dl=2
+      (3L, "parquet files only")  // no match,    dl=3
+    ).toDF("doc_id", "text")
+    val got = Keyword.bm25TopK(docs, Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // n_docs=3, avgdl=8/3, df(spark)=2
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    val avgdl = (3 + 2 + 3) / 3.0
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(got.length == 2)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "doc 1 (tf=2) must outrank doc 2")
+    assert(math.abs(got(0)._2 - s(2, 3)) < 1e-12)
+    assert(math.abs(got(1)._2 - s(1, 2)) < 1e-12)
+  }
+
+  test("persistent index search matches the inline corpus scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwidx").toString + "/idx"
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("vector", "hash", "join")
+    Keyword.buildIndex(docs, dir, nBuckets = 16)
+    val inline = Keyword.bm25TopK(docs, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = Keyword.searchIndex(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inline.nonEmpty && indexed == inline)
+  }
+
+  test("index search prunes to the query terms' bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwprune").toString + "/idx"
+    val docs = Tables.documents(spark, sf0001)
+    Keyword.buildIndex(docs, dir, nBuckets = 16)
+    val terms = Seq("vector")
+    val plan = Keyword.searchIndex(spark, dir, terms, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket partition pruning missing from plan:\n$plan")
+    // data-path proof (input_file_name survives partition pruning where
+    // inputFiles does not): every postings file the probed query ACTUALLY
+    // reads lives under the one bucket directory the term hashes to
+    val b = Keyword.tokenBucket("vector", 16)
+    val dirsRead = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket") === b)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0))
+      .flatMap(_.split("/").find(_.startsWith("bucket=")))
+      .toSet
+    assert(dirsRead == Set(s"bucket=$b"),
+      s"scan escaped the probed bucket: read $dirsRead")
+  }
+
+  test("driver-side tokenBucket matches the column expression") {
+    val toks = Seq("vector", "hash", "join", "a", "merge", "spark", "zz9")
+    val fromCol = spark.createDataset(toks).toDF("tok")
+      .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10)
+        .cast("int"), lit(16)))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    toks.foreach { t =>
+      assert(Keyword.tokenBucket(t, 16) == fromCol(t), s"bucket mismatch for '$t'")
+    }
+  }
+
+  test("rrfFuse: hand-computed fusion of two overlapping pages") {
+    // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
+    val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
+    val b = Seq((20L, 0.8), (30L, 0.2)).toDF("key", "score")
+    val got = Keyword.rrfFuse(Seq(a, b), "key", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Seq(
+      20L -> (1.0 / 62 + 1.0 / 61), // in both lists
+      10L -> 1.0 / 61,
+      30L -> 1.0 / 62)
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-15) }
+  }
+}
