@@ -132,17 +132,58 @@ object Keyword {
   /** Build the persistent index: postings partitioned by token bucket
     * (query-time reads prune to the buckets of the query terms), plus
     * doclen and the one-row stats table. One corpus scan.
+    *
+    * Stats are stored as EXACT integers (`n_docs`, `sum_dl`) rather than
+    * a float `avgdl` so `appendToIndex` can fold a batch's deltas in
+    * without re-reading the corpus; `avgdl` is derived at query time.
+    * sum-as-exact-long then one double division equals Spark's `avg`
+    * over longs bit-for-bit while the token count stays below 2^53 —
+    * the inline `corpusTables` path and the indexed path agree
+    * (equivalence spec'd in KeywordSpec).
     */
   def buildIndex(docs: DataFrame, dir: String,
                  idCol: String = "doc_id", textCol: String = "text",
                  nBuckets: Int = 64): Unit = {
-    val (postings, doclen, stats) = corpusTables(docs, idCol, textCol)
+    val (postings, doclen, _) = corpusTables(docs, idCol, textCol)
     postings
       .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/postings")
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
-    stats.withColumn("n_buckets", lit(nBuckets))
+    doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Fold a batch of NEW documents into an existing index in O(batch):
+    * the batch's postings/doclen append to the stored tables (same
+    * bucket layout, so query-time pruning is unaffected) and the exact
+    * integer stats advance by the batch deltas — the corpus is never
+    * re-read. Keys must be new (the `AppendJsonl` max+1 discipline);
+    * re-adding an indexed key would double-count its postings.
+    *
+    * Write order is postings, doclen, then stats last; a crash before
+    * the stats swap leaves the index fully searchable with the previous
+    * norms. Not idempotent under blind re-run — coordinate with the
+    * collection write lock as `embedColumn` does.
+    */
+  def appendToIndex(newDocs: DataFrame, dir: String,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val old = spark.read.parquet(s"$dir/stats").head()
+    val nBuckets = old.getAs[Int]("n_buckets")
+    val (postings, doclen, _) = corpusTables(newDocs, idCol, textCol)
+    postings
+      .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
+      .write.partitionBy("bucket").mode("append")
+      .parquet(s"$dir/postings")
+    doclen.write.mode("append").parquet(s"$dir/doclen")
+    val delta = doclen.agg(count(lit(1)), sum(col("dl"))).head()
+    val stats = Seq((old.getAs[Long]("n_docs") + delta.getLong(0),
+      old.getAs[Long]("sum_dl") + (if (delta.isNullAt(1)) 0L else delta.getLong(1)),
+      nBuckets))
+    import spark.implicits._
+    stats.toDF("n_docs", "sum_dl", "n_buckets")
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -153,14 +194,16 @@ object Keyword {
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
                   k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
-    val stats = spark.read.parquet(s"$dir/stats")
-    val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
+    val stored = spark.read.parquet(s"$dir/stats")
+    val nBuckets = stored.select(col("n_buckets")).head().getInt(0)
+    val stats = stored.select(col("n_docs"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val qt = queryTerms.map(_.toLowerCase).distinct
     val buckets = qt.map(tokenBucket(_, nBuckets)).distinct
     val postings = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*))
     val doclen = spark.read.parquet(s"$dir/doclen")
-    bm25FromTables(postings, doclen, stats.drop("n_buckets"), qt, k, k1, b)
+    bm25FromTables(postings, doclen, stats, qt, k, k1, b)
   }
 
   // --- reciprocal-rank fusion --------------------------------------------

@@ -71,6 +71,24 @@ class KeywordSpec extends SparkSpec {
     }
   }
 
+  test("incremental append: build(old) + append(new) == inline over full corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwincr").toString + "/idx"
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("vector", "hash", "join")
+    Keyword.buildIndex(docs.filter(col("doc_id") < 400), dir, nBuckets = 16)
+    Keyword.appendToIndex(docs.filter(col("doc_id") >= 400), dir)
+    val incr = Keyword.searchIndex(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Keyword.bm25TopK(docs, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(incr == full, "appended index must score exactly like a fresh full build")
+    // empty batch is a no-op for stats and results
+    Keyword.appendToIndex(docs.filter(col("doc_id") < 0), dir)
+    val after = Keyword.searchIndex(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == full)
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping pages") {
     // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
     val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
