@@ -748,6 +748,73 @@ class Collection private[core] (
     graft.search.Search.searchAndFetch(df, embeddings(column), qv, limit, column)
   }
 
+  // --- keyword (BM25) + hybrid search surface ----------------------------
+
+  /** The keyword index lives beside the vector index
+    * (`<index_dir>/<column>_kw/`) in `Keyword.buildIndex`'s
+    * bucket-partitioned layout; searches prune to the query terms'
+    * buckets. Rebuild (or `Keyword.appendToIndex` with the new rows)
+    * after appends — like the vector index, it does not track the
+    * collection automatically.
+    */
+  def keywordIndexDir(column: String): String =
+    s"$dir/${config.index_dir}/${column}_kw"
+
+  def buildKeywordIndex(column: String, nBuckets: Int = 64): Unit = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try graft.search.Keyword.buildIndex(
+      df.select(col(KeyCol), col(column)), keywordIndexDir(column),
+      idCol = KeyCol, textCol = column, nBuckets = nBuckets)
+    finally writeLock.unlock()
+  }
+
+  private def hasKeywordIndex(column: String): Boolean =
+    fs.exists(new Path(s"${keywordIndexDir(column)}/stats"))
+
+  /** BM25 page over `column`, content-fetched like [[search]]. Uses the
+    * pruned persistent index when built, else falls back to a one-shot
+    * corpus scan (correct but corpus-linear — fine ad hoc, build the
+    * index for repeated queries).
+    */
+  def searchKeyword(column: String, query: String, limit: Int): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    val terms = graft.search.Keyword.queryTerms(query)
+    require(terms.nonEmpty, "keyword search requires a non-empty query")
+    fetchHits(keywordHits(column, terms, limit), column)
+  }
+
+  /** Hybrid retrieval: RRF fusion of the dense page ([[search]]'s
+    * vector top-k) and the BM25 page, one result slot per document.
+    * A query with no tokens degrades to dense-only.
+    */
+  def searchHybrid(column: String, query: String, limit: Int,
+                   embedder: graft.embed.Embedder): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    val qv = embedder.embedOne(query)
+    val dense = graft.search.Search.topK(embeddings(column), qv, limit)
+    val terms = graft.search.Keyword.queryTerms(query)
+    val pages =
+      if (terms.isEmpty) Seq(dense)
+      else Seq(keywordHits(column, terms, limit), dense)
+    fetchHits(graft.search.Keyword.rrfFuse(pages, KeyCol, limit), column)
+  }
+
+  private def keywordHits(column: String, terms: Seq[String], limit: Int): DataFrame = {
+    val hits =
+      if (hasKeywordIndex(column))
+        graft.search.Keyword.searchIndex(spark, keywordIndexDir(column), terms, limit)
+      else
+        graft.search.Keyword.bm25TopK(df, terms, limit, idCol = KeyCol, textCol = column)
+    hits.withColumnRenamed("key", KeyCol)
+  }
+
+  /** k-row hits page -> (content, key, score), the [[search]] envelope. */
+  private def fetchHits(hits: DataFrame, column: String): DataFrame =
+    df.join(broadcast(hits), KeyCol)
+      .select(col(column).as("content"), col(KeyCol).as("key"), col("score"))
+      .orderBy(desc("score"), col("key"))
+
   private[core] def writeConfig(): Unit = {
     val p = new Path(s"$dir/config.json")
     val out = fs.create(p, true)

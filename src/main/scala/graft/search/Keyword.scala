@@ -44,6 +44,11 @@ object Keyword {
     docs.select(col(idCol).as("key"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
 
+  /** Driver-side twin of the corpus tokenization, for query strings. */
+  def queryTerms(query: String): Seq[String] =
+    Option(query).getOrElse("").trim.toLowerCase
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
   /** BM25 contribution of one (term, doc) posting. Literal constants are
     * written as decimal literals (not Scala-side arithmetic like `k1 + 1`)
     * when defaults are in play so the DuckDB oracle parses the identical

@@ -88,9 +88,16 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int) {
           .getOrElse(throw new IllegalArgumentException("query is required"))
         val limit = (req \ "limit").extractOpt[Int].getOrElse(Search.DefaultLimit)
         Search.validateLimit(limit)
+        val mode = (req \ "mode").extractOpt[String].getOrElse("vector")
         val coll = catalog.load(name)
-        val embedder = registry.load(coll.config.model_name, coll.config.model_variant)
-        val rows = coll.search(column, query, limit, embedder).collect()
+        def embedder = registry.load(coll.config.model_name, coll.config.model_variant)
+        val rows = (mode match {
+          case "vector" => coll.search(column, query, limit, embedder)
+          case "keyword" => coll.searchKeyword(column, query, limit)
+          case "hybrid" => coll.searchHybrid(column, query, limit, embedder)
+          case other => throw new IllegalArgumentException(
+            s"mode must be vector|keyword|hybrid, got '$other'")
+        }).collect()
         val results = rows.map { r =>
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""
         }.mkString("[", ",", "]")

@@ -55,6 +55,18 @@ class HttpApiSpec extends SparkSpec {
       assert(sc == 200 && sb.contains("\"results\""), sb)
       assert(sb.contains("apple"), s"expected an apple hit: $sb")
 
+      // keyword + hybrid modes over the same route (index-free BM25
+      // fallback path; "car" only matches doc 2 by keyword)
+      val (kc, kb) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"car road","limit":2,"mode":"keyword"}""")
+      assert(kc == 200 && kb.contains("car truck road"), kb)
+      val (yc, yb) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"apple fruit","limit":2,"mode":"hybrid"}""")
+      assert(yc == 200 && yb.contains("apple"), yb)
+      val (xc, xb) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"x","limit":2,"mode":"nope"}""")
+      assert(xc == 400 && xb.contains("mode"), xb)
+
       // K5 validation and error envelope
       val (bc, bb) = post(port, "/collections/docs/search",
         """{"column_name":"text","query":"x","limit":0}""")

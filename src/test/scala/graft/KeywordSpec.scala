@@ -89,6 +89,33 @@ class KeywordSpec extends SparkSpec {
     assert(after == full)
   }
 
+  test("collection surface: keyword index, fallback equality, hybrid fusion") {
+    import graft.core.{Catalog, CollectionConfig}
+    import graft.embed.HashingEmbedder
+    val root = java.nio.file.Files.createTempDirectory("graft_kwcoll").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "docs"))
+    c.importDf(Seq("apple banana fruit", "car truck road", "apple pie baking")
+      .toDF("text"))
+    val emb = new HashingEmbedder(dim = 64)
+    c.embedColumn("text", emb)
+    // index-free fallback and indexed path agree
+    val viaScan = c.searchKeyword("text", "apple pie", 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    c.buildKeywordIndex("text", nBuckets = 8)
+    val viaIndex = c.searchKeyword("text", "apple pie", 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaScan.nonEmpty && viaIndex == viaScan)
+    assert(viaIndex.head._1 == 3L, "doc 3 matches both terms, must rank first")
+    // hybrid: fused page carries rrf scores, best doc matches both signals
+    val hy = c.searchHybrid("text", "apple pie baking", 3, emb)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(hy.nonEmpty && hy.head._2 == 3L, s"hybrid top hit: ${hy.toSeq}")
+    assert(hy.forall(_._3 <= 2.0 / 61 + 1e-9), "rrf scores bounded by 2/(c+1)")
+    // empty-token query degrades to dense-only, doesn't throw
+    assert(c.searchHybrid("text", "   ", 2, emb).collect().nonEmpty)
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping pages") {
     // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
     val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
