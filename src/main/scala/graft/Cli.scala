@@ -94,9 +94,15 @@ object Cli {
         val column = flags.getOrElse("column",
           c.config.index_columns.headOption.getOrElse("text"))
         val limit = flags.getOrElse("limit", "10").toInt
-        val embedder = registry.load(c.config.model_name, c.config.model_variant)
-        c.search(column, req(flags, "query"), limit, embedder)
-          .show(limit, truncate = 80)
+        val query = req(flags, "query")
+        def embedder = registry.load(c.config.model_name, c.config.model_variant)
+        val page = flags.getOrElse("mode", "vector") match {
+          case "vector" => c.search(column, query, limit, embedder)
+          case "keyword" => c.searchKeyword(column, query, limit)
+          case "hybrid" => c.searchHybrid(column, query, limit, embedder)
+          case other => fail(s"--mode must be vector|keyword|hybrid, got '$other'")
+        }
+        page.show(limit, truncate = 80)
       case "serve" =>
         val api = new graft.serve.HttpApi(catalog, registry,
           flags.getOrElse("port", "7898").toInt)
@@ -171,6 +177,8 @@ object Cli {
       |            present as null — KEEPS the stored value; an update cannot
       |            set a field to null. Delete-and-add-docs to null a field.)
       |  search   --collection C --query Q [--column col] [--limit n]
+      |           [--mode vector|keyword|hybrid]   # keyword/hybrid use the
+      |            BM25 index when built (buildKeywordIndex), else scan
       |  serve    [--port 7898]
       |  list
       |  list-models""".stripMargin)

@@ -760,17 +760,75 @@ class Collection private[core] (
   def keywordIndexDir(column: String): String =
     s"$dir/${config.index_dir}/${column}_kw"
 
+  /** Build (or REBUILD) the keyword index. A rebuild over an existing
+    * index is staged to a side directory and swapped in with the same
+    * checked two-rename + recovery protocol as [[compact]] — an in-place
+    * overwrite would leave stale `stats` over half-written `postings`
+    * if the rebuild died mid-way, and [[hasKeywordIndex]] (which keys on
+    * `stats`) would happily serve the corrupt mix.
+    */
   def buildKeywordIndex(column: String, nBuckets: Int = 64): Unit = {
     Identifiers.validate(column)
     writeLock.lock()
-    try graft.search.Keyword.buildIndex(
-      df.select(col(KeyCol), col(column)), keywordIndexDir(column),
-      idCol = KeyCol, textCol = column, nBuckets = nBuckets)
-    finally writeLock.unlock()
+    try {
+      val target = keywordIndexDir(column)
+      recoverSwap(target)
+      def build(where: String): Unit = graft.search.Keyword.buildIndex(
+        df.select(col(KeyCol), col(column)), where,
+        idCol = KeyCol, textCol = column, nBuckets = nBuckets)
+      if (!fs.exists(new Path(target))) build(target)
+      else writeAndSwap(target) { tmp =>
+        build(tmp)
+        // writeAndSwap's roll-forward marker; Keyword.buildIndex writes
+        // three sub-tables, so the parquet jobs' own _SUCCESS files sit
+        // one level down where recoverSwap can't see them
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      }
+    } finally writeLock.unlock()
   }
 
-  private def hasKeywordIndex(column: String): Boolean =
+  /** Fold rows the keyword index has not seen yet into it — the keyword
+    * twin of [[embedColumn]]'s watermark catch-up. The watermark is the
+    * max `_key` in the stored `doclen` table; everything above it is
+    * tokenized and appended in O(new rows) ([[graft.search.Keyword
+    * .appendToIndex]] — the corpus is never re-read, stats advance by
+    * exact integer deltas). Builds the index outright when absent.
+    * Returns the number of token-bearing documents folded in (token-less
+    * rows can never match a term and stay out of the norms on both the
+    * operator and oracle side).
+    */
+  def refreshKeywordIndex(column: String, nBuckets: Int = 64): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = keywordIndexDir(column)
+      recoverSwap(target)
+      if (!hasKeywordIndex(column)) {
+        graft.search.Keyword.buildIndex(
+          df.select(col(KeyCol), col(column)), target,
+          idCol = KeyCol, textCol = column, nBuckets = nBuckets)
+        return spark.read.parquet(s"$target/stats")
+          .head().getAs[Long]("n_docs")
+      }
+      val watermark = spark.read.parquet(s"$target/doclen")
+        .agg(max(col("key"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      val pending = df.filter(col(KeyCol) > watermark)
+        .select(col(KeyCol), col(column))
+      if (pending.isEmpty) return 0L
+      val before = spark.read.parquet(s"$target/stats").head().getAs[Long]("n_docs")
+      graft.search.Keyword.appendToIndex(pending, target,
+        idCol = KeyCol, textCol = column)
+      spark.read.parquet(s"$target/stats").head().getAs[Long]("n_docs") - before
+    } finally writeLock.unlock()
+  }
+
+  private def hasKeywordIndex(column: String): Boolean = {
+    recoverSwap(keywordIndexDir(column))
     fs.exists(new Path(s"${keywordIndexDir(column)}/stats"))
+  }
 
   /** BM25 page over `column`, content-fetched like [[search]]. Uses the
     * pruned persistent index when built, else falls back to a one-shot

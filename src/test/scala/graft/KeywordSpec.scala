@@ -116,6 +116,50 @@ class KeywordSpec extends SparkSpec {
     assert(c.searchHybrid("text", "   ", 2, emb).collect().nonEmpty)
   }
 
+  test("collection surface: staged-swap rebuild + watermark refresh") {
+    import graft.core.{Catalog, CollectionConfig}
+    val root = java.nio.file.Files.createTempDirectory("graft_kwrefresh").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "docs"))
+    c.importDf(Seq("alpha beta gamma", "beta delta", "gamma gamma echo")
+      .toDF("text"))
+    // refresh on an ABSENT index builds it outright
+    assert(c.refreshKeywordIndex("text", nBuckets = 8) == 3L)
+    val page0 = c.searchKeyword("text", "gamma beta", 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(page0.nonEmpty)
+    // append new docs; refresh folds in ONLY the rows above the watermark
+    c.appendDf(Seq("gamma zeta", "beta beta").toDF("text"))
+    assert(c.refreshKeywordIndex("text") == 2L)
+    assert(c.refreshKeywordIndex("text") == 0L, "second refresh must be a no-op")
+    val viaRefresh = c.searchKeyword("text", "gamma beta", 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // REBUILD over the existing index goes through the staged swap and
+    // must agree with the incrementally-maintained one and the raw scan
+    c.buildKeywordIndex("text", nBuckets = 8)
+    val viaRebuild = c.searchKeyword("text", "gamma beta", 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaRebuild == viaRefresh)
+    val inline = Keyword.bm25TopK(c.df, Seq("gamma", "beta"), 5,
+      idCol = "_key", textCol = "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaRebuild == inline)
+    // crash-sim: target vanished mid-swap with the rebuild committed ->
+    // the next read rolls the staged rebuild forward and still serves
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kw = new org.apache.hadoop.fs.Path(c.keywordIndexDir("text"))
+    val pre = new org.apache.hadoop.fs.Path(c.keywordIndexDir("text") + "_precompact")
+    val tmp = new org.apache.hadoop.fs.Path(c.keywordIndexDir("text") + "_compacting")
+    assert(fsRoot.rename(kw, tmp))
+    fsRoot.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    fsRoot.mkdirs(pre)
+    val healed = c.searchKeyword("text", "gamma beta", 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(healed == viaRebuild, "read after simulated crash must heal and match")
+    assert(fsRoot.exists(kw) && !fsRoot.exists(pre) && !fsRoot.exists(tmp))
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping pages") {
     // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
     val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
