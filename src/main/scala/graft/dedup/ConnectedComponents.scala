@@ -192,4 +192,65 @@ object ConnectedComponents {
       .select(col("node").as(keyCol))
     corpus.join(gone, Seq(keyCol), "left_anti")
   }
+
+  // --- quality-aware survivor selection ----------------------------------
+  //
+  // Min-key survivors are deterministic but arbitrary: a production
+  // pipeline keeps the BEST member of each dup group (longest version,
+  // highest quality score, most recent crawl), not whichever happened to
+  // get the smallest id. The score is a caller-supplied Column over the
+  // corpus row, so "best" composes with any signal already computed
+  // (q21-style quality, token count, recency) without new machinery.
+
+  /** One row per dup component: `(comp_id, survivor, n_docs)` where
+    * `survivor` is the member with the MAXIMUM `score`, ties broken by
+    * minimum key (keeping determinism). Members missing from `corpus`
+    * (pairs can reference retracted rows) can't win; a component whose
+    * members are all absent yields no row. Scores fold through max/min
+    * aggregates only — two shuffles over the (tiny, dup-members-only)
+    * label table, the corpus itself touched once for the score
+    * projection. The score comparison is null-safe: an all-null-score
+    * component falls back to the min-key survivor instead of vanishing.
+    */
+  def survivorsBy(corpus: DataFrame, keyCol: String, pairs: DataFrame,
+                  score: org.apache.spark.sql.Column,
+                  aCol: String = "key_a", bCol: String = "key_b",
+                  maxIter: Int = 20): DataFrame =
+    survivorsFromLabels(labels(pairs, aCol, bCol, maxIter),
+      corpus, keyCol, score)
+
+  private def survivorsFromLabels(lab: DataFrame, corpus: DataFrame,
+                                  keyCol: String,
+                                  score: org.apache.spark.sql.Column): DataFrame = {
+    val scored = corpus.select(col(keyCol).as("node"), score.as("__score"))
+    val members = lab.join(scored, Seq("node"))
+    val best = members.groupBy(col("comp")).agg(max(col("__score")).as("__best"))
+    members.join(best, Seq("comp"))
+      .filter(col("__score") <=> col("__best"))
+      .groupBy(col("comp")).agg(min(col("node")).as("survivor"))
+      .join(lab.groupBy(col("comp")).agg(count(lit(1)).as("n_docs")), Seq("comp"))
+      .select(col("comp").as("comp_id"), col("survivor"), col("n_docs"))
+  }
+
+  /** [[dropDuplicates]] with quality-aware survivors: every component
+    * member except its best-scoring one (ties -> min key) is dropped.
+    * Same anti-join scale shape — the corpus is never shuffled on
+    * anything but the key, and the extra work (score projection + two
+    * comp-keyed aggregates) is proportional to the dup set, not the
+    * corpus.
+    */
+  def dropDuplicatesBy(corpus: DataFrame, keyCol: String, pairs: DataFrame,
+                       score: org.apache.spark.sql.Column,
+                       aCol: String = "key_a", bCol: String = "key_b",
+                       maxIter: Int = 20): DataFrame = {
+    // labels() localCheckpoints its result internally, so reusing `lab`
+    // twice below re-reads cached blocks rather than re-running the loop
+    val lab = labels(pairs, aCol, bCol, maxIter)
+    val surv = survivorsFromLabels(lab, corpus, keyCol, score)
+    val gone = lab
+      .join(surv.select(col("comp_id").as("comp"), col("survivor")), Seq("comp"))
+      .filter(col("node") =!= col("survivor"))
+      .select(col("node").as(keyCol))
+    corpus.join(gone, Seq(keyCol), "left_anti")
+  }
 }

@@ -285,6 +285,22 @@ object PipelineQueries {
         .orderBy(col("comp_id"))
     }),
 
+    // Quality-aware survivor selection: each dup group keeps its BEST
+    // member — here the longest text, the "keep the fullest version"
+    // policy real pipelines ship — instead of the arbitrary min key.
+    // Ties fall back to min key so the result stays deterministic. The
+    // oracle re-derives components via the recursive CTE and picks the
+    // survivor with a length-desc window, so a wrong max, a broken tie
+    // break, or a survivor chosen among absent members all fail the gate.
+    "q111_dedup_keep_best" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        blockCol = None, threshold = 0.8, shingleSize = 3)
+      ConnectedComponents.survivorsBy(docs, "doc_id", pairs,
+          length(col("text")))
+        .orderBy(col("comp_id"))
+    }),
+
     // Deterministic global shuffle: the reproducible random order a
     // training set is written in (spreads correlated/adjacent docs).
     // Order is (md5(doc_id), doc_id); the dense rank is assigned by
@@ -475,10 +491,46 @@ object PipelineQueries {
          | min(node) AS first_doc, max(node) AS last_doc
          |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin
 
+  /** CcComponentsOracle's component derivation + a length-desc window to
+    * pick each group's survivor — the independent check for q111's
+    * max-score / min-key-tie-break selection.
+    */
+  private lazy val KeepBestOracle: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN list_distinct(toks)
+         |   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+         |  FROM t),
+         | pairs AS (
+         |  SELECT a.doc_id AS ka, b.doc_id AS kb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         | edges AS (SELECT ka AS src, kb AS dst FROM pairs
+         |           UNION ALL SELECT kb, ka FROM pairs),
+         | nodes AS (SELECT DISTINCT src AS node FROM edges),
+         | reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+         | lab AS (SELECT node, min(label) AS comp FROM reach GROUP BY node),
+         | scored AS (SELECT l.comp, l.node, length(d.text) AS len
+         |  FROM lab l JOIN documents d ON d.doc_id = l.node),
+         | r AS (SELECT comp, node,
+         |  row_number() OVER (PARTITION BY comp ORDER BY len DESC, node) AS rn
+         |  FROM scored),
+         | surv AS (SELECT comp, node AS survivor FROM r WHERE rn = 1),
+         | cnt AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_docs
+         |         FROM lab GROUP BY comp)
+         |SELECT comp AS comp_id, survivor, n_docs
+         |FROM surv JOIN cnt USING (comp) ORDER BY comp_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q62_dup_cc" -> CcComponentsOracle,
     // incremental mergeLabels graded against the identical full recompute
     "q107_cc_incr" -> CcComponentsOracle,
+    "q111_dedup_keep_best" -> KeepBestOracle,
 
     "q63_tpch_q21" ->
       """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait

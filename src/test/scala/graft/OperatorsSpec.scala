@@ -81,6 +81,41 @@ class DedupSpec extends SparkSpec {
     assert(labs.toSeq == Seq(Long.MaxValue - 5))
   }
 
+  test("survivorsBy/dropDuplicatesBy: max-score survivor, ties, nulls, absent members") {
+    import graft.dedup.ConnectedComponents
+    // components {1,2,3} and {10,11}; scores make 2 the best of the first
+    // group, 10/11 TIE in the second (tie -> min key keeps determinism)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("key_a", "key_b")
+    val corpus = Seq((1L, 5), (2L, 9), (3L, 7), (10L, 4), (11L, 4), (99L, 1))
+      .toDF("doc_id", "q")
+    val surv = ConnectedComponents
+      .survivorsBy(corpus, "doc_id", pairs, col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(surv == Set((1L, 2L, 3L), (10L, 10L, 2L)),
+      s"best-of-group + tie-break: $surv")
+    val kept = ConnectedComponents
+      .dropDuplicatesBy(corpus, "doc_id", pairs, col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 wins its group, 10 wins the tie, 99 untouched by any pair
+    assert(kept == Seq(2L, 10L, 99L))
+    // all-null-score component falls back to the min-key survivor
+    val nullCorpus = Seq((1L, null.asInstanceOf[Integer]),
+      (2L, null.asInstanceOf[Integer]), (3L, Integer.valueOf(1)))
+      .toDF("doc_id", "q")
+    val keptNull = ConnectedComponents
+      .dropDuplicatesBy(nullCorpus, "doc_id", Seq((1L, 2L)).toDF("key_a", "key_b"),
+        col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptNull == Seq(1L, 3L), s"null-score group keeps min key: $keptNull")
+    // members absent from the corpus can't win; survivor is chosen among
+    // the present members and the absent key simply stays gone
+    val partial = Seq((2L, 6), (3L, 8)).toDF("doc_id", "q")
+    val keptPartial = ConnectedComponents
+      .dropDuplicatesBy(partial, "doc_id", pairs, col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptPartial == Seq(3L), s"absent member must not win: $keptPartial")
+  }
+
   test("mergeLabels: incremental batches match full recompute; untouched components pass through") {
     import graft.dedup.ConnectedComponents
     // standing corpus: components {1,2,3} (chain), {10,11}, {20,21}
