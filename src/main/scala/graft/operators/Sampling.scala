@@ -62,4 +62,44 @@ object Sampling {
     */
   def weighted(df: DataFrame, keyCol: String, prob: Column): DataFrame =
     df.filter(hashFraction(col(keyCol)) < prob)
+
+  /** Temperature-flattened mixture sampling — the multilingual-corpus
+    * reweighting step ("don't let English drown the tail languages"):
+    * after sampling, group g's expected share is proportional to
+    * `n_g^alpha` instead of `n_g`. `alpha = 1` keeps the natural mix,
+    * `alpha -> 0` approaches uniform across groups. Rates are anchored
+    * so the SMALLEST group keeps `capRate` (never upsampling anyone):
+    * `p_g = capRate * (n_min / n_g)^(1 - alpha)`.
+    *
+    * Scale shape: one map-side-combined count per group (groups are
+    * source/language labels — tens, never millions), the rate table
+    * broadcast back, then the usual hash-threshold map-side filter. The
+    * corpus is scanned twice (count + filter) and shuffled never; pass a
+    * precomputed rate table through [[weighted]] instead if the counts
+    * are already known.
+    *
+    * Determinism: membership is a pure function of the key (md5
+    * fraction vs rate), append-unstable only in that appends shift
+    * `n_g` and thus rates — within a frozen corpus the kept set is
+    * engine-checkable like [[stratified]]/[[weighted]]. `alpha = 0.5`
+    * (the common choice) computes the rate via `sqrt`, which is
+    * correctly rounded in IEEE-754 on every engine — the rate doubles
+    * are bit-identical in DuckDB, keeping the oracle exact; other
+    * alphas go through `pow`, whose last ulp is not portable.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+                     alpha: Double, capRate: Double = 1.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(capRate > 0.0 && capRate <= 1.0, s"capRate must be in (0, 1], got $capRate")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val flat = col("__nmin").cast("double") / col("__n")
+    val rate0 = if (alpha == 0.5) sqrt(flat) else pow(flat, 1.0 - alpha)
+    val rate = if (capRate == 1.0) rate0 else rate0 * lit(capRate)
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol), rate.as("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashFraction(col(keyCol)) < col("__rate"))
+      .drop("__rate")
+  }
 }

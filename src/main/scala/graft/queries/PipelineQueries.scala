@@ -414,6 +414,20 @@ object PipelineQueries {
           documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
           "doc_id",
           least(lit(1.0), col("n_chars").cast("double") / lit(2000.0)))
+        .orderBy(col("doc_id"))),
+
+    // Temperature-flattened language mix (alpha = 0.5): per-language
+    // keep rate sqrt(n_min/n_lang), so the post-sample share is
+    // proportional to sqrt(n_lang) — the standard multilingual
+    // reweighting. Rates derive from the data (no hand-tuned table),
+    // sqrt keeps the rate doubles bit-identical in DuckDB, and the md5
+    // threshold makes the exact kept SET the graded output, not just
+    // its size.
+    "q112_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMix(
+          documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id")))
   )
 
@@ -559,6 +573,16 @@ object PipelineQueries {
          |   WHEN 'es' THEN 75 WHEN 'fr' THEN 100 ELSE 10 END AS rate FROM b)
          |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM r
          |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "q112_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         | m AS (SELECT min(n) AS nmin FROM c),
+         | r AS (SELECT lang, sqrt(CAST(nmin AS DOUBLE) / n) AS rate FROM c, m),
+         | h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+         |   FROM documents),
+         | f AS (SELECT doc_id, lang,
+         |   CAST($Hex8 AS DOUBLE) / 4294967296.0 AS frac FROM h)
+         |SELECT f.doc_id, f.lang FROM f JOIN r USING (lang)
+         |WHERE frac < rate ORDER BY doc_id""".stripMargin,
 
     "q86_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,

@@ -169,6 +169,31 @@ class DedupSpec extends SparkSpec {
     assert(salted.keySet == posMap.keySet && salted != posMap)
   }
 
+  test("temperature mix: flattens shares toward sqrt, deterministic, alpha=1 identity") {
+    import graft.operators.Sampling
+    // heavily imbalanced groups: 1600 "en" vs 100 "xx"
+    val df = ((0L until 1600L).map(k => (k, "en")) ++
+      (10000L until 10100L).map(k => (k, "xx"))).toDF("k", "g")
+    val m1 = Sampling.temperatureMix(df, "k", "g", alpha = 0.5)
+    val m2 = Sampling.temperatureMix(df, "k", "g", alpha = 0.5)
+    val keys1 = m1.select("k").as[Long].collect().sorted.toSeq
+    assert(keys1 == m2.select("k").as[Long].collect().sorted.toSeq, "deterministic")
+    val byGroup = m1.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest group is anchored at capRate 1.0: all 100 xx rows kept;
+    // en keeps ~sqrt(100/1600) = 1/4 of 1600 = ~400 (md5 near-uniform)
+    assert(byGroup("xx") == 100L, s"smallest group must keep everything: $byGroup")
+    assert(math.abs(byGroup("en") - 400L) < 80, s"en ~ n*sqrt(nmin/n): $byGroup")
+    // post-sample ratio ~ sqrt(1600)/sqrt(100) = 4:1 vs the input's 16:1
+    assert(byGroup("en").toDouble / byGroup("xx") < 6.0, "mix flattened")
+    // alpha = 1 keeps the natural mix in full at capRate 1
+    assert(Sampling.temperatureMix(df, "k", "g", alpha = 1.0).count() == 1700L)
+    // capRate scales everyone, smallest group included
+    val capped = Sampling.temperatureMix(df, "k", "g", alpha = 0.5, capRate = 0.5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(capped("xx") - 50L) < 25, s"capRate halves the anchor: $capped")
+  }
+
   test("stratified sampling: deterministic, rate-proportional, append-stable") {
     import graft.operators.Sampling
     val df = (0L until 2000L).map(k => (k, if (k % 2 == 0) "a" else "b"))
