@@ -873,6 +873,124 @@ class Collection private[core] (
       .select(col(column).as("content"), col(KeyCol).as("key"), col("score"))
       .orderBy(desc("score"), col("key"))
 
+  // --- near-dup (MinHash band) index surface -----------------------------
+  //
+  // The operational form of incremental near-dedup: the corpus's band
+  // table is computed ONCE and persisted beside the other per-column
+  // indexes, so every incoming batch is checked in O(batch) — batch
+  // bands equi-join the stored bands, then only the candidates verify
+  // by exact shingle Jaccard. Without the stored index each check
+  // re-hashes the whole corpus (Dedup.incrementalNearDups' corpus pass),
+  // which at 100 TB turns a nightly-crawl check into a full-corpus job.
+
+  def dedupIndexDir(column: String): String =
+    s"$dir/${config.index_dir}/${column}_dd"
+
+  private def hasDedupIndex(column: String): Boolean = {
+    recoverSwap(dedupIndexDir(column))
+    fs.exists(new Path(s"${dedupIndexDir(column)}/params"))
+  }
+
+  private def writeDedupParams(where: String,
+                               p: graft.dedup.Dedup.MinHashParams): Unit = {
+    import spark.implicits._
+    Seq((p.numHashes, p.bands, p.shingleSize, p.seed))
+      .toDF("num_hashes", "bands", "shingle_size", "seed")
+      .write.mode("overwrite").parquet(s"$where/params")
+  }
+
+  private def readDedupParams(column: String): graft.dedup.Dedup.MinHashParams = {
+    val r = spark.read.parquet(s"${dedupIndexDir(column)}/params").head()
+    graft.dedup.Dedup.MinHashParams(
+      numHashes = r.getAs[Int]("num_hashes"), bands = r.getAs[Int]("bands"),
+      shingleSize = r.getAs[Int]("shingle_size"), seed = r.getAs[Long]("seed"))
+  }
+
+  /** Build (or staged-swap REBUILD, like [[buildKeywordIndex]]) the
+    * persistent MinHash band index for `column`. Write order within a
+    * build is bands first, `params` last — [[hasDedupIndex]] keys on
+    * `params`, so a half-written fresh build reads as "no index".
+    */
+  def buildDedupIndex(column: String,
+                      p: graft.dedup.Dedup.MinHashParams =
+                        graft.dedup.Dedup.MinHashParams()): Unit = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = dedupIndexDir(column)
+      recoverSwap(target)
+      def build(where: String): Unit = {
+        graft.dedup.Dedup.minhashBands(
+            df.select(col(KeyCol), col(column)), column, KeyCol, p)
+          .write.mode("overwrite").parquet(s"$where/bands")
+        writeDedupParams(where, p)
+      }
+      if (!fs.exists(new Path(target))) build(target)
+      else writeAndSwap(target) { tmp =>
+        build(tmp)
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      }
+    } finally writeLock.unlock()
+  }
+
+  /** Fold rows the dedup index has not seen (keys above the stored
+    * bands' max key) into it — O(new rows), the same watermark catch-up
+    * as [[refreshKeywordIndex]]/[[embedColumn]]. Builds outright when
+    * absent. Returns the number of documents banded in.
+    */
+  def refreshDedupIndex(column: String): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = dedupIndexDir(column)
+      recoverSwap(target)
+      if (!hasDedupIndex(column)) {
+        buildDedupIndex(column)
+        return spark.read.parquet(s"$target/bands")
+          .select(col(KeyCol)).distinct().count()
+      }
+      val watermark = spark.read.parquet(s"$target/bands")
+        .agg(max(col(KeyCol))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      val pending = df.filter(col(KeyCol) > watermark)
+        .select(col(KeyCol), col(column))
+      if (pending.isEmpty) return 0L
+      val p = readDedupParams(column)
+      val bands = graft.dedup.Dedup.minhashBands(pending, column, KeyCol, p)
+        .localCheckpoint(true)
+      bands.write.mode("append").parquet(s"$target/bands")
+      bands.select(col(KeyCol)).distinct().count()
+    } finally writeLock.unlock()
+  }
+
+  /** Check an incoming batch against the indexed corpus: `(corpus_key,
+    * new_key, jaccard)` for every batch row whose exact shingle Jaccard
+    * with an indexed document reaches `threshold`. `newDocs` must carry
+    * `_key` and `column`; its keys are labels only (they need not be
+    * disjoint from the corpus — dedupe BEFORE assigning real keys).
+    * Candidate generation is the stored-band equi-join (O(batch) new
+    * hashing, zero corpus re-hashing); verification joins corpus text
+    * only for candidate keys. Falls back to hashing the corpus inline
+    * when no index is built — correct, but the full-corpus pass the
+    * index exists to avoid.
+    */
+  def checkDuplicates(column: String, newDocs: DataFrame,
+                      threshold: Double = 0.8,
+                      maxBucket: Int = 1000): DataFrame = {
+    val corpus = df.select(col(KeyCol), col(column))
+    if (!hasDedupIndex(column))
+      return graft.dedup.Dedup.incrementalNearDups(
+        newDocs.select(col(KeyCol), col(column)), corpus,
+        column, KeyCol, threshold, maxBucket = maxBucket)
+    val p = readDedupParams(column)
+    graft.dedup.Dedup.incrementalNearDupsFromBands(
+      newDocs.select(col(KeyCol), col(column)),
+      spark.read.parquet(s"${dedupIndexDir(column)}/bands"),
+      corpus, column, KeyCol, threshold, p, maxBucket)
+  }
+
   private[core] def writeConfig(): Unit = {
     val p = new Path(s"$dir/config.json")
     val out = fs.create(p, true)

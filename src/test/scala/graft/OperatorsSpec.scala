@@ -169,6 +169,40 @@ class DedupSpec extends SparkSpec {
     assert(salted.keySet == posMap.keySet && salted != posMap)
   }
 
+  test("collection dedup index: indexed check == inline, refresh catches appends") {
+    import graft.core.{Catalog, CollectionConfig}
+    import graft.dedup.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_ddidx").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "docs"))
+    c.importDf(Seq("alpha beta gamma delta epsilon",
+      "one two three four five").toDF("text"))
+    val newBatch = Seq(
+      (101L, "alpha beta gamma delta epsilon"),   // exact dup of doc 1
+      (102L, "totally different words here now")) // clean
+      .toDF("_key", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = pairs(Dedup.incrementalNearDups(
+      newBatch, c.df.select(col("_key"), col("text")), "text", "_key", 0.8))
+    assert(inline == Set((1L, 101L)))
+    // no index yet -> fallback path; then the indexed path must agree
+    assert(pairs(c.checkDuplicates("text", newBatch)) == inline)
+    c.buildDedupIndex("text")
+    assert(pairs(c.checkDuplicates("text", newBatch)) == inline)
+    // append a doc duplicating batch row 102; the STORED bands are stale
+    // until refresh, after which the check sees the new corpus row
+    c.appendDf(Seq("totally different words here now").toDF("text"))
+    assert(pairs(c.checkDuplicates("text", newBatch)) == inline, "stale index by design")
+    assert(c.refreshDedupIndex("text") == 1L)
+    assert(c.refreshDedupIndex("text") == 0L, "second refresh is a no-op")
+    val after = pairs(c.checkDuplicates("text", newBatch))
+    assert(after == Set((1L, 101L), (3L, 102L)), s"refresh missed the append: $after")
+    // staged-swap rebuild over the existing index agrees
+    c.buildDedupIndex("text")
+    assert(pairs(c.checkDuplicates("text", newBatch)) == after)
+  }
+
   test("temperature mix: flattens shares toward sqrt, deterministic, alpha=1 identity") {
     import graft.operators.Sampling
     // heavily imbalanced groups: 1600 "en" vs 100 "xx"
