@@ -71,6 +71,20 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // K1 filtered: exact top-k restricted by a metadata predicate — the
+    // "search only English docs" shape every vector store grows. The
+    // predicate filters the DOCUMENT table (where metadata lives) and
+    // semi-joins into the vector table BEFORE ranking, so selectivity
+    // cuts ranking work instead of post-filtering a too-short page.
+    "q113_filtered_topk" -> ((s, d) => {
+      val q = queryVec(s, d)
+      val keys = documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Search.topK(embeddings(s, d).join(keys, Seq("vec_id"), "left_semi"),
+          q, k = 10, keyColName = "vec_id", embColName = "embedding")
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     // K3 search-and-fetch: top-k joined back for content (vec_id == doc_id)
     "q_search_fetch" -> ((s, d) => {
       val q = queryVec(s, d)
@@ -176,6 +190,16 @@ object SparkEntry {
         | SELECT vec_id, max(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))) AS raw
         | FROM embeddings GROUP BY vec_id),
+        |top AS (SELECT vec_id, raw FROM s ORDER BY raw DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(raw, 6) AS score FROM top
+        | ORDER BY raw DESC, vec_id""".stripMargin,
+    "q113_filtered_topk" ->
+      """WITH s AS (
+        | SELECT vec_id, max(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))) AS raw
+        | FROM embeddings
+        | WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        | GROUP BY vec_id),
         |top AS (SELECT vec_id, raw FROM s ORDER BY raw DESC, vec_id LIMIT 10)
         |SELECT vec_id, round(raw, 6) AS score FROM top
         | ORDER BY raw DESC, vec_id""".stripMargin,

@@ -748,6 +748,24 @@ class Collection private[core] (
     graft.search.Search.searchAndFetch(df, embeddings(column), qv, limit, column)
   }
 
+  /** [[search]] restricted to rows matching `predicate` (a Column over
+    * the collection's schema — e.g. `col("lang") === "en"`). The
+    * predicate filters the COLLECTION scan (pushed to parquet where
+    * expressible) and semi-joins into the vector table BEFORE ranking,
+    * so a selective filter shrinks the scoring work and the page is
+    * always k deep — post-filtering a plain top-k page would return
+    * fewer than k (or wrong) results whenever the filter bites.
+    */
+  def searchFiltered(column: String, query: String, limit: Int,
+                     embedder: graft.embed.Embedder,
+                     predicate: org.apache.spark.sql.Column): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    val qv = embedder.embedOne(query)
+    val keys = df.filter(predicate).select(col(KeyCol))
+    val emb = embeddings(column).join(keys, Seq(KeyCol), "left_semi")
+    graft.search.Search.searchAndFetch(df, emb, qv, limit, column)
+  }
+
   // --- keyword (BM25) + hybrid search surface ----------------------------
 
   /** The keyword index lives beside the vector index

@@ -489,6 +489,35 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Search.validateLimit(101) }
   }
 
+  test("filtered search: predicate narrows ranking, page stays k deep") {
+    import graft.core.{Catalog, CollectionConfig}
+    import graft.embed.HashingEmbedder
+    val root = java.nio.file.Files.createTempDirectory("graft_fsearch").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "docs"))
+    c.importDf(Seq(
+      ("apple banana fruit", "en"), ("apfel banane obst", "de"),
+      ("apple pie baking", "en"), ("kuchen backen apfel", "de"),
+      ("car truck road", "en"), ("auto strasse", "de"))
+      .toDF("text", "lang"))
+    val emb = new HashingEmbedder(dim = 64)
+    c.embedColumn("text", emb)
+    val en = c.searchFiltered("text", "apple fruit", 3, emb, col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(en.length == 3, "page must stay k deep within the filtered subset")
+    // only en rows can appear: keys 1,3,5 are the en docs
+    assert(en.map(_._2).forall(Set(1L, 3L, 5L)), s"non-en rows leaked: ${en.toSeq}")
+    // equivalence: filtered search == plain search over an en-only twin
+    val cEn = cat.create(CollectionConfig(name = "docs_en"))
+    cEn.importDf(Seq("apple banana fruit", "apple pie baking", "car truck road")
+      .toDF("text"))
+    cEn.embedColumn("text", emb)
+    val plain = cEn.search("text", "apple fruit", 3, emb)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(en.map(_._1).toSeq == plain.map(_._1).toSeq,
+      "filtered page must equal the plain page over the filtered corpus")
+  }
+
   test("multi-vector keys fill one slot each with their max score") {
     // reference parity: usearch is opened multi:true (collection_actor
     // .rs:409-417) — a doc embedded at chunk granularity stores several
