@@ -87,15 +87,28 @@ object Ann {
     else base +: (0 until planes.length).map(b => base ^ (1 << b))
   }
 
-  /** ANN top-k: filter to probed buckets, exact cosine inside them. */
+  /** ANN top-k: filter to probed buckets, exact cosine inside them.
+    *
+    * `allowedKeys` (a one-column frame named `keyCol`) restricts results
+    * to a metadata-filtered subset: the semi-join lands AFTER bucket
+    * pruning and BEFORE scoring, so selectivity cuts scoring work and
+    * the page fills from allowed rows only (post-filtering a k-page
+    * would come up short). Recall within the subset is the usual probe
+    * story — under a HIGHLY selective filter prefer exact search over
+    * the filtered subset (`Collection.searchFiltered`): when few rows
+    * survive, brute force beats probing for them.
+    */
   def annTopK(bucketed: DataFrame, queryVec: Array[Float],
               planes: Array[Array[Double]], k: Int,
               keyCol: String = graft.core.Keys.KeyCol,
               embCol: String = "embedding",
-              multiProbe: Boolean = true): DataFrame = {
+              multiProbe: Boolean = true,
+              allowedKeys: Option[DataFrame] = None): DataFrame = {
     val probes = probeBuckets(queryVec, planes, multiProbe)
-    bucketed
-      .filter(col("bucket").isin(probes: _*))
+    val probed = bucketed.filter(col("bucket").isin(probes: _*))
+    val cand = allowedKeys.fold(probed)(ks =>
+      probed.join(ks.select(col(keyCol)), Seq(keyCol), "left_semi"))
+    cand
       .select(col(keyCol), Search.scoreAgainst(col(embCol), queryVec).as("score"))
       .orderBy(desc("score"), col(keyCol))
       .limit(k)
@@ -202,13 +215,20 @@ object Ann {
   }
 
   /** IVF top-k: probe the `nProbe` centroid lists nearest to the query. */
+  /** `allowedKeys`: same filtered-search contract as [[annTopK]] — the
+    * semi-join lands after list pruning (so a partitioned index still
+    * reads only the probed `list_id=` directories) and before scoring.
+    */
   def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
               queryVec: Array[Float], k: Int, nProbe: Int = 2,
               keyCol: String = graft.core.Keys.KeyCol,
-              embCol: String = "embedding"): DataFrame = {
+              embCol: String = "embedding",
+              allowedKeys: Option[DataFrame] = None): DataFrame = {
     val probes = ivfProbes(centers, queryVec, nProbe).map(Integer.valueOf)
-    assigned
-      .filter(col("list_id").isin(probes: _*))
+    val probed = assigned.filter(col("list_id").isin(probes: _*))
+    val cand = allowedKeys.fold(probed)(ks =>
+      probed.join(ks.select(col(keyCol)), Seq(keyCol), "left_semi"))
+    cand
       .select(col(keyCol), Search.scoreAgainst(col(embCol), queryVec).as("score"))
       .orderBy(desc("score"), col(keyCol))
       .limit(k)

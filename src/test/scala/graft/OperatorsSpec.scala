@@ -554,6 +554,34 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"multi-probe recall@10 unexpectedly low: $recall")
   }
 
+  test("filtered ANN: allowedKeys == ANN over a pre-filtered frame, no leaks") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    val q = e.filter(col("_key") === 11).select("embedding").head().getSeq[Float](0).toArray
+    val allowed = e.filter(col("_key") % 3 === 0).select(col("_key"))
+    def page(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // IVF: the filter after list pruning must equal ANN run over an
+    // already-filtered assignment (same probes, same scoring domain)
+    val centers = Ann.ivfTrain(e, "_key", "embedding", k = 8)
+    val assigned = Ann.ivfAssign(e, "embedding", centers).cache()
+    val filtered = page(Ann.ivfTopK(assigned, centers, q, 10, nProbe = 2,
+      allowedKeys = Some(allowed)))
+    val prefiltered = page(Ann.ivfTopK(
+      assigned.filter(col("_key") % 3 === 0), centers, q, 10, nProbe = 2))
+    assert(filtered == prefiltered && filtered.nonEmpty)
+    assert(filtered.forall(_._1 % 3 == 0), s"disallowed keys leaked: $filtered")
+    assigned.unpersist()
+    // LSH: same contract through the bucketed path
+    val planes = Ann.hyperplanes(dim = q.length, bits = 6, seed = 42L)
+    val bucketed = Ann.withBucket(e, "embedding", planes).cache()
+    val f2 = page(Ann.annTopK(bucketed, q, planes, 10,
+      allowedKeys = Some(allowed)))
+    val p2 = page(Ann.annTopK(bucketed.filter(col("_key") % 3 === 0), q, planes, 10))
+    assert(f2 == p2 && f2.nonEmpty && f2.forall(_._1 % 3 == 0))
+    bucketed.unpersist()
+  }
+
   test("IVF probes fewer rows and still finds the self-match") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("vec_id").as("_key"), col("embedding"))
