@@ -88,6 +88,11 @@ object Cli {
           val changed = c.reembedChanged(col, embedder)
           val fresh = c.embedColumn(col, embedder)
           println(s"column '$col': re-embedded $changed changed rows, embedded $fresh new rows")
+          // keyword index (when built) has the same staleness trap; its
+          // repair also covers keys it has never seen, so one call syncs
+          // changed AND new rows. No-op without an index.
+          val kw = c.repairKeywordIndex(col)
+          if (kw > 0) println(s"column '$col': re-indexed $kw keyword rows")
         }
       case "search" =>
         val c = catalog.load(req(flags, "collection"))

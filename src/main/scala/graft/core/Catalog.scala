@@ -843,6 +843,46 @@ class Collection private[core] (
     } finally writeLock.unlock()
   }
 
+  /** Repair the keyword index after [[upsert]] rewrote text under
+    * existing keys — the keyword twin of [[reembedChanged]], driven by
+    * the same stored-fingerprint comparison ([[graft.search.Keyword
+    * .repairIndex]]: tombstone + fresh-posting APPENDS, no rewrite of
+    * the bucket-partitioned postings log). Also catches keys the index
+    * has never seen, including upsert-introduced keys below any
+    * watermark. Returns the number of documents re-indexed.
+    */
+  def repairKeywordIndex(column: String): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      recoverSwap(keywordIndexDir(column))
+      if (!hasKeywordIndex(column)) return 0L
+      graft.search.Keyword.repairIndex(
+        df.select(col(KeyCol), col(column)), keywordIndexDir(column),
+        idCol = KeyCol, textCol = column)
+    } finally writeLock.unlock()
+  }
+
+  /** Fold the keyword index's delta log: rewrite postings/doclen as
+    * their net view (tombstones cancelled, one live row per key) via
+    * the whole-directory staged swap. Search results are unchanged —
+    * this removes the tombstone rows repairs accumulate, restoring
+    * scan cost to O(live postings).
+    */
+  def compactKeywordIndex(column: String): Unit = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = keywordIndexDir(column)
+      recoverSwap(target)
+      if (!hasKeywordIndex(column)) return
+      writeAndSwap(target) { tmp =>
+        graft.search.Keyword.compactIndexTo(spark, target, tmp)
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      }
+    } finally writeLock.unlock()
+  }
+
   private def hasKeywordIndex(column: String): Boolean = {
     recoverSwap(keywordIndexDir(column))
     fs.exists(new Path(s"${keywordIndexDir(column)}/stats"))

@@ -145,19 +145,86 @@ object Keyword {
     * over longs bit-for-bit while the token count stays below 2^53 —
     * the inline `corpusTables` path and the indexed path agree
     * (equivalence spec'd in KeywordSpec).
+    *
+    * The stored tables are LOG-STRUCTURED: postings and doclen are
+    * delta logs that [[repairIndex]] extends with tombstones (negative
+    * `tf`/`dl`, `cnt = -1`) when an upsert rewrites text under an
+    * existing key; readers aggregate to the net view ([[netPostings]] /
+    * [[liveDoclen]]). A freshly built index is simply the log with no
+    * tombstones. doclen rows carry `fp = md5(text)` (the
+    * `reembedChanged` staleness marker) and `cnt = 1`; token-less docs
+    * get a `dl = 0` row so their fp is tracked too — stats' `n_docs`
+    * counts only `dl > 0` rows, keeping the norm contract.
     */
   def buildIndex(docs: DataFrame, dir: String,
                  idCol: String = "doc_id", textCol: String = "text",
                  nBuckets: Int = 64): Unit = {
-    val (postings, doclen, _) = corpusTables(docs, idCol, textCol)
+    val (postings, doclen0, _) = corpusTables(docs, idCol, textCol)
     postings
       .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/postings")
+    val doclen = docFps(docs, idCol, textCol)
+      .join(doclen0, Seq("key"), "left_outer")
+      .select(col("key"), coalesce(col("dl"), lit(0L)).as("dl"),
+        col("fp"), lit(1).as("cnt"))
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
-    doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    writeStats(doclen.sparkSession, dir, doclen, nBuckets)
+  }
+
+  /** `(key, fp)` for every document — md5 over the NULL-flattened text,
+    * the same fingerprint convention the vector index stores.
+    */
+  private def docFps(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("key"),
+      md5(coalesce(col(textCol).cast("string"), lit(""))).as("fp"))
+
+  /** Exact integer stats recomputed from a doclen LOG frame (any mix of
+    * live rows and tombstones): `n_docs` counts live token-bearing docs.
+    */
+  private def writeStats(spark: SparkSession, dir: String,
+                         doclenLog: DataFrame, nBuckets: Int): Unit = {
+    val live = liveDoclenOf(doclenLog)
+    live.agg(
+        count(when(col("dl") > 0, 1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Net view of the postings log: per-(tok, key) summed `tf`, dropped
+    * when the tombstones cancel it. Pure aggregation — exact integers,
+    * order-free.
+    */
+  private def netPostingsOf(log: DataFrame): DataFrame =
+    log.groupBy(log.columns.filter(_ != "tf").map(col).toIndexedSeq: _*)
+      .agg(sum(col("tf")).as("tf")).filter(col("tf") > 0)
+
+  /** Live rows of the doclen log: per-key net `dl` and row count; a key
+    * survives while its live-row count is positive (a `dl = 0`
+    * token-less doc stays visible through `cnt`, which `dl` alone
+    * cannot express). Legacy pre-log rows read `cnt` as null -> 1.
+    */
+  private def liveDoclenOf(log: DataFrame): DataFrame = {
+    val cnt = coalesce(col("cnt"), lit(1)).as("c")
+    log.select(col("key"), col("dl"), cnt)
+      .groupBy(col("key"))
+      .agg(sum(col("dl")).as("dl"), sum(col("c")).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** Live `(key, fp)` pairs from the doclen log — the repair pass's
+    * staleness baseline. A tombstone carries its row's original fp, so
+    * grouping by (key, fp) cancels replaced fingerprints exactly.
+    */
+  private def liveFpsOf(log: DataFrame): DataFrame = {
+    val fp = if (log.schema.fieldNames.contains("fp")) col("fp")
+             else lit(null).cast("string").as("fp")
+    val cnt = coalesce(col("cnt"), lit(1)).as("c")
+    log.select(col("key"), fp.as("fp"), cnt)
+      .groupBy(col("key"), col("fp"))
+      .agg(sum(col("c")).as("cnt")).filter(col("cnt") > 0)
+      .select(col("key"), col("fp"))
   }
 
   /** Fold a batch of NEW documents into an existing index in O(batch):
@@ -177,13 +244,18 @@ object Keyword {
     val spark = newDocs.sparkSession
     val old = spark.read.parquet(s"$dir/stats").head()
     val nBuckets = old.getAs[Int]("n_buckets")
-    val (postings, doclen, _) = corpusTables(newDocs, idCol, textCol)
+    val (postings, doclen0, _) = corpusTables(newDocs, idCol, textCol)
     postings
       .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
       .write.partitionBy("bucket").mode("append")
       .parquet(s"$dir/postings")
+    val doclen = docFps(newDocs, idCol, textCol)
+      .join(doclen0, Seq("key"), "left_outer")
+      .select(col("key"), coalesce(col("dl"), lit(0L)).as("dl"),
+        col("fp"), lit(1).as("cnt"))
+      .localCheckpoint(true)
     doclen.write.mode("append").parquet(s"$dir/doclen")
-    val delta = doclen.agg(count(lit(1)), sum(col("dl"))).head()
+    val delta = doclen.agg(count(when(col("dl") > 0, 1)), sum(col("dl"))).head()
     val stats = Seq((old.getAs[Long]("n_docs") + delta.getLong(0),
       old.getAs[Long]("sum_dl") + (if (delta.isNullAt(1)) 0L else delta.getLong(1)),
       nBuckets))
@@ -192,9 +264,104 @@ object Keyword {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Repair the index after an UPSERT rewrote text under existing keys —
+    * the keyword twin of the vector index's `reembedChanged`, closing
+    * the same staleness trap: postings/doclen describe the text at
+    * indexing time, and neither watermark catch-up nor appends can see
+    * an in-place rewrite. Exact by construction: the stored `fp`
+    * (md5 of the indexed text) is compared against md5 of the CURRENT
+    * text; changed keys — plus keys the index has never seen, covering
+    * upserts that introduce new keys below any watermark — are
+    * re-indexed. Legacy fp-less rows conservatively re-index.
+    *
+    * Scale shape — append-only, no postings rewrite: the bucket-
+    * partitioned postings log cannot be pruned by KEY (it is laid out
+    * by token), so instead of rewriting it the repair APPENDS
+    * tombstones (the changed keys' net postings, negated) plus the
+    * fresh postings of the new text; readers aggregate to the net view.
+    * Cost: one key-semi-join scan of the postings log (reading, not
+    * rewriting — no write amplification, no swap window) + O(changed)
+    * appends. Stats are recomputed from the doclen log every call, so
+    * re-running a repair after a crash heals everything; re-running on
+    * a clean index is a no-op (returns 0). Compact the log periodically
+    * via `Collection.compactKeywordIndex` — tombstones accumulate until
+    * then. Returns the number of documents re-indexed.
+    */
+  def repairIndex(docs: DataFrame, dir: String,
+                  idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val spark = docs.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/stats")
+      .select(col("n_buckets")).head().getInt(0)
+    val doclenLog = spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen")
+    val cur = docs.select(col(idCol).as("key"),
+      coalesce(col(textCol).cast("string"), lit("")).as("__txt"))
+      .withColumn("__fp", md5(col("__txt")))
+    val upd = cur.join(liveFpsOf(doclenLog), Seq("key"), "left_outer")
+      .filter(col("fp").isNull || col("fp") =!= col("__fp"))
+      .select(col("key"), col("__txt"), col("__fp"))
+      .localCheckpoint(true)
+    val nUpd = upd.count()
+    if (nUpd > 0) {
+      val updKeys = upd.select(col("key")).localCheckpoint(true)
+      // key range first (min/max row-group pruning when the log is
+      // key-clustered), then the exact semi-join
+      val range = updKeys.agg(min(col("key")), max(col("key"))).head()
+      val stored = spark.read.parquet(s"$dir/postings")
+        .filter(col("key").between(range.get(0), range.get(1)))
+        .join(updKeys, Seq("key"), "left_semi")
+      val tomb = netPostingsOf(stored)
+        .select(col("tok"), col("key"), (-col("tf")).as("tf"), col("bucket"))
+      val updDocs = upd.select(col("key"), col("__txt").as(textCol))
+      val (fresh, freshLen, _) = corpusTables(updDocs, "key", textCol)
+      tomb.unionByName(
+          fresh.withColumn("bucket", tokenBucketCol(col("tok"), nBuckets)))
+        .write.partitionBy("bucket").mode("append").parquet(s"$dir/postings")
+      // doclen deltas: tombstone every live row of an updated key (its
+      // own fp rides along so (key, fp) grouping cancels it), then the
+      // fresh row with the new fp — dl = 0 when the new text is empty
+      val oldLive = liveDoclenOf(doclenLog)
+        .join(broadcast(updKeys), Seq("key"), "left_semi")
+        .join(liveFpsOf(doclenLog), Seq("key"), "left_outer")
+        .select(col("key"), (-col("dl")).as("dl"), col("fp"),
+          (-col("cnt")).cast("int").as("cnt"))
+      val freshRows = upd.select(col("key"), col("__fp").as("fp"))
+        .join(freshLen, Seq("key"), "left_outer")
+        .select(col("key"), coalesce(col("dl"), lit(0L)).as("dl"),
+          col("fp"), lit(1).as("cnt"))
+      oldLive.unionByName(freshRows).write.mode("append").parquet(s"$dir/doclen")
+    }
+    // stats from the (re-read) doclen log — ALWAYS, so a crashed repair
+    // heals on re-run even when nUpd is then 0
+    writeStats(spark, dir,
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"), nBuckets)
+    nUpd
+  }
+
+  /** Write the NET view of an index at `srcDir` as a fresh tombstone-free
+    * index at `dstDir` — the compaction body (the caller owns locking and
+    * the staged swap). No re-tokenization: postings fold by aggregation,
+    * doclen keeps one live row per key with its current fp, stats
+    * recompute from the folded doclen.
+    */
+  def compactIndexTo(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val nBuckets = spark.read.parquet(s"$srcDir/stats")
+      .select(col("n_buckets")).head().getInt(0)
+    netPostingsOf(spark.read.parquet(s"$srcDir/postings"))
+      .select(col("tok"), col("key"), col("tf"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dstDir/postings")
+    val log = spark.read.option("mergeSchema", "true").parquet(s"$srcDir/doclen")
+    val folded = liveDoclenOf(log)
+      .join(liveFpsOf(log), Seq("key"), "left_outer")
+      .select(col("key"), col("dl"), col("fp"), lit(1).as("cnt"))
+    folded.write.mode("overwrite").parquet(s"$dstDir/doclen")
+    writeStats(spark, dstDir, folded, nBuckets)
+  }
+
   /** Query the persistent index. The postings read carries a `bucket`
     * partition filter derived driver-side from the query terms, so only
-    * |distinct term buckets| directories are listed and scanned.
+    * |distinct term buckets| directories are listed and scanned. Both
+    * logs aggregate to their net view AFTER the pruning filters, so the
+    * tombstone folding touches only the matched buckets' rows.
     */
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
@@ -205,9 +372,13 @@ object Keyword {
       (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val qt = queryTerms.map(_.toLowerCase).distinct
     val buckets = qt.map(tokenBucket(_, nBuckets)).distinct
-    val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(buckets: _*))
-    val doclen = spark.read.parquet(s"$dir/doclen")
+    val postings = netPostingsOf(
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("bucket").isin(buckets: _*)))
+      .select(col("tok"), col("key"), col("tf"))
+    val doclen = liveDoclenOf(
+        spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"))
+      .select(col("key"), col("dl"))
     bm25FromTables(postings, doclen, stats, qt, k, k1, b)
   }
 

@@ -160,6 +160,39 @@ class KeywordSpec extends SparkSpec {
     assert(fsRoot.exists(kw) && !fsRoot.exists(pre) && !fsRoot.exists(tmp))
   }
 
+  test("repair after upsert: fp-driven tombstones, search == inline, compaction folds") {
+    import graft.core.{Catalog, CollectionConfig}
+    val root = java.nio.file.Files.createTempDirectory("graft_kwrepair").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "docs"))
+    c.importDf(Seq("apple banana fruit", "car truck road", "apple pie baking")
+      .toDF("text"))
+    c.buildKeywordIndex("text", nBuckets = 8)
+    def indexedPage(q: String) = c.searchKeyword("text", q, 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    def inlinePage(q: String) = Keyword.bm25TopK(
+        c.df, Keyword.queryTerms(q), 5, idCol = "_key", textCol = "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // upsert rewrites doc 2 under its key AND introduces unseen key 5
+    c.upsert(Seq((2L, "banana smoothie blend"), (5L, "road trip banana"))
+      .toDF("_key", "text"))
+    assert(indexedPage("car").map(_._1).contains(2L), "stale by design before repair")
+    assert(c.repairKeywordIndex("text") == 2L, "one changed + one unseen key")
+    assert(c.repairKeywordIndex("text") == 0L, "repair is exact: clean re-run is a no-op")
+    // the old text's postings are tombstoned, the new text is searchable,
+    // and every score matches the inline scan over the CURRENT corpus
+    assert(indexedPage("car").isEmpty || !indexedPage("car").map(_._1).contains(2L))
+    for (q <- Seq("banana", "apple pie", "road", "smoothie blend"))
+      assert(indexedPage(q) == inlinePage(q), s"query '$q' diverged after repair")
+    // compaction folds the tombstones: fewer raw log rows, same results
+    val rawBefore = spark.read.parquet(c.keywordIndexDir("text") + "/postings").count()
+    c.compactKeywordIndex("text")
+    val rawAfter = spark.read.parquet(c.keywordIndexDir("text") + "/postings").count()
+    assert(rawAfter < rawBefore, s"compaction must drop tombstones: $rawBefore -> $rawAfter")
+    for (q <- Seq("banana", "apple pie", "road"))
+      assert(indexedPage(q) == inlinePage(q), s"query '$q' diverged after compaction")
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping pages") {
     // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
     val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
