@@ -965,9 +965,13 @@ class Collection private[core] (
   }
 
   /** Build (or staged-swap REBUILD, like [[buildKeywordIndex]]) the
-    * persistent MinHash band index for `column`. Write order within a
-    * build is bands first, `params` last — [[hasDedupIndex]] keys on
-    * `params`, so a half-written fresh build reads as "no index".
+    * persistent MinHash band index for `column`. Bands are written
+    * range-clustered and key-sorted so [[repairDedupIndex]]'s
+    * touched-file planning prunes on footer key ranges; a `fps` table
+    * (key, md5-of-text) records what text each key was banded from.
+    * Write order within a build is bands, fps, then `params` last —
+    * [[hasDedupIndex]] keys on `params`, so a half-written fresh build
+    * reads as "no index".
     */
   def buildDedupIndex(column: String,
                       p: graft.dedup.Dedup.MinHashParams =
@@ -978,9 +982,12 @@ class Collection private[core] (
       val target = dedupIndexDir(column)
       recoverSwap(target)
       def build(where: String): Unit = {
-        graft.dedup.Dedup.minhashBands(
-            df.select(col(KeyCol), col(column)), column, KeyCol, p)
+        val src = df.select(col(KeyCol), col(column))
+        val n = math.max(1, spark.sparkContext.defaultParallelism / 4)
+        graft.dedup.Dedup.minhashBands(src, column, KeyCol, p)
+          .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(s"$where/bands")
+        dedupFps(column).write.mode("overwrite").parquet(s"$where/fps")
         writeDedupParams(where, p)
       }
       if (!fs.exists(new Path(target))) build(target)
@@ -988,6 +995,62 @@ class Collection private[core] (
         build(tmp)
         fs.create(new Path(tmp, "_SUCCESS"), true).close()
       }
+    } finally writeLock.unlock()
+  }
+
+  private def dedupFps(column: String): DataFrame =
+    df.select(col(KeyCol),
+      md5(coalesce(col(column).cast(StringType), lit(""))).as("fp"))
+
+  /** Repair the dedup index after [[upsert]] rewrote text under existing
+    * keys — [[reembedChanged]]'s machinery applied to the band table:
+    * changed keys (stored `fps` vs md5 of current text; unseen keys —
+    * including below-watermark upsert inserts — count as changed, as
+    * does everything when the fps table predates this feature) have
+    * their band files rewritten via the file-granular copy-on-write
+    * swap. Only files whose footer key range intersects a changed key
+    * are touched; the fps table (one small row per doc) rewrites whole,
+    * last, so a crash rereads conservatively. Returns the number of
+    * documents re-banded.
+    */
+  def repairDedupIndex(column: String): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = dedupIndexDir(column)
+      recoverSwap(target)
+      recoverFileSwap(s"$target/bands")
+      if (!hasDedupIndex(column)) return 0L
+      val cur = dedupFps(column).withColumnRenamed("fp", "__fp")
+      val stored =
+        if (fs.exists(new Path(s"$target/fps")))
+          spark.read.parquet(s"$target/fps")
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(KeyCol, LongType, nullable = false),
+            StructField("fp", StringType, nullable = true))))
+      val changed = cur.join(stored, Seq(KeyCol), "left_outer")
+        .filter(col("fp").isNull || col("fp") =!= col("__fp"))
+        .select(col(KeyCol)).localCheckpoint(true)
+      val n = changed.count()
+      if (n == 0L) return 0L
+      val p = readDedupParams(column)
+      val fresh = graft.dedup.Dedup.minhashBands(
+        df.select(col(KeyCol), col(column))
+          .join(changed, Seq(KeyCol), "left_semi"), column, KeyCol, p)
+      val touched = touchedFiles(s"$target/bands", changed)
+      val next =
+        if (touched.isEmpty) fresh
+        else spark.read.parquet(touched.map(_.path.toString).toIndexedSeq: _*)
+          .join(changed, Seq(KeyCol), "left_anti")
+          .unionByName(fresh)
+      val nOut = math.max(1, touched.length)
+      replaceFiles(s"$target/bands", touched.map(_.path.getName)) { tmp =>
+        next.repartitionByRange(nOut, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      dedupFps(column).write.mode("overwrite").parquet(s"$target/fps")
+      n
     } finally writeLock.unlock()
   }
 
@@ -1002,6 +1065,7 @@ class Collection private[core] (
     try {
       val target = dedupIndexDir(column)
       recoverSwap(target)
+      recoverFileSwap(s"$target/bands")
       if (!hasDedupIndex(column)) {
         buildDedupIndex(column)
         return spark.read.parquet(s"$target/bands")
@@ -1019,6 +1083,12 @@ class Collection private[core] (
       val bands = graft.dedup.Dedup.minhashBands(pending, column, KeyCol, p)
         .localCheckpoint(true)
       bands.write.mode("append").parquet(s"$target/bands")
+      // track what text the new keys were banded from, so a later
+      // repairDedupIndex doesn't flag them as unseen
+      if (fs.exists(new Path(s"$target/fps")))
+        pending.select(col(KeyCol),
+            md5(coalesce(col(column).cast(StringType), lit(""))).as("fp"))
+          .write.mode("append").parquet(s"$target/fps")
       bands.select(col(KeyCol)).distinct().count()
     } finally writeLock.unlock()
   }
@@ -1042,6 +1112,7 @@ class Collection private[core] (
       return graft.dedup.Dedup.incrementalNearDups(
         newDocs.select(col(KeyCol), col(column)), corpus,
         column, KeyCol, threshold, maxBucket = maxBucket)
+    recoverFileSwap(s"${dedupIndexDir(column)}/bands")
     val p = readDedupParams(column)
     graft.dedup.Dedup.incrementalNearDupsFromBands(
       newDocs.select(col(KeyCol), col(column)),

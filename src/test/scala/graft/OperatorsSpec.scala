@@ -201,6 +201,22 @@ class DedupSpec extends SparkSpec {
     // staged-swap rebuild over the existing index agrees
     c.buildDedupIndex("text")
     assert(pairs(c.checkDuplicates("text", newBatch)) == after)
+    // upsert rewrites doc 1's text. Old-text candidates are already
+    // suppressed WITHOUT repair (the exact-Jaccard verify reads the
+    // CURRENT corpus text); the staleness is the reverse direction —
+    // a batch doc duplicating the NEW text generates no candidate,
+    // because the stored bands still describe the old text.
+    c.upsert(Seq((1L, "fresh replacement sentence entirely")).toDF("_key", "text"))
+    assert(pairs(c.checkDuplicates("text", newBatch)) == Set((3L, 102L)),
+      "old-text match must die at the verify step even before repair")
+    val batch2 = Seq((201L, "fresh replacement sentence entirely")).toDF("_key", "text")
+    assert(pairs(c.checkDuplicates("text", batch2)).isEmpty,
+      "stale bands cannot propose the rewritten doc — the trap repair closes")
+    assert(c.repairDedupIndex("text") == 1L)
+    assert(c.repairDedupIndex("text") == 0L, "clean re-run is a no-op")
+    assert(pairs(c.checkDuplicates("text", batch2)) == Set((1L, 201L)),
+      "repaired index must match the new text")
+    assert(pairs(c.checkDuplicates("text", newBatch)) == Set((3L, 102L)))
   }
 
   test("temperature mix: flattens shares toward sqrt, deterministic, alpha=1 identity") {
