@@ -88,12 +88,41 @@ object Cli {
           val changed = c.reembedChanged(col, embedder)
           val fresh = c.embedColumn(col, embedder)
           println(s"column '$col': re-embedded $changed changed rows, embedded $fresh new rows")
-          // keyword index (when built) has the same staleness trap; its
-          // repair also covers keys it has never seen, so one call syncs
-          // changed AND new rows. No-op without an index.
+          // keyword/dedup/ANN indexes (when built) share the staleness
+          // trap; each repair also covers keys it has never seen, so one
+          // call syncs changed AND new rows. No-ops without an index.
+          // ANN repair runs last — it reads the vector index's
+          // fingerprints, which the re-embeds above just refreshed.
           val kw = c.repairKeywordIndex(col)
           if (kw > 0) println(s"column '$col': re-indexed $kw keyword rows")
+          val dd = c.repairDedupIndex(col)
+          if (dd > 0) println(s"column '$col': re-banded $dd dedup rows")
+          val ann = c.repairAnnIndex(col)
+          if (ann > 0) println(s"column '$col': re-assigned $ann ANN rows")
         }
+      case "build-index" =>
+        // optional acceleration structures beside the vector index
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        flags.getOrElse("type", "ann") match {
+          case "ann" =>
+            c.buildAnnIndex(column, nLists = flags.getOrElse("n-lists", "16").toInt)
+            println(s"built ANN (IVF) index on '$column'")
+          case "keyword" =>
+            c.buildKeywordIndex(column)
+            println(s"built keyword (BM25) index on '$column'")
+          case "dedup" =>
+            c.buildDedupIndex(column)
+            println(s"built dedup (MinHash band) index on '$column'")
+          case other => fail(s"--type must be ann|keyword|dedup, got '$other'")
+        }
+      case "delete" =>
+        val c = catalog.load(req(flags, "collection"))
+        val keys = req(flags, "keys").split(",").toSeq.map(_.trim.toLong)
+        val n = c.deleteKeys(keys)
+        println(s"erased $n row(s) from ${c.config.name} and its indexes " +
+          s"(${c.count()} rows remain)")
       case "search" =>
         val c = catalog.load(req(flags, "collection"))
         val column = flags.getOrElse("column",
@@ -105,7 +134,9 @@ object Cli {
           case "vector" => c.search(column, query, limit, embedder)
           case "keyword" => c.searchKeyword(column, query, limit)
           case "hybrid" => c.searchHybrid(column, query, limit, embedder)
-          case other => fail(s"--mode must be vector|keyword|hybrid, got '$other'")
+          case "ann" => c.searchAnn(column, query, limit, embedder,
+            flags.getOrElse("n-probe", "2").toInt)
+          case other => fail(s"--mode must be vector|keyword|hybrid|ann, got '$other'")
         }
         page.show(limit, truncate = 80)
       case "serve" =>
@@ -174,16 +205,23 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Cli <index|add-docs|upsert|search|serve|list|list-models> [flags] [file]
+    """usage: graft.Cli <index|add-docs|upsert|delete|build-index|search|serve|list|list-models> [flags] [file]
       |  index    --collection C [--index-columns a,b] [--model m] [--variant v] [--overwrite] <file>
       |  add-docs --collection C <file>
       |  upsert   --collection C <file with _key>   # merge + re-embed changed rows
       |           (MERGE semantics: a field omitted from an update line — or
       |            present as null — KEEPS the stored value; an update cannot
       |            set a field to null. Delete-and-add-docs to null a field.)
+      |  delete   --collection C --keys 1,2,3   # erase rows from the
+      |            collection AND every index (vector/keyword/dedup/ANN)
+      |  build-index --collection C [--column col] [--type ann|keyword|dedup]
+      |           [--n-lists n]   # persisted acceleration structures
       |  search   --collection C --query Q [--column col] [--limit n]
-      |           [--mode vector|keyword|hybrid]   # keyword/hybrid use the
-      |            BM25 index when built (buildKeywordIndex), else scan
+      |           [--mode vector|keyword|hybrid|ann] [--n-probe p]
+      |            # keyword/hybrid use the BM25 index when built
+      |            # (buildKeywordIndex), else scan; ann probes the IVF
+      |            # index when built (buildAnnIndex), else exact
+
       |  serve    [--port 7898]
       |  list
       |  list-models""".stripMargin)

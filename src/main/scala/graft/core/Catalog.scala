@@ -199,16 +199,17 @@ class Collection private[core] (
     * planning step. Footer ranges are O(files) driver-side metadata; the
     * intersection is one broadcast range-join collecting only file ids.
     */
-  private def touchedFiles(target: String, keys: DataFrame): Seq[FileKeyRange] = {
-    val ranges = ParquetStats.fileKeyRanges(target, KeyCol,
+  private def touchedFiles(target: String, keys: DataFrame,
+                           colName: String = KeyCol): Seq[FileKeyRange] = {
+    val ranges = ParquetStats.fileKeyRanges(target, colName,
       spark.sparkContext.hadoopConfiguration)
     if (ranges.isEmpty) return Seq.empty
     import spark.implicits._
     val rangesDf = ranges.zipWithIndex
       .map { case (r, i) => (i, r.min, r.max) }.toDF("__file", "__min", "__max")
-    val hit = keys.select(col(KeyCol))
+    val hit = keys.select(col(colName).cast(LongType).as(colName))
       .join(broadcast(rangesDf),
-        col(KeyCol) >= col("__min") && col(KeyCol) <= col("__max"))
+        col(colName) >= col("__min") && col(colName) <= col("__max"))
       .select("__file").distinct().collect().map(_.getInt(0)).toSet
     ranges.zipWithIndex.collect { case (r, i) if hit(i) => r }
   }
@@ -1118,6 +1119,423 @@ class Collection private[core] (
       newDocs.select(col(KeyCol), col(column)),
       spark.read.parquet(s"${dedupIndexDir(column)}/bands"),
       corpus, column, KeyCol, threshold, p, maxBucket)
+  }
+
+  // --- ANN (IVF) index surface -------------------------------------------
+  //
+  // Persisted inverted-file index beside the other per-column indexes.
+  // Exact top-k reads EVERY vector per query; at 10^10 rows the serving
+  // path probes the nProbe centroid lists nearest the query and scores
+  // only their members ([[graft.search.Ann]]'s IVF, made operational:
+  // centroids trained once at build time, stored, reused by every
+  // query/refresh/repair instead of retrained per call). The lists table
+  // stores each vector with its assignment, range-clustered and sorted on
+  // (list_id, _key) — a flat clustered layout, NOT hive partitionBy, so
+  // probe filters skip non-probed files/row groups from footer stats
+  // (the Layout.writeRangeSorted discipline) while the file-granular
+  // copy-on-write journal stays usable: [[repairAnnIndex]] rewrites only
+  // files whose list_id range intersects a changed key's old or new
+  // list — the same O(touched) story as [[upsert]], which a
+  // directory-per-list layout cannot express without a swap window per
+  // directory.
+
+  def annIndexDir(column: String): String =
+    s"$dir/${config.index_dir}/${column}_ann"
+
+  private def annListsDir(column: String): String = s"${annIndexDir(column)}/lists"
+
+  private def hasAnnIndex(column: String): Boolean = {
+    recoverSwap(annIndexDir(column))
+    fs.exists(new Path(s"${annIndexDir(column)}/params"))
+  }
+
+  /** Upstream fingerprint view for the ANN index: one `(key, fp)` row per
+    * document from the VECTOR index (the table the ANN index accelerates)
+    * — a chunked index carries one fp per chunk row, all equal, deduped
+    * here. Pre-fingerprint index rows read fp null and conservatively
+    * count as changed in [[repairAnnIndex]].
+    */
+  private def annUpstreamFps(column: String): DataFrame = {
+    val raw = indexRaw(column).getOrElse(
+      throw new IllegalStateException(
+        s"no embedding index for '$column'; run embedColumn first"))
+    val fp = if (raw.schema.fieldNames.contains("fp")) col("fp")
+             else lit(null).cast(StringType).as("fp")
+    raw.select(col(KeyCol), fp.as("fp")).dropDuplicates(KeyCol)
+  }
+
+  private def annCentersDf(centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_id", "centroid")
+  }
+
+  private def readAnnCenters(column: String): Array[Array[Double]] =
+    spark.read.parquet(s"${annIndexDir(column)}/centroids")
+      .orderBy(col("list_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  private def annClustered(dfIn: DataFrame, nOut: Int): DataFrame =
+    dfIn.repartitionByRange(math.max(1, nOut), col("list_id"), col(KeyCol))
+      .sortWithinPartitions(col("list_id"), col(KeyCol))
+
+  /** Build (or staged-swap REBUILD, like [[buildKeywordIndex]]) the
+    * persistent IVF index for `column`'s embedding index. Write order is
+    * lists, centroids, fps, then `params` last — [[hasAnnIndex]] keys on
+    * `params`, so a half-written fresh build reads as "no index".
+    * Chunk-granularity (multi-vector) indexes work unchanged: each chunk
+    * vector is assigned independently, and [[searchAnn]]'s per-key max
+    * keeps one result slot per document.
+    */
+  def buildAnnIndex(column: String, nLists: Int = 16, iters: Int = 10,
+                    sampleN: Int = 10000, nFiles: Int = 0): Unit = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = annIndexDir(column)
+      recoverSwap(target)
+      val emb = embeddings(column)
+      val centers = graft.search.Ann.ivfTrain(emb, KeyCol, "embedding",
+        nLists, iters, sampleN)
+      def build(where: String): Unit = {
+        val assigned = graft.search.Ann.ivfAssign(emb, "embedding", centers)
+          .select(col(KeyCol), col("embedding"), col("list_id"))
+        val n = if (nFiles > 0) nFiles
+                else math.max(1, spark.sparkContext.defaultParallelism / 4)
+        annClustered(assigned, n).write.mode("overwrite").parquet(s"$where/lists")
+        annCentersDf(centers).write.mode("overwrite").parquet(s"$where/centroids")
+        annUpstreamFps(column).write.mode("overwrite").parquet(s"$where/fps")
+        import spark.implicits._
+        Seq((centers.length, iters, sampleN)).toDF("n_lists", "iters", "sample_n")
+          .write.mode("overwrite").parquet(s"$where/params")
+      }
+      if (!fs.exists(new Path(target))) build(target)
+      else writeAndSwap(target) { tmp =>
+        build(tmp)
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      }
+    } finally writeLock.unlock()
+  }
+
+  /** ANN top-k page over `column` through the persistent IVF index:
+    * probe the `nProbe` nearest centroid lists, score only their members,
+    * fetch content — the [[search]] envelope `(content, key, score)` at
+    * probe cost instead of corpus cost. `predicate` restricts results to
+    * matching collection rows ([[searchFiltered]] semantics — the
+    * semi-join lands after list pruning, before scoring; under a HIGHLY
+    * selective filter prefer [[searchFiltered]]'s exact scan of the
+    * survivors). Falls back to exact search when no index is built.
+    * Recall is the usual IVF story (nProbe = nLists is exhaustive).
+    */
+  def searchAnn(column: String, query: String, limit: Int,
+                embedder: graft.embed.Embedder, nProbe: Int = 2,
+                predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    if (!hasAnnIndex(column)) return predicate match {
+      case Some(p) => searchFiltered(column, query, limit, embedder, p)
+      case None => search(column, query, limit, embedder)
+    }
+    recoverSwap(annListsDir(column))
+    recoverFileSwap(annListsDir(column))
+    val qv = embedder.embedOne(query)
+    val centers = readAnnCenters(column)
+    val probes = graft.search.Ann.ivfProbes(centers, qv,
+      math.min(nProbe, centers.length)).map(Integer.valueOf)
+    val lists = spark.read.parquet(annListsDir(column))
+      .filter(col("list_id").isin(probes: _*))
+    val cand = predicate.fold(lists)(p =>
+      lists.join(df.filter(p).select(col(KeyCol)), Seq(KeyCol), "left_semi"))
+    fetchHits(graft.search.Search.topK(
+      cand.select(col(KeyCol), col("embedding")), qv, limit), column)
+  }
+
+  /** Fold vectors the ANN index has not seen (keys above the stored
+    * lists' max key) into it — O(new rows): assign against the STORED
+    * centroids and append; centroids are never retrained here (the
+    * standard IVF append; rebuild when drift warrants it). Builds
+    * outright when absent. Returns the number of vectors folded in.
+    */
+  def refreshAnnIndex(column: String): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = annIndexDir(column)
+      recoverSwap(target)
+      recoverSwap(annListsDir(column))
+      recoverFileSwap(annListsDir(column))
+      if (!hasAnnIndex(column)) {
+        buildAnnIndex(column)
+        return spark.read.parquet(annListsDir(column)).count()
+      }
+      val watermark = spark.read.parquet(annListsDir(column))
+        .agg(max(col(KeyCol))).head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r => r.getLong(0)
+        }
+      val pending = embeddings(column).filter(col(KeyCol) > watermark)
+      if (pending.isEmpty) return 0L
+      val centers = readAnnCenters(column)
+      val fresh = graft.search.Ann.ivfAssign(pending, "embedding", centers)
+        .select(col(KeyCol), col("embedding"), col("list_id"))
+        .localCheckpoint(true)
+      annClustered(fresh, 1).write.mode("append").parquet(annListsDir(column))
+      annUpstreamFps(column).filter(col(KeyCol) > watermark)
+        .write.mode("append").parquet(s"$target/fps")
+      fresh.count()
+    } finally writeLock.unlock()
+  }
+
+  /** Repair the ANN index after [[upsert]] + [[reembedChanged]] rewrote
+    * vectors under existing keys — the stored `(key, fp)` table is
+    * compared against the vector index's CURRENT fingerprints; changed
+    * keys (plus keys the ANN index has never seen, including
+    * below-watermark inserts) are re-assigned against the stored
+    * centroids. Only lists files whose `list_id` footer range intersects
+    * a changed key's old or new list are rewritten (file-granular
+    * journaled swap); finding the old lists scans just the (key,
+    * list_id) columns, never the vectors. The fps table rewrites whole,
+    * last — a crash re-repairs conservatively (idempotent: the fresh
+    * rows are re-derived, the anti-join removes any earlier copy).
+    * Returns the number of documents re-assigned.
+    */
+  def repairAnnIndex(column: String): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = annIndexDir(column)
+      recoverSwap(target)
+      recoverSwap(annListsDir(column))
+      recoverFileSwap(annListsDir(column))
+      if (!hasAnnIndex(column)) return 0L
+      val cur = annUpstreamFps(column).withColumnRenamed("fp", "__fp")
+      val stored = spark.read.parquet(s"$target/fps")
+      val changed = cur.join(stored, Seq(KeyCol), "left_outer")
+        .filter(col("fp").isNull || col("__fp").isNull || col("fp") =!= col("__fp"))
+        .select(col(KeyCol)).localCheckpoint(true)
+      val n = changed.count()
+      if (n == 0L) return 0L
+      val centers = readAnnCenters(column)
+      val lists = spark.read.parquet(annListsDir(column))
+      val oldLists = lists.select(col(KeyCol), col("list_id"))
+        .join(changed, Seq(KeyCol), "left_semi").select(col("list_id")).distinct()
+      val fresh = graft.search.Ann.ivfAssign(
+          embeddings(column).join(changed, Seq(KeyCol), "left_semi"),
+          "embedding", centers)
+        .select(col(KeyCol), col("embedding"), col("list_id"))
+        .localCheckpoint(true)
+      val affected = oldLists.union(fresh.select(col("list_id"))).distinct()
+      val touched = touchedFiles(annListsDir(column), affected, "list_id")
+      val next =
+        if (touched.isEmpty) fresh
+        else spark.read.parquet(touched.map(_.path.toString).toIndexedSeq: _*)
+          .join(changed, Seq(KeyCol), "left_anti")
+          .unionByName(fresh)
+      replaceFiles(annListsDir(column), touched.map(_.path.getName)) { tmp =>
+        annClustered(next, touched.length).write.mode("overwrite").parquet(tmp)
+      }
+      annUpstreamFps(column).write.mode("overwrite").parquet(s"$target/fps")
+      n
+    } finally writeLock.unlock()
+  }
+
+  /** Re-cluster the ANN lists table into ~`targetFileBytes` files —
+    * refresh appends accumulate small, wide-range files that erode the
+    * probe filter's footer pruning; same staged swap as [[compactIndex]].
+    * Returns the file count written, 0 when no index.
+    */
+  def compactAnnIndex(column: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      if (!hasAnnIndex(column)) return 0
+      recoverSwap(annListsDir(column))
+      recoverFileSwap(annListsDir(column))
+      val totalBytes = fs.getContentSummary(new Path(annListsDir(column))).getLength
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val lists = spark.read.parquet(annListsDir(column))
+      writeAndSwap(annListsDir(column)) { tmp =>
+        annClustered(lists, nFiles).write.mode("overwrite").parquet(tmp)
+      }
+      nFiles
+    } finally writeLock.unlock()
+  }
+
+  // --- delete (right-to-be-forgotten) ------------------------------------
+
+  /** Erase rows by `_key` from the collection AND every persisted index
+    * beside it — vector/chunked embeddings, keyword postings, dedup
+    * bands, ANN lists — the removal pass a production corpus needs
+    * (takedowns, privacy erasure, retractions), built from the same
+    * partition-scoped machinery as [[upsert]]:
+    *
+    *  - data and key-clustered index files rewrite ONLY where a footer
+    *    key range intersects a deleted key (file-granular journaled
+    *    swap; untouched files stay byte-identical);
+    *  - the keyword log takes tombstone APPENDS
+    *    ([[graft.search.Keyword.deleteFromIndex]]) — never a postings
+    *    rewrite — with stats recomputed exactly;
+    *  - ANN lists rewrite only the files covering the deleted keys'
+    *    lists; the fps sidecars re-derive from the post-delete state.
+    *
+    * Each structure commits through its own journaled swap, so a crash
+    * mid-sequence leaves a consistent prefix deleted (data goes first —
+    * an index row whose document is already gone can never surface
+    * content through the fetch join); re-running with the same keys
+    * completes the rest and is a no-op where already applied. Returns
+    * the number of collection rows removed. Deleting EVERY row leaves
+    * an empty data directory — use [[Catalog.drop]] for full removal.
+    */
+  def deleteKeys(keys: Seq[Long]): Long = {
+    import spark.implicits._
+    deleteKeys(keys.toDF(KeyCol))
+  }
+
+  def deleteKeys(keys: DataFrame): Long = {
+    writeLock.lock()
+    try {
+      if (isEmpty) return 0L
+      val del = keys.select(col(keys.columns.head).cast(LongType).as(KeyCol))
+        .distinct().localCheckpoint(true)
+      val n = df.join(del, Seq(KeyCol), "left_semi").count()
+      deleteByKeyRange(dataDir, del)
+      // vector indexes first: the ANN fps sidecar re-derives from them
+      indexStructures().foreach {
+        case (c0, "vector") => deleteByKeyRange(indexDir(c0), del)
+        case (c0, "kw") =>
+          recoverSwap(keywordIndexDir(c0))
+          if (hasKeywordIndex(c0))
+            graft.search.Keyword.deleteFromIndex(del, keywordIndexDir(c0))
+        case (c0, "dd") =>
+          val target = dedupIndexDir(c0)
+          recoverSwap(target)
+          recoverFileSwap(s"$target/bands")
+          if (hasDedupIndex(c0)) {
+            deleteByKeyRange(s"$target/bands", del)
+            dedupFps(c0).write.mode("overwrite").parquet(s"$target/fps")
+          }
+        case (c0, "ann") =>
+          val target = annIndexDir(c0)
+          recoverSwap(target)
+          recoverSwap(annListsDir(c0))
+          recoverFileSwap(annListsDir(c0))
+          if (hasAnnIndex(c0)) {
+            val oldLists = spark.read.parquet(annListsDir(c0))
+              .select(col(KeyCol), col("list_id"))
+              .join(del, Seq(KeyCol), "left_semi")
+              .select(col("list_id")).distinct()
+            val touched = touchedFiles(annListsDir(c0), oldLists, "list_id")
+            if (touched.nonEmpty) {
+              val next = spark.read.parquet(touched.map(_.path.toString).toIndexedSeq: _*)
+                .join(del, Seq(KeyCol), "left_anti")
+              replaceFiles(annListsDir(c0), touched.map(_.path.getName)) { tmp =>
+                annClustered(next, touched.length).write.mode("overwrite").parquet(tmp)
+              }
+            }
+            annUpstreamFps(c0).write.mode("overwrite").parquet(s"$target/fps")
+          }
+        case _ => ()
+      }
+      n
+    } finally writeLock.unlock()
+  }
+
+  /** File-granular key deletion from a key-clustered parquet directory:
+    * anti-join rewrite of only the footer-range-intersecting files,
+    * committed through the journaled swap. No-op when no file's range
+    * covers a deleted key.
+    */
+  private def deleteByKeyRange(target: String, del: DataFrame): Unit = {
+    recoverFileSwap(target)
+    val touched = touchedFiles(target, del)
+    if (touched.isEmpty) return
+    val remaining = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(_.path.toString).toIndexedSeq: _*)
+      .join(del, Seq(KeyCol), "left_anti")
+    replaceFiles(target, touched.map(_.path.getName)) { tmp =>
+      remaining.repartitionByRange(math.max(1, touched.length), col(KeyCol))
+        .sortWithinPartitions(KeyCol).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Consistency report (`fsck`) across `column`'s persisted structures:
+    * one row per structure present (vector/keyword/dedup/ann) with
+    *
+    *  - `missing`: upstream rows the structure has not indexed yet (the
+    *    watermark backlog a refresh/embed pass would fold in);
+    *  - `stale`: rows whose stored fingerprint differs from the current
+    *    upstream state (the upsert trap the repair passes close; legacy
+    *    fingerprint-less rows count — repairs treat them the same way);
+    *  - `orphaned`: structure rows whose key no longer exists upstream
+    *    (e.g. a deletion interrupted before this structure's swap).
+    *
+    * "Upstream" is the collection's text for vector/keyword/dedup and
+    * the VECTOR index for ann (an ANN list entry mirrors an embedding,
+    * not raw text — text changes surface on the vector row first, then
+    * flow to ann after `reembedChanged`). A fully synced collection
+    * reports zeros everywhere; each non-zero names exactly the
+    * maintenance call that clears it (embedColumn/refresh* for missing,
+    * repair* for stale, deleteKeys re-run for orphaned). Counting only —
+    * never rewrites anything; O(structure key/fp columns) scans.
+    */
+  def indexStatus(column: String): DataFrame = {
+    import spark.implicits._
+    Identifiers.validate(column)
+    val cur = df.select(col(KeyCol),
+        md5(coalesce(col(column).cast(StringType), lit(""))).as("__fp"))
+      .localCheckpoint(true)
+    def counts(structure: String, stored: DataFrame,
+               upstream: DataFrame): (String, Long, Long, Long) = {
+      val missing = upstream.join(stored, Seq(KeyCol), "left_anti").count()
+      val stale = upstream.join(stored, Seq(KeyCol))
+        .filter(col("fp").isNull || col("fp") =!= col("__fp")).count()
+      val orphaned = stored.join(upstream, Seq(KeyCol), "left_anti").count()
+      (structure, missing, stale, orphaned)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    indexRaw(column).foreach { raw =>
+      val fp = if (raw.schema.fieldNames.contains("fp")) col("fp")
+               else lit(null).cast(StringType).as("fp")
+      rows += counts("vector",
+        raw.select(col(KeyCol), fp.as("fp")).dropDuplicates(KeyCol), cur)
+    }
+    if (hasKeywordIndex(column))
+      rows += counts("keyword",
+        graft.search.Keyword.liveFps(spark, keywordIndexDir(column))
+          .withColumnRenamed("key", KeyCol), cur)
+    if (hasDedupIndex(column)) {
+      val fpsPath = new Path(s"${dedupIndexDir(column)}/fps")
+      val stored =
+        if (fs.exists(fpsPath)) spark.read.parquet(fpsPath.toString)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(KeyCol, LongType, nullable = false),
+            StructField("fp", StringType, nullable = true))))
+      rows += counts("dedup", stored, cur)
+    }
+    if (hasAnnIndex(column))
+      rows += counts("ann",
+        spark.read.parquet(s"${annIndexDir(column)}/fps"),
+        annUpstreamFps(column).withColumnRenamed("fp", "__fp"))
+    rows.toSeq.toDF("structure", "missing", "stale", "orphaned")
+  }
+
+  /** `(column, kind)` for every persisted index structure under the
+    * index root, `kind` in vector|kw|dd|ann (suffix-namespaced dirs —
+    * the collection's layout convention), vector indexes first.
+    */
+  private def indexStructures(): Seq[(String, String)] = {
+    val root = new Path(s"$dir/${config.index_dir}")
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.endsWith("_precompact") || n.endsWith("_compacting")
+        || n.endsWith("_staging"))
+      .map { n =>
+        if (n.endsWith("_kw")) (n.dropRight(3), "kw")
+        else if (n.endsWith("_dd")) (n.dropRight(3), "dd")
+        else if (n.endsWith("_ann")) (n.dropRight(4), "ann")
+        else (n, "vector")
+      }
+      .sortBy { case (c0, kind) => (if (kind == "vector") 0 else 1, c0) }
   }
 
   private[core] def writeConfig(): Unit = {

@@ -60,7 +60,12 @@ object ParquetStats {
               case (mn: java.lang.Long, mx: java.lang.Long) =>
                 lo = math.min(lo, mn.longValue)
                 hi = math.max(hi, mx.longValue)
-              case _ => usable = false // key column not INT64 in this file
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                // int columns (e.g. an IVF list_id) plan the same way —
+                // widened to long, the interval semantics are identical
+                lo = math.min(lo, mn.longValue)
+                hi = math.max(hi, mx.longValue)
+              case _ => usable = false // key column not integral in this file
             }
           case None => usable = false // file predates the key column
         }

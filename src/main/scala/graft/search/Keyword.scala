@@ -337,6 +337,50 @@ object Keyword {
     nUpd
   }
 
+  /** Live `(key, fp)` view of a stored index's doclen log — the
+    * consistency-check surface (`Collection.indexStatus` compares it
+    * against the collection's current fingerprints).
+    */
+  def liveFps(spark: SparkSession, dir: String): DataFrame =
+    liveFpsOf(spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"))
+
+  /** Delete documents from the index — the tombstone-append twin of
+    * [[repairIndex]] with no fresh side: each deleted key's net postings
+    * are negated into the log, its doclen rows are tombstoned, and stats
+    * recompute from the doclen log (so a crashed delete heals on re-run,
+    * and re-running with the same keys is a no-op). Cost: one key-pruned
+    * postings read + O(deleted) appends — the postings log is never
+    * rewritten. Returns the number of live documents removed.
+    */
+  def deleteFromIndex(keys: DataFrame, dir: String): Long = {
+    val spark = keys.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/stats")
+      .select(col("n_buckets")).head().getInt(0)
+    val doclenLog = spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen")
+    val delKeys = liveDoclenOf(doclenLog)
+      .join(keys.select(col(keys.columns.head).as("key")), Seq("key"), "left_semi")
+      .select(col("key")).localCheckpoint(true)
+    val n = delKeys.count()
+    if (n > 0) {
+      val range = delKeys.agg(min(col("key")), max(col("key"))).head()
+      val stored = spark.read.parquet(s"$dir/postings")
+        .filter(col("key").between(range.get(0), range.get(1)))
+        .join(delKeys, Seq("key"), "left_semi")
+      netPostingsOf(stored)
+        .select(col("tok"), col("key"), (-col("tf")).as("tf"), col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(s"$dir/postings")
+      liveDoclenOf(doclenLog)
+        .join(broadcast(delKeys), Seq("key"), "left_semi")
+        .join(liveFpsOf(doclenLog), Seq("key"), "left_outer")
+        .select(col("key"), (-col("dl")).as("dl"), col("fp"),
+          (-col("cnt")).cast("int").as("cnt"))
+        .write.mode("append").parquet(s"$dir/doclen")
+    }
+    writeStats(spark, dir,
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"), nBuckets)
+    n
+  }
+
   /** Write the NET view of an index at `srcDir` as a fresh tombstone-free
     * index at `dstDir` — the compaction body (the caller owns locking and
     * the staged swap). No re-tokenization: postings fold by aggregation,

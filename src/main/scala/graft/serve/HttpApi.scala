@@ -95,8 +95,12 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int) {
           case "vector" => coll.search(column, query, limit, embedder)
           case "keyword" => coll.searchKeyword(column, query, limit)
           case "hybrid" => coll.searchHybrid(column, query, limit, embedder)
+          case "ann" =>
+            val nProbe = (req \ "n_probe").extractOpt[Int].getOrElse(2)
+            require(nProbe >= 1, s"n_probe must be >= 1, got $nProbe")
+            coll.searchAnn(column, query, limit, embedder, nProbe)
           case other => throw new IllegalArgumentException(
-            s"mode must be vector|keyword|hybrid, got '$other'")
+            s"mode must be vector|keyword|hybrid|ann, got '$other'")
         }).collect()
         val results = rows.map { r =>
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""

@@ -70,6 +70,30 @@ object Drive {
         f"score=${hits.head.getDouble(2)}%.4f; one slot per doc")
     }
 
+    println("=== 5c. ANN index + erase lifecycle ===")
+    locally {
+      val q = "fast key order sort table scan"
+      val exact = coll.search("text", q, 5, emb).collect().toSeq
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      coll.buildAnnIndex("text", nLists = 4, sampleN = 200)
+      val annFull = coll.searchAnn("text", q, 5, emb, nProbe = 4).collect().toSeq
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      require(annFull == exact, "exhaustive probe must equal exact search")
+      val ann1 = coll.searchAnn("text", q, 5, emb, nProbe = 1).collect()
+      require(ann1.nonEmpty, "1-probe page must not be empty")
+      println(s"IVF index: exhaustive==exact over ${exact.size} slots; " +
+        s"1-probe returns ${ann1.length}")
+      val victim = exact.head._1
+      val removed = coll.deleteKeys(Seq(victim))
+      require(removed == 1L, s"deleteKeys removed $removed rows, expected 1")
+      val after = coll.search("text", q, 5, emb).collect().map(_.getLong(1))
+      require(!after.contains(victim), "erased key must not surface in search")
+      val annAfter = coll.searchAnn("text", q, 5, emb, nProbe = 4).collect().map(_.getLong(1))
+      require(!annAfter.contains(victim), "erased key must not surface through ANN")
+      require(coll.deleteKeys(Seq(victim)) == 0L, "re-delete is a no-op")
+      println(s"erased key $victim from data+indexes; search/ANN agree; idempotent")
+    }
+
     println("=== 6. probes ===")
     try { coll.search("text", "x", 0, emb) } catch {
       case ex: IllegalArgumentException => println(s"limit=0 -> ${ex.getMessage}") }

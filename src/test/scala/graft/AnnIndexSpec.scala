@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, CollectionConfig}
+import graft.embed.HashingEmbedder
+import graft.search.Ann
+
+/** Persistent ANN (IVF) index on the collection surface: build / search /
+  * refresh / repair / compact. The lists table is flat, range-clustered on
+  * (list_id, _key) — probe filters skip files/row groups from footer
+  * stats, and repair uses the same file-granular copy-on-write journal as
+  * upsert/reembedChanged (only files whose list_id range intersects a
+  * changed key's old or new list are rewritten).
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = new HashingEmbedder(dim = 32)
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString
+
+  private def mkCollection(name: String, n: Int = 40): graft.core.Collection = {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = name))
+    val words = Seq("alpha", "beta", "gamma", "delta", "orbit", "quark",
+      "lumen", "fjord", "crane", "maple")
+    c.importDf((1 to n).map(i =>
+      s"${words(i % 10)} ${words((i * 3) % 10)} document number $i").toDF("text"))
+    assert(c.embedColumn("text", emb) == n)
+    c
+  }
+
+  private def page(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Double)] =
+    df.collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+
+  private def fileMeta(dir: String): Map[String, (Long, Long)] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length, f.lastModified)).toMap
+
+  test("build: exhaustive probe == exact search; nProbe=1 == inline IVF; fallback without index") {
+    val c = mkCollection("ann1")
+    val q = "orbit quark document"
+    // no index yet -> exact fallback
+    val exact = page(c.search("text", q, 5, emb))
+    assert(page(c.searchAnn("text", q, 5, emb)) == exact, "fallback must be exact search")
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100)
+    // probing every list is exhaustive: identical page, bit-for-bit scores
+    assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4)) == exact)
+    // a 1-probe page matches the inline IVF over identically trained
+    // centroids (training is deterministic: same sample, same Lloyd)
+    val centers = Ann.ivfTrain(c.embeddings("text"), "_key", "embedding", 4, 10, 100)
+    val assigned = Ann.ivfAssign(c.embeddings("text"), "embedding", centers)
+    val qv = emb.embedOne(q)
+    val inline = Ann.ivfTopK(assigned, centers, qv, 5, nProbe = 1)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val one = page(c.searchAnn("text", q, 5, emb, nProbe = 1))
+      .map { case (_, k, s) => (k, s) }.toSet
+    assert(one == inline, s"1-probe page $one != inline IVF $inline")
+    // filtered: restrict to odd keys; page must contain only allowed keys
+    // and agree with the filtered exact search under exhaustive probing
+    val pred = col("_key") % 2 === 1
+    val filteredExact = page(c.searchFiltered("text", q, 5, emb, pred))
+    assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4, Some(pred))) == filteredExact)
+  }
+
+  test("probe filter skips non-probed lists files (footer pruning)") {
+    val c = mkCollection("ann2", n = 200)
+    c.buildAnnIndex("text", nLists = 4, sampleN = 200, nFiles = 4)
+    val listsDir = s"${c.annIndexDir("text")}/lists"
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val all = spark.read.parquet(listsDir)
+    val total = all.count()
+    val lists = all.select("list_id").distinct().as[Int].collect().sorted
+    assert(lists.length >= 2, s"fixture must spread over >=2 lists, got ${lists.toSeq}")
+    // the largest single list must still leave most rows unread
+    val read = scanRows(spark.read.parquet(listsDir)
+      .filter(col("list_id") === lists.head))
+    assert(read < total,
+      s"probe scan read $read of $total rows; footer clustering should skip files")
+  }
+
+  test("refresh: appends fold in against stored centroids, O(new), no file rewrites") {
+    val c = mkCollection("ann3")
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100)
+    val listsDir = s"${c.annIndexDir("text")}/lists"
+    val before = fileMeta(listsDir)
+    c.appendDf(Seq("zeppelin voyage chronicle", "quasar nebula atlas").toDF("text"))
+    assert(c.embedColumn("text", emb) == 2)
+    assert(c.refreshAnnIndex("text") == 2L)
+    assert(c.refreshAnnIndex("text") == 0L, "second refresh is a no-op")
+    val after = fileMeta(listsDir)
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "refresh must append, never rewrite existing lists files")
+    // exhaustive probe still equals exact search over the grown corpus
+    val q = "zeppelin voyage chronicle"
+    assert(page(c.searchAnn("text", q, 3, emb, nProbe = 4))
+      == page(c.search("text", q, 3, emb)))
+  }
+
+  test("repair after upsert+reembedChanged: partition-scoped, exact, idempotent") {
+    val c = mkCollection("ann4", n = 200)
+    c.buildAnnIndex("text", nLists = 4, sampleN = 200, nFiles = 4)
+    val listsDir = s"${c.annIndexDir("text")}/lists"
+    val before = fileMeta(listsDir)
+    assert(before.size == 4)
+    // rewrite one doc's text; vector index repairs, then the ANN index
+    c.upsert(Seq((7L, "wholly rewritten sentence content")).toDF("_key", "text"))
+    assert(c.reembedChanged("text", emb) == 1)
+    // stale until repaired: the old vector still sits in its old list
+    assert(c.repairAnnIndex("text") == 1L)
+    assert(c.repairAnnIndex("text") == 0L, "clean re-run is a no-op")
+    val after = fileMeta(listsDir)
+    val survivors = before.filter { case (n, m) => after.get(n).contains(m) }
+    assert(survivors.nonEmpty,
+      s"repair must not rewrite every lists file (${survivors.size}/${before.size} survived)")
+    val q = "wholly rewritten sentence content"
+    val hit = page(c.searchAnn("text", q, 1, emb, nProbe = 4)).head
+    assert(hit._2 == 7L && hit._3 > 0.999, s"repaired index must find the new text: $hit")
+    assert(spark.read.parquet(listsDir).count() == 200,
+      "repair must neither duplicate nor drop vectors")
+    // exhaustive equality over the whole repaired index
+    assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4))
+      == page(c.search("text", q, 5, emb)))
+  }
+
+  test("repair embeds a below-watermark new key the refresh watermark cannot see") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "ann5"))
+    val keys = (1L to 20L).filter(_ != 5L)
+    c.importDf(keys.map(k => (s"filler doc $k", k)).toDF("text", "_key"))
+    assert(c.embedColumn("text", emb) == 19)
+    c.buildAnnIndex("text", nLists = 2, sampleN = 100)
+    c.upsert(Seq(("quantum entanglement notes", 5L)).toDF("text", "_key"))
+    assert(c.reembedChanged("text", emb) == 1)
+    assert(c.refreshAnnIndex("text") == 0L, "watermark cannot see the gap key")
+    assert(c.repairAnnIndex("text") == 1L, "repair must fold the gap key in")
+    val hit = page(c.searchAnn("text", "quantum entanglement notes", 1, emb, nProbe = 2)).head
+    assert(hit._2 == 5L && hit._3 > 0.999)
+  }
+
+  test("compactAnnIndex folds refresh appends; rebuild over existing index swaps cleanly") {
+    val c = mkCollection("ann6")
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100, nFiles = 2)
+    for (i <- 1 to 3) {
+      c.appendDf(Seq(s"appended chronicle volume $i").toDF("text"))
+      assert(c.embedColumn("text", emb) == 1)
+      assert(c.refreshAnnIndex("text") == 1L)
+    }
+    val listsDir = s"${c.annIndexDir("text")}/lists"
+    assert(fileMeta(listsDir).size > 2, "refresh appends accumulate files")
+    val q = "appended chronicle volume 2"
+    val pre = page(c.searchAnn("text", q, 5, emb, nProbe = 4))
+    assert(c.compactAnnIndex("text") >= 1)
+    assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4)) == pre,
+      "compaction must not change results")
+    assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4))
+      == page(c.search("text", q, 5, emb)))
+    // staged-swap rebuild (retrain) over the existing index
+    c.buildAnnIndex("text", nLists = 4, sampleN = 200)
+    assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4))
+      == page(c.search("text", q, 5, emb)))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, CollectionConfig}
+import graft.embed.HashingEmbedder
+
+/** Full-surface key erasure: `deleteKeys` must remove rows from the
+  * collection and every persisted index (vector, keyword, dedup bands,
+  * ANN lists) with partition-scoped rewrites — untouched files stay
+  * byte-identical — and be idempotent under re-run.
+  */
+class DeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = new HashingEmbedder(dim = 32)
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_del").toString
+
+  private def fileMeta(dir: String): Map[String, (Long, Long)] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length, f.lastModified)).toMap
+
+  test("deleteKeys erases from collection + vector/keyword/dedup/ANN indexes, idempotently") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "del1"))
+    val words = Seq("alpha", "beta", "gamma", "delta", "orbit", "quark",
+      "lumen", "fjord", "crane", "maple")
+    c.importDf((1 to 60).map(i =>
+      s"${words(i % 10)} ${words((i * 3) % 10)} document number $i").toDF("text"))
+    assert(c.embedColumn("text", emb) == 60)
+    c.buildKeywordIndex("text")
+    c.buildDedupIndex("text")
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100)
+
+    // doc 7 must currently be findable through every path
+    val probe = "fjord beta document number 7"
+    assert(c.search("text", probe, 1, emb).head().getLong(1) == 7L)
+    assert(c.searchKeyword("text", "fjord", 10).collect().exists(_.getLong(1) == 7L))
+    assert(c.searchAnn("text", probe, 1, emb, nProbe = 4).head().getLong(1) == 7L)
+    val dupProbe = Seq((900L, words(7) + " " + words(1) + " document number 7"))
+      .toDF("_key", "text")
+    assert(c.checkDuplicates("text", dupProbe, threshold = 0.5)
+      .collect().exists(_.getLong(0) == 7L))
+
+    assert(c.deleteKeys(Seq(7L, 13L, 999L)) == 2L, "999 does not exist")
+    assert(c.count() == 58)
+    assert(c.df.filter(col("_key").isin(7L, 13L)).count() == 0)
+    assert(c.indexedCount("text") == 58)
+    // no search path may surface the erased keys
+    assert(!c.search("text", probe, 10, emb).collect().exists(r => Set(7L, 13L)(r.getLong(1))))
+    assert(!c.searchKeyword("text", "fjord", 10).collect().exists(r => Set(7L, 13L)(r.getLong(1))))
+    assert(!c.searchAnn("text", probe, 10, emb, nProbe = 4)
+      .collect().exists(r => Set(7L, 13L)(r.getLong(1))))
+    assert(!c.checkDuplicates("text", dupProbe, threshold = 0.5)
+      .collect().exists(r => Set(7L, 13L)(r.getLong(0))))
+    // keyword stats shrank exactly (all docs tokenize)
+    assert(spark.read.parquet(s"${c.keywordIndexDir("text")}/stats")
+      .head().getAs[Long]("n_docs") == 58L)
+    // re-run is a no-op
+    assert(c.deleteKeys(Seq(7L, 13L)) == 0L)
+    assert(c.count() == 58)
+    // the surviving corpus still searches correctly end-to-end
+    val other = c.search("text", "maple fjord document number 9", 1, emb).head()
+    assert(other.getLong(1) != 7L && other.getDouble(2) > 0.9)
+  }
+
+  test("deleteKeys rewrites only key-range-intersecting files; appends still work after") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "del2"))
+    val src = (1L to 40L).map(k => (s"text $k", k)).toDF("text", "_key")
+      .repartitionByRange(4, col("_key")).sortWithinPartitions("_key")
+    c.importDf(src)
+    val before = fileMeta(c.dataDir)
+    assert(before.size == 4)
+    // keys 7 and 9 share one range file; the other three must not move
+    assert(c.deleteKeys(Seq(7L, 9L)) == 2L)
+    val after = fileMeta(c.dataDir)
+    val survivors = before.filter { case (n, m) => after.get(n).contains(m) }
+    assert(survivors.size == 3,
+      s"exactly one data file should be rewritten; survivors: ${survivors.size}")
+    assert(c.count() == 38)
+    // the key sequence continues from the original max, not the gap
+    c.appendDf(Seq("after deletion").toDF("text"))
+    assert(c.df.agg(max(col("_key"))).head().getLong(0) == 41L)
+    assert(c.count() == 39)
+  }
+}
