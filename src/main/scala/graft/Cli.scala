@@ -107,8 +107,11 @@ object Cli {
           c.config.index_columns.headOption.getOrElse("text"))
         flags.getOrElse("type", "ann") match {
           case "ann" =>
-            c.buildAnnIndex(column, nLists = flags.getOrElse("n-lists", "16").toInt)
-            println(s"built ANN (IVF) index on '$column'")
+            val pqM = flags.getOrElse("pq-m", "0").toInt
+            c.buildAnnIndex(column,
+              nLists = flags.getOrElse("n-lists", "16").toInt, pqM = pqM)
+            println(s"built ANN (${if (pqM > 0) s"IVF-PQ m=$pqM" else "IVF"}) " +
+              s"index on '$column'")
           case "keyword" =>
             c.buildKeywordIndex(column)
             println(s"built keyword (BM25) index on '$column'")
@@ -215,7 +218,8 @@ object Cli {
       |  delete   --collection C --keys 1,2,3   # erase rows from the
       |            collection AND every index (vector/keyword/dedup/ANN)
       |  build-index --collection C [--column col] [--type ann|keyword|dedup]
-      |           [--n-lists n]   # persisted acceleration structures
+      |           [--n-lists n] [--pq-m m]   # persisted acceleration
+      |            structures; --pq-m stores m-byte PQ codes + exact rerank
       |  search   --collection C --query Q [--column col] [--limit n]
       |           [--mode vector|keyword|hybrid|ann] [--n-probe p]
       |            # keyword/hybrid use the BM25 index when built

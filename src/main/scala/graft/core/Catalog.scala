@@ -1179,16 +1179,62 @@ class Collection private[core] (
     dfIn.repartitionByRange(math.max(1, nOut), col("list_id"), col(KeyCol))
       .sortWithinPartitions(col("list_id"), col(KeyCol))
 
+  private def annCodebooksDf(cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for { (book, s) <- cb.zipWithIndex; (cent, j) <- book.zipWithIndex }
+      yield (s, j, cent.toSeq)).toSeq.toDF("subspace", "code", "centroid")
+  }
+
+  private def readAnnCodebooks(column: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"${annIndexDir(column)}/codebooks")
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+
+  /** Stored pq_m (0 = full-vector layout); params predating the column
+    * read as 0.
+    */
+  private def annPqM(column: String): Int = {
+    val p = spark.read.option("mergeSchema", "true")
+      .parquet(s"${annIndexDir(column)}/params")
+    if (!p.schema.fieldNames.contains("pq_m")) 0
+    else Option(p.head().getAs[Integer]("pq_m")).fold(0)(_.intValue)
+  }
+
+  /** Lists rows for a batch of vectors: `(key, embedding, list_id)` in
+    * the full-vector layout, `(key, code, list_id)` when PQ-encoded —
+    * the assignment/encoding step shared by build, refresh and repair.
+    */
+  private def annRows(emb: DataFrame, centers: Array[Array[Double]],
+                      cb: Option[Array[Array[Array[Double]]]]): DataFrame = {
+    val assigned = graft.search.Ann.ivfAssign(emb, "embedding", centers)
+    cb match {
+      case Some(books) => graft.search.Ann.pqEncode(assigned, "embedding", books)
+        .select(col(KeyCol), col("code"), col("list_id"))
+      case None => assigned.select(col(KeyCol), col("embedding"), col("list_id"))
+    }
+  }
+
   /** Build (or staged-swap REBUILD, like [[buildKeywordIndex]]) the
     * persistent IVF index for `column`'s embedding index. Write order is
-    * lists, centroids, fps, then `params` last — [[hasAnnIndex]] keys on
-    * `params`, so a half-written fresh build reads as "no index".
-    * Chunk-granularity (multi-vector) indexes work unchanged: each chunk
-    * vector is assigned independently, and [[searchAnn]]'s per-key max
-    * keeps one result slot per document.
+    * lists, centroids, codebooks, fps, then `params` last —
+    * [[hasAnnIndex]] keys on `params`, so a half-written fresh build
+    * reads as "no index". Chunk-granularity (multi-vector) indexes work
+    * unchanged: each chunk vector is assigned independently, and
+    * [[searchAnn]]'s per-key max keeps one result slot per document.
+    *
+    * `pqM > 0` selects the IVF-PQ layout — the memory-scale path: lists
+    * store `pqM`-BYTE product-quantization codes instead of float
+    * vectors (at 10^10 x 384-dim f32 the full-vector lists are ~15 TB;
+    * 8-byte codes are ~80 GB), and [[searchAnn]] scores candidates by
+    * ADC table lookups then re-ranks the short candidate page by exact
+    * cosine through the vector index — floats are fetched pointwise for
+    * fetchK rows, never scanned. Codebooks train on the same
+    * deterministic sample as the centroids; `dim % pqM` must be 0.
     */
   def buildAnnIndex(column: String, nLists: Int = 16, iters: Int = 10,
-                    sampleN: Int = 10000, nFiles: Int = 0): Unit = {
+                    sampleN: Int = 10000, nFiles: Int = 0, pqM: Int = 0): Unit = {
     Identifiers.validate(column)
     writeLock.lock()
     try {
@@ -1197,16 +1243,22 @@ class Collection private[core] (
       val emb = embeddings(column)
       val centers = graft.search.Ann.ivfTrain(emb, KeyCol, "embedding",
         nLists, iters, sampleN)
+      val cb =
+        if (pqM <= 0) None
+        else Some(graft.search.Ann.pqTrain(emb, KeyCol, "embedding",
+          m = pqM, iters = iters, sampleN = sampleN))
       def build(where: String): Unit = {
-        val assigned = graft.search.Ann.ivfAssign(emb, "embedding", centers)
-          .select(col(KeyCol), col("embedding"), col("list_id"))
         val n = if (nFiles > 0) nFiles
                 else math.max(1, spark.sparkContext.defaultParallelism / 4)
-        annClustered(assigned, n).write.mode("overwrite").parquet(s"$where/lists")
+        annClustered(annRows(emb, centers, cb), n)
+          .write.mode("overwrite").parquet(s"$where/lists")
         annCentersDf(centers).write.mode("overwrite").parquet(s"$where/centroids")
+        cb.foreach(books => annCodebooksDf(books)
+          .write.mode("overwrite").parquet(s"$where/codebooks"))
         annUpstreamFps(column).write.mode("overwrite").parquet(s"$where/fps")
         import spark.implicits._
-        Seq((centers.length, iters, sampleN)).toDF("n_lists", "iters", "sample_n")
+        Seq((centers.length, iters, sampleN, math.max(0, pqM)))
+          .toDF("n_lists", "iters", "sample_n", "pq_m")
           .write.mode("overwrite").parquet(s"$where/params")
       }
       if (!fs.exists(new Path(target))) build(target)
@@ -1227,9 +1279,15 @@ class Collection private[core] (
     * survivors). Falls back to exact search when no index is built.
     * Recall is the usual IVF story (nProbe = nLists is exhaustive).
     */
+  /** `fetchK` (PQ layout only): ADC candidate window re-ranked by exact
+    * cosine; defaults to 4x the page size. Larger recovers more
+    * quantization-error recall at the cost of fetching more exact
+    * vectors pointwise.
+    */
   def searchAnn(column: String, query: String, limit: Int,
                 embedder: graft.embed.Embedder, nProbe: Int = 2,
-                predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                predicate: Option[org.apache.spark.sql.Column] = None,
+                fetchK: Int = 0): DataFrame = {
     graft.search.Search.validateLimit(limit)
     if (!hasAnnIndex(column)) return predicate match {
       case Some(p) => searchFiltered(column, query, limit, embedder, p)
@@ -1245,8 +1303,23 @@ class Collection private[core] (
       .filter(col("list_id").isin(probes: _*))
     val cand = predicate.fold(lists)(p =>
       lists.join(df.filter(p).select(col(KeyCol)), Seq(KeyCol), "left_semi"))
-    fetchHits(graft.search.Search.topK(
-      cand.select(col(KeyCol), col("embedding")), qv, limit), column)
+    val hits =
+      if (annPqM(column) == 0)
+        graft.search.Search.topK(cand.select(col(KeyCol), col("embedding")), qv, limit)
+      else {
+        // ADC over byte codes selects the candidate window; exact cosine
+        // re-ranks it through the vector index (floats fetched pointwise
+        // for <= fetchK rows — Ann.pqTopKRerank's two-stage shape, with
+        // the probe filter already applied)
+        val books = readAnnCodebooks(column)
+        val window = math.max(limit, if (fetchK > 0) fetchK else limit * 4)
+        val cands = graft.search.Ann.pqTopK(cand, books, qv, window)
+          .select(col(KeyCol)).distinct()
+        val exact = embeddings(column)
+          .join(broadcast(cands), Seq(KeyCol), "left_semi")
+        graft.search.Search.topK(exact, qv, limit)
+      }
+    fetchHits(hits, column)
   }
 
   /** Fold vectors the ANN index has not seen (keys above the stored
@@ -1275,9 +1348,8 @@ class Collection private[core] (
       val pending = embeddings(column).filter(col(KeyCol) > watermark)
       if (pending.isEmpty) return 0L
       val centers = readAnnCenters(column)
-      val fresh = graft.search.Ann.ivfAssign(pending, "embedding", centers)
-        .select(col(KeyCol), col("embedding"), col("list_id"))
-        .localCheckpoint(true)
+      val cb = if (annPqM(column) > 0) Some(readAnnCodebooks(column)) else None
+      val fresh = annRows(pending, centers, cb).localCheckpoint(true)
       annClustered(fresh, 1).write.mode("append").parquet(annListsDir(column))
       annUpstreamFps(column).filter(col(KeyCol) > watermark)
         .write.mode("append").parquet(s"$target/fps")
@@ -1315,13 +1387,13 @@ class Collection private[core] (
       val n = changed.count()
       if (n == 0L) return 0L
       val centers = readAnnCenters(column)
+      val cb = if (annPqM(column) > 0) Some(readAnnCodebooks(column)) else None
       val lists = spark.read.parquet(annListsDir(column))
       val oldLists = lists.select(col(KeyCol), col("list_id"))
         .join(changed, Seq(KeyCol), "left_semi").select(col("list_id")).distinct()
-      val fresh = graft.search.Ann.ivfAssign(
+      val fresh = annRows(
           embeddings(column).join(changed, Seq(KeyCol), "left_semi"),
-          "embedding", centers)
-        .select(col(KeyCol), col("embedding"), col("list_id"))
+          centers, cb)
         .localCheckpoint(true)
       val affected = oldLists.union(fresh.select(col("list_id"))).distinct()
       val touched = touchedFiles(annListsDir(column), affected, "list_id")

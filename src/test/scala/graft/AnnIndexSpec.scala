@@ -145,6 +145,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(hit._2 == 5L && hit._3 > 0.999)
   }
 
+  test("IVF-PQ layout: byte codes + exact rerank; corpus-wide window == exact search") {
+    val c = mkCollection("ann7", n = 100)
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100, pqM = 8)
+    val listsDir = s"${c.annIndexDir("text")}/lists"
+    val schema = spark.read.parquet(listsDir).schema.fieldNames.toSet
+    assert(schema == Set("_key", "code", "list_id"),
+      s"PQ lists must store codes only, never float vectors: $schema")
+    val q = "orbit quark document"
+    val exact = page(c.search("text", q, 5, emb))
+    // exhaustive probes + a corpus-wide ADC window: the rerank IS exact
+    assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4, fetchK = 100)) == exact)
+    // the default window still fills a page with exact-scored hits
+    val small = page(c.searchAnn("text", q, 5, emb, nProbe = 4))
+    assert(small.size == 5)
+    assert(small.forall { case (_, _, s) => s <= exact.head._3 + 1e-9 })
+    // refresh and repair flow through the PQ encoding
+    c.appendDf(Seq("zeppelin voyage chronicle").toDF("text"))
+    assert(c.embedColumn("text", emb) == 1)
+    assert(c.refreshAnnIndex("text") == 1L)
+    c.upsert(Seq((7L, "wholly rewritten sentence content")).toDF("_key", "text"))
+    assert(c.reembedChanged("text", emb) == 1)
+    assert(c.repairAnnIndex("text") == 1L)
+    val hit = page(c.searchAnn("text", "wholly rewritten sentence content",
+      1, emb, nProbe = 4, fetchK = 101)).head
+    assert(hit._2 == 7L && hit._3 > 0.999, s"PQ repair must index the new text: $hit")
+    assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4, fetchK = 101))
+      == page(c.search("text", q, 5, emb)))
+  }
+
   test("compactAnnIndex folds refresh appends; rebuild over existing index swaps cleanly") {
     val c = mkCollection("ann6")
     c.buildAnnIndex("text", nLists = 4, sampleN = 100, nFiles = 2)
