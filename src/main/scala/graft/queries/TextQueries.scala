@@ -424,6 +424,27 @@ object TextQueries {
         .select(col("vec_id").as("key"), col("score"))
       Keyword.rrfFuse(Seq(kw, dn), "key", k = 10)
         .select(col("key").as("doc_id"), round(col("score"), 6).as("rrf_score"))
+    }),
+
+    // Count-min sketch heavy hitters: 4x256 md5-salted cells estimate
+    // token frequencies from a few KB of associative state (cells merge
+    // by addition — partition/stream/day sketches fold together without
+    // a vocabulary-sized shuffle). The 10 most frequent tokens are
+    // graded with BOTH their exact count and their sketch estimate; the
+    // oracle re-derives the identical cells in SQL, so a hash drift, a
+    // wrong cell sum, or a broken min-fold all fail the gate. est >=
+    // exact holds by construction and is visible in the output.
+    "q114_countmin" -> ((s, d) => {
+      import graft.operators.CountMin
+      val toks = documents(s, d)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val cells = CountMin.sketch(toks, "tok", depth = 4, width = 256)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), col("tok")).limit(10)
+      CountMin.estimate(cells, top.select(col("tok")), "tok", depth = 4, width = 256)
+        .join(broadcast(top), "tok")
+        .select(col("tok"), col("n_exact"), col("cm_est"))
+        .orderBy(desc("n_exact"), col("tok"))
     })
   )
 
@@ -784,7 +805,37 @@ object TextQueries {
          |   FROM kr FULL JOIN dr ON kr.doc_id = dr.vec_id),
          | ftop AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(rrf, 6) AS rrf_score FROM ftop
-         | ORDER BY rrf DESC, doc_id""".stripMargin
+         | ORDER BY rrf DESC, doc_id""".stripMargin,
+
+    // Exact twin of CountMin.sketch/estimate at depth 4, width 256: the
+    // cell table is re-derived from per-token exact counts (sum over
+    // tokens in a cell == per-occurrence increments), buckets from the
+    // identical md5("i:tok") hex6 % 256, estimates as the min over the
+    // 4 rows. The lambda variable in the hex fold is `p`, not `i` —
+    // it would shadow the grid's hash-row column.
+    "q114_countmin" ->
+      s"""WITH toks AS (SELECT unnest($ToksGuarded) AS tok FROM documents),
+         | cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+         |   FROM toks GROUP BY tok),
+         | grid AS (SELECT unnest(range(0, 4)) AS i),
+         | bck AS (SELECT tok, n_exact, i,
+         |     md5(CAST(i AS VARCHAR) || ':' || tok) AS hx
+         |   FROM cnt CROSS JOIN grid),
+         | bkt AS (SELECT tok, n_exact, i,
+         |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |       list_transform(range(1, 7),
+         |         p -> CAST(strpos('0123456789abcdef',
+         |                substr(hx, CAST(p AS INT), 1)) - 1 AS BIGINT))),
+         |       (a, b) -> a * 16 + b) % 256 AS bucket
+         |   FROM bck),
+         | cells AS (SELECT i, bucket, CAST(sum(n_exact) AS BIGINT) AS cnt
+         |   FROM bkt GROUP BY 1, 2),
+         | top AS (SELECT tok, n_exact FROM cnt ORDER BY n_exact DESC, tok LIMIT 10),
+         | est AS (SELECT b.tok, min(c.cnt) AS cm_est
+         |   FROM bkt b JOIN cells c USING (i, bucket) JOIN top t USING (tok)
+         |   GROUP BY b.tok)
+         |SELECT tok, n_exact, cm_est FROM top JOIN est USING (tok)
+         | ORDER BY n_exact DESC, tok""".stripMargin
   )
 
   /** The chunker on a header-less, paragraph-less corpus is exactly the

@@ -1549,6 +1549,50 @@ class ProfileSpec extends SparkSpec {
   }
 }
 
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CountMin
+
+  test("count-min: never undercounts, collision-free tokens exact, sketches merge by addition") {
+    // skewed stream: "hot" 500x, "warm" 50x, 200 singletons
+    val toks = (Seq.fill(500)("hot") ++ Seq.fill(50)("warm") ++
+      (1 to 200).map(i => s"rare$i")).toDF("tok")
+    val d = 4
+    val w = 64
+    val cells = CountMin.sketch(toks, "tok", d, w)
+    assert(cells.count() <= d.toLong * w, "cell table is bounded by depth x width")
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = exact.keys.toSeq.toDF("tok")
+    val est = CountMin.estimate(cells, probes, "tok", d, w).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CM must never undercount: $t est ${est(t)} < $n")
+    }
+    // with 251 distinct tokens in 4x64 cells, the hot token's min-row is
+    // overwhelmingly collision-light: its estimate stays near 500, far
+    // from the 750 a single-row sketch could reach under pile-up
+    assert(est("hot") < 600, s"hot estimate degraded: ${est("hot")}")
+    // mergeability: sketch(A ++ B) == cell-wise sum of the halves
+    val (a, b) = (toks.limit(300), toks.exceptAll(toks.limit(300)))
+    val merged = CountMin.sketch(a, "tok", d, w)
+      .withColumnRenamed("cnt", "ca")
+      .join(CountMin.sketch(b, "tok", d, w).withColumnRenamed("cnt", "cb"),
+        Seq("i", "bucket"), "full_outer")
+      .select(col("i"), col("bucket"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("cnt"))
+    val whole = CountMin.sketch(toks, "tok", d, w)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "two half-sketches must sum to the whole-corpus sketch")
+    // the estimate of an absent token is 0 only if all its cells are
+    // empty; with this density it is small but never negative
+    val ghost = CountMin.estimate(cells, Seq("never-seen").toDF("tok"), "tok", d, w)
+      .head().getLong(1)
+    assert(ghost >= 0L)
+  }
+}
+
 /** Latch shared between the test thread and executor tasks (local[*] =
   * one JVM, so a plain object works). */
 object EmbedGate {
