@@ -17,17 +17,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate to µs —
-    * exactly what DuckDB's read_parquet does — so oracle timestamps agree.
+  /** `events.ts` has shipped as either TIMESTAMP(NANOS) parquet — which
+    * Spark rejects ([PARQUET_TYPE_ILLEGAL]) unless read nanos-as-long and
+    * truncated to µs, exactly what DuckDB's read_parquet does — or plain
+    * µs-precision timestamp. Handle both shapes; either way the column
+    * lands as session-TZ TIMESTAMP so oracle values agree (session TZ is
+    * pinned UTC).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: ns-since-epoch (~1.7e18) overflows double
-    // precision, and `/` on longs goes through double in Spark
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: ns-since-epoch (~1.7e18) overflows double
+        // precision, and `/` on longs goes through double in Spark
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

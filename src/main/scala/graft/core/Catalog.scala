@@ -988,7 +988,11 @@ class Collection private[core] (
         graft.dedup.Dedup.minhashBands(src, column, KeyCol, p)
           .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(s"$where/bands")
-        dedupFps(column).write.mode("overwrite").parquet(s"$where/fps")
+        // fps is key-clustered too: repair/delete maintain it through the
+        // same footer-range copy-on-write as the bands
+        dedupFps(column)
+          .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(s"$where/fps")
         writeDedupParams(where, p)
       }
       if (!fs.exists(new Path(target))) build(target)
@@ -1010,9 +1014,11 @@ class Collection private[core] (
     * does everything when the fps table predates this feature) have
     * their band files rewritten via the file-granular copy-on-write
     * swap. Only files whose footer key range intersects a changed key
-    * are touched; the fps table (one small row per doc) rewrites whole,
-    * last, so a crash rereads conservatively. Returns the number of
-    * documents re-banded.
+    * are touched — bands AND the key-clustered fps sidecar, which takes
+    * the changed keys' fresh fingerprints through [[upsertByKeyRange]]
+    * (fps last, so a crash rereads conservatively: un-advanced fps rows
+    * re-flag their keys as changed and the re-run is idempotent).
+    * Returns the number of documents re-banded.
     */
   def repairDedupIndex(column: String): Long = {
     Identifiers.validate(column)
@@ -1021,6 +1027,7 @@ class Collection private[core] (
       val target = dedupIndexDir(column)
       recoverSwap(target)
       recoverFileSwap(s"$target/bands")
+      recoverFileSwap(s"$target/fps")
       if (!hasDedupIndex(column)) return 0L
       val cur = dedupFps(column).withColumnRenamed("fp", "__fp")
       val stored =
@@ -1050,7 +1057,8 @@ class Collection private[core] (
         next.repartitionByRange(nOut, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(tmp)
       }
-      dedupFps(column).write.mode("overwrite").parquet(s"$target/fps")
+      upsertByKeyRange(s"$target/fps",
+        dedupFps(column).join(changed, Seq(KeyCol), "left_semi"))
       n
     } finally writeLock.unlock()
   }
@@ -1074,7 +1082,9 @@ class Collection private[core] (
       }
       val watermark = spark.read.parquet(s"$target/bands")
         .agg(max(col(KeyCol))).head() match {
-          case r if r.isNullAt(0) => 0L
+          // Long.MinValue, not 0: user-imported keys may be non-positive,
+          // and an empty bands table must not silently skip them
+          case r if r.isNullAt(0) => Long.MinValue
           case r => r.getLong(0)
         }
       val pending = df.filter(col(KeyCol) > watermark)
@@ -1255,7 +1265,11 @@ class Collection private[core] (
         annCentersDf(centers).write.mode("overwrite").parquet(s"$where/centroids")
         cb.foreach(books => annCodebooksDf(books)
           .write.mode("overwrite").parquet(s"$where/codebooks"))
-        annUpstreamFps(column).write.mode("overwrite").parquet(s"$where/fps")
+        // fps is key-clustered: repair/delete maintain it through the
+        // same footer-range copy-on-write as the lists
+        annUpstreamFps(column)
+          .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(s"$where/fps")
         import spark.implicits._
         Seq((centers.length, iters, sampleN, math.max(0, pqM)))
           .toDF("n_lists", "iters", "sample_n", "pq_m")
@@ -1365,10 +1379,12 @@ class Collection private[core] (
     * centroids. Only lists files whose `list_id` footer range intersects
     * a changed key's old or new list are rewritten (file-granular
     * journaled swap); finding the old lists scans just the (key,
-    * list_id) columns, never the vectors. The fps table rewrites whole,
-    * last — a crash re-repairs conservatively (idempotent: the fresh
-    * rows are re-derived, the anti-join removes any earlier copy).
-    * Returns the number of documents re-assigned.
+    * list_id) columns, never the vectors. The key-clustered fps sidecar
+    * takes only the changed keys' fresh fingerprints, through the same
+    * [[upsertByKeyRange]] copy-on-write, last — a crash re-repairs
+    * conservatively (idempotent: the fresh rows are re-derived, the
+    * anti-join removes any earlier copy). Returns the number of
+    * documents re-assigned.
     */
   def repairAnnIndex(column: String): Long = {
     Identifiers.validate(column)
@@ -1378,6 +1394,7 @@ class Collection private[core] (
       recoverSwap(target)
       recoverSwap(annListsDir(column))
       recoverFileSwap(annListsDir(column))
+      recoverFileSwap(s"$target/fps")
       if (!hasAnnIndex(column)) return 0L
       val cur = annUpstreamFps(column).withColumnRenamed("fp", "__fp")
       val stored = spark.read.parquet(s"$target/fps")
@@ -1405,7 +1422,8 @@ class Collection private[core] (
       replaceFiles(annListsDir(column), touched.map(_.path.getName)) { tmp =>
         annClustered(next, touched.length).write.mode("overwrite").parquet(tmp)
       }
-      annUpstreamFps(column).write.mode("overwrite").parquet(s"$target/fps")
+      upsertByKeyRange(s"$target/fps",
+        annUpstreamFps(column).join(changed, Seq(KeyCol), "left_semi"))
       n
     } finally writeLock.unlock()
   }
@@ -1447,7 +1465,11 @@ class Collection private[core] (
     *    ([[graft.search.Keyword.deleteFromIndex]]) — never a postings
     *    rewrite — with stats recomputed exactly;
     *  - ANN lists rewrite only the files covering the deleted keys'
-    *    lists; the fps sidecars re-derive from the post-delete state.
+    *    lists; the key-clustered fps sidecars take the same
+    *    footer-range anti-join rewrite — no step in the sequence reads
+    *    or writes more than the files the keys actually live in (and a
+    *    delete of every remaining row needs no surviving upstream to
+    *    re-derive from).
     *
     * Each structure commits through its own journaled swap, so a crash
     * mid-sequence leaves a consistent prefix deleted (data goes first —
@@ -1470,7 +1492,6 @@ class Collection private[core] (
         .distinct().localCheckpoint(true)
       val n = df.join(del, Seq(KeyCol), "left_semi").count()
       deleteByKeyRange(dataDir, del)
-      // vector indexes first: the ANN fps sidecar re-derives from them
       indexStructures().foreach {
         case (c0, "vector") => deleteByKeyRange(indexDir(c0), del)
         case (c0, "kw") =>
@@ -1483,7 +1504,8 @@ class Collection private[core] (
           recoverFileSwap(s"$target/bands")
           if (hasDedupIndex(c0)) {
             deleteByKeyRange(s"$target/bands", del)
-            dedupFps(c0).write.mode("overwrite").parquet(s"$target/fps")
+            if (fs.exists(new Path(s"$target/fps")))
+              deleteByKeyRange(s"$target/fps", del)
           }
         case (c0, "ann") =>
           val target = annIndexDir(c0)
@@ -1503,7 +1525,8 @@ class Collection private[core] (
                 annClustered(next, touched.length).write.mode("overwrite").parquet(tmp)
               }
             }
-            annUpstreamFps(c0).write.mode("overwrite").parquet(s"$target/fps")
+            if (fs.exists(new Path(s"$target/fps")))
+              deleteByKeyRange(s"$target/fps", del)
           }
         case _ => ()
       }
@@ -1525,6 +1548,35 @@ class Collection private[core] (
       .join(del, Seq(KeyCol), "left_anti")
     replaceFiles(target, touched.map(_.path.getName)) { tmp =>
       remaining.repartitionByRange(math.max(1, touched.length), col(KeyCol))
+        .sortWithinPartitions(KeyCol).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** File-granular key upsert into a key-clustered parquet directory —
+    * [[deleteByKeyRange]]'s dual, used to maintain the (key, fp)
+    * fingerprint sidecars in O(touched files + batch) instead of the
+    * whole-table rewrite they used to take: only files whose footer key
+    * range intersects an updated key are rewritten (anti-join old rows,
+    * union the fresh ones), committed through the journaled swap; keys
+    * beyond every file's range land as new files. Creates the directory
+    * when absent (first write / legacy index without a sidecar).
+    */
+  private def upsertByKeyRange(target: String, updates: DataFrame): Unit = {
+    if (!fs.exists(new Path(target))) {
+      updates.repartitionByRange(1, col(KeyCol)).sortWithinPartitions(KeyCol)
+        .write.mode("overwrite").parquet(target)
+      return
+    }
+    recoverFileSwap(target)
+    val touched = touchedFiles(target, updates.select(KeyCol))
+    val next =
+      if (touched.isEmpty) updates
+      else spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(_.path.toString).toIndexedSeq: _*)
+        .join(updates.select(KeyCol), Seq(KeyCol), "left_anti")
+        .unionByName(updates)
+    replaceFiles(target, touched.map(_.path.getName)) { tmp =>
+      next.repartitionByRange(math.max(1, touched.length), col(KeyCol))
         .sortWithinPartitions(KeyCol).write.mode("overwrite").parquet(tmp)
     }
   }
@@ -1575,6 +1627,7 @@ class Collection private[core] (
         graft.search.Keyword.liveFps(spark, keywordIndexDir(column))
           .withColumnRenamed("key", KeyCol), cur)
     if (hasDedupIndex(column)) {
+      recoverFileSwap(s"${dedupIndexDir(column)}/fps")
       val fpsPath = new Path(s"${dedupIndexDir(column)}/fps")
       val stored =
         if (fs.exists(fpsPath)) spark.read.parquet(fpsPath.toString)
@@ -1584,10 +1637,12 @@ class Collection private[core] (
             StructField("fp", StringType, nullable = true))))
       rows += counts("dedup", stored, cur)
     }
-    if (hasAnnIndex(column))
+    if (hasAnnIndex(column)) {
+      recoverFileSwap(s"${annIndexDir(column)}/fps")
       rows += counts("ann",
         spark.read.parquet(s"${annIndexDir(column)}/fps"),
         annUpstreamFps(column).withColumnRenamed("fp", "__fp"))
+    }
     rows.toSeq.toDF("structure", "missing", "stale", "orphaned")
   }
 

@@ -412,8 +412,10 @@ object Keyword {
                   k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     val stored = spark.read.parquet(s"$dir/stats")
     val nBuckets = stored.select(col("n_buckets")).head().getInt(0)
+    // nullif guards the fully-erased index (n_docs = 0): no postings
+    // survive to score anyway, but ANSI mode would fail the plan first
     val stats = stored.select(col("n_docs"),
-      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+      (col("sum_dl").cast("double") / nullif(col("n_docs"), lit(0))).as("avgdl"))
     val qt = queryTerms.map(_.toLowerCase).distinct
     val buckets = qt.map(tokenBucket(_, nBuckets)).distinct
     val postings = netPostingsOf(

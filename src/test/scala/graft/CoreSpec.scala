@@ -368,6 +368,74 @@ class PartitionScopedCowSpec extends SparkSpec {
     assert(!new java.io.File(c.dataDir + "_swapjournal").exists && !stage.exists,
       "heal must clean the journal and staging dir")
   }
+
+  test("1-key dedup repair leaves untouched bands AND fps files byte-identical") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "cowfps1"))
+    // build + two refreshes -> >= 3 fps files with disjoint key ranges
+    c.importDf((1L to 10L).map(k => (s"alpha document number $k body text", k))
+      .toDF("text", "_key"))
+    c.buildDedupIndex("text")
+    c.appendDf((11L to 20L).map(k => s"beta document number $k body text").toDF("text"))
+    assert(c.refreshDedupIndex("text") == 10)
+    c.appendDf((21L to 30L).map(k => s"gamma document number $k body text").toDF("text"))
+    assert(c.refreshDedupIndex("text") == 10)
+    val fpsDir = c.dedupIndexDir("text") + "/fps"
+    val bandsDir = c.dedupIndexDir("text") + "/bands"
+    val fpsBefore = fileMeta(fpsDir)
+    val bandsBefore = fileMeta(bandsDir)
+    assert(fpsBefore.size >= 3, s"expected >=3 fps files, got ${fpsBefore.size}")
+
+    c.upsert(Seq(("rewritten body five entirely new", 5L)).toDF("text", "_key"))
+    assert(c.repairDedupIndex("text") == 1)
+    val fpsAfter = fileMeta(fpsDir)
+    val fpsSurvivors = fpsBefore.filter { case (n, m) => fpsAfter.get(n).contains(m) }
+    assert(fpsSurvivors.size == fpsBefore.size - 1,
+      s"only key 5's fps file may be rewritten; survivors ${fpsSurvivors.size}/${fpsBefore.size}")
+    val bandsAfter = fileMeta(bandsDir)
+    val bandsSurvivors = bandsBefore.filter { case (n, m) => bandsAfter.get(n).contains(m) }
+    assert(bandsSurvivors.size == bandsBefore.size - 1,
+      s"only key 5's bands file may be rewritten; survivors ${bandsSurvivors.size}/${bandsBefore.size}")
+    // the sidecar advanced: a second repair finds nothing
+    assert(c.repairDedupIndex("text") == 0)
+    // contents exact: one fp row per doc, key 5's fp is the NEW text's md5
+    val fps = spark.read.parquet(fpsDir)
+    assert(fps.count() == 30)
+    assert(fps.select("_key").distinct().count() == 30)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("rewritten body five entirely new".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fps.filter(col("_key") === 5L).select("fp").head().getString(0) == md)
+  }
+
+  test("1-key ANN repair leaves untouched fps sidecar files byte-identical") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "cowfps2"))
+    val emb = new HashingEmbedder(dim = 32)
+    c.importDf((1L to 10L).map(k => s"alpha doc $k").toDF("text"))
+    assert(c.embedColumn("text", emb) == 10)
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100)
+    c.appendDf((11L to 20L).map(k => s"beta doc $k").toDF("text"))
+    assert(c.embedColumn("text", emb) == 10)
+    assert(c.refreshAnnIndex("text") == 10)
+    c.appendDf((21L to 30L).map(k => s"gamma doc $k").toDF("text"))
+    assert(c.embedColumn("text", emb) == 10)
+    assert(c.refreshAnnIndex("text") == 10)
+    val fpsDir = c.annIndexDir("text") + "/fps"
+    val fpsBefore = fileMeta(fpsDir)
+    assert(fpsBefore.size >= 3, s"expected >=3 fps files, got ${fpsBefore.size}")
+
+    c.upsert(Seq(("changed completely now", 5L)).toDF("text", "_key"))
+    assert(c.reembedChanged("text", emb) == 1)
+    assert(c.repairAnnIndex("text") == 1)
+    val fpsAfter = fileMeta(fpsDir)
+    val survivors = fpsBefore.filter { case (n, m) => fpsAfter.get(n).contains(m) }
+    assert(survivors.size == fpsBefore.size - 1,
+      s"only key 5's fps file may be rewritten; survivors ${survivors.size}/${fpsBefore.size}")
+    assert(c.repairAnnIndex("text") == 0, "sidecar advanced: second repair is a no-op")
+    val hit = c.searchAnn("text", "changed completely now", 1, emb, nProbe = 4).head()
+    assert(hit.getLong(1) == 5L && hit.getDouble(2) > 0.999)
+  }
 }
 
 /** Chunk-granularity indexing through the multi-vector search path: one

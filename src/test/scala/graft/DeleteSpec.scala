@@ -87,4 +87,42 @@ class DeleteSpec extends SparkSpec {
     assert(c.df.agg(max(col("_key"))).head().getLong(0) == 41L)
     assert(c.count() == 39)
   }
+
+  test("deleteKeys of EVERY row completes the full index sequence and stays consistent") {
+    // the fragile path: after the data rewrite empties the collection,
+    // the fps sidecar maintenance must not try to re-derive from a
+    // now-empty upstream (it anti-joins the stored sidecars instead)
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "del3"))
+    c.importDf((1 to 12).map(i => s"document alpha beta number $i").toDF("text"))
+    assert(c.embedColumn("text", emb) == 12)
+    c.buildKeywordIndex("text")
+    c.buildDedupIndex("text")
+    c.buildAnnIndex("text", nLists = 2, sampleN = 50)
+
+    assert(c.deleteKeys((1L to 12L)) == 12L)
+    assert(c.count() == 0)
+    assert(c.indexedCount("text") == 0)
+    // every sidecar/structure emptied, none left stale
+    assert(spark.read.parquet(s"${c.dedupIndexDir("text")}/fps").count() == 0)
+    assert(spark.read.parquet(s"${c.dedupIndexDir("text")}/bands").count() == 0)
+    assert(spark.read.parquet(s"${c.annIndexDir("text")}/fps").count() == 0)
+    assert(c.searchKeyword("text", "alpha", 10).count() == 0)
+    assert(c.searchAnn("text", "document alpha", 5, emb, nProbe = 2).count() == 0)
+    // re-run on the empty collection is a clean no-op
+    assert(c.deleteKeys(Seq(3L)) == 0L)
+    // the consistency report still renders, with nothing missing/stale/orphaned
+    val status = c.indexStatus("text").collect()
+    assert(status.nonEmpty)
+    status.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0,
+        s"structure ${r.getString(0)} reports inconsistency on empty collection: $r")
+    }
+    // and life goes on: append + re-embed + search after total erasure
+    c.appendDf(Seq("phoenix risen fresh").toDF("text"))
+    assert(c.count() == 1)
+    assert(c.embedColumn("text", emb) == 1)
+    val hit = c.search("text", "phoenix risen fresh", 1, emb).head()
+    assert(hit.getDouble(2) > 0.999)
+  }
 }
