@@ -122,7 +122,11 @@ object Cli {
         }
       case "delete" =>
         val c = catalog.load(req(flags, "collection"))
-        val keys = req(flags, "keys").split(",").toSeq.map(_.trim.toLong)
+        val keys =
+          try req(flags, "keys").split(",").toSeq.map(_.trim.toLong)
+          catch { case _: NumberFormatException =>
+            fail("--keys must be comma-separated integers")
+          }
         val n = c.deleteKeys(keys)
         println(s"erased $n row(s) from ${c.config.name} and its indexes " +
           s"(${c.count()} rows remain)")
@@ -137,8 +141,10 @@ object Cli {
           case "vector" => c.search(column, query, limit, embedder)
           case "keyword" => c.searchKeyword(column, query, limit)
           case "hybrid" => c.searchHybrid(column, query, limit, embedder)
-          case "ann" => c.searchAnn(column, query, limit, embedder,
-            flags.getOrElse("n-probe", "2").toInt)
+          case "ann" =>
+            val nProbe = flags.getOrElse("n-probe", "2").toInt
+            if (nProbe < 1) fail("--n-probe must be >= 1")
+            c.searchAnn(column, query, limit, embedder, nProbe)
           case other => fail(s"--mode must be vector|keyword|hybrid|ann, got '$other'")
         }
         page.show(limit, truncate = 80)

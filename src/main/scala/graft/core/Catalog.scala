@@ -47,10 +47,14 @@ class Collection private[core] (
     * the swap would be staged to `_precompact` by the swap and then
     * deleted (silent row loss; the roll-forward recovery would do the
     * same after a crash). Readers stay lock-free apart from the brief
-    * `synchronized` rename window. Single-JVM guarantee only:
-    * cross-process compaction needs an external lock.
+    * `synchronized` rename window. Cross-process (and cross-instance)
+    * safety comes from the [[WriteLease]] file beneath the JVM lock: a
+    * foreign writer refuses loudly instead of interleaving, a crashed
+    * holder's lease expires, and the commit points fence with
+    * [[WriteLease.checkHeld]].
     */
-  private val writeLock = new java.util.concurrent.locks.ReentrantLock
+  private[graft] val writeLock =
+    new WriteLease(() => fs, new Path(dir, "_lease"), config.name)
 
   /** The collection as a DataFrame (lazy scan — filters/projections push
     * down). `mergeSchema` unions file schemas so schema-widening appends
@@ -159,6 +163,9 @@ class Collection private[core] (
     val jTmp = new Path(target + "_swapjournal_tmp")
     val out = fs.create(jTmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // fencing: an op that outlived a broken lease must not commit over
+    // the new holder's files
+    writeLock.checkHeld()
     synchronized {
       if (!fs.rename(jTmp, journalPath(target)))
         throw new java.io.IOException(s"could not commit swap journal for $target")
@@ -293,6 +300,9 @@ class Collection private[core] (
     val tmp = new Path(target + "_compacting")
     fs.delete(tmp, true)
     write(tmp.toString)
+    // fencing: an op that outlived a broken lease must not swap over
+    // the new holder's directory
+    writeLock.checkHeld()
     synchronized {
       compactSwap(new Path(target), new Path(target + "_precompact"), tmp)
     }
@@ -786,7 +796,9 @@ class Collection private[core] (
     * if the rebuild died mid-way, and [[hasKeywordIndex]] (which keys on
     * `stats`) would happily serve the corrupt mix.
     */
-  def buildKeywordIndex(column: String, nBuckets: Int = 64): Unit = {
+  def buildKeywordIndex(column: String, nBuckets: Int = 64,
+                        analyzer: graft.search.Analyzer =
+                          graft.search.Analyzer.Whitespace): Unit = {
     Identifiers.validate(column)
     writeLock.lock()
     try {
@@ -794,7 +806,8 @@ class Collection private[core] (
       recoverSwap(target)
       def build(where: String): Unit = graft.search.Keyword.buildIndex(
         df.select(col(KeyCol), col(column)), where,
-        idCol = KeyCol, textCol = column, nBuckets = nBuckets)
+        idCol = KeyCol, textCol = column, nBuckets = nBuckets,
+        analyzer = analyzer)
       if (!fs.exists(new Path(target))) build(target)
       else writeAndSwap(target) { tmp =>
         build(tmp)
@@ -829,6 +842,10 @@ class Collection private[core] (
         return spark.read.parquet(s"$target/stats")
           .head().getAs[Long]("n_docs")
       }
+      // heal any crashed append BEFORE reading the watermark — a
+      // committed-but-unfinished batch must advance doclen first, or
+      // this refresh would re-append its postings
+      graft.search.Keyword.recoverAppend(spark, target)
       val watermark = spark.read.parquet(s"$target/doclen")
         .agg(max(col("key"))).head() match {
           case r if r.isNullAt(0) => 0L
@@ -896,7 +913,14 @@ class Collection private[core] (
     */
   def searchKeyword(column: String, query: String, limit: Int): DataFrame = {
     graft.search.Search.validateLimit(limit)
-    val terms = graft.search.Keyword.queryTerms(query)
+    // query tokenization must mirror the INDEX's analyzer (stored in its
+    // stats); the inline fallback has no stored analyzer and stays on
+    // the whitespace default
+    val terms =
+      if (hasKeywordIndex(column))
+        graft.search.Keyword.analyzerOf(spark, keywordIndexDir(column))
+          .queryTokens(query)
+      else graft.search.Keyword.queryTerms(query)
     require(terms.nonEmpty, "keyword search requires a non-empty query")
     fetchHits(keywordHits(column, terms, limit), column)
   }
@@ -910,7 +934,11 @@ class Collection private[core] (
     graft.search.Search.validateLimit(limit)
     val qv = embedder.embedOne(query)
     val dense = graft.search.Search.topK(embeddings(column), qv, limit)
-    val terms = graft.search.Keyword.queryTerms(query)
+    val terms =
+      if (hasKeywordIndex(column))
+        graft.search.Keyword.analyzerOf(spark, keywordIndexDir(column))
+          .queryTokens(query)
+      else graft.search.Keyword.queryTerms(query)
     val pages =
       if (terms.isEmpty) Seq(dense)
       else Seq(keywordHits(column, terms, limit), dense)
@@ -1212,6 +1240,16 @@ class Collection private[core] (
     else Option(p.head().getAs[Integer]("pq_m")).fold(0)(_.intValue)
   }
 
+  /** Build-time assignment drift baseline; None for params predating the
+    * column (legacy index — no baseline to compare against).
+    */
+  private def annBuildDrift(column: String): Option[Double] = {
+    val p = spark.read.option("mergeSchema", "true")
+      .parquet(s"${annIndexDir(column)}/params")
+    if (!p.schema.fieldNames.contains("build_drift")) None
+    else Option(p.head().getAs[java.lang.Double]("build_drift")).map(_.doubleValue)
+  }
+
   /** Lists rows for a batch of vectors: `(key, embedding, list_id)` in
     * the full-vector layout, `(key, code, list_id)` when PQ-encoded —
     * the assignment/encoding step shared by build, refresh and repair.
@@ -1271,8 +1309,12 @@ class Collection private[core] (
           .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(s"$where/fps")
         import spark.implicits._
-        Seq((centers.length, iters, sampleN, math.max(0, pqM)))
-          .toDF("n_lists", "iters", "sample_n", "pq_m")
+        // assignment quality at build time — indexStatus recomputes it on
+        // the current table; the ratio is the retrain-worthiness signal
+        val buildDrift = graft.search.Ann.assignmentDrift(
+          emb, KeyCol, "embedding", centers)
+        Seq((centers.length, iters, sampleN, math.max(0, pqM), buildDrift))
+          .toDF("n_lists", "iters", "sample_n", "pq_m", "build_drift")
           .write.mode("overwrite").parquet(s"$where/params")
       }
       if (!fs.exists(new Path(target))) build(target)
@@ -1608,14 +1650,15 @@ class Collection private[core] (
         md5(coalesce(col(column).cast(StringType), lit(""))).as("__fp"))
       .localCheckpoint(true)
     def counts(structure: String, stored: DataFrame,
-               upstream: DataFrame): (String, Long, Long, Long) = {
+               upstream: DataFrame): (String, Long, Long, Long, Option[Double]) = {
       val missing = upstream.join(stored, Seq(KeyCol), "left_anti").count()
       val stale = upstream.join(stored, Seq(KeyCol))
         .filter(col("fp").isNull || col("fp") =!= col("__fp")).count()
       val orphaned = stored.join(upstream, Seq(KeyCol), "left_anti").count()
-      (structure, missing, stale, orphaned)
+      (structure, missing, stale, orphaned, None)
     }
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Option[Double])]
     indexRaw(column).foreach { raw =>
       val fp = if (raw.schema.fieldNames.contains("fp")) col("fp")
                else lit(null).cast(StringType).as("fp")
@@ -1639,11 +1682,21 @@ class Collection private[core] (
     }
     if (hasAnnIndex(column)) {
       recoverFileSwap(s"${annIndexDir(column)}/fps")
-      rows += counts("ann",
+      val base = counts("ann",
         spark.read.parquet(s"${annIndexDir(column)}/fps"),
         annUpstreamFps(column).withColumnRenamed("fp", "__fp"))
+      // centroid drift: current sample's assignment distance over the
+      // build-time baseline. ~1.0 = the appended data still matches the
+      // trained centroids; growing >1 = refresh has folded in data the
+      // centroids never saw — rebuildAnnIndex (retrain) lowers it back.
+      // Refresh deliberately never retrains, so this is the one signal.
+      val drift = annBuildDrift(column).filter(_ > 0).map { b =>
+        graft.search.Ann.assignmentDrift(
+          embeddings(column), KeyCol, "embedding", readAnnCenters(column)) / b
+      }
+      rows += base.copy(_5 = drift)
     }
-    rows.toSeq.toDF("structure", "missing", "stale", "orphaned")
+    rows.toSeq.toDF("structure", "missing", "stale", "orphaned", "drift")
   }
 
   /** `(column, kind)` for every persisted index structure under the

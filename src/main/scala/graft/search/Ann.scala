@@ -142,6 +142,36 @@ object Ann {
     lloyd(sample, k, iters)
   }
 
+  /** Assignment-quality statistic for a stored IVF index: mean squared
+    * L2 distance of a deterministic hash-ordered sample to its nearest
+    * centroid. Computed at build time and stored; recomputed on the
+    * CURRENT table by `indexStatus`, the ratio tells the operator when
+    * appended data has drifted from the trained centroids far enough
+    * that a rebuild (retrain) is worth its cost — refresh deliberately
+    * never retrains, so nothing else surfaces this. Same bounded
+    * driver-side sample as training; 0.0 on an empty table.
+    */
+  def assignmentDrift(embDf: DataFrame, keyCol: String, embCol: String,
+                      centers: Array[Array[Double]],
+                      sampleN: Int = 2048): Double = {
+    val sample = trainingSample(embDf, keyCol, embCol, sampleN)
+    if (sample.isEmpty) return 0.0
+    var total = 0.0
+    sample.foreach { v =>
+      var best = Double.MaxValue
+      centers.foreach { c =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length && i < c.length) {
+          val t = v(i) - c(i); s += t * t; i += 1
+        }
+        if (s < best) best = s
+      }
+      total += best
+    }
+    total / sample.length
+  }
+
   /** Deterministic Lloyd k-means on an in-memory sample (evenly-spaced
     * init, fixed iteration count, first-wins argmin, sequential f64
     * accumulation — every step reproducible, which is what lets the

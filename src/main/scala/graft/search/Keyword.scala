@@ -3,8 +3,6 @@ package graft.search
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
-
 /** Keyword (BM25) search and keyword+vector hybrid rank fusion.
   *
   * The reference engine is vector-only (src/collection/vector_index.rs);
@@ -36,13 +34,15 @@ object Keyword {
   /** Standard RRF dampening constant (Cormack et al., SIGIR'09). */
   val DefaultRrfC = 60
 
-  /** Lowercased whitespace tokens, blank-safe — the corpus-wide
-    * tokenization shared with TextFunctions (oracle parity depends on
-    * both sides splitting identically).
+  /** One `(key, tok)` row per token, blank-safe. The default analyzer
+    * is the lowercased whitespace split shared with TextFunctions
+    * (oracle parity depends on both sides splitting identically);
+    * alternatives come from [[Analyzer]].
     */
-  private def explodedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def explodedTokens(docs: DataFrame, idCol: String, textCol: String,
+                             analyzer: Analyzer): DataFrame =
     docs.select(col(idCol).as("key"),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      explode(analyzer.tokensCol(col(textCol))).as("tok"))
 
   /** Driver-side twin of the corpus tokenization, for query strings. */
   def queryTerms(query: String): Seq[String] =
@@ -69,9 +69,10 @@ object Keyword {
     * term, so they are excluded from the norm on both the operator and
     * the oracle side — one definition, no drift).
     */
-  def corpusTables(docs: DataFrame, idCol: String, textCol: String)
+  def corpusTables(docs: DataFrame, idCol: String, textCol: String,
+                   analyzer: Analyzer = Analyzer.Whitespace)
       : (DataFrame, DataFrame, DataFrame) = {
-    val t = explodedTokens(docs, idCol, textCol)
+    val t = explodedTokens(docs, idCol, textCol, analyzer)
     val postings = t.groupBy(col("tok"), col("key"))
       .agg(count(lit(1)).as("tf"))
     val doclen = t.groupBy(col("key")).agg(count(lit(1)).as("dl"))
@@ -158,8 +159,9 @@ object Keyword {
     */
   def buildIndex(docs: DataFrame, dir: String,
                  idCol: String = "doc_id", textCol: String = "text",
-                 nBuckets: Int = 64): Unit = {
-    val (postings, doclen0, _) = corpusTables(docs, idCol, textCol)
+                 nBuckets: Int = 64,
+                 analyzer: Analyzer = Analyzer.Whitespace): Unit = {
+    val (postings, doclen0, _) = corpusTables(docs, idCol, textCol, analyzer)
     postings
       .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
       .write.partitionBy("bucket").mode("overwrite")
@@ -169,7 +171,7 @@ object Keyword {
       .select(col("key"), coalesce(col("dl"), lit(0L)).as("dl"),
         col("fp"), lit(1).as("cnt"))
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
-    writeStats(doclen.sparkSession, dir, doclen, nBuckets)
+    writeStats(doclen.sparkSession, dir, doclen, nBuckets, analyzer.id)
   }
 
   /** `(key, fp)` for every document — md5 over the NULL-flattened text,
@@ -183,13 +185,37 @@ object Keyword {
     * live rows and tombstones): `n_docs` counts live token-bearing docs.
     */
   private def writeStats(spark: SparkSession, dir: String,
-                         doclenLog: DataFrame, nBuckets: Int): Unit = {
+                         doclenLog: DataFrame, nBuckets: Int,
+                         analyzerId: String): Unit = {
     val live = liveDoclenOf(doclenLog)
     live.agg(
         count(when(col("dl") > 0, 1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("analyzer", lit(analyzerId))
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** (n_buckets, analyzer id) from a stored index's stats; indexes
+    * predating the analyzer column read as whitespace.
+    */
+  private def storedMeta(spark: SparkSession, dir: String): (Int, String) = {
+    val p = spark.read.option("mergeSchema", "true").parquet(s"$dir/stats")
+    val r = p.head()
+    val az =
+      if (!p.schema.fieldNames.contains("analyzer")) "ws"
+      else Option(r.getAs[String]("analyzer")).getOrElse("ws")
+    (r.getAs[Int]("n_buckets"), az)
+  }
+
+  /** The analyzer a stored index was built with — every later search /
+    * refresh / repair path derives tokenization from HERE, never from a
+    * caller argument, so an index can never be read and written under
+    * different token rules.
+    */
+  def analyzerOf(spark: SparkSession, dir: String): Analyzer = {
+    recoverAppend(spark, dir)
+    Analyzer.fromId(storedMeta(spark, dir)._2)
   }
 
   /** Net view of the postings log: per-(tok, key) summed `tf`, dropped
@@ -227,6 +253,142 @@ object Keyword {
       .select(col("key"), col("fp"))
   }
 
+  // --- crash-safe append protocol ----------------------------------------
+  //
+  // appendToIndex must land postings AND doclen together. A plain
+  // `mode("append")` pair has a fatal window: a crash after the postings
+  // append but before the doclen append leaves fresh postings for keys
+  // the doclen watermark has not advanced past, so the next refresh
+  // re-selects those keys and appends their postings AGAIN — the net
+  // view then reports doubled `tf` and BM25 silently over-scores them.
+  // The append therefore stages both tables' files beside the index and
+  // commits with a journal marker:
+  //
+  //   1. batch postings -> `postings_staging/` (bucket-partitioned),
+  //      batch doclen rows -> `doclen_staging/`;
+  //   2. create `_appendjournal` — the commit point;
+  //   3. move the staged files in (parquet part names embed a job UUID,
+  //      so moves are collision-free and idempotent), write stats,
+  //      delete the journal, drop the staging dirs.
+  //
+  // [[recoverAppend]] runs before every read or write of the index:
+  // journal present -> roll forward (finish the moves, recompute stats
+  // exactly from the doclen log); staging dirs without a journal ->
+  // uncommitted append, discarded. The doclen watermark consequently
+  // sees either the WHOLE batch (committed) or none of it (discarded) —
+  // no half-state survives a crash.
+
+  private def appendJournal(dir: String) = new org.apache.hadoop.fs.Path(
+    s"$dir/_appendjournal")
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Move every staged parquet leaf into `target`, preserving partition
+    * subdirectories (`bucket=N/`). Idempotent: a leaf already present at
+    * the destination means an earlier attempt moved it — drop the
+    * staged copy.
+    */
+  private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
+                           stage: org.apache.hadoop.fs.Path,
+                           target: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(stage)) return
+    fs.mkdirs(target)
+    fs.listStatus(stage).foreach { s =>
+      if (s.isDirectory)
+        moveStagedIn(fs, s.getPath, new org.apache.hadoop.fs.Path(target, s.getPath.getName))
+      else if (s.getPath.getName.endsWith(".parquet")) {
+        val dst = new org.apache.hadoop.fs.Path(target, s.getPath.getName)
+        if (fs.exists(dst)) fs.delete(s.getPath, false)
+        else if (!fs.rename(s.getPath, dst))
+          throw new java.io.IOException(s"append commit: could not move ${s.getPath} to $dst")
+      }
+    }
+  }
+
+  /** Heal a crashed [[appendToIndex]] — run before every index read or
+    * write (all the public entry points of this object call it, as does
+    * the refresh watermark read). Journal present: the append committed;
+    * finish the file moves and recompute stats exactly from the doclen
+    * log. Staging dirs without a journal: the append never committed;
+    * discard them (the watermark never advanced, so the batch re-runs
+    * in full).
+    */
+  def recoverAppend(spark: SparkSession, dir: String): Unit = {
+    val fs = hadoopFs(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return
+    val j = appendJournal(dir)
+    val stageP = new org.apache.hadoop.fs.Path(s"$dir/postings_staging")
+    val stageD = new org.apache.hadoop.fs.Path(s"$dir/doclen_staging")
+    if (fs.exists(j)) {
+      moveStagedIn(fs, stageP, new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      moveStagedIn(fs, stageD, new org.apache.hadoop.fs.Path(s"$dir/doclen"))
+      fs.delete(stageP, true)
+      fs.delete(stageD, true)
+      val (nBuckets, az) = storedMeta(spark, dir)
+      writeStats(spark, dir,
+        spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"),
+        nBuckets, az)
+      fs.delete(j, false)
+    } else {
+      if (fs.exists(stageP)) fs.delete(stageP, true)
+      if (fs.exists(stageD)) fs.delete(stageD, true)
+    }
+  }
+
+  /** Stage a batch append and write the commit journal; returns the
+    * advanced exact stats for [[commitAppend]]. Package-visible so the
+    * crash spec can kill the append between the commit point and the
+    * file moves.
+    */
+  private[graft] case class StagedAppend(nDocs: Long, sumDl: Long, nBuckets: Int,
+                                         analyzerId: String)
+
+  private[graft] def stageAppend(newDocs: DataFrame, dir: String,
+                                 idCol: String, textCol: String): StagedAppend = {
+    val spark = newDocs.sparkSession
+    recoverAppend(spark, dir)
+    val old = spark.read.parquet(s"$dir/stats").head()
+    val (nBuckets, az) = storedMeta(spark, dir)
+    val (postings, doclen0, _) =
+      corpusTables(newDocs, idCol, textCol, Analyzer.fromId(az))
+    postings
+      .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/postings_staging")
+    docFps(newDocs, idCol, textCol)
+      .join(doclen0, Seq("key"), "left_outer")
+      .select(col("key"), coalesce(col("dl"), lit(0L)).as("dl"),
+        col("fp"), lit(1).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/doclen_staging")
+    // exact integer deltas, read back from the staged files themselves
+    val delta = spark.read.parquet(s"$dir/doclen_staging")
+      .agg(count(when(col("dl") > 0, 1)), sum(col("dl"))).head()
+    val st = StagedAppend(
+      old.getAs[Long]("n_docs") + delta.getLong(0),
+      old.getAs[Long]("sum_dl") + (if (delta.isNullAt(1)) 0L else delta.getLong(1)),
+      nBuckets, az)
+    hadoopFs(spark, dir).create(appendJournal(dir), true).close()  // commit point
+    st
+  }
+
+  private[graft] def commitAppend(spark: SparkSession, dir: String,
+                                  st: StagedAppend): Unit = {
+    val fs = hadoopFs(spark, dir)
+    moveStagedIn(fs, new org.apache.hadoop.fs.Path(s"$dir/postings_staging"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings"))
+    moveStagedIn(fs, new org.apache.hadoop.fs.Path(s"$dir/doclen_staging"),
+      new org.apache.hadoop.fs.Path(s"$dir/doclen"))
+    import spark.implicits._
+    Seq((st.nDocs, st.sumDl, st.nBuckets, st.analyzerId))
+      .toDF("n_docs", "sum_dl", "n_buckets", "analyzer")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    fs.delete(appendJournal(dir), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings_staging"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/doclen_staging"), true)
+  }
+
   /** Fold a batch of NEW documents into an existing index in O(batch):
     * the batch's postings/doclen append to the stored tables (same
     * bucket layout, so query-time pruning is unaffected) and the exact
@@ -234,34 +396,15 @@ object Keyword {
     * re-read. Keys must be new (the `AppendJsonl` max+1 discipline);
     * re-adding an indexed key would double-count its postings.
     *
-    * Write order is postings, doclen, then stats last; a crash before
-    * the stats swap leaves the index fully searchable with the previous
-    * norms. Not idempotent under blind re-run — coordinate with the
+    * Crash-safe via the staged commit protocol above: postings and
+    * doclen land atomically-as-a-pair, so the refresh watermark can
+    * never re-append a half-landed batch. Coordinate with the
     * collection write lock as `embedColumn` does.
     */
   def appendToIndex(newDocs: DataFrame, dir: String,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val spark = newDocs.sparkSession
-    val old = spark.read.parquet(s"$dir/stats").head()
-    val nBuckets = old.getAs[Int]("n_buckets")
-    val (postings, doclen0, _) = corpusTables(newDocs, idCol, textCol)
-    postings
-      .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
-      .write.partitionBy("bucket").mode("append")
-      .parquet(s"$dir/postings")
-    val doclen = docFps(newDocs, idCol, textCol)
-      .join(doclen0, Seq("key"), "left_outer")
-      .select(col("key"), coalesce(col("dl"), lit(0L)).as("dl"),
-        col("fp"), lit(1).as("cnt"))
-      .localCheckpoint(true)
-    doclen.write.mode("append").parquet(s"$dir/doclen")
-    val delta = doclen.agg(count(when(col("dl") > 0, 1)), sum(col("dl"))).head()
-    val stats = Seq((old.getAs[Long]("n_docs") + delta.getLong(0),
-      old.getAs[Long]("sum_dl") + (if (delta.isNullAt(1)) 0L else delta.getLong(1)),
-      nBuckets))
-    import spark.implicits._
-    stats.toDF("n_docs", "sum_dl", "n_buckets")
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    val st = stageAppend(newDocs, dir, idCol, textCol)
+    commitAppend(newDocs.sparkSession, dir, st)
   }
 
   /** Repair the index after an UPSERT rewrote text under existing keys —
@@ -290,8 +433,9 @@ object Keyword {
   def repairIndex(docs: DataFrame, dir: String,
                   idCol: String = "doc_id", textCol: String = "text"): Long = {
     val spark = docs.sparkSession
-    val nBuckets = spark.read.parquet(s"$dir/stats")
-      .select(col("n_buckets")).head().getInt(0)
+    recoverAppend(spark, dir)
+    val (nBuckets, az) = storedMeta(spark, dir)
+    val analyzer = Analyzer.fromId(az)
     val doclenLog = spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen")
     val cur = docs.select(col(idCol).as("key"),
       coalesce(col(textCol).cast("string"), lit("")).as("__txt"))
@@ -312,7 +456,7 @@ object Keyword {
       val tomb = netPostingsOf(stored)
         .select(col("tok"), col("key"), (-col("tf")).as("tf"), col("bucket"))
       val updDocs = upd.select(col("key"), col("__txt").as(textCol))
-      val (fresh, freshLen, _) = corpusTables(updDocs, "key", textCol)
+      val (fresh, freshLen, _) = corpusTables(updDocs, "key", textCol, analyzer)
       tomb.unionByName(
           fresh.withColumn("bucket", tokenBucketCol(col("tok"), nBuckets)))
         .write.partitionBy("bucket").mode("append").parquet(s"$dir/postings")
@@ -333,7 +477,8 @@ object Keyword {
     // stats from the (re-read) doclen log — ALWAYS, so a crashed repair
     // heals on re-run even when nUpd is then 0
     writeStats(spark, dir,
-      spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"), nBuckets)
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"),
+      nBuckets, az)
     nUpd
   }
 
@@ -341,8 +486,10 @@ object Keyword {
     * consistency-check surface (`Collection.indexStatus` compares it
     * against the collection's current fingerprints).
     */
-  def liveFps(spark: SparkSession, dir: String): DataFrame =
+  def liveFps(spark: SparkSession, dir: String): DataFrame = {
+    recoverAppend(spark, dir)
     liveFpsOf(spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"))
+  }
 
   /** Delete documents from the index — the tombstone-append twin of
     * [[repairIndex]] with no fresh side: each deleted key's net postings
@@ -354,8 +501,8 @@ object Keyword {
     */
   def deleteFromIndex(keys: DataFrame, dir: String): Long = {
     val spark = keys.sparkSession
-    val nBuckets = spark.read.parquet(s"$dir/stats")
-      .select(col("n_buckets")).head().getInt(0)
+    recoverAppend(spark, dir)
+    val (nBuckets, az) = storedMeta(spark, dir)
     val doclenLog = spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen")
     val delKeys = liveDoclenOf(doclenLog)
       .join(keys.select(col(keys.columns.head).as("key")), Seq("key"), "left_semi")
@@ -377,7 +524,8 @@ object Keyword {
         .write.mode("append").parquet(s"$dir/doclen")
     }
     writeStats(spark, dir,
-      spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"), nBuckets)
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"),
+      nBuckets, az)
     n
   }
 
@@ -388,8 +536,8 @@ object Keyword {
     * recompute from the folded doclen.
     */
   def compactIndexTo(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    val nBuckets = spark.read.parquet(s"$srcDir/stats")
-      .select(col("n_buckets")).head().getInt(0)
+    recoverAppend(spark, srcDir)
+    val (nBuckets, az) = storedMeta(spark, srcDir)
     netPostingsOf(spark.read.parquet(s"$srcDir/postings"))
       .select(col("tok"), col("key"), col("tf"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dstDir/postings")
@@ -398,7 +546,7 @@ object Keyword {
       .join(liveFpsOf(log), Seq("key"), "left_outer")
       .select(col("key"), col("dl"), col("fp"), lit(1).as("cnt"))
     folded.write.mode("overwrite").parquet(s"$dstDir/doclen")
-    writeStats(spark, dstDir, folded, nBuckets)
+    writeStats(spark, dstDir, folded, nBuckets, az)
   }
 
   /** Query the persistent index. The postings read carries a `bucket`
@@ -410,6 +558,7 @@ object Keyword {
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
                   k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    recoverAppend(spark, dir)
     val stored = spark.read.parquet(s"$dir/stats")
     val nBuckets = stored.select(col("n_buckets")).head().getInt(0)
     // nullif guards the fully-erased index (n_docs = 0): no postings

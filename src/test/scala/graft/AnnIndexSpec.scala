@@ -196,4 +196,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(page(c.searchAnn("text", q, 5, emb, nProbe = 4))
       == page(c.search("text", q, 5, emb)))
   }
+
+  test("indexStatus drift: far-cluster appends raise it, a rebuild lowers it") {
+    // an embedder with two well-separated clusters: texts starting with
+    // "z" land far from everything the build-time centroids saw
+    class TwoClusterEmbedder extends graft.embed.Embedder {
+      val dim = 8
+      def embed(texts: Iterator[String]): Iterator[Array[Float]] = texts.map { t =>
+        val v = new Array[Float](dim)
+        val h = math.abs(t.hashCode % 4)
+        if (t.startsWith("z")) { v(4 + h % 4) = 9f; v(h % 4) = 1f }
+        else v(h % 4) = 1f
+        v
+      }
+    }
+    val emb2 = new TwoClusterEmbedder
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "drift"))
+    c.importDf((1 to 30).map(i => s"alpha doc $i").toDF("text"))
+    assert(c.embedColumn("text", emb2) == 30)
+    c.buildAnnIndex("text", nLists = 2, sampleN = 100)
+    def drift(): Double = c.indexStatus("text").collect()
+      .find(_.getString(0) == "ann").get.getDouble(4)
+    val synced = drift()
+    assert(synced > 0.5 && synced < 2.0,
+      s"freshly built index should sit near 1.0, got $synced")
+    // far-cluster appends fold in against the OLD centroids (refresh
+    // never retrains) — the drift ratio must climb well past the baseline
+    c.appendDf((1 to 30).map(i => s"zeta doc $i").toDF("text"))
+    assert(c.embedColumn("text", emb2) == 30)
+    assert(c.refreshAnnIndex("text") == 30)
+    val drifted = drift()
+    assert(drifted > 2.0 * synced,
+      s"far-cluster appends must raise drift: $synced -> $drifted")
+    // a rebuild retrains on the current corpus and restores the baseline
+    c.buildAnnIndex("text", nLists = 2, sampleN = 100)
+    val rebuilt = drift()
+    assert(rebuilt < drifted / 2 && rebuilt < 2.0,
+      s"rebuild must lower drift: $drifted -> $rebuilt")
+  }
 }

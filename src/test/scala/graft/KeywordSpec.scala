@@ -89,6 +89,141 @@ class KeywordSpec extends SparkSpec {
     assert(after == full)
   }
 
+  test("append crash windows: every kill point heals to the fresh-rebuild scores") {
+    // the round-6 weak spot: postings landing before doclen let the
+    // refresh watermark re-append the same batch (doubled tf). The
+    // staged commit protocol must make every crash point heal.
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("vector", "hash", "join")
+    val oldB = docs.filter(col("doc_id") < 400)
+    val newB = docs.filter(col("doc_id") >= 400)
+    val full = Keyword.bm25TopK(docs, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def scores(dir: String) = Keyword.searchIndex(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def rerunAppendThenScore(dir: String): Seq[(Long, Double)] = {
+      // what refreshKeywordIndex does: heal, then re-append anything the
+      // doclen watermark has not seen
+      Keyword.recoverAppend(spark, dir)
+      val seen = spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen")
+        .agg(max(col("key"))).head().getLong(0)
+      val pending = docs.filter(col("doc_id") > seen)
+      if (pending.take(1).nonEmpty) Keyword.appendToIndex(pending, dir)
+      scores(dir)
+    }
+    // move every staged parquet leaf of ONE table into the live dir —
+    // the partial-commit shape the old direct appends could leave
+    def movePartial(dir: String, table: String): Unit = {
+      def walk(src: java.io.File, dst: java.io.File): Unit = {
+        dst.mkdirs()
+        src.listFiles().foreach { f =>
+          if (f.isDirectory) walk(f, new java.io.File(dst, f.getName))
+          else if (f.getName.endsWith(".parquet"))
+            assert(f.renameTo(new java.io.File(dst, f.getName)))
+        }
+      }
+      walk(new java.io.File(s"$dir/${table}_staging"), new java.io.File(s"$dir/$table"))
+    }
+
+    // kill point 1: staged but NOT committed (no journal) -> batch discarded,
+    // watermark unchanged, re-run appends it once
+    val d1 = java.nio.file.Files.createTempDirectory("graft_kwcrash1").toString + "/idx"
+    Keyword.buildIndex(oldB, d1, nBuckets = 16)
+    val st1 = Keyword.stageAppend(newB, d1, "doc_id", "text")
+    new java.io.File(s"$d1/_appendjournal").delete()  // die before the commit point
+    assert(rerunAppendThenScore(d1) == full, st1.toString)
+
+    // kill point 2: committed, postings moved, doclen NOT moved — the
+    // exact double-count window of the direct-append design
+    val d2 = java.nio.file.Files.createTempDirectory("graft_kwcrash2").toString + "/idx"
+    Keyword.buildIndex(oldB, d2, nBuckets = 16)
+    Keyword.stageAppend(newB, d2, "doc_id", "text")
+    movePartial(d2, "postings")  // die mid-move, journal still present
+    assert(rerunAppendThenScore(d2) == full,
+      "postings-before-doclen crash must heal, not double-count")
+
+    // kill point 3: committed, nothing moved yet
+    val d3 = java.nio.file.Files.createTempDirectory("graft_kwcrash3").toString + "/idx"
+    Keyword.buildIndex(oldB, d3, nBuckets = 16)
+    Keyword.stageAppend(newB, d3, "doc_id", "text")
+    assert(rerunAppendThenScore(d3) == full)
+
+    // kill point 4: everything moved, stats stale, journal present
+    val d4 = java.nio.file.Files.createTempDirectory("graft_kwcrash4").toString + "/idx"
+    Keyword.buildIndex(oldB, d4, nBuckets = 16)
+    Keyword.stageAppend(newB, d4, "doc_id", "text")
+    movePartial(d4, "postings")
+    movePartial(d4, "doclen")
+    assert(rerunAppendThenScore(d4) == full)
+    // and the healed index keeps working: one more real append
+    Keyword.appendToIndex(docs.filter(col("doc_id") < 0), d4)
+    assert(scores(d4) == full)
+  }
+
+  test("analyzer hook: stopword and wordpiece tokenization, persisted across the lifecycle") {
+    import graft.search.Analyzer
+    // equivalence oracle: an index built with analyzer A over docs must
+    // score exactly like the default whitespace path over texts
+    // re-joined from A's raw token stream (tf/dl/stats all derive from
+    // the token multiset alone)
+    val raw = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the embedding engine indexes embeddings quickly"),
+      (3L, "a quick embedding dog"),
+      (4L, "over and over the dog barks"))
+    val docs = raw.toDF("doc_id", "text")
+
+    // --- stopworded ---
+    val sw = Set("the", "a", "over", "and")
+    val az = Analyzer.Stopworded(sw)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_kwstop").toString + "/idx"
+    Keyword.buildIndex(docs.filter(col("doc_id") < 4), d1, nBuckets = 8, analyzer = az)
+    Keyword.appendToIndex(docs.filter(col("doc_id") === 4), d1) // analyzer from stats
+    val strippedDocs = raw.map { case (k, t) =>
+      (k, t.toLowerCase.split("\\s+").filterNot(sw).mkString(" "))
+    }.toDF("doc_id", "text")
+    val q = "the quick dog"
+    val got = Keyword.searchIndex(spark, d1, az.queryTokens(q), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Keyword.bm25TopK(strippedDocs, Keyword.queryTerms("quick dog"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "stopworded index must equal whitespace over stripped texts")
+    assert(az.queryTokens("the a over").isEmpty, "all-stopword query yields no terms")
+
+    // --- wordpiece, on the collection surface (analyzer auto-derived) ---
+    import graft.core.{Catalog, CollectionConfig}
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_kwwp").toString)
+    val c = cat.create(CollectionConfig(name = "wp"))
+    c.importDf(raw.map(_._2).toDF("text"))
+    c.buildKeywordIndex("text", nBuckets = 8, analyzer = Analyzer.WordPiece)
+    val pieceDocs = raw.map { case (k, t) =>
+      (k, graft.functions.WordPieceTokenizer.default.tokenize(t.toLowerCase).mkString(" "))
+    }.toDF("doc_id", "text")
+    val qp = Analyzer.WordPiece.queryTokens("embedding dog")
+    val wpWant = Keyword.bm25TopK(pieceDocs, qp, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wpGot = c.searchKeyword("text", "embedding dog", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(wpGot == wpWant,
+      s"collection search must use the stored wordpiece analyzer: $wpGot vs $wpWant")
+    // subword payoff: "embeddings" (plural, absent as a whole word in the
+    // query) still matches through shared pieces
+    assert(wpGot.map(_._1).contains(2L))
+    // repair after upsert re-tokenizes with the STORED analyzer
+    c.upsert(Seq(("embedding embedding embedding", 3L)).toDF("text", "_key"))
+    assert(c.repairKeywordIndex("text") == 1)
+    val pieceDocs2 = (raw.filter(_._1 != 3L) :+ (3L, "embedding embedding embedding")).map {
+      case (k, t) =>
+        (k, graft.functions.WordPieceTokenizer.default.tokenize(t.toLowerCase).mkString(" "))
+    }.toDF("doc_id", "text")
+    val want2 = Keyword.bm25TopK(pieceDocs2, qp, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got2 = c.searchKeyword("text", "embedding dog", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got2 == want2, "post-repair scores must match the re-tokenized twin")
+  }
+
   test("collection surface: keyword index, fallback equality, hybrid fusion") {
     import graft.core.{Catalog, CollectionConfig}
     import graft.embed.HashingEmbedder
