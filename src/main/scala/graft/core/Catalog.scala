@@ -221,6 +221,21 @@ class Collection private[core] (
     ranges.zipWithIndex.collect { case (r, i) if hit(i) => r }
   }
 
+  /** Prune a key-clustered scan to a (small) key batch: min/max range
+    * filter first — footer/row-group stats skip non-intersecting files —
+    * then the exact broadcast semi-join. The filter pushes through
+    * projections and key-grouped aggregates, so wrapping a DERIVED frame
+    * (fingerprint views etc.) still prunes the underlying scan. `keys`
+    * must be a correction-batch-sized frame (it is broadcast).
+    */
+  private def scopedTo(dfIn: DataFrame, keys: DataFrame): DataFrame = {
+    val k = keys.select(col(keys.columns.head).cast(LongType).as(KeyCol))
+    val r = k.agg(min(col(KeyCol)), max(col(KeyCol))).head()
+    if (r.isNullAt(0)) return dfIn.limit(0)
+    dfIn.filter(col(KeyCol).between(r.getLong(0), r.getLong(1)))
+      .join(broadcast(k), Seq(KeyCol), "left_semi")
+  }
+
   /** Row count. The reference's `SELECT COUNT('{col}')` counts a string
     * literal — effectively COUNT(*) (collection_actor.rs:380-389); we match
     * the actual behavior: count rows.
@@ -283,7 +298,12 @@ class Collection private[core] (
       val totalBytes = fs.getContentSummary(new Path(dataDir)).getLength
       val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
       writeAndSwap(dataDir) { tmp =>
-        df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+        // range-clustered, not round-robin: compaction must PRESERVE the
+        // key clustering that upsert/delete footer pruning depends on —
+        // a hash repartition makes every file's key range span the whole
+        // table and the next 10-key upsert rewrites every file
+        df.repartitionByRange(nFiles, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(tmp)
       }
       nFiles
     } finally writeLock.unlock()
@@ -558,22 +578,26 @@ class Collection private[core] (
   def reembedChanged(column: String, embedder: graft.embed.Embedder,
                      batchSize: Int = 32,
                      chunkTokens: Option[Int] = None,
-                     overlapTokens: Int = 50): Long = {
+                     overlapTokens: Int = 50,
+                     scope: Option[DataFrame] = None): Long = {
     import spark.implicits._
     writeLock.lock()
     try {
       val raw = indexRaw(column).getOrElse { return 0L }
       val watermark = Keys.maxKey(raw)
-      val idxFp =
+      // scoped repair prunes the fingerprint compare to the batch's key
+      // range; the default full reconcile reads every fingerprint
+      def sc(d: DataFrame): DataFrame = scope.fold(d)(k => scopedTo(d, k))
+      val idxFp = sc(
         if (raw.schema.fieldNames.contains("fp"))
           raw.select(col(KeyCol), col("fp"))
-        else raw.select(col(KeyCol), lit(null).cast(StringType).as("fp"))
+        else raw.select(col(KeyCol), lit(null).cast(StringType).as("fp")))
       // Repair domain: collection keys <= the index watermark. LEFT join —
       // an upsert can introduce a brand-new key BELOW the watermark, which
       // embedColumn's max-key scan will never look at; here it surfaces as
       // a missing index row (fp null) and embeds. Keys above the watermark
       // stay embedColumn's job (append semantics untouched).
-      val cur = df.filter(col(KeyCol) <= watermark).select(col(KeyCol),
+      val cur = sc(df.filter(col(KeyCol) <= watermark)).select(col(KeyCol),
         coalesce(col(column).cast(StringType), lit("")).as("__txt"))
       val changed = cur
         .join(idxFp, Seq(KeyCol), "left_outer")
@@ -869,14 +893,17 @@ class Collection private[core] (
     * has never seen, including upsert-introduced keys below any
     * watermark. Returns the number of documents re-indexed.
     */
-  def repairKeywordIndex(column: String): Long = {
+  def repairKeywordIndex(column: String, scope: Option[DataFrame] = None): Long = {
     Identifiers.validate(column)
     writeLock.lock()
     try {
       recoverSwap(keywordIndexDir(column))
       if (!hasKeywordIndex(column)) return 0L
-      graft.search.Keyword.repairIndex(
-        df.select(col(KeyCol), col(column)), keywordIndexDir(column),
+      // a scoped repair prunes the text read + fp compare to the batch's
+      // keys; the tombstone generation inside is already key-range-pruned
+      val docs = scope.fold(df.select(col(KeyCol), col(column)))(k =>
+        scopedTo(df, k).select(col(KeyCol), col(column)))
+      graft.search.Keyword.repairIndex(docs, keywordIndexDir(column),
         idCol = KeyCol, textCol = column)
     } finally writeLock.unlock()
   }
@@ -1004,7 +1031,8 @@ class Collection private[core] (
     */
   def buildDedupIndex(column: String,
                       p: graft.dedup.Dedup.MinHashParams =
-                        graft.dedup.Dedup.MinHashParams()): Unit = {
+                        graft.dedup.Dedup.MinHashParams(),
+                      nFiles: Int = 0): Unit = {
     Identifiers.validate(column)
     writeLock.lock()
     try {
@@ -1012,7 +1040,8 @@ class Collection private[core] (
       recoverSwap(target)
       def build(where: String): Unit = {
         val src = df.select(col(KeyCol), col(column))
-        val n = math.max(1, spark.sparkContext.defaultParallelism / 4)
+        val n = if (nFiles > 0) nFiles
+                else math.max(1, spark.sparkContext.defaultParallelism / 4)
         graft.dedup.Dedup.minhashBands(src, column, KeyCol, p)
           .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(s"$where/bands")
@@ -1048,7 +1077,7 @@ class Collection private[core] (
     * re-flag their keys as changed and the re-run is idempotent).
     * Returns the number of documents re-banded.
     */
-  def repairDedupIndex(column: String): Long = {
+  def repairDedupIndex(column: String, scope: Option[DataFrame] = None): Long = {
     Identifiers.validate(column)
     writeLock.lock()
     try {
@@ -1057,10 +1086,14 @@ class Collection private[core] (
       recoverFileSwap(s"$target/bands")
       recoverFileSwap(s"$target/fps")
       if (!hasDedupIndex(column)) return 0L
-      val cur = dedupFps(column).withColumnRenamed("fp", "__fp")
+      // scoped repair prunes the fingerprint compare to the batch's key
+      // range (the caller knows what its upsert touched); the default
+      // full reconcile reads every fingerprint
+      def sc(d: DataFrame): DataFrame = scope.fold(d)(k => scopedTo(d, k))
+      val cur = sc(dedupFps(column)).withColumnRenamed("fp", "__fp")
       val stored =
         if (fs.exists(new Path(s"$target/fps")))
-          spark.read.parquet(s"$target/fps")
+          sc(spark.read.parquet(s"$target/fps"))
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField(KeyCol, LongType, nullable = false),
@@ -1071,9 +1104,11 @@ class Collection private[core] (
       val n = changed.count()
       if (n == 0L) return 0L
       val p = readDedupParams(column)
+      // key-range-pruned text read — a bare semi-join would scan the
+      // whole text column to re-band 10 rows
       val fresh = graft.dedup.Dedup.minhashBands(
-        df.select(col(KeyCol), col(column))
-          .join(changed, Seq(KeyCol), "left_semi"), column, KeyCol, p)
+        scopedTo(df, changed).select(col(KeyCol), col(column)),
+        column, KeyCol, p)
       val touched = touchedFiles(s"$target/bands", changed)
       val next =
         if (touched.isEmpty) fresh
@@ -1086,7 +1121,7 @@ class Collection private[core] (
           .write.mode("overwrite").parquet(tmp)
       }
       upsertByKeyRange(s"$target/fps",
-        dedupFps(column).join(changed, Seq(KeyCol), "left_semi"))
+        scopedTo(dedupFps(column), changed))
       n
     } finally writeLock.unlock()
   }
@@ -1202,6 +1237,68 @@ class Collection private[core] (
     raw.select(col(KeyCol), fp.as("fp")).dropDuplicates(KeyCol)
   }
 
+  /** `(key, fp, list_ids)` sidecar rows for a batch: fingerprints joined
+    * with the batch's list assignments. A chunked document's vectors can
+    * land in SEVERAL lists — the array records them all, so
+    * [[repairAnnIndex]]'s old-list discovery reads the key-pruned
+    * sidecar instead of scanning the whole lists table.
+    */
+  private def annSidecar(fps: DataFrame, assigned: DataFrame): DataFrame =
+    fps.join(
+      assigned.groupBy(col(KeyCol)).agg(collect_set(col("list_id")).as("list_ids")),
+      Seq(KeyCol), "left_outer")
+
+  /** Lists files whose (list_id, _key) footer rectangle contains at
+    * least one of `pairs` — the ANN rewrite planning unit. Pair-wise,
+    * not per-column: list-only pruning touches EVERY file of an affected
+    * list (at the sqrt(n) list-count rule a list spans many bounded-size
+    * files), but only the files actually holding a changed key's old row
+    * need rewriting.
+    */
+  private def touchedFilesByPair(target: String, pairs: DataFrame): Seq[FileKeyRange] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keyRanges = ParquetStats.fileKeyRanges(target, KeyCol, conf)
+    if (keyRanges.isEmpty) return Seq.empty
+    val listByPath = ParquetStats.fileKeyRanges(target, "list_id", conf)
+      .map(r => r.path.toString -> r).toMap
+    import spark.implicits._
+    val rows = keyRanges.zipWithIndex.flatMap { case (kr, i) =>
+      listByPath.get(kr.path.toString).map(lr => (i, kr.min, kr.max, lr.min, lr.max))
+    }.toDF("__file", "__kmin", "__kmax", "__lmin", "__lmax")
+    val hit = pairs
+      .select(col(KeyCol).cast(LongType).as(KeyCol),
+        col("list_id").cast(LongType).as("__list"))
+      .join(broadcast(rows),
+        col(KeyCol) >= col("__kmin") && col(KeyCol) <= col("__kmax") &&
+          col("__list") >= col("__lmin") && col("__list") <= col("__lmax"))
+      .select("__file").distinct().collect().map(_.getInt(0)).toSet
+    keyRanges.zipWithIndex.collect { case (r, i) if hit(i) => r }
+  }
+
+  /** The lists files holding `keys`' CURRENT rows: pair-pruned through
+    * the sidecar's (key, list_ids) when available; legacy sidecars
+    * (rows predating the column) fall back to a lists scan + list-only
+    * pruning. Fresh/moved rows need no planning — they land in new
+    * files, and [[compactAnnIndex]] restores tight clustering.
+    */
+  private def annTouchedLists(column: String, keys: DataFrame): Seq[FileKeyRange] = {
+    val fpsDf = spark.read.option("mergeSchema", "true")
+      .parquet(s"${annIndexDir(column)}/fps")
+    if (fpsDf.schema.fieldNames.contains("list_ids")) {
+      val rows = scopedTo(fpsDf, keys)
+        .select(col(KeyCol), col("list_ids")).localCheckpoint(true)
+      if (rows.filter(col("list_ids").isNull).take(1).isEmpty)
+        return touchedFilesByPair(annListsDir(column),
+          rows.select(col(KeyCol), explode(col("list_ids")).as("list_id")))
+    }
+    val affected = spark.read.parquet(annListsDir(column))
+      .select(col(KeyCol), col("list_id"))
+      .join(keys.select(col(keys.columns.head).cast(LongType).as(KeyCol)),
+        Seq(KeyCol), "left_semi")
+      .select(col("list_id")).distinct()
+    touchedFiles(annListsDir(column), affected, "list_id")
+  }
+
   private def annCentersDf(centers: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
     centers.zipWithIndex.toSeq
@@ -1304,8 +1401,11 @@ class Collection private[core] (
         cb.foreach(books => annCodebooksDf(books)
           .write.mode("overwrite").parquet(s"$where/codebooks"))
         // fps is key-clustered: repair/delete maintain it through the
-        // same footer-range copy-on-write as the lists
-        annUpstreamFps(column)
+        // same footer-range copy-on-write as the lists; list_ids come
+        // from the just-written lists (a narrow (key, list_id) read, no
+        // re-assignment)
+        annSidecar(annUpstreamFps(column),
+            spark.read.parquet(s"$where/lists").select(col(KeyCol), col("list_id")))
           .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(s"$where/fps")
         import spark.implicits._
@@ -1407,7 +1507,7 @@ class Collection private[core] (
       val cb = if (annPqM(column) > 0) Some(readAnnCodebooks(column)) else None
       val fresh = annRows(pending, centers, cb).localCheckpoint(true)
       annClustered(fresh, 1).write.mode("append").parquet(annListsDir(column))
-      annUpstreamFps(column).filter(col(KeyCol) > watermark)
+      annSidecar(annUpstreamFps(column).filter(col(KeyCol) > watermark), fresh)
         .write.mode("append").parquet(s"$target/fps")
       fresh.count()
     } finally writeLock.unlock()
@@ -1428,7 +1528,7 @@ class Collection private[core] (
     * anti-join removes any earlier copy). Returns the number of
     * documents re-assigned.
     */
-  def repairAnnIndex(column: String): Long = {
+  def repairAnnIndex(column: String, scope: Option[DataFrame] = None): Long = {
     Identifiers.validate(column)
     writeLock.lock()
     try {
@@ -1438,24 +1538,28 @@ class Collection private[core] (
       recoverFileSwap(annListsDir(column))
       recoverFileSwap(s"$target/fps")
       if (!hasAnnIndex(column)) return 0L
-      val cur = annUpstreamFps(column).withColumnRenamed("fp", "__fp")
-      val stored = spark.read.parquet(s"$target/fps")
-      val changed = cur.join(stored, Seq(KeyCol), "left_outer")
+      // change detection: full reconcile compares every fingerprint
+      // (narrow-column corpus scans); a SCOPED repair — the caller knows
+      // which keys its upsert touched — prunes both sides to the batch's
+      // key range (footer/row-group stats) before comparing
+      def sc(d: DataFrame): DataFrame = scope.fold(d)(k => scopedTo(d, k))
+      val cur = sc(annUpstreamFps(column)).withColumnRenamed("fp", "__fp")
+      val fpsDf = spark.read.option("mergeSchema", "true").parquet(s"$target/fps")
+      val changed = cur.join(sc(fpsDf), Seq(KeyCol), "left_outer")
         .filter(col("fp").isNull || col("__fp").isNull || col("fp") =!= col("__fp"))
         .select(col(KeyCol)).localCheckpoint(true)
       val n = changed.count()
       if (n == 0L) return 0L
       val centers = readAnnCenters(column)
       val cb = if (annPqM(column) > 0) Some(readAnnCodebooks(column)) else None
-      val lists = spark.read.parquet(annListsDir(column))
-      val oldLists = lists.select(col(KeyCol), col("list_id"))
-        .join(changed, Seq(KeyCol), "left_semi").select(col("list_id")).distinct()
-      val fresh = annRows(
-          embeddings(column).join(changed, Seq(KeyCol), "left_semi"),
-          centers, cb)
+      // rewrite planning: only files holding a changed key's OLD row
+      // ((list_id, key) pair pruning through the sidecar); fresh rows
+      // land in new files, whatever their list
+      val touched = annTouchedLists(column, changed)
+      // the fresh vectors read is key-range-pruned too — a bare semi-join
+      // would scan the whole (wide) embedding column
+      val fresh = annRows(scopedTo(embeddings(column), changed), centers, cb)
         .localCheckpoint(true)
-      val affected = oldLists.union(fresh.select(col("list_id"))).distinct()
-      val touched = touchedFiles(annListsDir(column), affected, "list_id")
       val next =
         if (touched.isEmpty) fresh
         else spark.read.parquet(touched.map(_.path.toString).toIndexedSeq: _*)
@@ -1465,7 +1569,7 @@ class Collection private[core] (
         annClustered(next, touched.length).write.mode("overwrite").parquet(tmp)
       }
       upsertByKeyRange(s"$target/fps",
-        annUpstreamFps(column).join(changed, Seq(KeyCol), "left_semi"))
+        annSidecar(scopedTo(annUpstreamFps(column), changed), fresh))
       n
     } finally writeLock.unlock()
   }
@@ -1555,11 +1659,7 @@ class Collection private[core] (
           recoverSwap(annListsDir(c0))
           recoverFileSwap(annListsDir(c0))
           if (hasAnnIndex(c0)) {
-            val oldLists = spark.read.parquet(annListsDir(c0))
-              .select(col(KeyCol), col("list_id"))
-              .join(del, Seq(KeyCol), "left_semi")
-              .select(col("list_id")).distinct()
-            val touched = touchedFiles(annListsDir(c0), oldLists, "list_id")
+            val touched = annTouchedLists(c0, del)
             if (touched.nonEmpty) {
               val next = spark.read.parquet(touched.map(_.path.toString).toIndexedSeq: _*)
                 .join(del, Seq(KeyCol), "left_anti")

@@ -436,6 +436,48 @@ class PartitionScopedCowSpec extends SparkSpec {
     val hit = c.searchAnn("text", "changed completely now", 1, emb, nProbe = 4).head()
     assert(hit.getLong(1) == 5L && hit.getDouble(2) > 0.999)
   }
+
+  test("scoped repairs reconcile exactly the batch; the full reconcile finds the rest") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "scoped"))
+    val emb = new HashingEmbedder(dim = 32)
+    c.importDf((1L to 30L).map(k => s"original document $k").toDF("text"))
+    assert(c.embedColumn("text", emb) == 30)
+    c.buildKeywordIndex("text")
+    c.buildDedupIndex("text")
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100)
+
+    // a correction batch the caller KNOWS (keys 5, 6) plus a stray
+    // upsert outside the scope (key 20)
+    c.upsert(Seq(("quantum banana five", 5L), ("quantum banana six", 6L),
+      ("stray rewrite twenty", 20L)).toDF("text", "_key"))
+    val scope = Some(Seq(5L, 6L).toDF("_key"))
+    assert(c.reembedChanged("text", emb, scope = scope) == 2,
+      "scoped re-embed fixes exactly the batch")
+    assert(c.repairKeywordIndex("text", scope = scope) == 2)
+    assert(c.repairDedupIndex("text", scope = scope) == 2)
+    assert(c.repairAnnIndex("text", scope = scope) == 2)
+    // in-scope keys are fully served through every path
+    assert(c.search("text", "quantum banana five", 1, emb).head().getLong(1) == 5L)
+    assert(c.searchAnn("text", "quantum banana six", 1, emb, nProbe = 4)
+      .head().getLong(1) == 6L)
+    assert(c.searchKeyword("text", "banana", 5).collect()
+      .map(_.getLong(1)).toSet == Set(5L, 6L))
+    // the out-of-scope stray is still stale — exactly what the FULL
+    // reconcile (fsck mode) exists to catch
+    assert(c.reembedChanged("text", emb, scope = scope) == 0)
+    assert(c.reembedChanged("text", emb) == 1, "full reconcile finds the stray")
+    assert(c.repairKeywordIndex("text") == 1)
+    assert(c.repairDedupIndex("text") == 1)
+    assert(c.repairAnnIndex("text") == 1)
+    assert(c.search("text", "stray rewrite twenty", 1, emb).head().getLong(1) == 20L)
+    // everything reconciled: all structures report zeros
+    val status = c.indexStatus("text").collect()
+    status.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0,
+        s"structure ${r.getString(0)} still inconsistent: $r")
+    }
+  }
 }
 
 /** Chunk-granularity indexing through the multi-vector search path: one
