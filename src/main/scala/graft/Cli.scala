@@ -84,8 +84,13 @@ object Cli {
         c.upsert(updates)
         println(s"merged $path -> ${c.config.name} (${c.count()} rows)")
         val embedder = registry.load(c.config.model_name, c.config.model_variant)
+        // the batch's keys are KNOWN here — repairs run scoped to them,
+        // so change detection prunes to the batch's key range instead of
+        // re-fingerprinting the corpus (`repair` below is the unscoped
+        // full reconcile when you need an fsck)
+        val scope = Some(updates.select("_key"))
         c.config.index_columns.foreach { col =>
-          val changed = c.reembedChanged(col, embedder)
+          val changed = c.reembedChanged(col, embedder, scope = scope)
           val fresh = c.embedColumn(col, embedder)
           println(s"column '$col': re-embedded $changed changed rows, embedded $fresh new rows")
           // keyword/dedup/ANN indexes (when built) share the staleness
@@ -93,11 +98,11 @@ object Cli {
           // call syncs changed AND new rows. No-ops without an index.
           // ANN repair runs last — it reads the vector index's
           // fingerprints, which the re-embeds above just refreshed.
-          val kw = c.repairKeywordIndex(col)
+          val kw = c.repairKeywordIndex(col, scope = scope)
           if (kw > 0) println(s"column '$col': re-indexed $kw keyword rows")
-          val dd = c.repairDedupIndex(col)
+          val dd = c.repairDedupIndex(col, scope = scope)
           if (dd > 0) println(s"column '$col': re-banded $dd dedup rows")
-          val ann = c.repairAnnIndex(col)
+          val ann = c.repairAnnIndex(col, scope = scope)
           if (ann > 0) println(s"column '$col': re-assigned $ann ANN rows")
         }
       case "build-index" =>
@@ -113,12 +118,34 @@ object Cli {
             println(s"built ANN (${if (pqM > 0) s"IVF-PQ m=$pqM" else "IVF"}) " +
               s"index on '$column'")
           case "keyword" =>
-            c.buildKeywordIndex(column)
-            println(s"built keyword (BM25) index on '$column'")
+            val az = graft.search.Analyzer.fromId(flags.getOrElse("analyzer", "ws"))
+            c.buildKeywordIndex(column, analyzer = az)
+            println(s"built keyword (BM25) index on '$column' (analyzer ${az.id})")
           case "dedup" =>
             c.buildDedupIndex(column)
             println(s"built dedup (MinHash band) index on '$column'")
           case other => fail(s"--type must be ann|keyword|dedup, got '$other'")
+        }
+      case "repair" =>
+        // unscoped full reconcile (fsck): re-fingerprint the corpus and
+        // heal every structure; the upsert flow runs the scoped variant
+        val c = catalog.load(req(flags, "collection"))
+        val embedder = registry.load(c.config.model_name, c.config.model_variant)
+        c.config.index_columns.foreach { col =>
+          val n = c.reembedChanged(col, embedder)
+          val kw = c.repairKeywordIndex(col)
+          val dd = c.repairDedupIndex(col)
+          val ann = c.repairAnnIndex(col)
+          println(s"column '$col': re-embedded $n, keyword $kw, dedup $dd, ann $ann")
+        }
+      case "status" =>
+        // consistency report per structure: missing/stale/orphaned rows
+        // + ANN centroid drift (current/build assignment distance; >> 1
+        // means refreshed-in data warrants a rebuild-retrain)
+        val c = catalog.load(req(flags, "collection"))
+        c.config.index_columns.foreach { col =>
+          println(s"column '$col':")
+          c.indexStatus(col).show(20, truncate = false)
         }
       case "delete" =>
         val c = catalog.load(req(flags, "collection"))
@@ -214,7 +241,7 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Cli <index|add-docs|upsert|delete|build-index|search|serve|list|list-models> [flags] [file]
+    """usage: graft.Cli <index|add-docs|upsert|repair|status|delete|build-index|search|serve|list|list-models> [flags] [file]
       |  index    --collection C [--index-columns a,b] [--model m] [--variant v] [--overwrite] <file>
       |  add-docs --collection C <file>
       |  upsert   --collection C <file with _key>   # merge + re-embed changed rows
@@ -224,8 +251,14 @@ object Cli {
       |  delete   --collection C --keys 1,2,3   # erase rows from the
       |            collection AND every index (vector/keyword/dedup/ANN)
       |  build-index --collection C [--column col] [--type ann|keyword|dedup]
-      |           [--n-lists n] [--pq-m m]   # persisted acceleration
-      |            structures; --pq-m stores m-byte PQ codes + exact rerank
+      |           [--n-lists n] [--pq-m m] [--analyzer ws|wp|stop:w1,w2,...]
+      |            # persisted acceleration structures; --pq-m stores
+      |            # m-byte PQ codes + exact rerank; --analyzer picks the
+      |            # keyword tokenization (persisted in the index)
+      |  repair   --collection C   # full reconcile (fsck): re-fingerprint
+      |            the corpus, heal embeddings + every index
+      |  status   --collection C   # per-structure missing/stale/orphaned
+      |            counts + ANN centroid drift
       |  search   --collection C --query Q [--column col] [--limit n]
       |           [--mode vector|keyword|hybrid|ann] [--n-probe p]
       |            # keyword/hybrid use the BM25 index when built

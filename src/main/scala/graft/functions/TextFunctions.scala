@@ -58,7 +58,10 @@ object TextFunctions {
     length(regexp_replace(text, "\\s", "")).cast("double") /
       greatest(tokenCount(text), lit(1))
 
-  private val Stopwords = Seq(
+  /** The shared English stopword list (quality metrics, the q21/q50/q89
+    * oracles, and the keyword `Analyzer.Stopworded` default all use it).
+    */
+  val Stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "that", "this")
 

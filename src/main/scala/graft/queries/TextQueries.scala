@@ -426,6 +426,18 @@ object TextQueries {
         .select(col("key").as("doc_id"), round(col("score"), 6).as("rrf_score"))
     }),
 
+    // BM25 under the Stopworded analyzer: same three query terms as
+    // q109 but the norms (dl, avgdl, n_docs) are computed over the
+    // stop-stripped token stream — exactly what a stopworded keyword
+    // index stores (index/inline equivalence is spec'd in KeywordSpec).
+    // The all-stopword query suffix drops out driver-side.
+    "q115_bm25_stopword" -> ((s, d) => {
+      val az = graft.search.Analyzer.Stopworded(TextFunctions.Stopwords.toSet)
+      Keyword.bm25TopK(documents(s, d),
+          az.queryTokens("the vector hash join"), k = 10, analyzer = az)
+        .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
     // Count-min sketch heavy hitters: 4x256 md5-salted cells estimate
     // token frequencies from a few KB of associative state (cells merge
     // by addition — partition/stream/day sketches fold together without
@@ -490,6 +502,33 @@ object TextQueries {
        | bm25agg AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |     list(c ORDER BY tok)), (x, y) -> x + y) AS score
        |   FROM bcontrib GROUP BY doc_id)""".stripMargin
+
+  /** `Bm25Cte` over the stop-stripped token stream — the q115 oracle.
+    * The SQL stopword list is the Scala one, spelled inline; a doc whose
+    * every token is a stopword contributes no surviving tokens and
+    * drops out of the norms on both sides.
+    */
+  private lazy val Bm25StopCte = {
+    val swList = graft.functions.TextFunctions.Stopwords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""toks2 AS (SELECT doc_id, unnest(list_filter($ToksGuarded,
+       |     t -> NOT list_contains($swList, t))) AS tok FROM documents),
+       | bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |   FROM toks2 GROUP BY 1),
+       | bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |   avg(CAST(dl AS DOUBLE)) AS avgdl FROM bdl),
+       | btf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |   FROM toks2 WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+       | bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+       | bcontrib AS (SELECT btf.doc_id, btf.tok,
+       |     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1)
+       |      * (CAST(tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
+       |   FROM btf JOIN bdf USING (tok) JOIN bdl USING (doc_id) CROSS JOIN bstats),
+       | bm25agg AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list(c ORDER BY tok)), (x, y) -> x + y) AS score
+       |   FROM bcontrib GROUP BY doc_id)""".stripMargin
+  }
 
   /** The quality-metrics CTE body (token/char/punct/digit/stopword/
     * non-whitespace counts) — ONE definition shared by the q21/q50/q89
@@ -781,6 +820,20 @@ object TextQueries {
 
     "q109_bm25" ->
       s"""WITH $Bm25Cte,
+         | top AS (SELECT doc_id, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 6) AS score FROM top
+         | ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q115_bm25_stopword" ->
+      s"""WITH $Bm25StopCte,
+         | top AS (SELECT doc_id, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 6) AS score FROM top
+         | ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q115_bm25_stopword" ->
+      s"""WITH $Bm25StopCte,
          | top AS (SELECT doc_id, score FROM bm25agg
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top

@@ -110,12 +110,14 @@ object Keyword {
   }
 
   /** One-shot BM25 over a raw document table (index-free path; the
-    * corpus is scanned once for postings + norms).
+    * corpus is scanned once for postings + norms). `analyzer` must match
+    * the tokenization of `queryTerms` (use `analyzer.queryTokens`).
     */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
                idCol: String = "doc_id", textCol: String = "text",
-               k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
-    val (postings, doclen, stats) = corpusTables(docs, idCol, textCol)
+               k1: Double = DefaultK1, b: Double = DefaultB,
+               analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    val (postings, doclen, stats) = corpusTables(docs, idCol, textCol, analyzer)
     bm25FromTables(postings, doclen, stats, queryTerms, k, k1, b)
   }
 
