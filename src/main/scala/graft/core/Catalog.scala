@@ -491,7 +491,9 @@ class Collection private[core] (
                   batchSize: Int = 32): Long = {
     import spark.implicits._
     val before = indexedCount(column)
-    val watermark = if (before == 0L) 0L
+    // Long.MinValue, not 0: user-imported keys may be non-positive and
+    // must still embed into an empty index
+    val watermark = if (before == 0L) Long.MinValue
       else Keys.maxKey(embeddings(column))
     val pending = df
       .filter(col(KeyCol) > watermark)
@@ -539,7 +541,9 @@ class Collection private[core] (
                          batchSize: Int = 32): Long = {
     import spark.implicits._
     val before = indexedCount(column)
-    val watermark = if (before == 0L) 0L
+    // Long.MinValue, not 0: user-imported keys may be non-positive and
+    // must still embed into an empty index
+    val watermark = if (before == 0L) Long.MinValue
       else Keys.maxKey(embeddings(column))
     val pending = df
       .filter(col(KeyCol) > watermark)
@@ -872,7 +876,8 @@ class Collection private[core] (
       graft.search.Keyword.recoverAppend(spark, target)
       val watermark = spark.read.parquet(s"$target/doclen")
         .agg(max(col("key"))).head() match {
-          case r if r.isNullAt(0) => 0L
+          // Long.MinValue, not 0: user-imported keys may be non-positive
+          case r if r.isNullAt(0) => Long.MinValue
           case r => r.getLong(0)
         }
       val pending = df.filter(col(KeyCol) > watermark)
@@ -914,6 +919,69 @@ class Collection private[core] (
     * this removes the tombstone rows repairs accumulate, restoring
     * scan cost to O(live postings).
     */
+  /** Streaming twin of [[refreshKeywordIndex]]: watch the data directory
+    * and fold newly appended rows into the keyword index continuously —
+    * the sparse-side companion of [[embedColumnStream]]. Exactly-once by
+    * the same watermark discipline: a cached max-indexed-key filters
+    * each micro-batch, so file replays (restart, checkpoint loss,
+    * `compact()` rewrites re-delivering files) drop their old keys
+    * before the append; surviving fresh keys ride
+    * [[graft.search.Keyword.appendToIndex]]'s staged crash-safe commit.
+    * In-place text REWRITES are repair's job ([[repairKeywordIndex]],
+    * fingerprint-driven) — the same contract as the embed stream.
+    * Bootstraps by building the index (with `analyzer`) when absent;
+    * an existing index keeps its stored analyzer.
+    */
+  def keywordIndexStream(column: String, checkpointDir: String,
+                         nBuckets: Int = 64,
+                         analyzer: graft.search.Analyzer =
+                           graft.search.Analyzer.Whitespace)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Identifiers.validate(column)
+    val target = keywordIndexDir(column)
+    def doclenMax(): Long =
+      spark.read.option("mergeSchema", "true").parquet(s"$target/doclen")
+        .agg(max(col("key"))).head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r => r.getLong(0)
+        }
+    @volatile var maxSeen = Long.MinValue
+    @volatile var seeded = false
+    spark.readStream.schema(df.schema)
+      .option("ignoreMissingFiles", "true").parquet(dataDir)
+      .select(col(KeyCol), col(column))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeLock.lock()
+        try {
+          recoverSwap(target)
+          if (!hasKeywordIndex(column)) {
+            graft.search.Keyword.buildIndex(
+              df.select(col(KeyCol), col(column)), target,
+              idCol = KeyCol, textCol = column, nBuckets = nBuckets,
+              analyzer = analyzer)
+            maxSeen = doclenMax()
+            seeded = true
+          } else {
+            if (!seeded) {
+              graft.search.Keyword.recoverAppend(spark, target)
+              maxSeen = doclenMax()
+              seeded = true
+            }
+            val pending = batch.filter(col(KeyCol) > maxSeen)
+            val mx = pending.agg(max(col(KeyCol))).head()
+            if (!mx.isNullAt(0)) {
+              graft.search.Keyword.appendToIndex(pending, target,
+                idCol = KeyCol, textCol = column)
+              maxSeen = mx.getLong(0)
+            }
+          }
+        } finally writeLock.unlock()
+      }
+      .start()
+  }
+
   def compactKeywordIndex(column: String): Unit = {
     Identifiers.validate(column)
     writeLock.lock()

@@ -437,6 +437,28 @@ class PartitionScopedCowSpec extends SparkSpec {
     assert(hit.getLong(1) == 5L && hit.getDouble(2) > 0.999)
   }
 
+  test("non-positive user-supplied keys embed and refresh through every structure") {
+    // every watermark sentinel must be Long.MinValue, not 0 — imported
+    // keys are caller-controlled and may be zero or negative
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "negkeys"))
+    val emb = new HashingEmbedder(dim = 32)
+    c.importDf(Seq(("alpha quantum doc", -5L), ("beta orbit doc", 0L),
+      ("gamma lumen doc", 3L)).toDF("text", "_key"))
+    assert(c.embedColumn("text", emb) == 3, "non-positive keys must embed")
+    assert(c.refreshKeywordIndex("text") == 3)
+    assert(c.refreshDedupIndex("text") == 3)
+    assert(c.refreshAnnIndex("text") == 3)
+    assert(c.search("text", "alpha quantum doc", 1, emb).head().getLong(1) == -5L)
+    assert(c.searchKeyword("text", "orbit", 3).collect().exists(_.getLong(1) == 0L))
+    assert(c.searchAnn("text", "gamma lumen doc", 1, emb, nProbe = 8)
+      .head().getLong(1) == 3L)
+    // appends continue above the existing max regardless of sign mix
+    c.appendDf(Seq("delta fjord doc").toDF("text"))
+    assert(c.embedColumn("text", emb) == 1)
+    assert(c.df.agg(max(col("_key"))).head().getLong(0) == 4L)
+  }
+
   test("scoped repairs reconcile exactly the batch; the full reconcile finds the rest") {
     val cat = new Catalog(spark, tmpRoot())
     val c = cat.create(CollectionConfig(name = "scoped"))

@@ -224,6 +224,44 @@ class KeywordSpec extends SparkSpec {
     assert(got2 == want2, "post-repair scores must match the re-tokenized twin")
   }
 
+  test("streaming keyword refresh: in sync with appends, exactly once under replay") {
+    import graft.core.{Catalog, CollectionConfig}
+    val root = java.nio.file.Files.createTempDirectory("graft_kwstream").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "kws"))
+    c.importDf(Seq("spark engine spark", "spark shuffle", "parquet files only")
+      .toDF("text"))
+    def inlineTwin(terms: Seq[String]) =
+      Keyword.bm25TopK(c.df, terms, k = 10, idCol = "_key", textCol = "text")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def indexed(terms: Seq[String]) =
+      Keyword.searchIndex(spark, c.keywordIndexDir("text"), terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q = c.keywordIndexStream("text", s"$root/_kwckpt")
+    try {
+      q.processAllAvailable() // bootstrap build over the initial corpus
+      assert(indexed(Seq("spark")) == inlineTwin(Seq("spark")))
+      c.appendDf(Seq("spark streaming batch", "files and files").toDF("text"))
+      q.processAllAvailable() // watermark append of exactly the new rows
+      assert(indexed(Seq("spark")) == inlineTwin(Seq("spark")))
+      assert(indexed(Seq("files")) == inlineTwin(Seq("files")))
+      assert(spark.read.parquet(s"${c.keywordIndexDir("text")}/stats")
+        .head().getAs[Long]("n_docs") == 5L)
+    } finally q.stop()
+    // checkpoint loss: every file re-delivered; the watermark filter must
+    // drop them all — scores and stats unchanged (no doubled tf)
+    val q2 = c.keywordIndexStream("text", s"$root/_kwckpt_fresh")
+    try {
+      q2.processAllAvailable()
+      assert(indexed(Seq("spark")) == inlineTwin(Seq("spark")),
+        "full replay must not double-count postings")
+      assert(spark.read.parquet(s"${c.keywordIndexDir("text")}/stats")
+        .head().getAs[Long]("n_docs") == 5L)
+    } finally q2.stop()
+    // and the collection search surface serves the streamed index
+    assert(c.searchKeyword("text", "streaming", 3).head().getLong(1) == 4L)
+  }
+
   test("collection surface: keyword index, fallback equality, hybrid fusion") {
     import graft.core.{Catalog, CollectionConfig}
     import graft.embed.HashingEmbedder
