@@ -440,17 +440,25 @@ class Collection private[core] (
           StructType(Seq(
             StructField(KeyCol, LongType, nullable = false),
             StructField("embedding", ArrayType(FloatType), nullable = false))))
-      case Some(r) if r.schema.fieldNames.contains("qembedding") =>
-        val variant = config.model_variant
-        val deq = udf((b: Array[Byte]) =>
-          graft.embed.Quantization.decode(variant, b).toSeq)
-        r.select(col(KeyCol), deq(col("qembedding")).as("embedding"))
-      case Some(r) =>
-        // readers keep the (_key, embedding) contract; the fingerprint
-        // column (reembedChanged's staleness marker) stays internal
-        r.select(col(KeyCol), col("embedding"))
+      case Some(r) => dequantView(r)
     }
   }
+
+  /** `(_key, embedding)` reader view over index rows AS STORED — the
+    * dequantize-on-read step shared by [[embeddings]] and
+    * [[annIndexStream]]'s micro-batches (which arrive in the stored
+    * layout straight from the index directory's file stream).
+    */
+  private def dequantView(raw: DataFrame): DataFrame =
+    if (raw.schema.fieldNames.contains("qembedding")) {
+      val variant = config.model_variant
+      val deq = udf((b: Array[Byte]) =>
+        graft.embed.Quantization.decode(variant, b).toSeq)
+      raw.select(col(KeyCol), deq(col("qembedding")).as("embedding"))
+    } else
+      // readers keep the (_key, embedding) contract; the fingerprint
+      // column (reembedChanged's staleness marker) stays internal
+      raw.select(col(KeyCol), col("embedding"))
 
   /** The index table as stored (including the `fp` fingerprint column when
     * present), or None when absent/empty. "Exists but holds no data files"
@@ -1235,6 +1243,75 @@ class Collection private[core] (
     } finally writeLock.unlock()
   }
 
+  /** Streaming twin of [[refreshDedupIndex]]: watch the data directory
+    * and fold newly appended rows' MinHash bands into the persistent
+    * dedup index continuously, so [[checkDuplicates]] always sees the
+    * current corpus without a manual refresh. Same watermark discipline
+    * as [[keywordIndexStream]]: a cached max-banded-key filters every
+    * micro-batch, so file replays (restart, checkpoint loss, `compact()`
+    * rewrites re-delivering files) drop their already-banded keys.
+    * Crash between the bands and fps appends is conservative: the keys'
+    * fps rows are missing, so [[repairDedupIndex]] flags them changed
+    * and re-bands idempotently (the band COW replaces, never doubles).
+    * In-place text REWRITES are repair's job (fingerprint-driven) — the
+    * same contract as the embed and keyword streams. Bootstraps by
+    * building the index (with `p`) when absent; an existing index keeps
+    * its stored params.
+    */
+  def dedupIndexStream(column: String, checkpointDir: String,
+                       p: graft.dedup.Dedup.MinHashParams =
+                         graft.dedup.Dedup.MinHashParams())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Identifiers.validate(column)
+    val target = dedupIndexDir(column)
+    def bandsMax(): Long =
+      spark.read.parquet(s"$target/bands").agg(max(col(KeyCol))).head() match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      }
+    @volatile var maxSeen = Long.MinValue
+    @volatile var seeded = false
+    spark.readStream.schema(df.schema)
+      .option("ignoreMissingFiles", "true").parquet(dataDir)
+      .select(col(KeyCol), col(column))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeLock.lock()
+        try {
+          recoverSwap(target)
+          recoverFileSwap(s"$target/bands")
+          recoverFileSwap(s"$target/fps")
+          if (!hasDedupIndex(column)) {
+            buildDedupIndex(column, p)
+            maxSeen = bandsMax(); seeded = true
+          } else {
+            if (!seeded) { maxSeen = bandsMax(); seeded = true }
+            val pending = batch.filter(col(KeyCol) > maxSeen)
+            val mx = pending.agg(max(col(KeyCol))).head()
+            if (!mx.isNullAt(0)) {
+              val params = readDedupParams(column)
+              // appended keys are monotone, so the band/fps appends stay
+              // key-clustered: repair's footer-range planning keeps pruning
+              val bands = graft.dedup.Dedup
+                .minhashBands(pending, column, KeyCol, params)
+                .localCheckpoint(true)
+              bands.write.mode("append").parquet(s"$target/bands")
+              // pre-fps legacy indexes stay fps-less (same as refresh): a
+              // partial sidecar would flag every old key as unseen
+              if (fs.exists(new Path(s"$target/fps")))
+                pending.select(col(KeyCol),
+                    md5(coalesce(col(column).cast(StringType), lit("")))
+                      .as("fp"))
+                  .write.mode("append").parquet(s"$target/fps")
+              maxSeen = mx.getLong(0)
+            }
+          }
+        } finally writeLock.unlock()
+      }
+      .start()
+  }
+
   /** Check an incoming batch against the indexed corpus: `(corpus_key,
     * new_key, jaccard)` for every batch row whose exact shingle Jaccard
     * with an indexed document reaches `threshold`. `newDocs` must carry
@@ -1579,6 +1656,82 @@ class Collection private[core] (
         .write.mode("append").parquet(s"$target/fps")
       fresh.count()
     } finally writeLock.unlock()
+  }
+
+  /** Streaming twin of [[refreshAnnIndex]]: watch the VECTOR INDEX
+    * directory (the table the ANN index accelerates — fed by
+    * [[embedColumn]] or, chained, a live [[embedColumnStream]]) and fold
+    * newly embedded vectors into the IVF lists continuously: assign
+    * against the STORED centroids (never retrained — IVF practice; the
+    * `drift` column of [[indexStatus]] says when a rebuild is due),
+    * PQ-encode when the index carries codebooks, append lists + fps
+    * sidecar. With [[keywordIndexStream]] and [[dedupIndexStream]] this
+    * completes the set: all three persistent index families maintain
+    * themselves under a live ingest. Exactly-once by the same cached
+    * max-listed-key watermark (replays, checkpoint loss and
+    * [[compactIndex]] rewrites re-deliver only keys the filter drops).
+    * Crash between the lists and fps appends is conservative: keys
+    * missing from the sidecar count as changed in [[repairAnnIndex]]
+    * and re-assign idempotently. Vector REWRITES under existing keys
+    * ([[reembedChanged]]) are repair's job, same as the other streams.
+    * Requires the vector index to exist (its stored schema seeds the
+    * file stream); bootstraps the ANN index (with `nLists`/`pqM`) when
+    * absent — an existing index keeps its stored geometry.
+    */
+  def annIndexStream(column: String, checkpointDir: String,
+                     nLists: Int = 16, pqM: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Identifiers.validate(column)
+    val target = annIndexDir(column)
+    val srcSchema = indexRaw(column).getOrElse(throw new IllegalStateException(
+      s"no embedding index for '$column'; run embedColumn or " +
+        "embedColumnStream first")).schema
+    def listsMax(): Long =
+      spark.read.parquet(annListsDir(column)).agg(max(col(KeyCol)))
+        .head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r => r.getLong(0)
+        }
+    @volatile var maxSeen = Long.MinValue
+    @volatile var seeded = false
+    spark.readStream.schema(srcSchema)
+      .option("ignoreMissingFiles", "true").parquet(indexDir(column))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeLock.lock()
+        try {
+          recoverSwap(target)
+          recoverSwap(annListsDir(column))
+          recoverFileSwap(annListsDir(column))
+          recoverFileSwap(s"$target/fps")
+          if (!hasAnnIndex(column)) {
+            buildAnnIndex(column, nLists = nLists, pqM = pqM)
+            maxSeen = listsMax(); seeded = true
+          } else {
+            if (!seeded) { maxSeen = listsMax(); seeded = true }
+            val pending0 = batch.filter(col(KeyCol) > maxSeen)
+            val mx = pending0.agg(max(col(KeyCol))).head()
+            if (!mx.isNullAt(0)) {
+              val centers = readAnnCenters(column)
+              val cb = if (annPqM(column) > 0) Some(readAnnCodebooks(column))
+                       else None
+              val fresh = annRows(dequantView(pending0), centers, cb)
+                .localCheckpoint(true)
+              annClustered(fresh, 1).write.mode("append")
+                .parquet(annListsDir(column))
+              val fp = if (pending0.schema.fieldNames.contains("fp")) col("fp")
+                       else lit(null).cast(StringType).as("fp")
+              annSidecar(
+                  pending0.select(col(KeyCol), fp.as("fp"))
+                    .dropDuplicates(KeyCol), fresh)
+                .write.mode("append").parquet(s"$target/fps")
+              maxSeen = mx.getLong(0)
+            }
+          }
+        } finally writeLock.unlock()
+      }
+      .start()
   }
 
   /** Repair the ANN index after [[upsert]] + [[reembedChanged]] rewrote
