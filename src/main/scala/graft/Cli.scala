@@ -166,7 +166,9 @@ object Cli {
         def embedder = registry.load(c.config.model_name, c.config.model_variant)
         val page = flags.getOrElse("mode", "vector") match {
           case "vector" => c.search(column, query, limit, embedder)
-          case "keyword" => c.searchKeyword(column, query, limit)
+          case "keyword" =>
+            c.searchKeyword(column, query, limit,
+              requireAll = flags.contains("require-all"))
           case "hybrid" => c.searchHybrid(column, query, limit, embedder)
           case "ann" =>
             val nProbe = flags.getOrElse("n-probe", "2").toInt
@@ -225,7 +227,9 @@ object Cli {
       val a = args(i)
       if (a.startsWith("--")) {
         val key = a.drop(2)
-        if (key == "overwrite") { flags += key -> "true"; i += 1 }
+        if (key == "overwrite" || key == "require-all") {
+          flags += key -> "true"; i += 1
+        }
         else if (i + 1 < args.length) { flags += key -> args(i + 1); i += 2 }
         else fail(s"flag --$key needs a value")
       } else { positional :+= a; i += 1 }
@@ -261,6 +265,7 @@ object Cli {
       |            counts + ANN centroid drift
       |  search   --collection C --query Q [--column col] [--limit n]
       |           [--mode vector|keyword|hybrid|ann] [--n-probe p]
+      |           [--require-all]  # keyword mode: AND semantics
       |            # keyword/hybrid use the BM25 index when built
       |            # (buildKeywordIndex), else scan; ann probes the IVF
       |            # index when built (buildAnnIndex), else exact

@@ -1012,9 +1012,12 @@ class Collection private[core] (
   /** BM25 page over `column`, content-fetched like [[search]]. Uses the
     * pruned persistent index when built, else falls back to a one-shot
     * corpus scan (correct but corpus-linear — fine ad hoc, build the
-    * index for repeated queries).
+    * index for repeated queries). `requireAll = true` selects
+    * conjunctive (AND) semantics: only documents matching every query
+    * term are returned.
     */
-  def searchKeyword(column: String, query: String, limit: Int): DataFrame = {
+  def searchKeyword(column: String, query: String, limit: Int,
+                    requireAll: Boolean = false): DataFrame = {
     graft.search.Search.validateLimit(limit)
     // query tokenization must mirror the INDEX's analyzer (stored in its
     // stats); the inline fallback has no stored analyzer and stays on
@@ -1025,7 +1028,7 @@ class Collection private[core] (
           .queryTokens(query)
       else graft.search.Keyword.queryTerms(query)
     require(terms.nonEmpty, "keyword search requires a non-empty query")
-    fetchHits(keywordHits(column, terms, limit), column)
+    fetchHits(keywordHits(column, terms, limit, requireAll), column)
   }
 
   /** Hybrid retrieval: RRF fusion of the dense page ([[search]]'s
@@ -1048,12 +1051,15 @@ class Collection private[core] (
     fetchHits(graft.search.Keyword.rrfFuse(pages, KeyCol, limit), column)
   }
 
-  private def keywordHits(column: String, terms: Seq[String], limit: Int): DataFrame = {
+  private def keywordHits(column: String, terms: Seq[String], limit: Int,
+                          requireAll: Boolean = false): DataFrame = {
     val hits =
       if (hasKeywordIndex(column))
-        graft.search.Keyword.searchIndex(spark, keywordIndexDir(column), terms, limit)
+        graft.search.Keyword.searchIndex(spark, keywordIndexDir(column),
+          terms, limit, requireAll = requireAll)
       else
-        graft.search.Keyword.bm25TopK(df, terms, limit, idCol = KeyCol, textCol = column)
+        graft.search.Keyword.bm25TopK(df, terms, limit, idCol = KeyCol,
+          textCol = column, requireAll = requireAll)
     hits.withColumnRenamed("key", KeyCol)
   }
 

@@ -438,6 +438,16 @@ object TextQueries {
         .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Conjunctive (AND) BM25: only documents matching EVERY query term
+    // survive to the page — 'dup' is deliberately the rare term (~5% of
+    // docs), so the AND filter visibly reshapes the page vs q109's OR
+    // semantics. The membership test rides the same per-key aggregate
+    // (group row count == distinct matched terms), so query cost stays
+    // O(query-term postings).
+    "q116_bm25_conjunctive" -> ((s, d) =>
+      Keyword.bm25TopK(documents(s, d), ConjTerms, k = 10, requireAll = true)
+        .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))),
+
     // Count-min sketch heavy hitters: 4x256 md5-salted cells estimate
     // token frequencies from a few KB of associative state (cells merge
     // by addition — partition/stream/day sketches fold together without
@@ -476,6 +486,11 @@ object TextQueries {
     */
   private val Bm25Terms = Seq("vector", "hash", "join")
 
+  /** q116's terms: 'dup' appears in ~5% of documents, so conjunctive
+    * semantics exclude most of q109's page.
+    */
+  private val ConjTerms = Seq("dup", "vector", "join")
+
   /** BM25 oracle CTE chain ending in `bm25agg(doc_id, score)` — the exact
     * twin of `Keyword.bm25TopK` at k1=1.2, b=0.75 for the q109/q110 terms.
     * Float discipline: every arithmetic step forced to DOUBLE (DuckDB
@@ -485,14 +500,14 @@ object TextQueries {
     * mirroring the operator's sort_array/aggregate fold. n_docs/avgdl are
     * defined over docs with >= 1 token on BOTH sides.
     */
-  private val Bm25Cte =
+  private def bm25CteOver(termsInList: String): String =
     s"""toks2 AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
        | bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
        |   FROM toks2 GROUP BY 1),
        | bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |   avg(CAST(dl AS DOUBLE)) AS avgdl FROM bdl),
        | btf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-       |   FROM toks2 WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+       |   FROM toks2 WHERE tok IN ($termsInList) GROUP BY 1, 2),
        | bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
        | bcontrib AS (SELECT btf.doc_id, btf.tok,
        |     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1)
@@ -500,8 +515,11 @@ object TextQueries {
        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
        |   FROM btf JOIN bdf USING (tok) JOIN bdl USING (doc_id) CROSS JOIN bstats),
        | bm25agg AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |     list(c ORDER BY tok)), (x, y) -> x + y) AS score
+       |     list(c ORDER BY tok)), (x, y) -> x + y) AS score,
+       |   CAST(count(*) AS BIGINT) AS nt
        |   FROM bcontrib GROUP BY doc_id)""".stripMargin
+
+  private val Bm25Cte = bm25CteOver("'hash', 'join', 'vector'")
 
   /** `Bm25Cte` over the stop-stripped token stream — the q115 oracle.
     * The SQL stopword list is the Scala one, spelled inline; a doc whose
@@ -832,9 +850,11 @@ object TextQueries {
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,
 
-    "q115_bm25_stopword" ->
-      s"""WITH $Bm25StopCte,
-         | top AS (SELECT doc_id, score FROM bm25agg
+    // conjunctive: a doc survives only with all 3 terms matched (nt
+    // counts its distinct matched terms inside the same aggregate)
+    "q116_bm25_conjunctive" ->
+      s"""WITH ${bm25CteOver("'dup', 'join', 'vector'")},
+         | top AS (SELECT doc_id, score FROM bm25agg WHERE nt = 3
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,

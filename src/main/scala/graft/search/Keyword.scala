@@ -87,10 +87,18 @@ object Keyword {
     *
     * The per-key sum folds contributions in token order via the
     * sort_array/aggregate idiom so the f64 total is run-deterministic.
+    *
+    * `requireAll = true` selects conjunctive (AND) semantics: only
+    * documents matching EVERY query term survive to the page. The
+    * membership test rides the same per-key aggregate (postings are
+    * unique per (tok, key), so the group's row count IS its distinct
+    * matched-term count) — query cost stays O(query-term postings),
+    * the filter adds no extra pass or shuffle.
     */
   def bm25FromTables(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
                      queryTerms: Seq[String], k: Int,
-                     k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+                     k1: Double = DefaultK1, b: Double = DefaultB,
+                     requireAll: Boolean = false): DataFrame = {
     val qt = queryTerms.map(_.toLowerCase).distinct
     require(qt.nonEmpty, "bm25 requires at least one query term")
     val tf = postings.filter(col("tok").isin(qt: _*))
@@ -102,9 +110,12 @@ object Keyword {
       .crossJoin(broadcast(stats))
       .withColumn("c", bm25Contrib(col("tf"), col("df"), col("dl"),
         col("n_docs"), col("avgdl"), k1, b))
-    scored.groupBy(col("key")).agg(
-        aggregate(sort_array(collect_list(struct(col("tok"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+    val agg = scored.groupBy(col("key")).agg(
+      aggregate(sort_array(collect_list(struct(col("tok"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"),
+      count(lit(1)).as("__nt"))
+    (if (requireAll) agg.filter(col("__nt") === qt.size) else agg)
+      .select(col("key"), col("score"))
       .orderBy(desc("score"), col("key"))
       .limit(k)
   }
@@ -116,9 +127,10 @@ object Keyword {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
                idCol: String = "doc_id", textCol: String = "text",
                k1: Double = DefaultK1, b: Double = DefaultB,
-               analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+               analyzer: Analyzer = Analyzer.Whitespace,
+               requireAll: Boolean = false): DataFrame = {
     val (postings, doclen, stats) = corpusTables(docs, idCol, textCol, analyzer)
-    bm25FromTables(postings, doclen, stats, queryTerms, k, k1, b)
+    bm25FromTables(postings, doclen, stats, queryTerms, k, k1, b, requireAll)
   }
 
   // --- persistent bucketed inverted index --------------------------------
@@ -559,7 +571,8 @@ object Keyword {
     */
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
-                  k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+                  k1: Double = DefaultK1, b: Double = DefaultB,
+                  requireAll: Boolean = false): DataFrame = {
     recoverAppend(spark, dir)
     val stored = spark.read.parquet(s"$dir/stats")
     val nBuckets = stored.select(col("n_buckets")).head().getInt(0)
@@ -576,7 +589,7 @@ object Keyword {
     val doclen = liveDoclenOf(
         spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"))
       .select(col("key"), col("dl"))
-    bm25FromTables(postings, doclen, stats, qt, k, k1, b)
+    bm25FromTables(postings, doclen, stats, qt, k, k1, b, requireAll)
   }
 
   // --- reciprocal-rank fusion --------------------------------------------

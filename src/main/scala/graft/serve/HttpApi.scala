@@ -93,7 +93,11 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int) {
         def embedder = registry.load(coll.config.model_name, coll.config.model_variant)
         val rows = (mode match {
           case "vector" => coll.search(column, query, limit, embedder)
-          case "keyword" => coll.searchKeyword(column, query, limit)
+          case "keyword" =>
+            // require_all=true -> conjunctive (AND) semantics
+            val requireAll = (req \ "require_all").extractOpt[Boolean]
+              .getOrElse(false)
+            coll.searchKeyword(column, query, limit, requireAll)
           case "hybrid" => coll.searchHybrid(column, query, limit, embedder)
           case "ann" =>
             val nProbe = (req \ "n_probe").extractOpt[Int].getOrElse(2)

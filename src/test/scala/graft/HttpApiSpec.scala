@@ -63,6 +63,13 @@ class HttpApiSpec extends SparkSpec {
       val (yc, yb) = post(port, "/collections/docs/search",
         """{"column_name":"text","query":"apple fruit","limit":2,"mode":"hybrid"}""")
       assert(yc == 200 && yb.contains("apple"), yb)
+      // conjunctive keyword: "apple banana fruit" matches 'apple' only
+      // pages under OR; require_all keeps just the doc with both terms
+      val (ac, ab) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"apple pie","limit":10,""" +
+          """"mode":"keyword","require_all":true}""")
+      assert(ac == 200 && ab.contains("apple pie baking") &&
+        !ab.contains("banana"), ab)
       val (xc, xb) = post(port, "/collections/docs/search",
         """{"column_name":"text","query":"x","limit":2,"mode":"nope"}""")
       assert(xc == 400 && xb.contains("mode"), xb)

@@ -25,6 +25,32 @@ class KeywordSpec extends SparkSpec {
     assert(math.abs(got(1)._2 - s(1, 2)) < 1e-12)
   }
 
+  test("conjunctive (AND) semantics: all-terms docs only, scores unchanged, indexed == inline") {
+    val docs = Seq(
+      (1L, "spark engine spark shuffle"), // both terms
+      (2L, "spark spark spark"),          // 'spark' only — high OR score
+      (3L, "shuffle only here"),          // 'shuffle' only
+      (4L, "spark and shuffle again")     // both terms
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "shuffle")
+    val or = Keyword.bm25TopK(docs, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val and = Keyword.bm25TopK(docs, terms, k = 10, requireAll = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(and.map(_._1).toSet == Set(1L, 4L), s"AND page: $and")
+    // conjunctive scoring is the same BM25 sum — only membership changes
+    and.foreach { case (k, s) => assert(s == or(k)) }
+    // the persistent index agrees with the inline scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwconj").toString + "/idx"
+    Keyword.buildIndex(docs, dir, nBuckets = 8)
+    val viaIdx = Keyword.searchIndex(spark, dir, terms, k = 10, requireAll = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIdx == and)
+    // single-term AND degrades to OR
+    assert(Keyword.bm25TopK(docs, Seq("spark"), k = 10, requireAll = true)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
   test("persistent index search matches the inline corpus scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kwidx").toString + "/idx"
     val docs = Tables.documents(spark, sf0001)
