@@ -438,6 +438,22 @@ object TextQueries {
         .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Exact kNN self-join: every vector's 3 nearest neighbors by cosine
+    // — the batch primitive under semantic clustering / graph dedup /
+    // diversity sampling. Like q29, the exact all-pairs twin is gated to
+    // fixture scale; Ann.knnJoinIvf (spec'd exhaustive == exact, recall
+    // at nProbe < nLists) is the O(n * nProbe * list) scale path.
+    "q117_knn_join" -> ((s, d) => {
+      val e0 = embeddings(s, d)
+      val n = e0.limit(10001).count()
+      require(n <= 10000,
+        s"q117_knn_join is an all-pairs verification twin (at least $n rows); use Ann.knnJoinIvf at scale")
+      graft.search.Ann.knnJoinExact(e0, "vec_id", "embedding", 3)
+        .select(col("src").as("src_id"), col("nbr").as("nbr_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("src_id"), col("nbr_id"))
+    }),
+
     // Conjunctive (AND) BM25: only documents matching EVERY query term
     // survive to the page — 'dup' is deliberately the rare term (~5% of
     // docs), so the AND filter visibly reshapes the page vs q109's OR
@@ -849,6 +865,19 @@ object TextQueries {
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,
+
+    // exact kNN: rank ties break on the neighbor key both sides; sim
+    // compared UNROUNDED in the window (rounding applies to survivors)
+    "q117_knn_join" ->
+      """WITH p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        | r AS (SELECT src_id, nbr_id, sim,
+        |   row_number() OVER (PARTITION BY src_id
+        |     ORDER BY sim DESC, nbr_id) AS rn FROM p)
+        |SELECT src_id, nbr_id, round(sim, 6) AS sim FROM r WHERE rn <= 3
+        | ORDER BY src_id, nbr_id""".stripMargin,
 
     // conjunctive: a doc survives only with all 3 terms matched (nt
     // counts its distinct matched terms inside the same aggregate)

@@ -264,6 +264,66 @@ object Ann {
       .limit(k)
   }
 
+  // ---- kNN self-join ---------------------------------------------------
+  //
+  // "Every document's k nearest neighbors" — the batch primitive under
+  // semantic clustering, graph dedup and diversity sampling. The exact
+  // variant is an all-pairs verification twin (q29's discipline: guard it
+  // to fixture scale); the IVF variant is the scale path — candidates are
+  // pairs sharing a probed centroid list, so the join is
+  // O(n · nProbe · avg list size), never n².
+
+  /** Exact k-nearest-neighbor self-join: `(src, nbr, sim)` with the k
+    * highest-cosine neighbors per source key. All-pairs broadcast BNLJ —
+    * a VERIFICATION TWIN for fixtures/oracles; use [[knnJoinIvf]] at
+    * scale. Ties break on the lower neighbor key, so the page is
+    * deterministic.
+    */
+  def knnJoinExact(embDf: DataFrame, keyCol: String, embCol: String,
+                   k: Int): DataFrame = {
+    val e = embDf.select(col(keyCol).as("__k"),
+      col(embCol).cast("array<double>").as("__e"))
+    val cos = graft.functions.VectorFunctions.cosine(col("a.__e"), col("b.__e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
+    e.repartition(col("__k")).as("a")
+      .join(broadcast(e.as("b")), col("a.__k") =!= col("b.__k"))
+      .select(col("a.__k").as("src"), col("b.__k").as("nbr"), cos.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** IVF-bucketed kNN self-join — the scale path: each vector probes its
+    * `nProbe` nearest centroid lists, candidates are (probing vector,
+    * list member) pairs, ranked per source by exact cosine. A vector is
+    * ASSIGNED to exactly one list, so no candidate pair duplicates; with
+    * `nProbe = nLists` every pair is a candidate and the result equals
+    * [[knnJoinExact]] bit-for-bit. Training is the usual deterministic
+    * hash-ordered sample. The equi-join on `list_id` shuffles candidates
+    * once; per-source ranking partitions by source key, so no global
+    * window.
+    */
+  def knnJoinIvf(embDf: DataFrame, keyCol: String, embCol: String, k: Int,
+                 nLists: Int = 16, nProbe: Int = 2, iters: Int = 10,
+                 sampleN: Int = 10000): DataFrame = {
+    val centers = ivfTrain(embDf, keyCol, embCol, nLists, iters, sampleN)
+    val assigned = ivfAssign(embDf, embCol, centers)
+    val probesOf = udf((v: Seq[Float]) => ivfProbes(centers, v.toArray, nProbe))
+    val probing = embDf.select(col(keyCol).as("src"),
+      col(embCol).cast("array<double>").as("__q"),
+      explode(probesOf(col(embCol))).as("list_id"))
+    val cand = assigned.select(col(keyCol).as("nbr"),
+      col(embCol).cast("array<double>").as("__c"), col("list_id"))
+    val cos = graft.functions.VectorFunctions.cosine(col("__q"), col("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
+    probing.join(cand, Seq("list_id"))
+      .filter(col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"), cos.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   // ---- Product quantization (PQ) --------------------------------------
   //
   // The memory-scale path past IVF: at 10^10 vectors even array<float>

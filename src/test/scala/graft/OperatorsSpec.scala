@@ -570,6 +570,31 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"multi-probe recall@10 unexpectedly low: $recall")
   }
 
+  test("kNN self-join: exact page shape, IVF exhaustive == exact, probed recall") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"))
+    def page(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(t => (t._1, -t._3, t._2))
+    val exact = page(Ann.knnJoinExact(e, "_key", "embedding", 3))
+    val n = e.count()
+    assert(exact.size == n * 3, "every source key must get exactly k neighbors")
+    // the top neighbor of key 3 is exact search's best non-self hit
+    val q3 = e.filter(col("_key") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val best = graft.search.Search.topK(e, q3, 2)
+      .collect().map(_.getLong(0)).filter(_ != 3L).head
+    assert(exact.filter(_._1 == 3L).maxBy(_._3)._2 == best)
+    // exhaustive probing makes every pair a candidate: equal bit-for-bit
+    val ivfAll = page(Ann.knnJoinIvf(e, "_key", "embedding", 3,
+      nLists = 8, nProbe = 8))
+    assert(ivfAll == exact)
+    // probed recall: nProbe=2 of 8 lists keeps most true neighbors
+    val ivf2 = page(Ann.knnJoinIvf(e, "_key", "embedding", 3,
+      nLists = 8, nProbe = 2)).map(t => (t._1, t._2)).toSet
+    val recall = exact.map(t => (t._1, t._2)).count(ivf2.contains) / exact.size.toDouble
+    assert(recall >= 0.5, s"probed kNN recall unexpectedly low: $recall")
+  }
+
   test("filtered ANN: allowedKeys == ANN over a pre-filtered frame, no leaks") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("vec_id").as("_key"), col("embedding"))
