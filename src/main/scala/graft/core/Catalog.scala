@@ -1664,6 +1664,37 @@ class Collection private[core] (
     } finally writeLock.unlock()
   }
 
+  /** Batch kNN self-join over `column`'s vectors: `(src, nbr, sim)` with
+    * every document's `k` highest-cosine neighbors — the primitive under
+    * semantic clustering, graph dedup and diversity sampling, on the
+    * collection surface. Uses the persistent ANN index when built: the
+    * STORED centroids and list assignments (maintained by
+    * refresh/stream/repair) drive candidate generation, no retraining;
+    * PQ-coded lists contribute only their `(key, list_id)` columns and
+    * exact floats come from the vector index. Falls back to a one-off
+    * IVF training pass ([[graft.search.Ann.knnJoinIvf]]) when no index
+    * exists. Chunked (multi-vector) keys fold to their best chunk pair
+    * per (src, nbr) — the same per-key-max discipline as [[searchAnn]].
+    */
+  def knnJoin(column: String, k: Int, nProbe: Int = 2,
+              nLists: Int = 16): DataFrame = {
+    Identifiers.validate(column)
+    val emb = embeddings(column)
+    if (!hasAnnIndex(column))
+      return graft.search.Ann.knnJoinIvf(emb, KeyCol, "embedding", k,
+        nLists = nLists, nProbe = nProbe)
+    recoverSwap(annListsDir(column))
+    recoverFileSwap(annListsDir(column))
+    val centers = readAnnCenters(column)
+    // assignment columns only — PQ lists carry codes, not floats; the
+    // key-equi-join rehydrates exact vectors from the vector index
+    val assigned = spark.read.parquet(annListsDir(column))
+      .select(col(KeyCol), col("list_id"))
+      .join(emb, Seq(KeyCol))
+    graft.search.Ann.knnJoinAssigned(emb, KeyCol, "embedding",
+      assigned, centers, k, nProbe)
+  }
+
   /** Streaming twin of [[refreshAnnIndex]]: watch the VECTOR INDEX
     * directory (the table the ANN index accelerates — fed by
     * [[embedColumn]] or, chained, a live [[embedColumnStream]]) and fold

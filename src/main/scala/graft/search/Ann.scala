@@ -307,7 +307,22 @@ object Ann {
                  nLists: Int = 16, nProbe: Int = 2, iters: Int = 10,
                  sampleN: Int = 10000): DataFrame = {
     val centers = ivfTrain(embDf, keyCol, embCol, nLists, iters, sampleN)
-    val assigned = ivfAssign(embDf, embCol, centers)
+    knnJoinAssigned(embDf, keyCol, embCol,
+      ivfAssign(embDf, embCol, centers), centers, k, nProbe)
+  }
+
+  /** [[knnJoinIvf]]'s core over a PRE-ASSIGNED candidate table `(keyCol,
+    * embCol, list_id)` and given centroids — the entry point for a
+    * persistent ANN index, whose stored assignments and centroids serve
+    * the join without retraining. Multi-vector (chunked) keys fold to
+    * their best chunk pair per (src, nbr) before ranking — the
+    * [[ivfTopK]]/searchAnn per-key-max discipline; with one vector per
+    * key each candidate pair occurs exactly once and the fold is the
+    * identity.
+    */
+  def knnJoinAssigned(embDf: DataFrame, keyCol: String, embCol: String,
+                      assigned: DataFrame, centers: Array[Array[Double]],
+                      k: Int, nProbe: Int): DataFrame = {
     val probesOf = udf((v: Seq[Float]) => ivfProbes(centers, v.toArray, nProbe))
     val probing = embDf.select(col(keyCol).as("src"),
       col(embCol).cast("array<double>").as("__q"),
@@ -320,6 +335,7 @@ object Ann {
     probing.join(cand, Seq("list_id"))
       .filter(col("src") =!= col("nbr"))
       .select(col("src"), col("nbr"), cos.as("sim"))
+      .groupBy(col("src"), col("nbr")).agg(max(col("sim")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
   }

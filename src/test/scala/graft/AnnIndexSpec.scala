@@ -197,6 +197,27 @@ class AnnIndexSpec extends SparkSpec {
       == page(c.search("text", q, 5, emb)))
   }
 
+  test("knnJoin: stored-index exhaustive == exact twin == fallback; refresh folds new keys") {
+    val c = mkCollection("ann6")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(t => (t._1, -t._3, t._2))
+    val exact = pairs(Ann.knnJoinExact(c.embeddings("text"), "_key", "embedding", 3))
+    // index-free fallback trains one-off IVF; exhaustive probing == exact
+    assert(pairs(c.knnJoin("text", 3, nProbe = 4, nLists = 4)) == exact)
+    // persistent index: stored centroids/assignments serve the join
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100)
+    assert(pairs(c.knnJoin("text", 3, nProbe = 4)) == exact)
+    // appended keys fold in through refresh and appear on both sides
+    c.appendDf(Seq("zephyr quill unique payload fresh").toDF("text"))
+    assert(c.embedColumn("text", emb) == 1)
+    assert(c.refreshAnnIndex("text") == 1L)
+    val grown = pairs(c.knnJoin("text", 3, nProbe = 4))
+    assert(grown.exists(_._1 == 41L) && grown.size == 41 * 3)
+    assert(grown ==
+      pairs(Ann.knnJoinExact(c.embeddings("text"), "_key", "embedding", 3)))
+  }
+
   test("indexStatus drift: far-cluster appends raise it, a rebuild lowers it") {
     // an embedder with two well-separated clusters: texts starting with
     // "z" land far from everything the build-time centroids saw
