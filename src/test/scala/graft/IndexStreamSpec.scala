@@ -109,4 +109,32 @@ class IndexStreamSpec extends SparkSpec {
     assert(page(c.searchAnn("text", "orbit quark document", 5, emb, nProbe = 4))
       == streamed)
   }
+
+  test("ann index stream: PQ layout — appended vectors land as byte codes, rerank stays exact") {
+    val emb = new HashingEmbedder(dim = 32)
+    val root = java.nio.file.Files.createTempDirectory("graft_annpqs").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "annpq"))
+    c.importDf((1 to 30).map(i => s"alpha beta document number $i").toDF("text"))
+    assert(c.embedColumn("text", emb) == 30)
+    c.buildAnnIndex("text", nLists = 2, pqM = 4)
+    val listsDir = s"${c.annIndexDir("text")}/lists"
+    val annQ = c.annIndexStream("text", s"$root/_ckpt")
+    try {
+      annQ.processAllAvailable() // index exists: stream seeds, no rebuild
+      c.appendDf(Seq("gamma delta fresh payload").toDF("text"))
+      assert(c.embedColumn("text", emb) == 1)
+      annQ.processAllAvailable()
+      val fresh = spark.read.parquet(listsDir).filter(col("_key") === 31L)
+      assert(fresh.count() == 1L, "stream missed the appended vector")
+      // the streamed row carries the PQ byte-code layout, not floats
+      assert(fresh.schema.fieldNames.contains("code") &&
+        !fresh.schema.fieldNames.contains("embedding"))
+      assert(fresh.head().getAs[Array[Byte]]("code").length == 4)
+      // ADC + exact rerank over the streamed index still finds the new doc
+      val got = c.searchAnn("text", "gamma delta fresh payload", 3, emb,
+        nProbe = 2).collect().map(_.getLong(1))
+      assert(got.contains(31L), s"rerank page must surface the new doc: ${got.toSeq}")
+    } finally annQ.stop()
+  }
 }
