@@ -56,17 +56,41 @@ object Cli {
         val c = catalog.create(config, overwrite = flags.contains("overwrite"))
         importFile(c, positional.headOption.getOrElse(fail("input file required")))
         val embedder = registry.load(config.model_name, config.model_variant)
+        val bs = batchSize(flags)
         config.index_columns.foreach { col =>
-          val n = c.embedColumn(col, embedder)
+          val n = c.embedColumn(col, embedder, batchSize = bs)
           println(s"indexed $n rows for column '$col'")
         }
       case "add-docs" =>
         val c = catalog.load(req(flags, "collection"))
-        importFile(c, positional.headOption.getOrElse(fail("input file required")),
-          append = true)
+        val input = positional.headOption.getOrElse(fail("input file required"))
+        // PDF inputs take the reference's chunking surface (main.rs
+        // AddDocs): --column targets the chunk column (defaults to the
+        // first index column), --chunk-max-tokens enables chunking,
+        // --tokenizer-path swaps the word-count approximation for a
+        // real WordPiece count
+        if (input.toLowerCase.endsWith(".pdf")) {
+          val column = flags.getOrElse("column",
+            c.config.index_columns.headOption.getOrElse("text"))
+          val chunker = flags.get("chunk-max-tokens").map { mt =>
+            val count = flags.get("tokenizer-path")
+              .map { p =>
+                val tok = graft.functions.WordPieceTokenizer.fromFile(p)
+                (s: String) => tok.tokenize(s.toLowerCase).size
+              }
+              .getOrElse(graft.functions.Chunker.approxTokens)
+            graft.functions.Chunker.ChunkerConfig(
+              maxTokens = mt.toInt,
+              overlapTokens = flags.getOrElse("chunk-overlap-tokens", "50").toInt,
+              countTokens = count)
+          }
+          graft.sources.Pdf.addPdfChunks(c, input, column, chunker)
+          println(s"imported $input -> ${c.config.name} (${c.count()} rows)")
+        } else importFile(c, input, append = true)
         val embedder = registry.load(c.config.model_name, c.config.model_variant)
+        val bs = batchSize(flags)
         c.config.index_columns.foreach { col =>
-          val n = c.embedColumn(col, embedder)
+          val n = c.embedColumn(col, embedder, batchSize = bs)
           println(s"indexed $n new rows for column '$col'")
         }
       case "upsert" =>
@@ -178,10 +202,11 @@ object Cli {
         }
         page.show(limit, truncate = 80)
       case "serve" =>
+        val host = flags.getOrElse("host", "127.0.0.1")
         val api = new graft.serve.HttpApi(catalog, registry,
-          flags.getOrElse("port", "7898").toInt)
+          flags.getOrElse("port", "7898").toInt, host)
         val port = api.start()
-        println(s"serving on http://127.0.0.1:$port (ctrl-c to stop)")
+        println(s"serving on http://$host:$port (ctrl-c to stop)")
         Thread.currentThread().join()
       case "list" =>
         catalog.list().foreach(c => println(CollectionConfig.toJson(c)))
@@ -240,14 +265,28 @@ object Cli {
   private def req(flags: Map[String, String], key: String): String =
     flags.getOrElse(key, fail(s"--$key is required"))
 
+  private def batchSize(flags: Map[String, String]): Int = {
+    val bs = try flags.getOrElse("batch-size", "32").toInt
+             catch { case _: NumberFormatException =>
+               fail("--batch-size must be an integer") }
+    if (bs < 1) fail("--batch-size must be >= 1")
+    bs
+  }
+
   private def fail(msg: String): Nothing = {
     System.err.println(s"error: $msg"); usage(); sys.exit(2)
   }
 
   private def usage(): Unit = System.err.println(
     """usage: graft.Cli <index|add-docs|upsert|repair|status|delete|build-index|search|serve|list|list-models> [flags] [file]
-      |  index    --collection C [--index-columns a,b] [--model m] [--variant v] [--overwrite] <file>
-      |  add-docs --collection C <file>
+      |  index    --collection C [--index-columns a,b] [--model m] [--variant v]
+      |           [--batch-size n] [--overwrite] <file>
+      |  add-docs --collection C [--batch-size n] <file>
+      |           # .pdf inputs: [--column col] [--chunk-max-tokens n]
+      |           # [--chunk-overlap-tokens n] [--tokenizer-path vocab]
+      |           # chunk extracted text into col (schema widens; token
+      |           # counts via the word approximation, or a WordPiece
+      |           # vocab/tokenizer.json when --tokenizer-path is given)
       |  upsert   --collection C <file with _key>   # merge + re-embed changed rows
       |           (MERGE semantics: a field omitted from an update line — or
       |            present as null — KEEPS the stored value; an update cannot
@@ -270,7 +309,7 @@ object Cli {
       |            # (buildKeywordIndex), else scan; ann probes the IVF
       |            # index when built (buildAnnIndex), else exact
 
-      |  serve    [--port 7898]
+      |  serve    [--port 7898] [--host 127.0.0.1]
       |  list
       |  list-models""".stripMargin)
 }

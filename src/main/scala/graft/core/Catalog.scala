@@ -410,9 +410,17 @@ class Collection private[core] (
     * at scale).
     */
   def importChunks(chunks: Seq[String], column: String): Unit = {
-    Identifiers.validate(column)
     import spark.implicits._
-    val chunkDf = chunks.toDF(column)
+    importChunksDf(chunks.toDF(column), column)
+  }
+
+  /** Distributed form of [[importChunks]]: `chunkDf` carries the chunk
+    * rows under `column` (the PDF add-docs path extracts + chunks per
+    * file on executors and lands here — the driver never materializes
+    * the chunk list). Same widening semantics.
+    */
+  def importChunksDf(chunkDf: DataFrame, column: String): Unit = {
+    Identifiers.validate(column)
     writeLock.lock()
     try {
       if (isEmpty) { importDf(chunkDf); return }

@@ -88,4 +88,28 @@ object WordPieceTokenizer {
       new WordPieceTokenizer(lines)
     } finally in.close()
   }
+
+  /** Load a vocabulary from disk — the reference's `--tokenizer-path`
+    * branch (chunker.rs:106-114 loads a HuggingFace tokenizer.json for
+    * exact token counting). Accepts either a `tokenizer.json` (the
+    * `model.vocab` token->id map, pieces ordered by id) or a plain
+    * newline-delimited piece list.
+    */
+  def fromFile(path: String): WordPieceTokenizer = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val raw = try src.mkString finally src.close()
+    val pieces =
+      if (raw.dropWhile(_.isWhitespace).startsWith("{")) {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(raw) \ "model" \ "vocab" match {
+          case JObject(fields) =>
+            fields.collect { case (tok, JInt(id)) => (tok, id) }
+              .sortBy(_._2).map(_._1).toVector
+          case _ => throw new IllegalArgumentException(
+            s"$path: no model.vocab map in tokenizer.json")
+        }
+      } else raw.linesIterator.map(_.trim).filter(_.nonEmpty).toVector
+    require(pieces.nonEmpty, s"$path: empty vocabulary")
+    new WordPieceTokenizer(pieces)
+  }
 }

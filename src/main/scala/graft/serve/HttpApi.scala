@@ -31,11 +31,12 @@ import graft.search.Search
   * bucket-partitioned parquet (see [[graft.search.Ann.writeIndex]]) so a
   * request prunes to probed buckets.
   */
-final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int) {
+final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
+                    host: String = "127.0.0.1") {
   @volatile private var server: HttpServer = _
 
   def start(): Int = {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/", handle _)
     server.setExecutor(null)
     server.start()

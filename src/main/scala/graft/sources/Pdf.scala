@@ -68,6 +68,28 @@ object Pdf {
       .filter(col("text").isNotNull)
   }
 
+  /** add-docs PDF parity (reference main.rs:445-465 -> collection_actor
+    * ImportPdf:724-754): extracted text lands in `column`, optionally
+    * chunked so every chunk becomes its own row, through the S6
+    * schema-widening path ([[graft.core.Collection.importChunksDf]]).
+    * Extraction AND chunking run per file on executors; the driver never
+    * holds the chunk list.
+    */
+  def addPdfChunks(c: graft.core.Collection, path: String, column: String,
+                   chunker: Option[graft.functions.Chunker.ChunkerConfig]
+                     = None): Unit = {
+    val base = readPdfText(c.spark, path)
+    val rows = chunker match {
+      case Some(cfg) =>
+        val f = udf((s: String) =>
+          if (s == null) Seq.empty[String]
+          else graft.functions.Chunker.chunk(s, cfg))
+        base.select(explode(f(col("text"))).as(column))
+      case None => base.select(col("text").as(column))
+    }
+    c.importChunksDf(rows, column)
+  }
+
   /** S5: import every text PDF matching `path` into the collection. */
   def importPdf(c: graft.core.Collection, path: String): Unit =
     c.importDf(readPdfText(c.spark, path))

@@ -127,6 +127,31 @@ class ChunkerSpec extends AnyFunSuite {
     assert(t.count("fast, scan") == 3)
   }
 
+  test("fromFile: plain piece list and tokenizer.json both load, id order preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab")
+    // plain newline-delimited list
+    val plain = dir.resolve("vocab.txt")
+    java.nio.file.Files.write(plain,
+      "scan\n##s\nsort\n##ing\n".getBytes("UTF-8"))
+    val tp = graft.functions.WordPieceTokenizer.fromFile(plain.toString)
+    assert(tp.tokenizeWord("scans") == Seq("scan", "##s"))
+    assert(tp.tokenizeWord("sorting") == Seq("sort", "##ing"))
+    // HuggingFace tokenizer.json shape: model.vocab token->id map
+    val json = dir.resolve("tokenizer.json")
+    java.nio.file.Files.write(json,
+      """{"version":"1.0","model":{"type":"WordPiece",
+        |"vocab":{"##s":1,"scan":0,"sort":2,"##ing":3}}}""".stripMargin
+        .getBytes("UTF-8"))
+    val tj = graft.functions.WordPieceTokenizer.fromFile(json.toString)
+    assert(tj.tokenizeWord("scans") == Seq("scan", "##s"))
+    assert(tj.tokenizeWord("sorting") == Seq("sort", "##ing"))
+    // malformed json (no model.vocab) refuses loudly
+    val bad = dir.resolve("bad.json")
+    java.nio.file.Files.write(bad, """{"model":{}}""".getBytes("UTF-8"))
+    assertThrows[IllegalArgumentException](
+      graft.functions.WordPieceTokenizer.fromFile(bad.toString))
+  }
+
   test("chunking under the WordPiece counter respects the piece budget") {
     val t = graft.functions.WordPieceTokenizer.default
     val cfg = ChunkerConfig(maxTokens = 12, overlapTokens = 0, countTokens = t.count)

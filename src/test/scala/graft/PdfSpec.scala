@@ -117,4 +117,33 @@ class PdfSpec extends SparkSpec {
     assert(rows.head.getString(0).endsWith("a.pdf"))
     assert(rows.head.getString(1).contains(LongLine))
   }
+
+  test("add-docs chunked PDF: chunks land in the target column, schema widens") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdfadd")
+    java.nio.file.Files.write(dir.resolve("doc.pdf"),
+      pdfWith(s"BT ($LongLine) Tj ET", flate = true))
+    val root = java.nio.file.Files.createTempDirectory("graft_pdfcoll").toString
+    val cat = new graft.core.Catalog(spark, root)
+    val c = cat.create(graft.core.CollectionConfig(name = "pdfs"))
+    c.importDf(Seq("existing doc body").toDF("body"))
+    // tiny maxTokens forces >1 chunk from the fixture line
+    val cfg = graft.functions.Chunker.ChunkerConfig(
+      maxTokens = 8, overlapTokens = 2)
+    Pdf.addPdfChunks(c, dir.toString + "/doc.pdf", "chunk", Some(cfg))
+    val chunks = c.df.filter(col("chunk").isNotNull)
+      .select("chunk").as[String].collect()
+    assert(chunks.length > 1, s"expected multiple chunks, got ${chunks.length}")
+    // every chunk's words come from the source text, none empty
+    val vocab = LongLine.split("\\s+").toSet
+    assert(chunks.forall(ch => ch.trim.nonEmpty &&
+      ch.split("\\s+").forall(vocab.contains)))
+    // widened schema: old row survives, chunk column null there
+    assert(c.df.filter(col("body").isNotNull).count() == 1)
+    assert(c.df.filter(col("body").isNotNull)
+      .select("chunk").head().isNullAt(0))
+    // unchunked path: one row per PDF, whole text
+    Pdf.addPdfChunks(c, dir.toString + "/doc.pdf", "chunk", None)
+    assert(c.df.filter(col("chunk").contains(LongLine)).count() == 1)
+  }
 }
