@@ -79,10 +79,14 @@ object Cli {
                 (s: String) => tok.tokenize(s.toLowerCase).size
               }
               .getOrElse(graft.functions.Chunker.approxTokens)
+            val maxT = intFlag(flags, "chunk-max-tokens", mt)
+            val over = intFlag(flags, "chunk-overlap-tokens",
+              flags.getOrElse("chunk-overlap-tokens", "50"))
+            if (maxT < 1) fail("--chunk-max-tokens must be >= 1")
+            if (over < 0 || over >= maxT)
+              fail("--chunk-overlap-tokens must be in [0, chunk-max-tokens)")
             graft.functions.Chunker.ChunkerConfig(
-              maxTokens = mt.toInt,
-              overlapTokens = flags.getOrElse("chunk-overlap-tokens", "50").toInt,
-              countTokens = count)
+              maxTokens = maxT, overlapTokens = over, countTokens = count)
           }
           graft.sources.Pdf.addPdfChunks(c, input, column, chunker)
           println(s"imported $input -> ${c.config.name} (${c.count()} rows)")
@@ -264,6 +268,10 @@ object Cli {
 
   private def req(flags: Map[String, String], key: String): String =
     flags.getOrElse(key, fail(s"--$key is required"))
+
+  private def intFlag(flags: Map[String, String], key: String, raw: String): Int =
+    try raw.toInt
+    catch { case _: NumberFormatException => fail(s"--$key must be an integer") }
 
   private def batchSize(flags: Map[String, String]): Int = {
     val bs = try flags.getOrElse("batch-size", "32").toInt

@@ -506,6 +506,11 @@ class Collection private[core] (
   def embedColumn(column: String, embedder: graft.embed.Embedder,
                   batchSize: Int = 32): Long = {
     import spark.implicits._
+    // under the write lock (= cross-process lease): a concurrent writer's
+    // compactIndex/repair rewrite must not interleave with this append,
+    // and two embed passes racing the same watermark would double-embed
+    writeLock.lock()
+    try {
     val before = indexedCount(column)
     // Long.MinValue, not 0: user-imported keys may be non-positive and
     // must still embed into an empty index
@@ -535,8 +540,12 @@ class Collection private[core] (
       else embedded0
         .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
         .toDF(KeyCol, "fp", "qembedding")
+    // the embed pass can outlive the lease (hours at corpus scale):
+    // re-fence (and renew) just before the append lands
+    writeLock.checkHeld()
     embedded.write.mode("append").parquet(indexDir(column))
     indexedCount(column) - before
+    } finally writeLock.unlock()
   }
 
   /** Chunk-granularity twin of [[embedColumn]]: every document above the
@@ -556,6 +565,8 @@ class Collection private[core] (
                          maxTokens: Int = 512, overlapTokens: Int = 50,
                          batchSize: Int = 32): Long = {
     import spark.implicits._
+    writeLock.lock() // see embedColumn: lease-covered append
+    try {
     val before = indexedCount(column)
     // Long.MinValue, not 0: user-imported keys may be non-positive and
     // must still embed into an empty index
@@ -574,8 +585,10 @@ class Collection private[core] (
       else embedded0
         .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
         .toDF(KeyCol, "fp", "qembedding")
+    writeLock.checkHeld() // re-fence + renew just before the append lands
     embedded.write.mode("append").parquet(indexDir(column))
     indexedCount(column) - before
+    } finally writeLock.unlock()
   }
 
   /** Re-embed rows whose CURRENT text no longer matches the fingerprint
@@ -1030,12 +1043,18 @@ class Collection private[core] (
     // query tokenization must mirror the INDEX's analyzer (stored in its
     // stats); the inline fallback has no stored analyzer and stays on
     // the whitespace default
+    require(query.trim.nonEmpty, "keyword search requires a non-empty query")
     val terms =
       if (hasKeywordIndex(column))
         graft.search.Keyword.analyzerOf(spark, keywordIndexDir(column))
           .queryTokens(query)
       else graft.search.Keyword.queryTerms(query)
-    require(terms.nonEmpty, "keyword search requires a non-empty query")
+    // a non-empty query whose every term the index's analyzer filters
+    // away (all stopwords) matches nothing — empty page, not an error
+    // (searchHybrid already degrades the same case to dense-only)
+    if (terms.isEmpty)
+      return df.select(col(column).as("content"), col(KeyCol).as("key"),
+        lit(0.0).as("score")).limit(0)
     fetchHits(keywordHits(column, terms, limit, requireAll), column)
   }
 
@@ -1210,8 +1229,19 @@ class Collection private[core] (
         next.repartitionByRange(nOut, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(tmp)
       }
-      upsertByKeyRange(s"$target/fps",
-        scopedTo(dedupFps(column), changed))
+      if (fs.exists(new Path(s"$target/fps")))
+        upsertByKeyRange(s"$target/fps", scopedTo(dedupFps(column), changed))
+      else {
+        // legacy index without a sidecar: a PARTIAL fps holding only the
+        // batch's keys would flag every OTHER key as unseen forever
+        // (indexStatus all-missing, next unscoped repair re-bands the
+        // corpus). Backfill the whole sidecar once — the one-time legacy
+        // migration cost, paid explicitly here instead of silently later.
+        val n0 = math.max(1, spark.sparkContext.defaultParallelism / 4)
+        dedupFps(column)
+          .repartitionByRange(n0, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(s"$target/fps")
+      }
       n
     } finally writeLock.unlock()
   }
@@ -1443,17 +1473,31 @@ class Collection private[core] (
   private def annTouchedLists(column: String, keys: DataFrame): Seq[FileKeyRange] = {
     val fpsDf = spark.read.option("mergeSchema", "true")
       .parquet(s"${annIndexDir(column)}/fps")
+    val keysDf = keys.select(col(keys.columns.head).cast(LongType).as(KeyCol))
     if (fpsDf.schema.fieldNames.contains("list_ids")) {
-      val rows = scopedTo(fpsDf, keys)
+      val rows = scopedTo(fpsDf, keysDf)
+        .filter(col("list_ids").isNotNull)
         .select(col(KeyCol), col("list_ids")).localCheckpoint(true)
-      if (rows.filter(col("list_ids").isNull).take(1).isEmpty)
-        return touchedFilesByPair(annListsDir(column),
-          rows.select(col(KeyCol), explode(col("list_ids")).as("list_id")))
+      // Keys with no usable sidecar row — a crash between the lists and
+      // fps appends, or legacy null-list_ids rows — would silently keep
+      // their OLD lists rows if planned from the sidecar alone (a delete
+      // would never erase them, a repair would append a duplicate). Find
+      // their old lists by a key-scoped scan of the lists table's two
+      // narrow columns; a truly-new key scans to nothing.
+      val strays = keysDf.join(rows, Seq(KeyCol), "left_anti")
+        .localCheckpoint(true)
+      val sidecarPairs = rows
+        .select(col(KeyCol), explode(col("list_ids")).as("list_id"))
+      val pairs =
+        if (strays.isEmpty) sidecarPairs
+        else sidecarPairs.unionByName(
+          scopedTo(spark.read.parquet(annListsDir(column))
+            .select(col(KeyCol), col("list_id")), strays).distinct())
+      return touchedFilesByPair(annListsDir(column), pairs)
     }
     val affected = spark.read.parquet(annListsDir(column))
       .select(col(KeyCol), col("list_id"))
-      .join(keys.select(col(keys.columns.head).cast(LongType).as(KeyCol)),
-        Seq(KeyCol), "left_semi")
+      .join(keysDf, Seq(KeyCol), "left_semi")
       .select(col("list_id")).distinct()
     touchedFiles(annListsDir(column), affected, "list_id")
   }
@@ -1694,11 +1738,19 @@ class Collection private[core] (
     recoverSwap(annListsDir(column))
     recoverFileSwap(annListsDir(column))
     val centers = readAnnCenters(column)
-    // assignment columns only — PQ lists carry codes, not floats; the
-    // key-equi-join rehydrates exact vectors from the vector index
-    val assigned = spark.read.parquet(annListsDir(column))
-      .select(col(KeyCol), col("list_id"))
-      .join(emb, Seq(KeyCol))
+    val lists = spark.read.parquet(annListsDir(column))
+    // full-vector lists already carry the float per chunk row — use them
+    // directly (a key-join against the vector index would cross-multiply
+    // a c-chunk document into c^2 candidate rows). PQ lists carry codes,
+    // so floats rehydrate from the vector index; deduping to the
+    // distinct (key, list) pairs first bounds the blowup to c*lists
+    // instead of c^2 (chunk identity is not stored, and the per-pair max
+    // fold makes any pairing of a key's chunk vectors correct).
+    val assigned =
+      if (lists.schema.fieldNames.contains("embedding"))
+        lists.select(col(KeyCol), col("embedding"), col("list_id"))
+      else lists.select(col(KeyCol), col("list_id")).distinct()
+        .join(emb, Seq(KeyCol))
     graft.search.Ann.knnJoinAssigned(emb, KeyCol, "embedding",
       assigned, centers, k, nProbe)
   }
@@ -1854,7 +1906,14 @@ class Collection private[core] (
       recoverFileSwap(annListsDir(column))
       val totalBytes = fs.getContentSummary(new Path(annListsDir(column))).getLength
       val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      val lists = spark.read.parquet(annListsDir(column))
+      // dropDuplicates over ALL columns: a repair that crashed between
+      // its lists swap and its fps sidecar update re-appends the same
+      // (key, list, vector/code) row on re-run — benign for serving
+      // (every read path folds per-key/pair max) but it inflates the
+      // table; compaction is where the copies fold away. Distinct chunk
+      // vectors of one document differ in their embedding/code column
+      // and are never collapsed.
+      val lists = spark.read.parquet(annListsDir(column)).dropDuplicates()
       writeAndSwap(annListsDir(column)) { tmp =>
         annClustered(lists, nFiles).write.mode("overwrite").parquet(tmp)
       }
@@ -1982,7 +2041,9 @@ class Collection private[core] (
       else spark.read.option("mergeSchema", "true")
         .parquet(touched.map(_.path.toString).toIndexedSeq: _*)
         .join(updates.select(KeyCol), Seq(KeyCol), "left_anti")
-        .unionByName(updates)
+        // allowMissingColumns: legacy sidecar files may predate a column
+        // the updates carry (e.g. ann fps list_ids) — old rows read null
+        .unionByName(updates, allowMissingColumns = true)
     replaceFiles(target, touched.map(_.path.getName)) { tmp =>
       next.repartitionByRange(math.max(1, touched.length), col(KeyCol))
         .sortWithinPartitions(KeyCol).write.mode("overwrite").parquet(tmp)

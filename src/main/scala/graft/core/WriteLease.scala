@@ -13,8 +13,9 @@ import java.nio.charset.StandardCharsets
   * process. The reference serializes all writes through one actor
   * mailbox (collection_actor.rs:595-598); the distributed analogue is a
   * lease file: `<collection>/_lease` holds `"<owner> <expiryMillis>"`,
-  * claimed by an atomic rename (HDFS/local rename fails when the
-  * destination exists, so exactly one claimant wins a race).
+  * claimed exclusively — atomic rename on HDFS (where rename fails if
+  * the destination exists), atomic hard-link on the local filesystem
+  * (where POSIX rename would silently replace it — see `claimFrom`).
   *
   * Policy is REFUSE LOUDLY, not queue: a writer finding a live foreign
   * lease throws [[WriteLease.HeldElsewhereException]] immediately — the
@@ -68,15 +69,42 @@ private[graft] final class WriteLease(
     * operation that ran past its expiry while another writer broke the
     * lease must abort rather than commit over the usurper's writes.
     * (Our own EXPIRED-but-unbroken lease is fine — nobody else wrote.)
+    *
+    * A passing check also RENEWS the lease (rewriting our own file is
+    * safe — we just proved ownership, and only an expiry could let a
+    * racer break it between the read and the write, which the fresh
+    * expiry prevents): long operations that fence at every append/
+    * commit keep their lease alive instead of silently outliving it.
     */
-  def checkHeld(): Unit = read(fsProvider()) match {
-    case Some((o, _)) if o == owner => ()
-    case other =>
-      throw new java.io.IOException(
-        s"write lease for collection '$collectionName' lost mid-operation " +
-          s"(file now: ${other.fold("absent")(t => s"held by ${t._1}")}) — " +
-          "aborting before commit; the operation exceeded the lease and " +
-          "another writer took over. Re-run it.")
+  def checkHeld(): Unit = {
+    val fs = fsProvider()
+    read(fs) match {
+      case Some((o, _)) if o == owner =>
+        val payload = s"$owner ${System.currentTimeMillis() + leaseMs}"
+          .getBytes(StandardCharsets.UTF_8)
+        val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+        if (local) {
+          // atomic REPLACE via POSIX rename: a concurrent reader never
+          // sees a truncated lease (which it would mis-read as broken)
+          val tmp = java.nio.file.Paths.get(
+            new Path(leaseFile.getParent,
+              s"_lease_renew_${owner.takeWhile(_ != '@')}").toUri.getPath)
+          java.nio.file.Files.write(tmp, payload)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(leaseFile.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          val out = fs.create(leaseFile, true)
+          try out.write(payload) finally out.close()
+        }
+      case other =>
+        throw new java.io.IOException(
+          s"write lease for collection '$collectionName' lost mid-operation " +
+            s"(file now: ${other.fold("absent")(t => s"held by ${t._1}")}) — " +
+            "aborting before commit; the operation exceeded the lease and " +
+            "another writer took over. Re-run it.")
+    }
   }
 
   private def acquire(): Unit = {
@@ -102,12 +130,40 @@ private[graft] final class WriteLease(
       try out.write(s"$owner ${System.currentTimeMillis() + leaseMs}"
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.rename(tmp, leaseFile)) return // atomic claim: rename fails if present
+      if (claimFrom(fs, tmp)) { fs.delete(tmp, false); return }
       fs.delete(tmp, false) // raced and lost; loop re-reads the winner
     }
     throw new HeldElsewhereException(
       s"could not claim the write lease for collection '$collectionName' " +
         "after repeated races — another writer is active.")
+  }
+
+  /** Publish `tmp` (fully-written payload) as the lease file, atomically
+    * and EXCLUSIVELY — exactly one racing claimant may succeed.
+    *
+    * HDFS rename fails when the destination exists, so rename IS the
+    * exclusive claim there. The Hadoop LOCAL filesystem's rename
+    * delegates to `File.renameTo` = POSIX rename, which silently
+    * REPLACES an existing destination — two racers would both "win".
+    * On local paths the claim is therefore a hard link: `link(2)` is
+    * atomic and fails with EEXIST when the destination exists, and it
+    * publishes the fully-written payload in one step.
+    */
+  private def claimFrom(fs: FileSystem, tmp: Path): Boolean = {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(leaseFile.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false
+        case _: UnsupportedOperationException => fs.rename(tmp, leaseFile)
+      }
+    } else fs.rename(tmp, leaseFile)
   }
 
   private def release(): Unit = {

@@ -227,10 +227,11 @@ object Keyword {
     * caller argument, so an index can never be read and written under
     * different token rules.
     */
-  def analyzerOf(spark: SparkSession, dir: String): Analyzer = {
-    recoverAppend(spark, dir)
+  def analyzerOf(spark: SparkSession, dir: String): Analyzer =
+    // pure read — NO recovery here: a lock-free query racing a live
+    // writer's staged append must never delete its staging dirs (heal
+    // runs at every WRITE entry point, under the collection write lock)
     Analyzer.fromId(storedMeta(spark, dir)._2)
-  }
 
   /** Net view of the postings log: per-(tok, key) summed `tf`, dropped
     * when the tombstones cancel it. Pure aggregation — exact integers,
@@ -285,12 +286,16 @@ object Keyword {
   //      so moves are collision-free and idempotent), write stats,
   //      delete the journal, drop the staging dirs.
   //
-  // [[recoverAppend]] runs before every read or write of the index:
+  // [[recoverAppend]] runs before every WRITE to the index (all the
+  // mutating entry points call it, under the collection write lock):
   // journal present -> roll forward (finish the moves, recompute stats
   // exactly from the doclen log); staging dirs without a journal ->
   // uncommitted append, discarded. The doclen watermark consequently
   // sees either the WHOLE batch (committed) or none of it (discarded) —
-  // no half-state survives a crash.
+  // no half-state survives a crash. READS never recover: a lock-free
+  // query racing a live writer must not delete its staging dirs or
+  // fight its moves, and a crash-interrupted append is invisible to
+  // readers anyway (stats advance only at commit completion).
 
   private def appendJournal(dir: String) = new org.apache.hadoop.fs.Path(
     s"$dir/_appendjournal")
@@ -500,10 +505,9 @@ object Keyword {
     * consistency-check surface (`Collection.indexStatus` compares it
     * against the collection's current fingerprints).
     */
-  def liveFps(spark: SparkSession, dir: String): DataFrame = {
-    recoverAppend(spark, dir)
+  def liveFps(spark: SparkSession, dir: String): DataFrame =
+    // pure read — see [[analyzerOf]] for why recovery must not run here
     liveFpsOf(spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"))
-  }
 
   /** Delete documents from the index — the tombstone-append twin of
     * [[repairIndex]] with no fresh side: each deleted key's net postings
@@ -568,12 +572,17 @@ object Keyword {
     * |distinct term buckets| directories are listed and scanned. Both
     * logs aggregate to their net view AFTER the pruning filters, so the
     * tombstone folding touches only the matched buckets' rows.
+    *
+    * Pure read — queries never run recovery: a lock-free search racing
+    * a live writer's staged append must not delete its staging dirs or
+    * fight its file moves. A crash-interrupted append stays invisible
+    * (stats and the doclen watermark advance only at commit completion)
+    * until the next WRITE entry point heals it under the write lock.
     */
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
                   k1: Double = DefaultK1, b: Double = DefaultB,
                   requireAll: Boolean = false): DataFrame = {
-    recoverAppend(spark, dir)
     val stored = spark.read.parquet(s"$dir/stats")
     val nBuckets = stored.select(col("n_buckets")).head().getInt(0)
     // nullif guards the fully-erased index (n_docs = 0): no postings

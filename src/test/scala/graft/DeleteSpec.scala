@@ -125,4 +125,56 @@ class DeleteSpec extends SparkSpec {
     val hit = c.search("text", "phoenix risen fresh", 1, emb).head()
     assert(hit.getDouble(2) > 0.999)
   }
+
+  test("delete erases ANN rows whose fps sidecar row is missing (crash remnant)") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "del_stray"))
+    c.importDf((1 to 30).map(i => s"alpha beta document number $i").toDF("text"))
+    assert(c.embedColumn("text", emb) == 30)
+    c.buildAnnIndex("text", nLists = 2, sampleN = 100)
+    val target = c.annIndexDir("text")
+    // simulate a crash between the lists and fps appends: key 7's
+    // sidecar row vanishes while its lists row stays
+    val fps = spark.read.parquet(s"$target/fps")
+      .filter(col("_key") =!= 7L).collect()
+    val schema = spark.read.parquet(s"$target/fps").schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(fps.toIndexedSeq), schema)
+      .repartitionByRange(1, col("_key")).sortWithinPartitions("_key")
+      .write.mode("overwrite").parquet(s"$target/fps")
+    assert(spark.read.parquet(s"$target/lists")
+      .filter(col("_key") === 7L).count() == 1L, "fixture: lists row present")
+    // the delete must still find and erase key 7's lists row — planning
+    // from the sidecar alone would silently keep it forever
+    c.deleteKeys(Seq(7L))
+    assert(spark.read.parquet(s"$target/lists")
+      .filter(col("_key") === 7L).count() == 0L,
+      "stray lists row survived the delete")
+    // and serving agrees
+    assert(!c.searchAnn("text", "alpha beta document number 7", 10, emb,
+      nProbe = 2).collect().exists(_.getLong(1) == 7L))
+  }
+
+  test("scoped dedup repair on a legacy fps-less index backfills the whole sidecar") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "del_legacy"))
+    c.importDf((1 to 20).map(i => s"gamma delta words number $i").toDF("text"))
+    c.buildDedupIndex("text")
+    val fpsDir = s"${c.dedupIndexDir("text")}/fps"
+    // legacy index: no fps sidecar at all
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(fpsDir))
+    assert(!new java.io.File(fpsDir).exists)
+    c.upsert(Seq((3L, "entirely rewritten text payload")).toDF("_key", "text"))
+    // a scoped repair must not create a PARTIAL sidecar (which would
+    // flag every other key as unseen forever) — it backfills all keys
+    assert(c.repairDedupIndex("text",
+      scope = Some(Seq(3L).toDF("_key"))) >= 1L)
+    assert(spark.read.parquet(fpsDir).count() == 20L,
+      "legacy migration must backfill the full sidecar")
+    // and the index is now consistent: a clean unscoped re-run is a no-op
+    assert(c.repairDedupIndex("text") == 0L)
+  }
 }

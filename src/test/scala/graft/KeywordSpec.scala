@@ -51,6 +51,23 @@ class KeywordSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
   }
 
+  test("stopword-only query returns an empty page, not an error") {
+    import graft.core.{Catalog, CollectionConfig}
+    val root = java.nio.file.Files.createTempDirectory("graft_kwstop").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "stopq"))
+    c.importDf(Seq("the quick fox", "a lazy dog").toDF("text"))
+    c.buildKeywordIndex("text", nBuckets = 4,
+      analyzer = graft.search.Analyzer.Stopworded(Set("the", "a", "of")))
+    // non-empty query, every term a stopword -> empty page (hybrid
+    // degrades the same case to dense-only; keyword must not throw)
+    assert(c.searchKeyword("text", "of the a", 5).collect().isEmpty)
+    // a genuinely empty query still refuses
+    assertThrows[IllegalArgumentException](c.searchKeyword("text", "   ", 5))
+    // and real terms still work
+    assert(c.searchKeyword("text", "quick", 5).head().getLong(1) == 1L)
+  }
+
   test("persistent index search matches the inline corpus scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kwidx").toString + "/idx"
     val docs = Tables.documents(spark, sf0001)

@@ -39,6 +39,28 @@ class WriteLeaseSpec extends SparkSpec {
       "lease file must be cleaned up after the last writer")
   }
 
+  test("racing claimants: exactly one wins (hard-link claim, not POSIX rename)") {
+    // POSIX rename silently replaces an existing destination, so a
+    // rename-based claim would let several racers all "win"; the local
+    // claim is a hard link, which fails with EEXIST for all but one
+    val cat = new Catalog(spark, tmpRoot())
+    val c0 = cat.create(CollectionConfig(name = "stampede"))
+    c0.importDf(Seq("row").toDF("text"))
+    val racers = (1 to 8).map(_ => cat.load("stampede"))
+    val barrier = new java.util.concurrent.CyclicBarrier(racers.size)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = racers.map { c =>
+      new Thread(() => {
+        barrier.await()
+        try { c.writeLock.lock(); wins.incrementAndGet(); () }
+        catch { case _: IllegalStateException => () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1, s"exactly one racer must claim, got ${wins.get()}")
+    racers.foreach(c => try c.writeLock.unlock() catch { case _: Exception => () })
+  }
+
   test("a crashed holder's lease expires; the late holder fences at its commit points") {
     val cat = new Catalog(spark, tmpRoot())
     val a = cat.create(CollectionConfig(name = "fence"))
