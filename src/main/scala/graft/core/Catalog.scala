@@ -1755,6 +1755,37 @@ class Collection private[core] (
       assigned, centers, k, nProbe)
   }
 
+  /** Batch search: every row of `queries` (`_key` + `embedding
+    * array<float>`) gets its `k` nearest documents over `column`'s
+    * vectors — the many-queries-at-once serving/decontamination
+    * primitive (embed an eval set once, find each probe's nearest
+    * training documents in ONE pass over the probed lists, instead of a
+    * per-query API call). Served from the persistent ANN index like
+    * [[knnJoin]] (stored centroids/assignments, no retraining; PQ lists
+    * rehydrate floats from the vector index); falls back to a one-off
+    * IVF training pass. Returns `(src, nbr, sim)` — query key, document
+    * key, cosine.
+    */
+  def searchBatch(queries: DataFrame, column: String, k: Int,
+                  nProbe: Int = 2, nLists: Int = 16): DataFrame = {
+    Identifiers.validate(column)
+    val emb = embeddings(column)
+    if (!hasAnnIndex(column))
+      return graft.search.Ann.searchBatchIvf(queries, emb, KeyCol,
+        "embedding", k, nLists = nLists, nProbe = nProbe)
+    recoverSwap(annListsDir(column))
+    recoverFileSwap(annListsDir(column))
+    val centers = readAnnCenters(column)
+    val lists = spark.read.parquet(annListsDir(column))
+    val assigned =
+      if (lists.schema.fieldNames.contains("embedding"))
+        lists.select(col(KeyCol), col("embedding"), col("list_id"))
+      else lists.select(col(KeyCol), col("list_id")).distinct()
+        .join(emb, Seq(KeyCol))
+    graft.search.Ann.knnProbedBetween(queries, assigned, centers, KeyCol,
+      "embedding", k, nProbe, excludeSelf = false)
+  }
+
   /** Streaming twin of [[refreshAnnIndex]]: watch the VECTOR INDEX
     * directory (the table the ANN index accelerates — fed by
     * [[embedColumn]] or, chained, a live [[embedColumnStream]]) and fold

@@ -454,6 +454,24 @@ object TextQueries {
         .orderBy(col("src_id"), col("nbr_id"))
     }),
 
+    // Batch search: 10 query vectors each fetch their exact top-3 over
+    // the remaining corpus in one pass — the embed-an-eval-set-once,
+    // search-everything-at-once primitive (Ann.searchBatchIvf /
+    // Collection.searchBatch is the probed scale path, spec'd
+    // exhaustive == exact). Exact twin gated to fixture scale.
+    "q118_batch_search" -> ((s, d) => {
+      val e0 = embeddings(s, d)
+      val n = e0.limit(10001).count()
+      require(n <= 10000,
+        s"q118_batch_search is an all-pairs verification twin (at least $n rows); use Ann.searchBatchIvf at scale")
+      graft.search.Ann.searchBatchExact(
+          e0.filter(col("vec_id") < 10), e0.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", 3)
+        .select(col("src").as("query_id"), col("nbr").as("doc_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // Conjunctive (AND) BM25: only documents matching EVERY query term
     // survive to the page — 'dup' is deliberately the rare term (~5% of
     // docs), so the AND filter visibly reshapes the page vs q109's OR
@@ -865,6 +883,19 @@ object TextQueries {
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,
+
+    // batch search: 10 query rows vs the rest of the corpus, top-3 each
+    "q118_batch_search" ->
+      """WITH p AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |     CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id >= 10),
+        | r AS (SELECT query_id, doc_id, sim,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY sim DESC, doc_id) AS rn FROM p)
+        |SELECT query_id, doc_id, round(sim, 6) AS sim FROM r WHERE rn <= 3
+        | ORDER BY query_id, doc_id""".stripMargin,
 
     // exact kNN: rank ties break on the neighbor key both sides; sim
     // compared UNROUNDED in the window (rounding applies to survivors)

@@ -280,14 +280,28 @@ object Ann {
     * deterministic.
     */
   def knnJoinExact(embDf: DataFrame, keyCol: String, embCol: String,
-                   k: Int): DataFrame = {
-    val e = embDf.select(col(keyCol).as("__k"),
+                   k: Int): DataFrame =
+    knnExactBetween(embDf, embDf, keyCol, embCol, k, excludeSelf = true)
+
+  /** Exact cross-table batch search: every row of `queries` against the
+    * whole of `corpus` — the brute-force twin of [[searchBatchIvf]].
+    * Broadcast BNLJ; fixture/oracle scale only.
+    */
+  def searchBatchExact(queries: DataFrame, corpus: DataFrame,
+                       keyCol: String, embCol: String, k: Int): DataFrame =
+    knnExactBetween(queries, corpus, keyCol, embCol, k, excludeSelf = false)
+
+  private def knnExactBetween(left: DataFrame, right: DataFrame,
+                              keyCol: String, embCol: String, k: Int,
+                              excludeSelf: Boolean): DataFrame = {
+    def prep(d: DataFrame) = d.select(col(keyCol).as("__k"),
       col(embCol).cast("array<double>").as("__e"))
     val cos = graft.functions.VectorFunctions.cosine(col("a.__e"), col("b.__e"))
+    val cond = if (excludeSelf) col("a.__k") =!= col("b.__k") else lit(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
-    e.repartition(col("__k")).as("a")
-      .join(broadcast(e.as("b")), col("a.__k") =!= col("b.__k"))
+    prep(left).repartition(col("__k")).as("a")
+      .join(broadcast(prep(right).as("b")), cond)
       .select(col("a.__k").as("src"), col("b.__k").as("nbr"), cos.as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
@@ -322,9 +336,36 @@ object Ann {
     */
   def knnJoinAssigned(embDf: DataFrame, keyCol: String, embCol: String,
                       assigned: DataFrame, centers: Array[Array[Double]],
-                      k: Int, nProbe: Int): DataFrame = {
+                      k: Int, nProbe: Int): DataFrame =
+    knnProbedBetween(embDf, assigned, centers, keyCol, embCol, k, nProbe,
+      excludeSelf = true)
+
+  /** IVF-bucketed batch search: every row of `queries` probes its
+    * `nProbe` nearest centroid lists of a PRE-ASSIGNED corpus — the
+    * many-queries-at-once serving/decontamination primitive a
+    * one-query-at-a-time API cannot express (embed an eval set, find
+    * each probe's nearest training documents in ONE pass over the
+    * probed lists). Same cost shape as [[knnJoinIvf]]:
+    * O(queries · nProbe · avg list) candidates, one list_id equi-join,
+    * a query-partitioned rank window. With `nProbe = nLists` the result
+    * equals [[searchBatchExact]] bit-for-bit.
+    */
+  def searchBatchIvf(queries: DataFrame, corpus: DataFrame,
+                     keyCol: String, embCol: String, k: Int,
+                     nLists: Int = 16, nProbe: Int = 2, iters: Int = 10,
+                     sampleN: Int = 10000): DataFrame = {
+    val centers = ivfTrain(corpus, keyCol, embCol, nLists, iters, sampleN)
+    knnProbedBetween(queries, ivfAssign(corpus, embCol, centers), centers,
+      keyCol, embCol, k, nProbe, excludeSelf = false)
+  }
+
+  private[graft] def knnProbedBetween(queries: DataFrame, assigned: DataFrame,
+                                       centers: Array[Array[Double]],
+                                       keyCol: String, embCol: String,
+                                       k: Int, nProbe: Int,
+                                       excludeSelf: Boolean): DataFrame = {
     val probesOf = udf((v: Seq[Float]) => ivfProbes(centers, v.toArray, nProbe))
-    val probing = embDf.select(col(keyCol).as("src"),
+    val probing = queries.select(col(keyCol).as("src"),
       col(embCol).cast("array<double>").as("__q"),
       explode(probesOf(col(embCol))).as("list_id"))
     val cand = assigned.select(col(keyCol).as("nbr"),
@@ -333,7 +374,7 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
     probing.join(cand, Seq("list_id"))
-      .filter(col("src") =!= col("nbr"))
+      .filter(if (excludeSelf) col("src") =!= col("nbr") else lit(true))
       .select(col("src"), col("nbr"), cos.as("sim"))
       .groupBy(col("src"), col("nbr")).agg(max(col("sim")).as("sim"))
       .withColumn("rn", row_number().over(w))

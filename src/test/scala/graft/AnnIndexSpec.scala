@@ -216,6 +216,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(grown.exists(_._1 == 41L) && grown.size == 41 * 3)
     assert(grown ==
       pairs(Ann.knnJoinExact(c.embeddings("text"), "_key", "embedding", 3)))
+    // batch search off the same stored index: external query vectors,
+    // exhaustive probing == the exact cross twin
+    val queries = c.embeddings("text").filter(col("_key") <= 3L)
+      .withColumn("_key", col("_key") + 1000L)
+    val got = pairs(c.searchBatch(queries, "text", 3, nProbe = 4))
+    assert(got == pairs(Ann.searchBatchExact(queries, c.embeddings("text"),
+      "_key", "embedding", 3)))
+    assert(got.size == 3 * 3 && got.forall(_._2 <= 41L))
   }
 
   test("indexStatus drift: far-cluster appends raise it, a rebuild lowers it") {

@@ -593,6 +593,14 @@ class AnnSpec extends SparkSpec {
       nLists = 8, nProbe = 2)).map(t => (t._1, t._2)).toSet
     val recall = exact.map(t => (t._1, t._2)).count(ivf2.contains) / exact.size.toDouble
     assert(recall >= 0.5, s"probed kNN recall unexpectedly low: $recall")
+    // batch search (queries vs disjoint corpus): exhaustive == exact,
+    // every query gets exactly k, no query key leaks into the results
+    val qs = e.filter(col("_key") < 10)
+    val corpus = e.filter(col("_key") >= 10)
+    val bExact = page(Ann.searchBatchExact(qs, corpus, "_key", "embedding", 3))
+    assert(bExact.size == 30 && bExact.forall(_._2 >= 10))
+    assert(page(Ann.searchBatchIvf(qs, corpus, "_key", "embedding", 3,
+      nLists = 8, nProbe = 8)) == bExact)
   }
 
   test("filtered ANN: allowedKeys == ANN over a pre-filtered frame, no leaks") {
