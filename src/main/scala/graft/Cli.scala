@@ -79,8 +79,8 @@ object Cli {
                 (s: String) => tok.tokenize(s.toLowerCase).size
               }
               .getOrElse(graft.functions.Chunker.approxTokens)
-            val maxT = intFlag(flags, "chunk-max-tokens", mt)
-            val over = intFlag(flags, "chunk-overlap-tokens",
+            val maxT = intFlag("chunk-max-tokens", mt)
+            val over = intFlag("chunk-overlap-tokens",
               flags.getOrElse("chunk-overlap-tokens", "50"))
             if (maxT < 1) fail("--chunk-max-tokens must be >= 1")
             if (over < 0 || over >= maxT)
@@ -269,7 +269,7 @@ object Cli {
   private def req(flags: Map[String, String], key: String): String =
     flags.getOrElse(key, fail(s"--$key is required"))
 
-  private def intFlag(flags: Map[String, String], key: String, raw: String): Int =
+  private def intFlag(key: String, raw: String): Int =
     try raw.toInt
     catch { case _: NumberFormatException => fail(s"--$key must be an integer") }
 

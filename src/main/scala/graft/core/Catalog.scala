@@ -503,6 +503,59 @@ class Collection private[core] (
     * `max(_key)` already indexed; one partitioned pass embeds everything
     * above it. Returns the number of rows embedded.
     */
+  /** Staged commit for the embed passes. The embed job itself can run
+    * for hours at corpus scale — long past the lease — so nothing may
+    * land in the live index directly from it: the job writes into a
+    * sibling `__stage` directory, the lease is re-checked (and renewed)
+    * AFTER the job, and only then do the staged files move in (cheap
+    * renames) behind a commit marker. Crash before the marker: the
+    * orphaned stage is discarded by the next embed pass (watermark never
+    * advanced — the batch re-embeds whole). Crash mid-move: the marker
+    * rolls the REST of the moves forward before the next watermark read,
+    * so a partially-visible batch can never strand its unmoved keys
+    * below an advanced watermark. Queries never see the stage (sibling
+    * directory) and never recover it (write paths only, under the lock).
+    */
+  private def embedStageDir(column: String) = new Path(s"${indexDir(column)}__stage")
+  private def embedStageMarker(column: String) =
+    new Path(s"${indexDir(column)}__stage_commit")
+
+  private def moveStageIn(column: String): Unit = {
+    val stage = embedStageDir(column)
+    if (fs.exists(stage)) {
+      fs.mkdirs(new Path(indexDir(column)))
+      fs.listStatus(stage).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+          val dst = new Path(indexDir(column), s.getPath.getName)
+          if (fs.exists(dst)) fs.delete(s.getPath, false) // idempotent re-run
+          else if (!fs.rename(s.getPath, dst))
+            throw new java.io.IOException(
+              s"embed append commit: could not move ${s.getPath} to $dst")
+        }
+      }
+      fs.delete(stage, true)
+    }
+  }
+
+  private def recoverEmbedStage(column: String): Unit = {
+    if (fs.exists(embedStageMarker(column))) {
+      moveStageIn(column) // committed: roll the moves forward
+      fs.delete(embedStageMarker(column), false)
+    } else if (fs.exists(embedStageDir(column)))
+      fs.delete(embedStageDir(column), true) // uncommitted: discard
+  }
+
+  private def fencedIndexAppend(column: String)(write: String => Unit): Unit = {
+    recoverEmbedStage(column)
+    write(embedStageDir(column).toString)
+    // the embed job may have outlived the lease; nothing is visible yet —
+    // fence (and renew) before committing the staged files
+    writeLock.checkHeld()
+    fs.create(embedStageMarker(column), true).close()
+    moveStageIn(column)
+    fs.delete(embedStageMarker(column), false)
+  }
+
   def embedColumn(column: String, embedder: graft.embed.Embedder,
                   batchSize: Int = 32): Long = {
     import spark.implicits._
@@ -511,6 +564,7 @@ class Collection private[core] (
     // and two embed passes racing the same watermark would double-embed
     writeLock.lock()
     try {
+    recoverEmbedStage(column)
     val before = indexedCount(column)
     // Long.MinValue, not 0: user-imported keys may be non-positive and
     // must still embed into an empty index
@@ -540,10 +594,10 @@ class Collection private[core] (
       else embedded0
         .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
         .toDF(KeyCol, "fp", "qembedding")
-    // the embed pass can outlive the lease (hours at corpus scale):
-    // re-fence (and renew) just before the append lands
-    writeLock.checkHeld()
-    embedded.write.mode("append").parquet(indexDir(column))
+    // staged commit: the (long) embed job runs into __stage; the fence
+    // re-checks the lease AFTER it, before the cheap moves land
+    fencedIndexAppend(column)(stage =>
+      embedded.write.mode("overwrite").parquet(stage))
     indexedCount(column) - before
     } finally writeLock.unlock()
   }
@@ -567,6 +621,7 @@ class Collection private[core] (
     import spark.implicits._
     writeLock.lock() // see embedColumn: lease-covered append
     try {
+    recoverEmbedStage(column)
     val before = indexedCount(column)
     // Long.MinValue, not 0: user-imported keys may be non-positive and
     // must still embed into an empty index
@@ -585,8 +640,8 @@ class Collection private[core] (
       else embedded0
         .map { case (k, f, v) => (k, f, graft.embed.Quantization.encode(variant, v)) }
         .toDF(KeyCol, "fp", "qembedding")
-    writeLock.checkHeld() // re-fence + renew just before the append lands
-    embedded.write.mode("append").parquet(indexDir(column))
+    fencedIndexAppend(column)(stage =>
+      embedded.write.mode("overwrite").parquet(stage))
     indexedCount(column) - before
     } finally writeLock.unlock()
   }
@@ -1235,10 +1290,16 @@ class Collection private[core] (
         // legacy index without a sidecar: a PARTIAL fps holding only the
         // batch's keys would flag every OTHER key as unseen forever
         // (indexStatus all-missing, next unscoped repair re-bands the
-        // corpus). Backfill the whole sidecar once — the one-time legacy
-        // migration cost, paid explicitly here instead of silently later.
+        // corpus). Backfill the whole key set once — but record a REAL
+        // fingerprint only for the keys this call re-banded; every other
+        // key gets fp null, which still counts as changed, because their
+        // band rows may describe older text (an unscoped repair heals
+        // them exactly once and writes their true fps then).
         val n0 = math.max(1, spark.sparkContext.defaultParallelism / 4)
-        dedupFps(column)
+        scopedTo(dedupFps(column), changed)
+          .unionByName(df.select(col(KeyCol))
+            .join(changed, Seq(KeyCol), "left_anti")
+            .withColumn("fp", lit(null).cast(StringType)))
           .repartitionByRange(n0, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(s"$target/fps")
       }
@@ -1488,9 +1549,21 @@ class Collection private[core] (
         .localCheckpoint(true)
       val sidecarPairs = rows
         .select(col(KeyCol), explode(col("list_ids")).as("list_id"))
+      // A repair that crashed between its lists swap and its fps update
+      // leaves a non-null but STALE sidecar row — the fresh row it
+      // already wrote sits at the key's CURRENT assignment, recomputable
+      // from the stored centroids without scanning lists. Union those
+      // pairs in, so deletes and re-repairs always cover a crashed
+      // repair's fresh rows (deleteKeys runs this branch BEFORE erasing
+      // the vector index for the same reason).
+      val assignPairs = graft.search.Ann
+        .ivfAssign(scopedTo(embeddings(column), keysDf), "embedding",
+          readAnnCenters(column))
+        .select(col(KeyCol), col("list_id")).distinct()
+      val pairs0 = sidecarPairs.unionByName(assignPairs)
       val pairs =
-        if (strays.isEmpty) sidecarPairs
-        else sidecarPairs.unionByName(
+        if (strays.isEmpty) pairs0
+        else pairs0.unionByName(
           scopedTo(spark.read.parquet(annListsDir(column))
             .select(col(KeyCol), col("list_id")), strays).distinct())
       return touchedFilesByPair(annListsDir(column), pairs)
@@ -1994,7 +2067,11 @@ class Collection private[core] (
         .distinct().localCheckpoint(true)
       val n = df.join(del, Seq(KeyCol), "left_semi").count()
       deleteByKeyRange(dataDir, del)
-      indexStructures().foreach {
+      // ANN before the vector index: its rewrite planning reads the
+      // vector index (current-assignment pairs, see annTouchedLists) —
+      // content can no longer surface either way, data went first
+      indexStructures().sortBy { case (_, kind) => if (kind == "ann") 0 else 1 }
+        .foreach {
         case (c0, "vector") => deleteByKeyRange(indexDir(c0), del)
         case (c0, "kw") =>
           recoverSwap(keywordIndexDir(c0))

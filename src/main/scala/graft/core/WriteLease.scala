@@ -79,7 +79,14 @@ private[graft] final class WriteLease(
   def checkHeld(): Unit = {
     val fs = fsProvider()
     read(fs) match {
-      case Some((o, _)) if o == owner =>
+      case Some((o, exp)) if o == owner =>
+        // renew ONLY while unexpired: nobody may legally break a live
+        // lease between our read and the replace below, so the replacing
+        // rename can never clobber a usurper. An expired-but-unbroken
+        // lease passes the check WITHOUT renewal — replacing it would
+        // race a claimant who just broke it (delete+link), silently
+        // reinstating ourselves over their valid claim.
+        if (exp < System.currentTimeMillis()) return
         val payload = s"$owner ${System.currentTimeMillis() + leaseMs}"
           .getBytes(StandardCharsets.UTF_8)
         val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
@@ -119,9 +126,15 @@ private[graft] final class WriteLease(
               s"(lease expires in ${exp - System.currentTimeMillis()} ms). " +
               "Another process is writing — retry after it finishes, or " +
               "after the lease expires if it crashed.")
-        case Some(_) =>
-          // expired (crashed holder) or our own stale file: break it
-          fs.delete(leaseFile, false)
+        case Some(st) =>
+          // Expired (crashed holder) or our own stale file: break it.
+          // Breaking is delete-then-claim and NOT atomic on a plain
+          // filesystem — re-verify the lease is still the exact expired
+          // one we read before deleting, which shrinks (but cannot
+          // close) the window where a racer's fresh claim could be
+          // deleted; a usurped holder is still caught by its
+          // commit-point fences (checkHeld), the defense-in-depth layer.
+          if (read(fs).contains(st)) fs.delete(leaseFile, false)
         case None => ()
       }
       val tmp = new Path(leaseFile.getParent,
@@ -161,7 +174,21 @@ private[graft] final class WriteLease(
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.nio.file.NoSuchFileException => false
-        case _: UnsupportedOperationException => fs.rename(tmp, leaseFile)
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // link-less local mounts (FAT/SMB/some FUSE): degrade to an
+          // exclusive create (O_EXCL — atomic claim of the NAME), then
+          // write the payload. A reader can glimpse the empty file and
+          // treat it as breakable for that instant — far narrower than
+          // rename-replace, which lets two claimants both "win", and
+          // reached only on filesystems without hard links.
+          if (!fs.createNewFile(leaseFile)) false
+          else {
+            val out = fs.create(leaseFile, true)
+            try out.write(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(tmp.toUri.getPath)))
+            finally out.close()
+            true
+          }
       }
     } else fs.rename(tmp, leaseFile)
   }

@@ -575,9 +575,16 @@ object Keyword {
     *
     * Pure read — queries never run recovery: a lock-free search racing
     * a live writer's staged append must not delete its staging dirs or
-    * fight its file moves. A crash-interrupted append stays invisible
-    * (stats and the doclen watermark advance only at commit completion)
-    * until the next WRITE entry point heals it under the write lock.
+    * fight its file moves. An UNCOMMITTED crashed append (no journal)
+    * is fully invisible. A crash mid-commit can leave SOME of the
+    * batch's moved files visible with pre-batch stats until the next
+    * WRITE entry point rolls the journal forward; the skew is bounded —
+    * half-landed docs without a doclen row drop out of scoring entirely
+    * (the per-key join below is inner), so at worst df/n_docs/avgdl are
+    * briefly stale, the same class of staleness a live commit's
+    * in-flight moves already expose. A read-only serving deployment
+    * should run `repairIndex`/refresh on a schedule (or after any
+    * writer crash) to heal rather than rely on query-path recovery.
     */
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,

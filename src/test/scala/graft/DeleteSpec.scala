@@ -169,12 +169,19 @@ class DeleteSpec extends SparkSpec {
     assert(!new java.io.File(fpsDir).exists)
     c.upsert(Seq((3L, "entirely rewritten text payload")).toDF("_key", "text"))
     // a scoped repair must not create a PARTIAL sidecar (which would
-    // flag every other key as unseen forever) — it backfills all keys
+    // flag every other key as unseen forever) — it backfills all keys,
+    // with a REAL fp only for the re-banded scope (out-of-scope keys
+    // stay fp-null: their bands may describe older text)
     assert(c.repairDedupIndex("text",
       scope = Some(Seq(3L).toDF("_key"))) >= 1L)
     assert(spark.read.parquet(fpsDir).count() == 20L,
       "legacy migration must backfill the full sidecar")
-    // and the index is now consistent: a clean unscoped re-run is a no-op
+    assert(spark.read.parquet(fpsDir)
+      .filter(col("fp").isNotNull).count() == 1L,
+      "only the re-banded key may carry a trusted fingerprint")
+    // the conservative null fps heal exactly once on the next unscoped
+    // reconcile; after that a clean re-run is a no-op
+    assert(c.repairDedupIndex("text") == 19L)
     assert(c.repairDedupIndex("text") == 0L)
   }
 }
