@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-shard export — the last step of a data
+  * pipeline: write the final corpus as fixed-size shards in a
+  * reproducible global order, with a manifest the training job (and an
+  * auditor) can verify counts and membership against.
+  *
+  * Shard identity derives from [[Shuffle.deterministicShuffle]]'s
+  * position (salted-md5 global order), so re-running the export over
+  * identical input reproduces identical shard membership AND in-shard
+  * order — the property that makes a training run resumable and a
+  * corpus release auditable. The manifest carries per-shard row counts,
+  * position ranges and an order-binding checksum (sum over rows of
+  * `key * (in-shard position + 1)` — plain BIGINT arithmetic, so an
+  * external SQL engine re-derives it exactly; a swapped, dropped or
+  * reordered row changes it).
+  *
+  * Scale shape: one deterministic-shuffle pass (range partition on the
+  * hash + per-partition offsets — no global window), one hash
+  * repartition by shard for the write (each shard's rows land in exactly
+  * one task, so `partitionBy` emits exactly one file per shard), and a
+  * shard-keyed partial aggregate for the manifest.
+  */
+object Export {
+
+  /** `(rows + shard/pos columns, manifest)` — the plan both [[writeShards]]
+    * and the oracle-gated manifest query share.
+    */
+  def shardPlan(df: DataFrame, keyCol: String, rowsPerShard: Int,
+                salt: String = ""): (DataFrame, DataFrame) = {
+    require(rowsPerShard >= 1, "rowsPerShard must be >= 1")
+    val rows = Shuffle.deterministicShuffle(df, keyCol, salt)
+      .withColumn("shard", (col("pos") / rowsPerShard).cast("long"))
+    val manifest = rows.groupBy(col("shard")).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("pos")).as("pos_min"),
+        max(col("pos")).as("pos_max"),
+        sum(col(keyCol).cast("long") *
+          (col("pos") % rowsPerShard + lit(1L))).as("checksum"))
+      .orderBy(col("shard"))
+    (rows, manifest)
+  }
+
+  /** Write `outDir/shard=N/` parquet (one file per shard, rows in
+    * deterministic order) plus `outDir/_manifest` parquet. Returns the
+    * manifest.
+    */
+  def writeShards(df: DataFrame, keyCol: String, outDir: String,
+                  rowsPerShard: Int, salt: String = ""): DataFrame = {
+    val (rows, manifest) = shardPlan(df, keyCol, rowsPerShard, salt)
+    rows.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
+}

@@ -313,6 +313,16 @@ object PipelineQueries {
           documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
         .orderBy(col("pos"))),
 
+    // Training-shard export manifest: fixed-size shards in the
+    // deterministic shuffle order, per-shard counts + position ranges +
+    // an order-binding BIGINT checksum (key * (in-shard pos + 1)) the
+    // oracle re-derives exactly — a swapped, dropped or reordered row
+    // fails the hash gate.
+    "q119_export_shards" -> ((s, d) =>
+      graft.operators.Export.shardPlan(
+          documents(s, d).select(col("doc_id"), col("lang")), "doc_id", 64)
+        ._2.orderBy(col("shard"))),
+
     // Incremental near-dedup: the nightly-crawl shape — new batch
     // (doc_id >= 250) deduped AGAINST the standing corpus (doc_id < 250)
     // via the band join, never corpus x corpus. Graded against the exact
@@ -676,6 +686,19 @@ object PipelineQueries {
         | CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
         |   AS BIGINT) AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+
+    // // (floor) division: DuckDB's / on integers yields DOUBLE and CAST
+    // rounds-to-nearest, so the shard id needs the // floor-div operator
+    "q119_export_shards" ->
+      """WITH p AS (SELECT doc_id,
+        |   CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |     AS BIGINT) AS pos
+        |  FROM documents)
+        |SELECT CAST(pos // 64 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(pos) AS pos_min, max(pos) AS pos_max,
+        |  CAST(sum(doc_id * (pos % 64 + 1)) AS BIGINT) AS checksum
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q68_dedup_apply" -> DedupApplyOracle,
     // q104 is the LSH-pair production path graded against the SAME exact

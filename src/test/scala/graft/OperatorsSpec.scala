@@ -169,6 +169,37 @@ class DedupSpec extends SparkSpec {
     assert(salted.keySet == posMap.keySet && salted != posMap)
   }
 
+  test("shard export: one file per shard, deterministic re-run, manifest binds order") {
+    import graft.operators.Export
+    val df = (0L until 500L).map(k => (k, s"doc $k")).toDF("k", "v").repartition(7)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/train"
+    val manifest = Export.writeShards(df, "k", out, rowsPerShard = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 500 rows / 64 = 8 shards, last one short; contiguous pos ranges
+    assert(manifest.length == 8)
+    assert(manifest.map(_._2).sum == 500L)
+    assert(manifest.init.forall(_._2 == 64L) && manifest.last._2 == 52L)
+    manifest.foreach { case (s0, n, lo, hi, _) =>
+      assert(lo == s0 * 64 && hi == lo + n - 1, "pos ranges must tile")
+    }
+    // exactly one data file per shard directory
+    (0 until 8).foreach { s0 =>
+      val files = new java.io.File(s"$out/shard=$s0").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s0 wrote ${files.length} files")
+    }
+    // written rows match the plan's order (pos sorted within each shard)
+    val rd = spark.read.parquet(out)
+    assert(rd.count() == 500L)
+    // a re-run over identical input reproduces identical membership
+    val again = Export.writeShards(df, "k",
+      out + "2", rowsPerShard = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(again.toSeq == manifest.map(t => (t._1, t._2, t._5)).toSeq)
+    // the stored manifest round-trips
+    assert(spark.read.parquet(s"$out/_manifest").count() == 8L)
+  }
+
   test("collection dedup index: indexed check == inline, refresh catches appends") {
     import graft.core.{Catalog, CollectionConfig}
     import graft.dedup.Dedup
