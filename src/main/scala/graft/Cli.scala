@@ -166,6 +166,34 @@ object Cli {
           val ann = c.repairAnnIndex(col)
           println(s"column '$col': re-embedded $n, keyword $kw, dedup $dd, ann $ann")
         }
+      case "backup" =>
+        // full+incremental chain: first call copies everything, later
+        // calls only files changed since the previous generation
+        val c = catalog.load(req(flags, "collection"))
+        val dest = req(flags, "dest")
+        val r = c.backup(dest, full = flags.contains("full"))
+        println(s"generation ${r.generation} (${if (r.full) "full" else "incremental"}): " +
+          s"copied ${r.copiedFiles} file(s) / ${r.copiedBytes} bytes, " +
+          s"reused ${r.reusedFiles} of ${r.totalFiles}")
+      case "restore" =>
+        val dest = req(flags, "dest")
+        val gen = flags.get("generation").map(_.toInt).getOrElse(-1)
+        val c = catalog.restore(dest, req(flags, "collection"), gen)
+        println(s"restored ${c.config.name} (${c.count()} rows) from $dest" +
+          (if (gen > 0) s" generation $gen" else " latest generation"))
+      case "verify-backup" =>
+        val dest = req(flags, "dest")
+        val gen = flags.get("generation").map(_.toInt).getOrElse(-1)
+        val report = graft.core.Backup.verify(s, dest, gen)
+        val bad = report.filter(org.apache.spark.sql.functions.col("status") =!= "ok")
+        if (bad.isEmpty) println("all files verify clean")
+        else { bad.show(100, truncate = false); fail("backup verification FAILED") }
+      case "prune-backups" =>
+        val dest = req(flags, "dest")
+        val keep = flags.getOrElse("keep-chains", "1").toInt
+        val dropped = graft.core.Backup.prune(s, dest, keep)
+        println(if (dropped.isEmpty) "nothing to prune"
+                else s"dropped generation(s) ${dropped.mkString(", ")}")
       case "status" =>
         // consistency report per structure: missing/stale/orphaned rows
         // + ANN centroid drift (current/build assignment distance; >> 1
@@ -310,6 +338,12 @@ object Cli {
       |            the corpus, heal embeddings + every index
       |  status   --collection C   # per-structure missing/stale/orphaned
       |            counts + ANN centroid drift
+      |  backup   --collection C --dest DIR [--full]   # generation-chained
+      |            incremental backup (data + config + every index)
+      |  restore  --collection C --dest DIR [--generation n]  # materialize
+      |            a backup generation (default latest) as collection C
+      |  verify-backup --dest DIR [--generation n]  # re-digest stored files
+      |  prune-backups --dest DIR [--keep-chains n]  # drop old full chains
       |  search   --collection C --query Q [--column col] [--limit n]
       |           [--mode vector|keyword|hybrid|ann] [--n-probe p]
       |           [--require-all]  # keyword mode: AND semantics

@@ -2234,6 +2234,43 @@ class Collection private[core] (
     rows.toSeq.toDF("structure", "missing", "stale", "orphaned", "drift")
   }
 
+  /** Heal every pending swap across the collection — data directory plus
+    * all four index families — so the on-disk state is a complete,
+    * consistent snapshot. Used before [[backup]]: copying a directory
+    * with an uncommitted journal would capture a torn write.
+    */
+  private def healAll(): Unit = {
+    recoverCompaction()
+    recoverFileSwap(dataDir)
+    indexStructures().foreach {
+      case (c0, "vector") => recoverFileSwap(indexDir(c0))
+      case (c0, "kw")     => recoverSwap(keywordIndexDir(c0))
+      case (c0, "dd") =>
+        val t = dedupIndexDir(c0)
+        recoverSwap(t); recoverFileSwap(s"$t/bands"); recoverFileSwap(s"$t/fps")
+      case (c0, "ann") =>
+        val t = annIndexDir(c0)
+        recoverSwap(t); recoverSwap(annListsDir(c0))
+        recoverFileSwap(annListsDir(c0)); recoverFileSwap(s"$t/fps")
+      case _ => ()
+    }
+  }
+
+  /** Back up the whole collection (config + data + every index) into
+    * `destRoot` as a new backup generation — full on the first call,
+    * incremental (changed files only) afterwards; see [[Backup]] for the
+    * chain layout, crash-safety and the O(changed bytes) cost argument.
+    * Holds the write lease so the captured file set is a consistent
+    * point-in-time snapshot, and heals pending swaps first.
+    */
+  def backup(destRoot: String, full: Boolean = false): Backup.Report = {
+    writeLock.lock()
+    try {
+      healAll()
+      Backup.backup(spark, dir, destRoot, full)
+    } finally writeLock.unlock()
+  }
+
   /** `(column, kind)` for every persisted index structure under the
     * index root, `kind` in vector|kw|dd|ann (suffix-namespaced dirs —
     * the collection's layout convention), vector indexes first.
@@ -2312,4 +2349,23 @@ class Catalog(val spark: SparkSession, val rootDir: String) {
   }
 
   def drop(name: String): Unit = fs.delete(new Path(s"$rootDir/$name"), true)
+
+  /** Materialize a backup generation (default: latest) as collection
+    * `name` under this catalog root and load it. The backup captured
+    * `config.json`, so the restored directory IS a collection; the
+    * stored `name` in the config is rewritten when restoring under a
+    * different collection name. Refuses to overwrite an existing
+    * collection.
+    */
+  def restore(destRoot: String, name: String, generation: Int = -1): Collection = {
+    Identifiers.validate(name)
+    require(!exists(name), s"collection $name already exists under $rootDir")
+    Backup.restore(spark, destRoot, s"$rootDir/$name", generation)
+    val c = load(name)
+    if (c.config.name != name) {
+      val renamed = new Collection(spark, rootDir, c.config.copy(name = name))
+      renamed.writeConfig()
+      renamed
+    } else c
+  }
 }

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Backup, Catalog, CollectionConfig}
+import graft.embed.HashingEmbedder
+
+/** Generation-chained incremental backup: full first, O(changed files)
+  * afterwards, restorable at any committed generation (time travel across
+  * the chain), verifiable by digest, prunable by whole chains only.
+  */
+class BackupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = new HashingEmbedder(dim = 32)
+
+  private def tmpRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def mkCollection(cat: Catalog, name: String) = {
+    val c = cat.create(CollectionConfig(name = name))
+    val docs = (1 to 60)
+      .map(i => (i.toLong, s"backup fixture document number $i body $i"))
+      .toDF("_key", "text")
+      .repartitionByRange(6, col("_key"))
+      .sortWithinPartitions("_key")
+    c.importDf(docs)
+    c
+  }
+
+  private def rows(c: graft.core.Collection): Set[(Long, String)] =
+    c.df.select(col("_key"), col("text")).as[(Long, String)].collect().toSet
+
+  test("full backup + restore round-trips data, config and a search index") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "src1")
+    assert(c.embedColumn("text", emb) == 60)
+    val dest = tmpRoot("graft_bak_dest")
+
+    val r = c.backup(dest)
+    assert(r.generation == 1 && r.full)
+    assert(r.copiedFiles == r.totalFiles && r.reusedFiles == 0)
+    assert(r.copiedFiles > 6, "data files + index files + config.json")
+
+    val restored = cat.restore(dest, "copy1")
+    assert(restored.config.name == "copy1")
+    assert(rows(restored) == rows(c))
+    assert(restored.indexedCount("text") == 60)
+    val hit = restored.search("text", "backup fixture document number 17", 1, emb).head()
+    assert(hit.getLong(1) == 17L)
+    // the lease file must not have been captured: the restored copy can write
+    restored.appendDf(Seq("fresh row after restore").toDF("text"))
+    assert(restored.count() == 61)
+  }
+
+  test("incremental backup copies only changed files; any generation restores (time travel)") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "src2")
+    val dest = tmpRoot("graft_bak_dest")
+    val before = rows(c)
+
+    val r1 = c.backup(dest)
+    assert(r1.full && r1.generation == 1)
+
+    // a contiguous key-range delete touches ~1 of the 6 range-clustered files
+    assert(c.deleteKeys(11L to 20L) == 10L)
+    val r2 = c.backup(dest)
+    assert(!r2.full && r2.generation == 2)
+    assert(r2.copiedFiles < r2.totalFiles / 2,
+      s"incremental copied ${r2.copiedFiles}/${r2.totalFiles} — should be the touched file(s) only")
+    assert(r2.reusedFiles > 0)
+    // reused entries still point at generation 1's bytes — no duplicate storage
+    val m2 = Backup.manifest(spark, dest, 2)
+    assert(m2.entries.count(_.storedIn == 1) == r2.reusedFiles)
+    assert(m2.entries.count(_.storedIn == 2) == r2.copiedFiles)
+
+    // latest restores the current state
+    val curDir = tmpRoot("graft_bak_restore") + "/cur"
+    Backup.restore(spark, dest, curDir)
+    val cur = spark.read.parquet(s"$curDir/data")
+      .select(col("_key"), col("text")).as[(Long, String)].collect().toSet
+    assert(cur == rows(c))
+    assert(cur.size == 50)
+
+    // generation 1 restores the pre-delete state — time travel
+    val oldDir = tmpRoot("graft_bak_restore") + "/old"
+    Backup.restore(spark, dest, oldDir, generation = 1)
+    val old = spark.read.parquet(s"$oldDir/data")
+      .select(col("_key"), col("text")).as[(Long, String)].collect().toSet
+    assert(old == before && old.size == 60)
+  }
+
+  test("verify reports per-file integrity; corruption is caught at restore too") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "src3")
+    val dest = tmpRoot("graft_bak_dest")
+    c.backup(dest)
+
+    val clean = Backup.verify(spark, dest)
+    assert(clean.filter(col("status") =!= "ok").count() == 0)
+
+    // flip one byte in a stored data file; drop the local fs's .crc sidecar
+    // so the MANIFEST md5 (the check that exists on every filesystem) is
+    // what must catch it, not Hadoop's ChecksumFileSystem
+    val stored = new java.io.File(s"$dest/gen-00001/files/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val raf = new java.io.RandomAccessFile(stored, "rw")
+    try { raf.seek(stored.length() / 2); raf.writeByte(raf.read() ^ 0xff) }
+    finally raf.close()
+    new java.io.File(stored.getParent, s".${stored.getName}.crc").delete()
+
+    val dirty = Backup.verify(spark, dest).collect()
+    val bad = dirty.filter(_.getString(1) != "ok")
+    assert(bad.length == 1 && bad.head.getString(1) == "checksum_mismatch")
+    assert(bad.head.getString(0) == s"data/${stored.getName}")
+
+    val tgt = tmpRoot("graft_bak_restore") + "/broken"
+    val err = intercept[Exception](Backup.restore(spark, dest, tgt))
+    assert(err.getMessage.contains("verify") || err.getMessage.contains("manifest"))
+  }
+
+  test("aborted generation (no manifest) is invisible and its number is safely reused") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "src4")
+    val dest = tmpRoot("graft_bak_dest")
+    c.backup(dest)
+
+    // simulate a backup that died mid-copy: files staged, no manifest
+    val aborted = new java.io.File(s"$dest/gen-00002/files/data")
+    aborted.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(aborted, "junk.parquet")).close()
+    assert(Backup.generations(spark, dest) == Seq(1))
+
+    c.appendDf(Seq("row after the crash").toDF("text"))
+    val r = c.backup(dest)
+    assert(r.generation == 2 && !r.full)
+    val dir2 = tmpRoot("graft_bak_restore") + "/gen2"
+    Backup.restore(spark, dest, dir2, generation = 2)
+    val got = spark.read.parquet(s"$dir2/data")
+    assert(got.count() == 61)
+    assert(got.filter(col("text") === "junk").count() == 0)
+  }
+
+  test("prune drops whole old chains; retained generations stay restorable") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "src5")
+    val dest = tmpRoot("graft_bak_dest")
+
+    c.backup(dest)                                  // gen 1: full (chain A)
+    c.deleteKeys(Seq(1L)); c.backup(dest)           // gen 2: incremental (chain A)
+    c.deleteKeys(Seq(2L)); c.backup(dest, full = true) // gen 3: full (chain B)
+    c.deleteKeys(Seq(3L)); c.backup(dest)           // gen 4: incremental (chain B)
+    assert(Backup.generations(spark, dest) == Seq(1, 2, 3, 4))
+
+    assert(Backup.prune(spark, dest, keepChains = 1) == Seq(1, 2))
+    assert(Backup.generations(spark, dest) == Seq(3, 4))
+
+    // both retained generations verify and restore
+    assert(Backup.verify(spark, dest, 3).filter(col("status") =!= "ok").count() == 0)
+    assert(Backup.verify(spark, dest, 4).filter(col("status") =!= "ok").count() == 0)
+    val d4 = tmpRoot("graft_bak_restore") + "/g4"
+    Backup.restore(spark, dest, d4)
+    assert(spark.read.parquet(s"$d4/data").count() == 57)
+    // a dropped generation is gone
+    intercept[IllegalArgumentException](Backup.manifest(spark, dest, 1))
+    // pruning again with nothing to drop is a no-op
+    assert(Backup.prune(spark, dest, keepChains = 1).isEmpty)
+  }
+}
