@@ -438,6 +438,27 @@ object TextQueries {
         .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Reverse search (percolation): which saved keyword queries does each
+    // document satisfy? Conjunctive semantics; q5 repeats a term (counts
+    // once), q6 carries a term absent from the corpus (never fires). The
+    // stored-query table broadcasts; cost is one pass over batch tokens.
+    "q121_percolate" -> ((s, d) => {
+      import s.implicits._
+      val saved = Seq(
+        (1L, "fast join"),
+        (2L, "vector window batch"),
+        (3L, "slow scan merge hash"),
+        (4L, "customer filter query"),
+        (5L, "spark spark table"),
+        (6L, "quasar spark")
+      ).toDF("query_id", "query")
+      Keyword.percolate(documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", saved)
+        .select(col("key").as("doc_id"), col("query_id"),
+          col("matched_terms"), col("n_terms"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // Exact kNN self-join: every vector's 3 nearest neighbors by cosine
     // — the batch primitive under semantic clustering / graph dedup /
     // diversity sampling. Like q29, the exact all-pairs twin is gated to
@@ -883,6 +904,31 @@ object TextQueries {
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,
+
+    // percolation: distinct doc tokens joined to distinct stored-query
+    // terms; a hit must match EVERY term of the query
+    "q121_percolate" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  (1, 'fast join'), (2, 'vector window batch'),
+         |  (3, 'slow scan merge hash'), (4, 'customer filter query'),
+         |  (5, 'spark spark table'), (6, 'quasar spark')),
+         | qt AS (SELECT query_id,
+         |   unnest(list_distinct(list_filter(
+         |     string_split_regex(trim(lower(qtext)), '\\s+'), x -> x <> ''))) AS tok
+         |  FROM q),
+         | qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM qt GROUP BY 1),
+         | dt AS (SELECT DISTINCT doc_id, tok FROM
+         |   (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents)
+         |  WHERE tok <> ''),
+         | m AS (SELECT dt.doc_id, qt.query_id,
+         |   CAST(count(*) AS BIGINT) AS matched_terms
+         |  FROM dt JOIN qt USING (tok) GROUP BY 1, 2)
+         |SELECT m.doc_id, CAST(m.query_id AS BIGINT) AS query_id,
+         |  m.matched_terms, qn.n_terms
+         |FROM m JOIN qn USING (query_id)
+         |WHERE m.matched_terms = qn.n_terms
+         |ORDER BY query_id, doc_id""".stripMargin,
 
     // batch search: 10 query rows vs the rest of the corpus, top-3 each
     "q118_batch_search" ->

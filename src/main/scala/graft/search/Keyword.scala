@@ -268,6 +268,22 @@ object Keyword {
       .select(col("key"), col("fp"))
   }
 
+  /** Log-churn metric for the maintenance planner: fraction of doclen log
+    * rows that are dead weight (tombstones + the rows they cancel). 0 on
+    * a freshly built/compacted index; grows with every repair/delete
+    * until [[compactIndexTo]] folds the log. Counting only.
+    */
+  def deadFraction(spark: SparkSession, dir: String): Double = {
+    val log = spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen")
+    val gross = log.count()
+    if (gross == 0L) 0.0
+    else {
+      val live = liveDoclenOf(log).agg(coalesce(sum(col("cnt")), lit(0L)))
+        .head().getLong(0)
+      1.0 - live.toDouble / gross
+    }
+  }
+
   // --- crash-safe append protocol ----------------------------------------
   //
   // appendToIndex must land postings AND doclen together. A plain
@@ -621,6 +637,47 @@ object Keyword {
     * partition window is deliberate and cheap here, not a scale hazard.
     * The per-key sum folds in list-index order (deterministic f64).
     */
+  /** Reverse search (percolation): match a batch of documents against a
+    * standing table of saved keyword queries — the alerting/routing shape
+    * (Elasticsearch calls it the percolator): "which saved searches does
+    * this new document satisfy?". The classic index is inverted — the
+    * QUERIES are indexed, documents stream through — and the Spark-native
+    * expression is the same idea as a plan: tokenize the stored queries
+    * once, broadcast them (the saved-query table is small next to a
+    * document batch), tokenize the batch once, and count distinct term
+    * matches per (document, query) with a map-side-combined aggregate.
+    *
+    * `requireAll = true` (the default) keeps conjunctive matches only —
+    * a document must contain EVERY term of the query; `false` returns
+    * any-term matches with their matched/total counts so the caller can
+    * apply a minimum-should-match threshold.
+    *
+    * Scale shape: cost is O(batch tokens) + one broadcast — the corpus
+    * is never touched, no shuffle grows with the stored-query count, and
+    * a continuous pipeline runs this per micro-batch against the same
+    * broadcast queries. Returns (key, query_id, matched_terms, n_terms).
+    */
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, queryIdCol: String = "query_id",
+                queryTextCol: String = "query",
+                requireAll: Boolean = true,
+                analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(analyzer.tokensCol(col(queryTextCol)))).as("tok"))
+      .localCheckpoint(true) // tiny; evaluated twice (terms + counts)
+    val qn = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+    // distinct (key, tok): a term repeated in the document must count once
+    val dt = explodedTokens(docs, idCol, textCol, analyzer).distinct()
+    val matched = dt.join(broadcast(qt), "tok")
+      .groupBy(col("key"), col("query_id"))
+      .agg(count(lit(1)).as("matched_terms"))
+      .join(broadcast(qn), "query_id")
+    val hits =
+      if (requireAll) matched.filter(col("matched_terms") === col("n_terms"))
+      else matched
+    hits.select(col("key"), col("query_id"), col("matched_terms"), col("n_terms"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], keyCol: String, k: Int,
               c: Int = DefaultRrfC): DataFrame = {
     require(lists.nonEmpty, "rrfFuse requires at least one ranked list")

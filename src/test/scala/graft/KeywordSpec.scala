@@ -409,6 +409,37 @@ class KeywordSpec extends SparkSpec {
       assert(indexedPage(q) == inlinePage(q), s"query '$q' diverged after compaction")
   }
 
+  test("percolate: saved queries match a doc batch (AND + any-term modes, blank-safe)") {
+    val docs = Seq(
+      (1L, "spark shuffle spills to disk"),
+      (2L, "parquet files hold spark tables"),
+      (3L, "the shuffle stage wrote parquet"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "spark spark spark") // repeats must count once per term
+    ).toDF("doc_id", "text")
+    val saved = Seq(
+      (10L, "spark shuffle"),    // AND: only doc 1
+      (20L, "parquet"),          // AND: docs 2, 3
+      (30L, "spark spark"),      // dup term in the QUERY counts once
+      (40L, "zeppelin spark")    // 'zeppelin' absent: AND never fires
+    ).toDF("query_id", "query")
+
+    val and = Keyword.percolate(docs, "doc_id", "text", saved)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(and == Set((10L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 2L), (30L, 6L)))
+
+    // any-term mode surfaces partial matches with their counts
+    val any = Keyword.percolate(docs, "doc_id", "text", saved, requireAll = false)
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(0)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(any((40L, 1L)) == (1L, 2L), "doc 1 matches 1 of zeppelin+spark")
+    assert(any((10L, 3L)) == (1L, 2L), "doc 3 has shuffle but not spark")
+    assert(!any.contains((20L, 1L)) && !any.contains((10L, 4L)) &&
+      !any.contains((10L, 5L)))
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping pages") {
     // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
     val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
