@@ -166,6 +166,52 @@ object Cli {
           val ann = c.repairAnnIndex(col)
           println(s"column '$col': re-embedded $n, keyword $kw, dedup $dd, ann $ann")
         }
+      case "maintain" =>
+        // plan first (counting only), then optionally execute — looping,
+        // because a repair can surface follow-on work (re-embedding
+        // changed rows makes the ANN fps stale, which only the NEXT plan
+        // sees); the dependency chain is short, so a fixpoint comes fast
+        val c = catalog.load(req(flags, "collection"))
+        var rows = c.planMaintenance().collect()
+        if (rows.isEmpty) println("nothing to do — all structures clean")
+        else c.planMaintenance().show(100, truncate = false)
+        var round = 0
+        while (rows.nonEmpty && flags.contains("apply") && round < 4) {
+          round += 1
+          lazy val embedder =
+            registry.load(c.config.model_name, c.config.model_variant)
+          rows.foreach { r =>
+            val (column, action) = (r.getString(1), r.getString(3))
+            action match {
+              case "reembedChanged + embedColumn" =>
+                val n = c.reembedChanged(column, embedder) + c.embedColumn(column, embedder)
+                println(s"$action($column): $n row(s)")
+              case "repairKeywordIndex" =>
+                println(s"$action($column): ${c.repairKeywordIndex(column)} row(s)")
+              case "repairDedupIndex" =>
+                println(s"$action($column): ${c.repairDedupIndex(column)} row(s)")
+              case "repairAnnIndex" =>
+                println(s"$action($column): ${c.repairAnnIndex(column)} row(s)")
+              case "buildAnnIndex" =>
+                // retrain with the index's stored geometry
+                val p = s.read.parquet(s"${c.annIndexDir(column)}/params").head()
+                c.buildAnnIndex(column, nLists = p.getAs[Int]("n_lists"),
+                  pqM = p.getAs[Int]("pq_m"))
+                println(s"$action($column): retrained")
+              case "compact" =>
+                println(s"compact(): ${c.compact()} file(s)")
+              case "compactIndex" =>
+                println(s"$action($column): ${c.compactIndex(column)} file(s)")
+              case "compactAnnIndex" =>
+                println(s"$action($column): ${c.compactAnnIndex(column)} file(s)")
+              case "compactKeywordIndex" =>
+                c.compactKeywordIndex(column); println(s"$action($column): folded")
+              case other => fail(s"unknown planned action '$other'")
+            }
+          }
+          rows = c.planMaintenance().collect()
+          if (rows.isEmpty) println(s"clean after $round round(s)")
+        }
       case "backup" =>
         // full+incremental chain: first call copies everything, later
         // calls only files changed since the previous generation
@@ -284,7 +330,8 @@ object Cli {
       val a = args(i)
       if (a.startsWith("--")) {
         val key = a.drop(2)
-        if (key == "overwrite" || key == "require-all") {
+        if (key == "overwrite" || key == "require-all" || key == "apply" ||
+            key == "full") {
           flags += key -> "true"; i += 1
         }
         else if (i + 1 < args.length) { flags += key -> args(i + 1); i += 2 }
@@ -338,6 +385,8 @@ object Cli {
       |            the corpus, heal embeddings + every index
       |  status   --collection C   # per-structure missing/stale/orphaned
       |            counts + ANN centroid drift
+      |  maintain --collection C [--apply]  # ordered repair/retrain/compact
+      |            plan from the status counters; --apply executes it
       |  backup   --collection C --dest DIR [--full]   # generation-chained
       |            incremental backup (data + config + every index)
       |  restore  --collection C --dest DIR [--generation n]  # materialize

@@ -2234,6 +2234,87 @@ class Collection private[core] (
     rows.toSeq.toDF("structure", "missing", "stale", "orphaned", "drift")
   }
 
+  /** Ordered maintenance plan: what to run, on what, and why — the
+    * operational layer above [[indexStatus]]'s raw counters. One row per
+    * recommended action, lowest `priority` first:
+    *
+    *   1. vector-index repair (missing/stale/orphaned embeddings) — runs
+    *      first because keyword/dedup/ANN repairs read the fingerprints
+    *      the re-embed refreshes;
+    *   2. keyword / dedup / ANN repairs (same counters per structure);
+    *   3. ANN retrain (`buildAnnIndex`) when centroid drift crossed
+    *      `driftRebuildAt` — refresh deliberately never retrains, so
+    *      accumulated drift needs an explicit rebuild;
+    *   4. compactions: small-file pressure on the data / vector-index /
+    *      ANN-lists directories (file count > `smallFileFactor` x the
+    *      `targetFileBytes` ideal), and keyword log churn (dead log
+    *      fraction > `deadFractionAt`).
+    *
+    * Counting + footer metadata only — never mutates; a 100 TB
+    * collection pays O(files) driver metadata plus the [[indexStatus]]
+    * reconcile scans, not a rewrite. Execute with the CLI's
+    * `maintain --apply` or call the named methods directly.
+    */
+  def planMaintenance(driftRebuildAt: Double = 1.5,
+                      smallFileFactor: Int = 4,
+                      targetFileBytes: Long = 128L * 1024 * 1024,
+                      deadFractionAt: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val acts = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, String)]
+    val structs = indexStructures()
+    structs.map(_._1).distinct.foreach { c0 =>
+      indexStatus(c0).collect().foreach { r =>
+        val structure = r.getString(0)
+        val (missing, stale, orphaned) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        if (missing + stale + orphaned > 0) {
+          val (pri, action) = structure match {
+            case "vector" => (1, "reembedChanged + embedColumn")
+            case "keyword" => (2, "repairKeywordIndex")
+            case "dedup" => (2, "repairDedupIndex")
+            case _ => (2, "repairAnnIndex")
+          }
+          acts += ((pri, c0, structure, action,
+            s"missing=$missing stale=$stale orphaned=$orphaned"))
+        }
+        if (structure == "ann" && !r.isNullAt(4) &&
+            r.getDouble(4) >= driftRebuildAt)
+          acts += ((3, c0, "ann", "buildAnnIndex",
+            f"centroid drift ${r.getDouble(4)}%.2fx the build baseline"))
+      }
+    }
+    def filePressure(target: String, c0: String, structure: String,
+                     action: String): Unit = {
+      val p = new Path(target)
+      if (!fs.exists(p)) return
+      var n = 0; var bytes = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) { n += 1; bytes += s.getLen }
+      }
+      val ideal = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      if (n >= 16 && n > smallFileFactor * ideal)
+        acts += ((4, c0, structure, action,
+          s"$n files for $bytes bytes (ideal ~$ideal)"))
+    }
+    filePressure(dataDir, "", "data", "compact")
+    structs.foreach {
+      case (c0, "vector") => filePressure(indexDir(c0), c0, "vector", "compactIndex")
+      case (c0, "ann") => filePressure(annListsDir(c0), c0, "ann", "compactAnnIndex")
+      case (c0, "kw") =>
+        if (hasKeywordIndex(c0)) {
+          val dead = graft.search.Keyword.deadFraction(spark, keywordIndexDir(c0))
+          if (dead > deadFractionAt)
+            acts += ((4, c0, "keyword", "compactKeywordIndex",
+              f"${dead * 100}%.0f%% of the log is tombstone churn"))
+        }
+      case _ => ()
+    }
+    acts.sorted.toSeq
+      .toDF("priority", "column", "structure", "action", "reason")
+  }
+
   /** Heal every pending swap across the collection — data directory plus
     * all four index families — so the on-disk state is a complete,
     * consistent snapshot. Used before [[backup]]: copying a directory

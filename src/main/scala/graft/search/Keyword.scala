@@ -666,8 +666,11 @@ object Keyword {
         explode(array_distinct(analyzer.tokensCol(col(queryTextCol)))).as("tok"))
       .localCheckpoint(true) // tiny; evaluated twice (terms + counts)
     val qn = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
-    // distinct (key, tok): a term repeated in the document must count once
-    val dt = explodedTokens(docs, idCol, textCol, analyzer).distinct()
+    // per-ROW distinct tokens (array_distinct before the explode): a term
+    // repeated in a document counts once, without the global distinct
+    // shuffle a `.distinct()` over (key, tok) would cost
+    val dt = docs.select(col(idCol).as("key"),
+      explode(array_distinct(analyzer.tokensCol(col(textCol)))).as("tok"))
     val matched = dt.join(broadcast(qt), "tok")
       .groupBy(col("key"), col("query_id"))
       .agg(count(lit(1)).as("matched_terms"))
@@ -676,6 +679,38 @@ object Keyword {
       if (requireAll) matched.filter(col("matched_terms") === col("n_terms"))
       else matched
     hits.select(col("key"), col("query_id"), col("matched_terms"), col("n_terms"))
+  }
+
+  /** Row-wise percolation twin: same results as [[percolate]], built
+    * without ANY shuffle — each document row intersects its distinct
+    * token array against every broadcast query's term array. Cost is
+    * O(docs x queries) array intersects instead of a token join + two
+    * aggregates, which wins while the saved-query table is small-to-
+    * moderate (the common case), and — because the plan is completely
+    * STATELESS — it applies verbatim to a STREAMING document source:
+    * append mode, no watermark, no state store; the stream-static cross
+    * join broadcasts the static query side once. Use [[percolate]] when
+    * the query table is huge (the inverted token join scales with total
+    * postings, not docs x queries).
+    */
+  def percolateRowwise(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, queryIdCol: String = "query_id",
+                       queryTextCol: String = "query",
+                       requireAll: Boolean = true,
+                       analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      array_distinct(analyzer.tokensCol(col(queryTextCol))).as("__q_toks"))
+    val scored = docs
+      .select(col(idCol).as("key"),
+        array_distinct(analyzer.tokensCol(col(textCol))).as("__d_toks"))
+      .crossJoin(broadcast(q))
+      .select(col("key"), col("query_id"),
+        size(array_intersect(col("__d_toks"), col("__q_toks")))
+          .cast("long").as("matched_terms"),
+        size(col("__q_toks")).cast("long").as("n_terms"))
+    if (requireAll)
+      scored.filter(col("matched_terms") === col("n_terms") && col("n_terms") > 0)
+    else scored.filter(col("matched_terms") > 0)
   }
 
   def rrfFuse(lists: Seq[DataFrame], keyCol: String, k: Int,

@@ -440,6 +440,49 @@ class KeywordSpec extends SparkSpec {
       !any.contains((10L, 5L)))
   }
 
+  test("percolateRowwise == percolate, and runs stateless on a stream") {
+    val docs = Seq(
+      (1L, "spark shuffle spills to disk"),
+      (2L, "parquet files hold spark tables"),
+      (3L, "the shuffle stage wrote parquet"),
+      (4L, ""),
+      (6L, "spark spark spark")
+    ).toDF("doc_id", "text")
+    val saved = Seq(
+      (10L, "spark shuffle"), (20L, "parquet"),
+      (30L, "spark spark"), (40L, "zeppelin spark"), (50L, "")
+    ).toDF("query_id", "query")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    for (requireAll <- Seq(true, false)) {
+      val a = canon(Keyword.percolate(docs, "doc_id", "text", saved,
+        requireAll = requireAll))
+      val b = canon(Keyword.percolateRowwise(docs, "doc_id", "text", saved,
+        requireAll = requireAll))
+      assert(a == b, s"requireAll=$requireAll:\n join=$a\n rowwise=$b")
+    }
+
+    // the same plan over a streaming source: append mode, no watermark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Keyword.percolateRowwise(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", saved)
+    val query = out.writeStream.format("memory").queryName("percolate_out")
+      .outputMode("append").start()
+    mem.addData(Seq((1L, "spark shuffle spills to disk"),
+      (2L, "parquet files hold spark tables")))
+    query.processAllAvailable()
+    mem.addData(Seq((3L, "the shuffle stage wrote parquet"), (4L, "")))
+    query.processAllAvailable()
+    val streamed = canon(spark.table("percolate_out"))
+    query.stop()
+    val batch = canon(Keyword.percolateRowwise(
+      docs.filter(col("doc_id") =!= 6L), "doc_id", "text", saved))
+    assert(streamed == batch,
+      s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping pages") {
     // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
     val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
