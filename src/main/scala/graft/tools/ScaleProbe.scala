@@ -62,8 +62,8 @@ object ScaleProbe {
     val listener = new IoListener
     spark.sparkContext.addSparkListener(listener)
 
-    val small = runLifecycle(spark, listener, sfDir, 1)
-    val large = runLifecycle(spark, listener, sfDir, factor)
+    val (small, smallBak) = runLifecycle(spark, listener, sfDir, 1)
+    val (large, largeBak) = runLifecycle(spark, listener, sfDir, factor)
 
     println()
     println(s"## Maintenance I/O: 1x vs ${factor}x corpus (documents @ $sfDir)")
@@ -100,6 +100,32 @@ object ScaleProbe {
         println(f"  ${s.name}: ${mb(s.readB)} -> ${mb(l.readB)} read") }
       sys.exit(1)
     }
+
+    // Backup bytes come from Backup.Report (the copy fan-out reads raw FS
+    // streams, which task input metrics do not count): the FULL backup is
+    // O(corpus) by design; the INCREMENTAL one after the same fixed 10-key
+    // correction must stay flat while the corpus grows `factor`x.
+    println()
+    println(s"## Backup bytes: 1x vs ${factor}x corpus (same 10-key correction)")
+    println()
+    println("| generation | kind | 1x files | 1x bytes | " +
+      s"${factor}x files | ${factor}x bytes | byte ratio |")
+    println("|---|---|---|---|---|---|---|")
+    Seq(("backup:full", "O(corpus) by design", smallBak._1, largeBak._1),
+        ("backup:incremental", "O(touched) claimed", smallBak._2, largeBak._2))
+      .foreach { case (name, kind, s, l) =>
+        val ratio = if (s.copiedBytes <= 0) "-"
+                    else f"${l.copiedBytes.toDouble / s.copiedBytes}%.1fx"
+        println(s"| $name | $kind | ${s.copiedFiles} | ${mb(s.copiedBytes)} | " +
+          s"${l.copiedFiles} | ${mb(l.copiedBytes)} | $ratio |")
+      }
+    val (si, li) = (smallBak._2, largeBak._2)
+    if (si.copiedBytes > 0 && li.copiedBytes.toDouble / si.copiedBytes > factor / 2.0) {
+      println(f"PROBE FAIL: incremental backup grew ${li.copiedBytes.toDouble / si.copiedBytes}%.1fx " +
+        s"while the corpus grew ${factor}x — an O(corpus) re-copy leaked in")
+      sys.exit(1)
+    } else
+      println("PROBE OK: the incremental backup's copied bytes did not scale with the corpus")
     spark.stop()
   }
 
@@ -109,8 +135,8 @@ object ScaleProbe {
     * per-step I/O. The correction batch is the SAME 10 keys at every
     * factor — the thing whose cost must not scale with the corpus.
     */
-  private def runLifecycle(spark: SparkSession, io: IoListener,
-                           sfDir: String, factor: Int): Seq[Step] = {
+  private def runLifecycle(spark: SparkSession, io: IoListener, sfDir: String,
+      factor: Int): (Seq[Step], (graft.core.Backup.Report, graft.core.Backup.Report)) = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory(s"graft_probe_${factor}x").toString
     val cat = new Catalog(spark, root)
@@ -165,6 +191,12 @@ object ScaleProbe {
     // The repairs run SCOPED to the batch — the production path after a
     // known upsert, where change detection prunes to the batch's key
     // range instead of re-fingerprinting the corpus.
+    // point-in-time full backup of the freshly built collection —
+    // O(corpus) by definition, the baseline the incremental is judged
+    // against after the fixed-size correction lands
+    val bdest = s"$root/backups"
+    val fullBak = c.backup(bdest)
+
     val keys = (1L to 10L)
     val upd = keys.map(k => (s"corrected document text number $k", k))
       .toDF("text", "_key")
@@ -189,6 +221,9 @@ object ScaleProbe {
     probe("reconcile:reembedChanged") { assert(c.reembedChanged("text", emb) == 0) }
     probe("reconcile:repairDedupIndex") { assert(c.repairDedupIndex("text") == 0) }
     probe("reconcile:repairAnnIndex") { assert(c.repairAnnIndex("text") == 0) }
-    steps.result()
+    // incremental backup after the correction: only files the
+    // upsert/repairs/delete rewrote may be copied
+    val incrBak = c.backup(bdest)
+    (steps.result(), (fullBak, incrBak))
   }
 }
