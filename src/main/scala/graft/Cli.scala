@@ -166,6 +166,33 @@ object Cli {
           val ann = c.repairAnnIndex(col)
           println(s"column '$col': re-embedded $n, keyword $kw, dedup $dd, ann $ann")
         }
+      case "save-queries" =>
+        // register saved percolation queries (merge by query_id) from a
+        // parquet/jsonl file whose first two columns are (query_id, query)
+        val c = catalog.load(req(flags, "collection"))
+        val path = positional.headOption.getOrElse(fail("queries file required"))
+        val q =
+          if (path.toLowerCase.endsWith(".jsonl") || path.toLowerCase.endsWith(".json"))
+            Ingest.readJsonl(s, path)
+          else Ingest.readParquet(s, path)
+        val n = c.putQueries(q)
+        println(s"saved $n quer(ies) -> ${c.config.name} " +
+          s"(${c.savedQueries.count()} total)")
+      case "percolate" =>
+        // reverse search a docs file against the saved queries
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val path = positional.headOption.getOrElse(fail("docs file required"))
+        val docs =
+          if (path.toLowerCase.endsWith(".jsonl") || path.toLowerCase.endsWith(".json"))
+            Ingest.readJsonl(s, path)
+          else Ingest.readParquet(s, path)
+        val idCol = flags.getOrElse("id-column", docs.columns.head)
+        c.percolate(column, docs, idCol = idCol, textCol = column,
+            requireAll = !flags.contains("any-term"))
+          .orderBy("query_id", "key")
+          .show(flags.getOrElse("limit", "50").toInt, truncate = false)
       case "maintain" =>
         // plan first (counting only), then optionally execute — looping,
         // because a repair can surface follow-on work (re-embedding
@@ -331,7 +358,7 @@ object Cli {
       if (a.startsWith("--")) {
         val key = a.drop(2)
         if (key == "overwrite" || key == "require-all" || key == "apply" ||
-            key == "full") {
+            key == "full" || key == "any-term") {
           flags += key -> "true"; i += 1
         }
         else if (i + 1 < args.length) { flags += key -> args(i + 1); i += 2 }
@@ -385,6 +412,11 @@ object Cli {
       |            the corpus, heal embeddings + every index
       |  status   --collection C   # per-structure missing/stale/orphaned
       |            counts + ANN centroid drift
+      |  save-queries --collection C <file>  # register percolation queries
+      |            (first two columns = query_id, query; merge by id)
+      |  percolate --collection C [--column col] [--id-column id]
+      |            [--any-term] [--limit n] <docs file>  # reverse search:
+      |            which saved queries match each document
       |  maintain --collection C [--apply]  # ordered repair/retrain/compact
       |            plan from the status counters; --apply executes it
       |  backup   --collection C --dest DIR [--full]   # generation-chained

@@ -2234,6 +2234,94 @@ class Collection private[core] (
     rows.toSeq.toDF("structure", "missing", "stale", "orphaned", "drift")
   }
 
+  // ---- saved percolation queries (reverse search / alerting) ----------
+
+  /** Directory holding the collection's saved percolation queries —
+    * a tiny `(query_id: long, query: string)` table.
+    */
+  def queriesDir: String = s"$dir/saved_queries"
+
+  /** Register saved queries (MERGE by `query_id`: same-id rows replaced,
+    * new ids added). First two columns of `queries` are taken as
+    * (query_id, query). The table is tiny (it broadcasts at percolate
+    * time), so the write is a whole-table staged swap, not COW.
+    */
+  def putQueries(queries: DataFrame): Long = {
+    writeLock.lock()
+    try {
+      val q = queries.select(
+        col(queries.columns(0)).cast(LongType).as("query_id"),
+        col(queries.columns(1)).cast(StringType).as("query"))
+        .localCheckpoint(true)
+      recoverSwap(queriesDir)
+      if (!fs.exists(new Path(queriesDir)))
+        q.coalesce(1).write.parquet(queriesDir)
+      else {
+        val merged = spark.read.parquet(queriesDir)
+          .join(q, Seq("query_id"), "left_anti").unionByName(q)
+          .localCheckpoint(true)
+        writeAndSwap(queriesDir) { tmp =>
+          merged.coalesce(1).write.parquet(tmp)
+          fs.create(new Path(tmp, "_SUCCESS"), true).close()
+        }
+      }
+      q.count()
+    } finally writeLock.unlock()
+  }
+
+  /** Remove saved queries by id; returns how many existed. */
+  def deleteQueries(ids: Seq[Long]): Long = {
+    writeLock.lock()
+    try {
+      recoverSwap(queriesDir)
+      if (!fs.exists(new Path(queriesDir))) return 0L
+      import spark.implicits._
+      val del = ids.toDF("query_id")
+      val cur = spark.read.parquet(queriesDir)
+      val n = cur.join(del, Seq("query_id"), "left_semi").count()
+      if (n > 0) {
+        val kept = cur.join(del, Seq("query_id"), "left_anti")
+          .localCheckpoint(true)
+        writeAndSwap(queriesDir) { tmp =>
+          kept.coalesce(1).write.parquet(tmp)
+          fs.create(new Path(tmp, "_SUCCESS"), true).close()
+        }
+      }
+      n
+    } finally writeLock.unlock()
+  }
+
+  /** The saved-queries table (empty frame when none registered). */
+  def savedQueries: DataFrame = {
+    recoverSwap(queriesDir)
+    if (fs.exists(new Path(queriesDir))) spark.read.parquet(queriesDir)
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, String)].toDF("query_id", "query")
+    }
+  }
+
+  /** Percolate a document batch against the saved queries: which saved
+    * searches does each document satisfy? Uses the keyword index's
+    * persisted analyzer for `column` when one is built (so percolation
+    * matches what search would match), the default whitespace analyzer
+    * otherwise. Stateless row-wise plan — works on a streaming `docs`
+    * too. Returns (key, query_id, matched_terms, n_terms).
+    */
+  def percolate(column: String, docs: DataFrame,
+                idCol: String = KeyCol, textCol: String = "",
+                requireAll: Boolean = true): DataFrame = {
+    Identifiers.validate(column)
+    val text = if (textCol.nonEmpty) textCol else column
+    val analyzer =
+      if (hasKeywordIndex(column))
+        graft.search.Analyzer.fromId(
+          graft.search.Keyword.storedMeta(spark, keywordIndexDir(column))._2)
+      else graft.search.Analyzer.Whitespace
+    graft.search.Keyword.percolateRowwise(docs, idCol, text,
+      savedQueries, requireAll = requireAll, analyzer = analyzer)
+  }
+
   /** Ordered maintenance plan: what to run, on what, and why — the
     * operational layer above [[indexStatus]]'s raw counters. One row per
     * recommended action, lowest `priority` first:
@@ -2323,6 +2411,7 @@ class Collection private[core] (
   private def healAll(): Unit = {
     recoverCompaction()
     recoverFileSwap(dataDir)
+    recoverSwap(queriesDir)
     indexStructures().foreach {
       case (c0, "vector") => recoverFileSwap(indexDir(c0))
       case (c0, "kw")     => recoverSwap(keywordIndexDir(c0))

@@ -213,7 +213,7 @@ object Keyword {
   /** (n_buckets, analyzer id) from a stored index's stats; indexes
     * predating the analyzer column read as whitespace.
     */
-  private def storedMeta(spark: SparkSession, dir: String): (Int, String) = {
+  private[graft] def storedMeta(spark: SparkSession, dir: String): (Int, String) = {
     val p = spark.read.option("mergeSchema", "true").parquet(s"$dir/stats")
     val r = p.head()
     val az =

@@ -111,6 +111,39 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""
         }.mkString("[", ",", "]")
         (200, ok(secs(), s"""{"results":$results}"""))
+      case ("POST", s"/collections/$name/percolate") if !name.contains("/") =>
+        // reverse search: which saved queries match the posted documents?
+        // `{column_name, documents:[{id, text}...], require_all?}` — the
+        // document batch is bounded like a search page (<= 100 docs)
+        graft.core.Identifiers.validate(name)
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        val req = JsonMethods.parse(new String(
+          ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        implicit val fmt: Formats = DefaultFormats
+        val column = (req \ "column_name").extractOpt[String]
+          .getOrElse(throw new IllegalArgumentException("column_name is required"))
+        val docs = (req \ "documents").extractOpt[Seq[JValue]]
+          .getOrElse(throw new IllegalArgumentException("documents is required"))
+        require(docs.nonEmpty && docs.length <= 100,
+          s"documents must carry 1..100 entries, got ${docs.length}")
+        val requireAll = (req \ "require_all").extractOpt[Boolean].getOrElse(true)
+        val coll = catalog.load(name)
+        val rows = docs.map { d =>
+          ((d \ "id").extractOpt[Long]
+             .getOrElse(throw new IllegalArgumentException("documents[].id is required")),
+           (d \ "text").extractOpt[String].getOrElse(""))
+        }
+        val spark = coll.spark
+        import spark.implicits._
+        val hits = coll.percolate(column,
+            rows.toDF("id", "text"), idCol = "id", textCol = "text",
+            requireAll = requireAll)
+          .orderBy("query_id", "key").collect()
+        val matches = hits.map { r =>
+          s"""{"id":${r.getLong(0)},"query_id":${r.getLong(1)},""" +
+            s""""matched_terms":${r.getLong(2)},"n_terms":${r.getLong(3)}}"""
+        }.mkString("[", ",", "]")
+        (200, ok(secs(), s"""{"matches":$matches}"""))
       case _ => (404, err(secs(), s"no route for $method $path"))
     }
   }

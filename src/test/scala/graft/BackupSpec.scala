@@ -141,6 +141,53 @@ class BackupSpec extends SparkSpec {
     assert(got.filter(col("text") === "junk").count() == 0)
   }
 
+  test("backup heals a pending swap first and refuses while a foreign writer holds the lease") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "src6")
+    val dest = tmpRoot("graft_bak_dest")
+
+    // a crashed COW swap left a committed journal: a naive dir copy
+    // would capture the pre-swap file AND miss the staged replacement
+    val stage = new java.io.File(c.dataDir + "_staging")
+    stage.mkdirs()
+    (1L to 10L).map(k => (s"healed $k", k)).toDF("text", "_key")
+      .repartition(1).write.mode("overwrite").parquet(stage.toString)
+    val stagedName = stage.listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getName
+    val conf = spark.sparkContext.hadoopConfiguration
+    val victim = graft.core.ParquetStats
+      .fileKeyRanges(c.dataDir, "_key", conf)
+      .find(_.intersects(1L)).get.path.getName
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(c.dataDir + "_swapjournal"),
+      s"D $victim\nS $stagedName".getBytes)
+
+    c.backup(dest)
+    val dir1 = tmpRoot("graft_bak_restore") + "/healed"
+    graft.core.Backup.restore(spark, dest, dir1)
+    val got = spark.read.parquet(s"$dir1/data")
+      .select(col("_key"), col("text")).as[(Long, String)].collect().toMap
+    assert(got.size == 60)
+    assert((1L to 10L).forall(k => got(k) == s"healed $k"),
+      "backup must capture the HEALED state (journal rolled forward)")
+    assert(!got.values.exists(_.startsWith("orig")) || got(11L).nonEmpty)
+    // no journal/staging artifact may be captured
+    val m = graft.core.Backup.manifest(spark, dest, 1)
+    assert(!m.entries.exists(e =>
+      e.path.contains("_swapjournal") || e.path.contains("_staging") ||
+        e.path.contains("_lease")))
+
+    // a foreign writer mid-operation: backup refuses loudly rather than
+    // copying a directory another process is rewriting
+    val other = cat.load("src6")
+    other.writeLock.lock()
+    try {
+      val e = intercept[IllegalStateException](c.backup(dest))
+      assert(e.getMessage.contains("write-locked"))
+    } finally other.writeLock.unlock()
+    assert(c.backup(dest).generation == 2, "released -> backup proceeds")
+  }
+
   test("prune drops whole old chains; retained generations stay restorable") {
     val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
     val c = mkCollection(cat, "src5")

@@ -84,4 +84,51 @@ class HttpApiSpec extends SparkSpec {
       assert(nc == 404)
     } finally api.stop()
   }
+
+  test("percolate route: saved queries match posted documents") {
+    val root = java.nio.file.Files.createTempDirectory("graft_http").toString
+    val cat = new Catalog(spark, root)
+    val registry = new ModelRegistry
+    val c = cat.create(CollectionConfig(name = "alerts"))
+    c.importDf(Seq("seed corpus row").toDF("text"))
+    assert(c.putQueries(Seq((1L, "spark shuffle"), (2L, "parquet"))
+      .toDF("query_id", "query")) == 2)
+    // merge by id: replacing query 2 must not duplicate it
+    assert(c.putQueries(Seq((2L, "parquet files")).toDF("query_id", "query")) == 1)
+    assert(c.savedQueries.count() == 2)
+
+    val api = new HttpApi(cat, registry, 0)
+    val port = api.start()
+    try {
+      val (pc, pb) = post(port, "/collections/alerts/percolate",
+        """{"column_name":"text","documents":[
+          |{"id":7,"text":"spark shuffle spills"},
+          |{"id":8,"text":"parquet files hold tables"},
+          |{"id":9,"text":"nothing relevant"}]}""".stripMargin)
+      assert(pc == 200, pb)
+      assert(pb.contains(""""id":7,"query_id":1"""), pb)
+      assert(pb.contains(""""id":8,"query_id":2"""), pb)
+      assert(!pb.contains(""""id":9"""), pb)
+
+      // any-term mode surfaces partial matches
+      val (qc, qb) = post(port, "/collections/alerts/percolate",
+        """{"column_name":"text","require_all":false,
+          |"documents":[{"id":7,"text":"spark only"}]}""".stripMargin)
+      assert(qc == 200 && qb.contains(""""matched_terms":1,"n_terms":2"""), qb)
+
+      // validation: empty batch, missing column
+      val (ec, eb) = post(port, "/collections/alerts/percolate",
+        """{"column_name":"text","documents":[]}""")
+      assert(ec == 400 && eb.contains("1..100"), eb)
+      val (mc2, mb2) = post(port, "/collections/alerts/percolate",
+        """{"documents":[{"id":1,"text":"x"}]}""")
+      assert(mc2 == 400 && mb2.contains("column_name"), mb2)
+
+      // deleteQueries unregisters
+      assert(c.deleteQueries(Seq(1L, 99L)) == 1)
+      val (rc, rb) = post(port, "/collections/alerts/percolate",
+        """{"column_name":"text","documents":[{"id":7,"text":"spark shuffle spills"}]}""")
+      assert(rc == 200 && !rb.contains(""""query_id":1"""), rb)
+    } finally api.stop()
+  }
 }
