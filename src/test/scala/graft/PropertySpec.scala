@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.dedup.ConnectedComponents
+import graft.operators.{Shuffle, Upsert}
+import graft.search.Keyword
+
+/** Property-based invariants for the core operators, each checked
+  * against a driver-side brute-force model over ScalaCheck-generated
+  * inputs (seeded — runs are reproducible). The point is the INPUTS the
+  * fixture specs never write by hand: degenerate graphs, overlapping
+  * update keys, empty documents, batches that mix every edge case.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int = 10): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  /** Driver-side union-find with min-node labels. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 22)
+    m <- Gen.choose(1, 36)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+    } yield (a, b))
+  } yield es.filter(e => e._1 != e._2)
+
+  test("property: connected-components labels equal union-find on random graphs") {
+    check("cc-vs-union-find", Prop.forAll(edgesGen) { edges =>
+      edges.isEmpty || {
+        val got = ConnectedComponents
+          .labels(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        got == unionFind(edges)
+      }
+    })
+  }
+
+  test("property: incremental mergeLabels equals a full recompute on any edge split") {
+    check("merge-vs-full", Prop.forAll(for {
+      es <- edgesGen
+      cut <- Gen.choose(0, es.length)
+    } yield (es, cut)) { case (es, cut) =>
+      val (first, second) = es.splitAt(cut)
+      (first.isEmpty || second.isEmpty) || {
+        val standing = ConnectedComponents.labels(first.toDF("a", "b"), "a", "b")
+        val merged = ConnectedComponents
+          .mergeLabels(standing, second.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        val full = ConnectedComponents.labels(es.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        merged == full
+      }
+    }, n = 8)
+  }
+
+  test("property: upsert equals replace-matched-then-append on any key overlap") {
+    val rows = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 14L)).map(_.distinct))
+    check("upsert-model", Prop.forAll(rows, rows) { (baseKeys, updKeys) =>
+      (baseKeys.isEmpty || updKeys.isEmpty) || {
+        val base = baseKeys.map(k => (k, s"base-$k")).toDF("_key", "v")
+        val upd = updKeys.map(k => (k, s"upd-$k")).toDF("_key", "v")
+        val got = Upsert(base, upd, "_key")
+          .as[(Long, String)].collect().toMap
+        val want = baseKeys.filterNot(updKeys.contains)
+          .map(k => k -> s"base-$k").toMap ++
+          updKeys.map(k => k -> s"upd-$k").toMap
+        got == want
+      }
+    })
+  }
+
+  test("property: deterministic shuffle is a reproducible permutation") {
+    val keysGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000L, 1000L)).map(_.distinct))
+    check("shuffle-permutation", Prop.forAll(keysGen) { keys =>
+      keys.isEmpty || {
+        val df = keys.map(k => (k, s"row$k")).toDF("k", "payload")
+        def run() = Shuffle.deterministicShuffle(df, "k")
+          .select(col("k"), col("pos")).as[(Long, Long)].collect().toMap
+        val a = run()
+        a.values.toSeq.sorted == (0L until keys.length).toList && a == run()
+      }
+    })
+  }
+
+  test("property: percolation equals the brute-force matcher on random corpora") {
+    val vocab = Vector("spark", "shuffle", "parquet", "join", "scan",
+      "merge", "vector", "window")
+    val word = Gen.oneOf(vocab)
+    val docGen = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val queryGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val caseGen = for {
+      nd <- Gen.choose(1, 10)
+      nq <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(nd, docGen)
+      qs <- Gen.listOfN(nq, queryGen)
+      all <- Gen.oneOf(true, false)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+             qs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, all)
+    check("percolate-model", Prop.forAll(caseGen) { case (docs, qs, requireAll) =>
+      val got = Keyword.percolate(docs.toDF("doc_id", "text"), "doc_id", "text",
+          qs.toDF("query_id", "query"), requireAll = requireAll)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (did, dtext) <- docs
+        (qid, qtext) <- qs
+        dToks = dtext.split("\\s+").filter(_.nonEmpty).toSet
+        qToks = qtext.split("\\s+").filter(_.nonEmpty).toSet
+        matched = qToks.count(dToks)
+        if qToks.nonEmpty && (if (requireAll) matched == qToks.size else matched > 0)
+      } yield (did, qid, matched.toLong, qToks.size.toLong)).toSet
+      got == want
+    }, n = 8)
+  }
+}
