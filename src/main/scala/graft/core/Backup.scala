@@ -67,7 +67,7 @@ object Backup {
       !c.startsWith("_") && !c.startsWith(".") &&
         !c.endsWith("_precompact") && !c.endsWith("_compacting") &&
         !c.endsWith("_staging") && !c.endsWith("_swapjournal") &&
-        !c.endsWith("_swapjournal_tmp")
+        !c.endsWith("_swapjournal_tmp") && !c.endsWith("_import")
     }
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
@@ -88,7 +88,8 @@ object Backup {
     fs.listStatus(new Path(destRoot)).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("gen-") => n.drop(4).toInt }
+      .collect { case n if n.startsWith("gen-") && n.drop(4).nonEmpty &&
+        n.drop(4).forall(_.isDigit) => n.drop(4).toInt }
       .filter(g => fs.exists(manifestPath(destRoot, g)))
       .sorted
   }
@@ -212,6 +213,10 @@ object Backup {
 
   /** Materialize a generation (default: latest) into `targetDir`, which
     * must not already contain files. Returns the file count restored.
+    * Every copied file is digest-checked against the manifest while it
+    * streams; a failed restore (corrupted backup, I/O error) removes the
+    * partial target before rethrowing, so a retry — or a restore of a
+    * different, intact generation — is not blocked by debris.
     */
   def restore(spark: SparkSession, destRoot: String, targetDir: String,
               generation: Int = -1): Int = {
@@ -221,17 +226,21 @@ object Backup {
     val tpath = new Path(targetDir)
     require(!tfs.exists(tpath) || tfs.listStatus(tpath).isEmpty,
       s"restore target $targetDir is not empty")
-    val pairs = m.entries.map { e =>
-      (s"${genDir(destRoot, e.storedIn)}/files/${e.path}", s"$targetDir/${e.path}")
+    try {
+      val pairs = m.entries.map { e =>
+        (s"${genDir(destRoot, e.storedIn)}/files/${e.path}", s"$targetDir/${e.path}")
+      }
+      val copied = copyFanout(spark, pairs)
+      m.entries.foreach { e =>
+        val (n, md5) = copied(s"${genDir(destRoot, e.storedIn)}/files/${e.path}")
+        require(n == e.length && md5 == e.md5,
+          s"restore of ${e.path} does not match its manifest (bytes $n vs ${e.length}) — " +
+            "backup corrupted? run Backup.verify")
+      }
+      m.entries.length
+    } catch {
+      case t: Throwable => tfs.delete(tpath, true); throw t
     }
-    val copied = copyFanout(spark, pairs)
-    m.entries.foreach { e =>
-      val (n, md5) = copied(s"${genDir(destRoot, e.storedIn)}/files/${e.path}")
-      require(n == e.length && md5 == e.md5,
-        s"restore of ${e.path} does not match its manifest (bytes $n vs ${e.length}) — " +
-          "backup corrupted? run Backup.verify")
-    }
-    m.entries.length
   }
 
   /** Integrity report for a generation (default: latest): re-digests every

@@ -2254,9 +2254,17 @@ class Collection private[core] (
         col(queries.columns(1)).cast(StringType).as("query"))
         .localCheckpoint(true)
       recoverSwap(queriesDir)
-      if (!fs.exists(new Path(queriesDir)))
-        q.coalesce(1).write.parquet(queriesDir)
-      else {
+      if (!fs.exists(new Path(queriesDir))) {
+        // first write lands atomically: stage + rename, so a crash
+        // mid-write leaves NO queries dir (clean empty state) instead of
+        // a torn parquet directory; the stale stage is swept next call
+        val tmp = new Path(queriesDir + "_import")
+        fs.delete(tmp, true)
+        q.coalesce(1).write.parquet(tmp.toString)
+        if (!fs.rename(tmp, new Path(queriesDir)))
+          throw new java.io.IOException(
+            s"could not move staged saved-queries into $queriesDir")
+      } else {
         val merged = spark.read.parquet(queriesDir)
           .join(q, Seq("query_id"), "left_anti").unionByName(q)
           .localCheckpoint(true)
@@ -2432,6 +2440,16 @@ class Collection private[core] (
     * chain layout, crash-safety and the O(changed bytes) cost argument.
     * Holds the write lease so the captured file set is a consistent
     * point-in-time snapshot, and heals pending swaps first.
+    *
+    * Lock-duration trade, stated plainly: writers (appends, repairs,
+    * stream micro-batches) are excluded for the whole copy. Incremental
+    * backups copy only the delta and finish fast; a FULL backup of a
+    * huge collection holds the lease for the whole corpus copy — run
+    * fulls in maintenance windows (readers are unaffected either way).
+    * The lock-free alternative (snapshot the file list, copy unlocked)
+    * breaks under this layout because a concurrent COW swap deletes
+    * replaced files mid-copy; a retained-file/hard-link scheme would
+    * lift the trade and is the natural next step if it ever binds.
     */
   def backup(destRoot: String, full: Boolean = false): Backup.Report = {
     writeLock.lock()

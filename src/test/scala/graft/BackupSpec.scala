@@ -117,6 +117,8 @@ class BackupSpec extends SparkSpec {
     val tgt = tmpRoot("graft_bak_restore") + "/broken"
     val err = intercept[Exception](Backup.restore(spark, dest, tgt))
     assert(err.getMessage.contains("verify") || err.getMessage.contains("manifest"))
+    assert(!new java.io.File(tgt).exists,
+      "a failed restore must remove its partial target so a retry is not blocked")
   }
 
   test("aborted generation (no manifest) is invisible and its number is safely reused") {
