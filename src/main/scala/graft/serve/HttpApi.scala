@@ -1,6 +1,7 @@
 package graft.serve
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -18,6 +19,15 @@ import graft.search.Search
   *  - `GET  /collections`                       all collection configs
   *  - `GET  /collections/{name}`                one config
   *  - `POST /collections/{name}/search`         `{column_name, query, limit?}`
+  *
+  * plus two batch extensions the reference lacks:
+  *
+  *  - `POST /collections/{name}/search_batch`   `{column_name,
+  *    queries:[{id, query}...], limit?, n_probe?}` — one probed pass
+  *    answers the whole page
+  *  - `POST /collections/{name}/percolate`      `{column_name,
+  *    documents:[{id, text}...], require_all?}` — reverse search
+  *    against the saved-queries table
   *
   * Responses use the reference envelope
   * `{"status":"ok","time":<sec>,"data":...}` /
@@ -109,6 +119,58 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
         }).collect()
         val results = rows.map { r =>
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""
+        }.mkString("[", ",", "]")
+        (200, ok(secs(), s"""{"results":$results}"""))
+      case ("POST", s"/collections/$name/search_batch") if !name.contains("/") =>
+        // many-queries-at-once vector search: embed the page of query
+        // texts once, answer all of them in ONE probed pass over the ANN
+        // lists (Collection.searchBatch) instead of N sequential calls —
+        // the eval-set / decontamination serving shape
+        graft.core.Identifiers.validate(name)
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        val req = JsonMethods.parse(new String(
+          ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        implicit val fmt: Formats = DefaultFormats
+        val column = (req \ "column_name").extractOpt[String]
+          .getOrElse(throw new IllegalArgumentException("column_name is required"))
+        val qs = (req \ "queries").extractOpt[Seq[JValue]]
+          .getOrElse(throw new IllegalArgumentException("queries is required"))
+        require(qs.nonEmpty && qs.length <= 100,
+          s"queries must carry 1..100 entries, got ${qs.length}")
+        val limit = (req \ "limit").extractOpt[Int].getOrElse(Search.DefaultLimit)
+        Search.validateLimit(limit)
+        val nProbe = (req \ "n_probe").extractOpt[Int].getOrElse(2)
+        require(nProbe >= 1, s"n_probe must be >= 1, got $nProbe")
+        val coll = catalog.load(name)
+        val embedder = registry.load(coll.config.model_name, coll.config.model_variant)
+        val qrows = qs.map { q =>
+          ((q \ "id").extractOpt[Long]
+             .getOrElse(throw new IllegalArgumentException("queries[].id is required")),
+           (q \ "query").extractOpt[String]
+             .getOrElse(throw new IllegalArgumentException("queries[].query is required")))
+        }
+        val spark = coll.spark
+        import spark.implicits._
+        val qdf = qrows.map { case (id, t) => (id, embedder.embedOne(t)) }
+          .toDF(graft.core.Keys.KeyCol, "embedding")
+        val hits = coll.searchBatch(qdf, column, limit, nProbe)
+          .orderBy(col("src"), col("sim").desc, col("nbr")).collect()
+        // one bounded content fetch for the page's distinct hit keys
+        val hitKeys = hits.map(_.getLong(1)).distinct
+        val content: Map[Long, String] =
+          if (hitKeys.isEmpty) Map.empty
+          else coll.df
+            .filter(col(graft.core.Keys.KeyCol).isin(hitKeys.toSeq: _*))
+            .select(col(graft.core.Keys.KeyCol),
+              coalesce(col(column).cast("string"), lit("")).as("c"))
+            .as[(Long, String)].collect().toMap
+        val byQuery = hits.groupBy(_.getLong(0))
+        val results = qrows.map(_._1).distinct.map { id =>
+          val page = byQuery.getOrElse(id, Array.empty).map { r =>
+            s"""{"key":${r.getLong(1)},"score":${r.getDouble(2)},""" +
+              s""""content":${js(content.getOrElse(r.getLong(1), ""))}}"""
+          }.mkString("[", ",", "]")
+          s"""{"id":$id,"hits":$page}"""
         }.mkString("[", ",", "]")
         (200, ok(secs(), s"""{"results":$results}"""))
       case ("POST", s"/collections/$name/percolate") if !name.contains("/") =>

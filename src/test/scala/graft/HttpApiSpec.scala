@@ -85,6 +85,41 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("search_batch route: a page of queries answered in one pass") {
+    val root = java.nio.file.Files.createTempDirectory("graft_http").toString
+    val cat = new Catalog(spark, root)
+    val registry = new ModelRegistry
+    registry.register("hf://mys/minilm", "f32", new HashingEmbedder(dim = 64))
+    val c = cat.create(CollectionConfig(name = "batch"))
+    c.importDf(Seq("apple banana fruit", "car truck road", "apple pie baking",
+      "ship sail harbor").toDF("text"))
+    c.embedColumn("text", registry.load("hf://mys/minilm", "f32"))
+
+    val api = new HttpApi(cat, registry, 0)
+    val port = api.start()
+    try {
+      val (sc, sb) = post(port, "/collections/batch/search_batch",
+        """{"column_name":"text","limit":1,"queries":[
+          |{"id":1,"query":"apple banana fruit"},
+          |{"id":2,"query":"car truck road"}]}""".stripMargin)
+      assert(sc == 200, sb)
+      assert(sb.contains(""""id":1""") && sb.contains(""""id":2"""), sb)
+      assert(sb.contains("apple banana fruit") && sb.contains("car truck road"), sb)
+      // every query id answers, in request order, with content attached
+      assert(sb.indexOf(""""id":1""") < sb.indexOf(""""id":2"""), sb)
+
+      val (ec, eb) = post(port, "/collections/batch/search_batch",
+        """{"column_name":"text","queries":[]}""")
+      assert(ec == 400 && eb.contains("1..100"), eb)
+      val (lc2, lb2) = post(port, "/collections/batch/search_batch",
+        """{"column_name":"text","limit":0,"queries":[{"id":1,"query":"x"}]}""")
+      assert(lc2 == 400, lb2)
+      val (pc2, pb2) = post(port, "/collections/batch/search_batch",
+        """{"column_name":"text","n_probe":0,"queries":[{"id":1,"query":"x"}]}""")
+      assert(pc2 == 400 && pb2.contains("n_probe"), pb2)
+    } finally api.stop()
+  }
+
   test("percolate route: saved queries match posted documents") {
     val root = java.nio.file.Files.createTempDirectory("graft_http").toString
     val cat = new Catalog(spark, root)
