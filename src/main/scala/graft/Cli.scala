@@ -178,6 +178,15 @@ object Cli {
         val n = c.putQueries(q)
         println(s"saved $n quer(ies) -> ${c.config.name} " +
           s"(${c.savedQueries.count()} total)")
+      case "delete-queries" =>
+        val c = catalog.load(req(flags, "collection"))
+        val ids =
+          try req(flags, "ids").split(",").toSeq.map(_.trim.toLong)
+          catch { case _: NumberFormatException =>
+            fail("--ids must be comma-separated integers")
+          }
+        println(s"unregistered ${c.deleteQueries(ids)} quer(ies) " +
+          s"(${c.savedQueries.count()} remain)")
       case "percolate" =>
         // reverse search a docs file against the saved queries
         val c = catalog.load(req(flags, "collection"))
@@ -414,6 +423,7 @@ object Cli {
       |            counts + ANN centroid drift
       |  save-queries --collection C <file>  # register percolation queries
       |            (first two columns = query_id, query; merge by id)
+      |  delete-queries --collection C --ids 1,2,3  # unregister saved queries
       |  percolate --collection C [--column col] [--id-column id]
       |            [--any-term] [--limit n] <docs file>  # reverse search:
       |            which saved queries match each document

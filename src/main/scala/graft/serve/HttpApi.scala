@@ -121,6 +121,49 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""
         }.mkString("[", ",", "]")
         (200, ok(secs(), s"""{"results":$results}"""))
+      case ("GET", s"/collections/$name/queries") if !name.contains("/") =>
+        graft.core.Identifiers.validate(name)
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        val rows = catalog.load(name).savedQueries
+          .orderBy("query_id").collect()
+        val items = rows.map(r =>
+          s"""{"query_id":${r.getLong(0)},"query":${js(r.getString(1))}}""")
+          .mkString("[", ",", "]")
+        (200, ok(secs(), s"""{"queries":$items}"""))
+      case ("POST", s"/collections/$name/queries") if !name.contains("/") =>
+        // register saved percolation queries (merge by id); or, with
+        // {delete:[ids...]}, unregister
+        graft.core.Identifiers.validate(name)
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        val req = JsonMethods.parse(new String(
+          ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        implicit val fmt: Formats = DefaultFormats
+        val coll = catalog.load(name)
+        val spark = coll.spark
+        import spark.implicits._
+        // json4s extracts a MISSING field as Some(Nil) for Seq — match the
+        // JSON shape explicitly so {} routes to the queries branch
+        (req \ "delete") match {
+          case JArray(_) =>
+            val ids = (req \ "delete").extract[Seq[Long]]
+            require(ids.nonEmpty, "delete must carry at least one id")
+            val n = coll.deleteQueries(ids)
+            (200, ok(secs(), s"""{"deleted":$n}"""))
+          case _ =>
+            val qs = (req \ "queries").extractOpt[Seq[JValue]]
+              .getOrElse(throw new IllegalArgumentException(
+                "queries (or delete) is required"))
+            require(qs.nonEmpty && qs.length <= 1000,
+              s"queries must carry 1..1000 entries, got ${qs.length}")
+            val rows = qs.map { q =>
+              ((q \ "query_id").extractOpt[Long]
+                 .getOrElse(throw new IllegalArgumentException("queries[].query_id is required")),
+               (q \ "query").extractOpt[String]
+                 .getOrElse(throw new IllegalArgumentException("queries[].query is required")))
+            }
+            val n = coll.putQueries(rows.toDF("query_id", "query"))
+            (200, ok(secs(), s"""{"saved":$n}"""))
+        }
       case ("POST", s"/collections/$name/search_batch") if !name.contains("/") =>
         // many-queries-at-once vector search: embed the page of query
         // texts once, answer all of them in ONE probed pass over the ANN

@@ -159,6 +159,20 @@ class HttpApiSpec extends SparkSpec {
         """{"documents":[{"id":1,"text":"x"}]}""")
       assert(mc2 == 400 && mb2.contains("column_name"), mb2)
 
+      // the queries themselves are managed over HTTP too
+      val (gc, gb) = get(port, "/collections/alerts/queries")
+      assert(gc == 200 && gb.contains(""""query_id":1""") &&
+        gb.contains("parquet files"), gb)
+      val (uc, ub) = post(port, "/collections/alerts/queries",
+        """{"queries":[{"query_id":3,"query":"new alert"}]}""")
+      assert(uc == 200 && ub.contains(""""saved":1"""), ub)
+      assert(c.savedQueries.count() == 3)
+      val (dc, db) = post(port, "/collections/alerts/queries",
+        """{"delete":[3, 99]}""")
+      assert(dc == 200 && db.contains(""""deleted":1"""), db)
+      val (vc, vb) = post(port, "/collections/alerts/queries", """{}""")
+      assert(vc == 400 && vb.contains("queries"), vb)
+
       // deleteQueries unregisters
       assert(c.deleteQueries(Seq(1L, 99L)) == 1)
       val (rc, rb) = post(port, "/collections/alerts/percolate",
