@@ -135,6 +135,35 @@ object Drive {
         s"sample=${s1.size} deterministic, upsert stable")
     }
 
+    println("=== 8. operations: maintenance plan, backup chain, percolation ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      require(coll.planMaintenance().count() >= 0) // counting-only, never throws
+      val dest = s"$root/backups"
+      val full = coll.backup(dest)
+      require(full.full && full.copiedFiles == full.totalFiles,
+        "first backup must be a full copy")
+      coll.appendDf(Seq("ops drive appended row").toDF("text"))
+      val incr = coll.backup(dest)
+      require(!incr.full && incr.copiedFiles < incr.totalFiles && incr.reusedFiles > 0,
+        s"incremental must reuse unchanged files: $incr")
+      require(graft.core.Backup.verify(spark, dest)
+        .filter(col("status") =!= "ok").count() == 0, "backup must verify clean")
+      val restored = cat.restore(dest, "docs_restored", generation = 1)
+      require(restored.count() == coll.count() - 1,
+        "generation 1 predates the append (time travel)")
+      // saved-query percolation round-trip
+      coll.putQueries(Seq((1L, "ops drive appended")).toDF("query_id", "query"))
+      val hits = coll.percolate("text",
+        coll.df.select(col("_key"), col("text"))).collect()
+      require(hits.length == 1 && hits.head.getLong(1) == 1L,
+        s"exactly the appended row percolates: ${hits.mkString(",")}")
+      println(s"ops: full=${full.copiedFiles} files, incr=${incr.copiedFiles} " +
+        s"copied/${incr.reusedFiles} reused, restore@1=${restored.count()} rows, " +
+        s"percolate hits=${hits.length}")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }
