@@ -459,6 +459,32 @@ object TextQueries {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // Collection-surface percolation with ANALYZER PARITY: the saved
+    // queries tokenize through the keyword index's persisted stopword
+    // analyzer, so "the fast join" matches documents containing fast+join
+    // (the stopword drops from n_terms) — percolation matches exactly
+    // what search would match. Exercises the full on-disk lifecycle:
+    // import, keyword-index build with analyzer, putQueries, percolate.
+    "q122_percolate_analyzer" -> ((s, d) => {
+      import s.implicits._
+      import graft.core.{Catalog, CollectionConfig, Keys}
+      val work = java.nio.file.Files.createTempDirectory("graft_q122").toString
+      val cat = new Catalog(s, work)
+      val c = cat.create(CollectionConfig(name = "perc"))
+      c.importDf(documents(s, d).select(col("doc_id").as(Keys.KeyCol), col("text")))
+      c.buildKeywordIndex("text",
+        analyzer = graft.search.Analyzer.Stopworded(Set("the", "a")))
+      c.putQueries(Seq(
+        (1L, "the fast join"),
+        (2L, "a vector window batch"),
+        (3L, "quasar the")
+      ).toDF("query_id", "query"))
+      c.percolate("text", c.df, idCol = Keys.KeyCol, textCol = "text")
+        .select(col("key").as("doc_id"), col("query_id"),
+          col("matched_terms"), col("n_terms"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // Exact kNN self-join: every vector's 3 nearest neighbors by cosine
     // — the batch primitive under semantic clustering / graph dedup /
     // diversity sampling. Like q29, the exact all-pairs twin is gated to
@@ -921,6 +947,30 @@ object TextQueries {
          | dt AS (SELECT DISTINCT doc_id, tok FROM
          |   (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents)
          |  WHERE tok <> ''),
+         | m AS (SELECT dt.doc_id, qt.query_id,
+         |   CAST(count(*) AS BIGINT) AS matched_terms
+         |  FROM dt JOIN qt USING (tok) GROUP BY 1, 2)
+         |SELECT m.doc_id, CAST(m.query_id AS BIGINT) AS query_id,
+         |  m.matched_terms, qn.n_terms
+         |FROM m JOIN qn USING (query_id)
+         |WHERE m.matched_terms = qn.n_terms
+         |ORDER BY query_id, doc_id""".stripMargin,
+
+    // analyzer parity: both sides tokenize minus the {the, a} stopwords
+    "q122_percolate_analyzer" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  (1, 'the fast join'), (2, 'a vector window batch'),
+         |  (3, 'quasar the')),
+         | qt AS (SELECT query_id,
+         |   unnest(list_distinct(list_filter(
+         |     string_split_regex(trim(lower(qtext)), '\\s+'),
+         |     x -> x <> '' AND x <> 'the' AND x <> 'a'))) AS tok
+         |  FROM q),
+         | qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM qt GROUP BY 1),
+         | dt AS (SELECT DISTINCT doc_id, tok FROM
+         |   (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents)
+         |  WHERE tok <> '' AND tok <> 'the' AND tok <> 'a'),
          | m AS (SELECT dt.doc_id, qt.query_id,
          |   CAST(count(*) AS BIGINT) AS matched_terms
          |  FROM dt JOIN qt USING (tok) GROUP BY 1, 2)
