@@ -192,6 +192,8 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
            (q \ "query").extractOpt[String]
              .getOrElse(throw new IllegalArgumentException("queries[].query is required")))
         }
+        require(qrows.map(_._1).distinct.length == qrows.length,
+          "queries[].id values must be distinct")
         val spark = coll.spark
         import spark.implicits._
         val qdf = qrows.map { case (id, t) => (id, embedder.embedOne(t)) }
@@ -238,6 +240,8 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
              .getOrElse(throw new IllegalArgumentException("documents[].id is required")),
            (d \ "text").extractOpt[String].getOrElse(""))
         }
+        require(rows.map(_._1).distinct.length == rows.length,
+          "documents[].id values must be distinct")
         val spark = coll.spark
         import spark.implicits._
         val hits = coll.percolate(column,

@@ -117,6 +117,9 @@ class HttpApiSpec extends SparkSpec {
       val (pc2, pb2) = post(port, "/collections/batch/search_batch",
         """{"column_name":"text","n_probe":0,"queries":[{"id":1,"query":"x"}]}""")
       assert(pc2 == 400 && pb2.contains("n_probe"), pb2)
+      val (dc2, db2) = post(port, "/collections/batch/search_batch",
+        """{"column_name":"text","queries":[{"id":1,"query":"x"},{"id":1,"query":"y"}]}""")
+      assert(dc2 == 400 && db2.contains("distinct"), db2)
     } finally api.stop()
   }
 
