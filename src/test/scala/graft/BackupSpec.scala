@@ -190,6 +190,56 @@ class BackupSpec extends SparkSpec {
     assert(c.backup(dest).generation == 2, "released -> backup proceeds")
   }
 
+  test("randomized op sequences: every generation restores exactly its snapshot") {
+    // seeded random append/upsert/delete sequences with a backup after
+    // each op; at the end, EVERY committed generation must restore the
+    // exact row set that existed when it was taken — the stateful
+    // contract the scripted cases can't cover exhaustively
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 2) {
+      val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+      val c = mkCollection(cat, s"rand$round")
+      val dest = tmpRoot("graft_bak_dest")
+      var nextKey = 61L
+      val state = scala.collection.mutable.Map(
+        (1L to 60L).map(k => k -> s"backup fixture document number $k body $k"): _*)
+      val snapshots = scala.collection.mutable.ArrayBuffer.empty[(Int, Map[Long, String])]
+      for (_ <- 1 to 5) {
+        rnd.nextInt(3) match {
+          case 0 =>
+            val n = 1 + rnd.nextInt(4)
+            val rows = (0 until n).map { i => (nextKey + i, s"appended ${nextKey + i}") }
+            c.appendDf(rows.map(_._2).toDF("text"))
+            rows.foreach { case (k, t) => state(k) = t }
+            nextKey += n
+          case 1 =>
+            val keys = state.keys.toSeq.sorted
+            val pick = (0 until 1 + rnd.nextInt(3))
+              .map(_ => keys(rnd.nextInt(keys.length))).distinct
+            c.upsert(pick.map(k => (k, s"rewritten $k")).toDF("_key", "text"))
+            pick.foreach(k => state(k) = s"rewritten $k")
+          case 2 =>
+            val keys = state.keys.toSeq.sorted
+            val lo = keys(rnd.nextInt(keys.length))
+            val doomed = keys.filter(k => k >= lo && k < lo + 5)
+            c.deleteKeys(doomed)
+            doomed.foreach(state.remove)
+        }
+        val r = c.backup(dest)
+        snapshots += ((r.generation, state.toMap))
+      }
+      snapshots.foreach { case (gen, want) =>
+        val dir = tmpRoot("graft_bak_restore") + s"/r$round-g$gen"
+        Backup.restore(spark, dest, dir, gen)
+        val got = spark.read.parquet(s"$dir/data")
+          .select(col("_key"), col("text")).as[(Long, String)].collect().toMap
+        assert(got == want,
+          s"round $round generation $gen: restored ${got.size} rows, expected ${want.size}")
+      }
+      assert(Backup.verify(spark, dest).filter(col("status") =!= "ok").count() == 0)
+    }
+  }
+
   test("prune drops whole old chains; retained generations stay restorable") {
     val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
     val c = mkCollection(cat, "src5")

@@ -107,6 +107,79 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: as-of join (backward + forward) equals the per-row model") {
+    val sideGen = for {
+      n <- Gen.choose(1, 15)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 30L); p <- Gen.choose(0L, 99L)
+      } yield (k, t, p))
+    } yield rows
+    check("asof-model", Prop.forAll(sideGen, sideGen) { (l, r) =>
+      val left = l.map { case (k, t, _) => (k, t) }.distinct.toDF("k", "lt")
+      val right = r.toDF("k", "rt", "p")
+      // the operator's documented right dedup: one row per (k, rt),
+      // keeping the greatest payload
+      val rd = r.groupBy(t => (t._1, t._2)).map { case ((k, t), rs) =>
+        (k, t, rs.map(_._3).max)
+      }.toSeq
+      def model(forward: Boolean): Map[(Long, Long), Option[Long]] =
+        left.as[(Long, Long)].collect().map { case (k, lt) =>
+          val cands = rd.filter(x => x._1 == k &&
+            (if (forward) x._2 >= lt else x._2 <= lt))
+          val pick =
+            if (cands.isEmpty) None
+            else Some((if (forward) cands.minBy(_._2) else cands.maxBy(_._2))._3)
+          (k, lt) -> pick
+        }.toMap
+      def got(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Option[Long]] =
+        df.collect().map { row =>
+          (row.getLong(0), row.getLong(1)) ->
+            (if (row.isNullAt(2)) None else Some(row.getLong(2)))
+        }.toMap
+      got(graft.operators.AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("p"))
+        .select(col("k"), col("lt"), col("p"))) == model(forward = false) &&
+      got(graft.operators.AsOfJoin.forward(left, right, Seq("k"), "lt", "rt", Seq("p"))
+        .select(col("k"), col("lt"), col("p"))) == model(forward = true)
+    }, n = 8)
+  }
+
+  test("property: distributed running total equals the sequential scan") {
+    val rowsGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 500L)).map(_.distinct)
+        .flatMap(ks => Gen.listOfN(ks.length, Gen.choose(-50L, 50L)).map(ks.zip(_))))
+    check("prefix-sum-model", Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("ord", "v")
+        val got = graft.operators.PrefixSum
+          .runningTotal(df, Seq(col("ord")), col("v"), "cum")
+          .select(col("ord"), col("cum")).as[(Long, Long)].collect().toMap
+        var s = 0L
+        val want = rows.sortBy(_._1).map { case (o, v) => s += v; (o, s) }.toMap
+        got == want
+      }
+    })
+  }
+
+  test("property: weighted sampling membership is the md5-fraction model") {
+    val rowsGen = Gen.choose(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-500L, 500L)).map(_.distinct))
+    check("weighted-sample-model", Prop.forAll(rowsGen) { keys =>
+      keys.isEmpty || {
+        val df = keys.map(k => (k, (math.abs(k) % 100) / 100.0)).toDF("k", "p")
+        val got = graft.operators.Sampling.weighted(df, "k", col("p"))
+          .select("k").as[Long].collect().toSet
+        def frac(k: Long): Double = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(k.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(8)
+          java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+        }
+        val want = keys.filter(k => frac(k) < (math.abs(k) % 100) / 100.0).toSet
+        got == want
+      }
+    })
+  }
+
   test("property: percolation equals the brute-force matcher on random corpora") {
     val vocab = Vector("spark", "shuffle", "parquet", "join", "scan",
       "merge", "vector", "window")
