@@ -483,6 +483,35 @@ class KeywordSpec extends SparkSpec {
       s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
 
+  test("collection percolation runs on a stream with the persisted analyzer") {
+    import graft.core.{Catalog, CollectionConfig}
+    val root = java.nio.file.Files.createTempDirectory("graft_percstream").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "alerts"))
+    c.importDf(Seq("seed row").toDF("text"))
+    c.buildKeywordIndex("text",
+      analyzer = graft.search.Analyzer.Stopworded(Set("the")))
+    c.putQueries(Seq((1L, "the spark shuffle"), (2L, "parquet"))
+      .toDF("query_id", "query"))
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = c.percolate("text", mem.toDF().toDF("doc_id", "text"),
+      idCol = "doc_id", textCol = "text")
+    val query = out.writeStream.format("memory").queryName("coll_perc_out")
+      .outputMode("append").start()
+    // 'the' drops via the index's analyzer: spark+shuffle suffice for q1
+    mem.addData(Seq((7L, "spark shuffle spills"), (8L, "parquet tables"),
+      (9L, "nothing here")))
+    query.processAllAvailable()
+    val got = spark.table("coll_perc_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    query.stop()
+    assert(got == Set((7L, 1L, 2L), (8L, 2L, 1L)),
+      s"q1 needs spark+shuffle only (n_terms=2, stopword dropped): $got")
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping pages") {
     // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
     val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
