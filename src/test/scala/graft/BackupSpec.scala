@@ -190,6 +190,27 @@ class BackupSpec extends SparkSpec {
     assert(c.backup(dest).generation == 2, "released -> backup proceeds")
   }
 
+  test("edges: config-only collection round-trips; missing generation errors cleanly") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = cat.create(CollectionConfig(name = "hollow")) // never imported
+    val dest = tmpRoot("graft_bak_dest")
+    val r = c.backup(dest)
+    assert(r.totalFiles == 1, "config.json is the only live file")
+    val restored = cat.restore(dest, "hollow2")
+    assert(restored.isEmpty && restored.config.index_columns == c.config.index_columns)
+    restored.importDf(Seq("first row post-restore").toDF("text"))
+    assert(restored.count() == 1)
+
+    val e = intercept[IllegalArgumentException](
+      Backup.restore(spark, dest, tmpRoot("graft_bak_restore") + "/nope", 9))
+    assert(e.getMessage.contains("generation 9"))
+    intercept[IllegalArgumentException](
+      Backup.restore(spark, tmpRoot("graft_bak_empty"), "/tmp/never"))
+    // restoring over an existing collection refuses before touching disk
+    val e2 = intercept[IllegalArgumentException](cat.restore(dest, "hollow"))
+    assert(e2.getMessage.contains("already exists"))
+  }
+
   test("randomized op sequences: every generation restores exactly its snapshot") {
     // seeded random append/upsert/delete sequences with a backup after
     // each op; at the end, EVERY committed generation must restore the
