@@ -28,11 +28,12 @@ import java.security.MessageDigest
   * Every manifest is COMPLETE (one entry per live file, with an md5 and
   * the generation whose `files/` holds the bytes), so any generation
   * restores without chain-walking logic. Incremental cost is O(changed
-  * bytes + total-files metadata): a file is reused when its
+  * bytes + total-files metadata): a PARQUET file is reused when its
   * (path, length, mtime) triple matches the previous manifest — safe
-  * here because the collection never overwrites a parquet file in place
-  * (the COW journal always writes NEW part-file names), so "same path,
-  * same length, same mtime" implies "same bytes". The actual byte copy
+  * for those because the collection never overwrites a parquet file in
+  * place (the COW journal always writes NEW part-file names), so "same
+  * path, same length, same mtime" implies "same bytes". Non-parquet
+  * metadata (config.json) IS rewritten in place and is always copied. The actual byte copy
   * fans out over the cluster (one task per file) — a driver-side copy
   * loop would bottleneck a million-file backup on one NIC.
   *
@@ -61,6 +62,10 @@ object Backup {
   /** In-flight swap/lease artifacts that must never be captured: a healed
     * quiescent collection has none, but the filter keeps a backup taken
     * between heal and list honest, and keeps `_lease`/`_SUCCESS` out.
+    * The prefix/suffix tests cannot swallow real user content because
+    * [[Identifiers.validate]] rejects column/collection names that start
+    * with '_' or end with a reserved operational suffix — an index
+    * directory can therefore never look like an artifact.
     */
   private[core] def include(relPath: String): Boolean =
     relPath.split('/').forall { c =>
@@ -180,8 +185,15 @@ object Backup {
     fs.mkdirs(new Path(gdir, "files"))
 
     val live = listSource(fsOf(spark, sourceDir), sourceDir)
+    // The (path, length, mtime) reuse shortcut is sound only for the
+    // parquet part files, which the COW discipline never overwrites in
+    // place. Metadata files (config.json) ARE rewritten in place, and a
+    // change that preserves byte length within the filesystem's mtime
+    // granularity (1 s local fs, coarser object stores) would slip past
+    // the triple — so non-parquet files are always copied. They are tiny.
     val (reused, fresh) = live.partition { case (rel, len, mt) =>
-      prev.get(rel).exists(p => p.length == len && p.mtime == mt)
+      rel.endsWith(".parquet") &&
+        prev.get(rel).exists(p => p.length == len && p.mtime == mt)
     }
     val pairs = fresh.map { case (rel, _, _) =>
       (s"$sourceDir/$rel", s"$gdir/files/$rel")
@@ -214,9 +226,11 @@ object Backup {
   /** Materialize a generation (default: latest) into `targetDir`, which
     * must not already contain files. Returns the file count restored.
     * Every copied file is digest-checked against the manifest while it
-    * streams; a failed restore (corrupted backup, I/O error) removes the
-    * partial target before rethrowing, so a retry — or a restore of a
-    * different, intact generation — is not blocked by debris.
+    * streams; a failed restore (corrupted backup, I/O error) removes what
+    * it wrote before rethrowing — the whole target if restore created it,
+    * only its children if the caller passed a pre-existing empty
+    * directory — so a retry (or a restore of an intact generation) is not
+    * blocked by debris and a prepared mount point is never deleted.
     */
   def restore(spark: SparkSession, destRoot: String, targetDir: String,
               generation: Int = -1): Int = {
@@ -226,6 +240,9 @@ object Backup {
     val tpath = new Path(targetDir)
     require(!tfs.exists(tpath) || tfs.listStatus(tpath).isEmpty,
       s"restore target $targetDir is not empty")
+    // a failed restore must clean up its partial output, but only what it
+    // created: a caller-prepared empty directory (a mount point) survives
+    val targetExisted = tfs.exists(tpath)
     try {
       val pairs = m.entries.map { e =>
         (s"${genDir(destRoot, e.storedIn)}/files/${e.path}", s"$targetDir/${e.path}")
@@ -239,7 +256,12 @@ object Backup {
       }
       m.entries.length
     } catch {
-      case t: Throwable => tfs.delete(tpath, true); throw t
+      case t: Throwable =>
+        if (targetExisted) {
+          if (tfs.exists(tpath))
+            tfs.listStatus(tpath).foreach(s => tfs.delete(s.getPath, true))
+        } else tfs.delete(tpath, true)
+        throw t
     }
   }
 

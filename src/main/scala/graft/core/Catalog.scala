@@ -2249,10 +2249,21 @@ class Collection private[core] (
   def putQueries(queries: DataFrame): Long = {
     writeLock.lock()
     try {
-      val q = queries.select(
+      val cast = queries.select(
         col(queries.columns(0)).cast(LongType).as("query_id"),
         col(queries.columns(1)).cast(StringType).as("query"))
-        .localCheckpoint(true)
+      // MERGE-by-id needs each id to appear once in the batch. A retried
+      // producer may repeat identical (id, query) rows — collapse those;
+      // the same id with DIFFERENT texts is an ambiguous merge, and a
+      // DataFrame has no row order that would make "last wins"
+      // well-defined, so reject it loudly instead of persisting
+      // duplicate ids (which would double-count percolate matches).
+      val q = cast.dropDuplicates("query_id", "query").localCheckpoint(true)
+      val conflicted = q.groupBy("query_id").count()
+        .filter(col("count") > 1).select("query_id")
+        .limit(5).collect().map(_.getLong(0))
+      require(conflicted.isEmpty,
+        s"batch carries conflicting texts for query_id(s) ${conflicted.mkString(", ")}")
       recoverSwap(queriesDir)
       if (!fs.exists(new Path(queriesDir))) {
         // first write lands atomically: stage + rename, so a crash
@@ -2491,9 +2502,35 @@ class Collection private[core] (
   * `Column`s rather than SQL strings, but keep the validation for parity.
   */
 object Identifiers {
-  def validate(name: String): Unit =
+  /** Suffixes reserved for on-disk operational artifacts (staged swaps,
+    * compaction journals, import stages). An identifier ending with one
+    * of these would make its directory (e.g. `index/<col>`)
+    * indistinguishable from the transient artifacts that maintenance
+    * sweeps and [[Backup.include]] must skip — a backup would silently
+    * drop that index and a restore would silently lose it. Leading '_'
+    * likewise collides with the `_lease` / `_SUCCESS` artifact class, so
+    * both shapes are rejected at creation time instead of being
+    * mishandled later.
+    */
+  private[graft] val ReservedSuffixes = Seq(
+    "_staging", "_swapjournal", "_swapjournal_tmp", "_import",
+    "_precompact", "_compacting", "__stage", "__stage_commit",
+    // index-structure dir suffixes: column "body_kw" would collide with
+    // column "body"'s keyword index directory under index/
+    "_kw", "_dd", "_ann")
+
+  def validate(name: String): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"invalid identifier: '$name'")
+    require(!name.startsWith("_"),
+      s"invalid identifier '$name': leading '_' is reserved for " +
+        "operational artifacts (_lease, _SUCCESS)")
+    ReservedSuffixes.find(name.endsWith).foreach { sfx =>
+      throw new IllegalArgumentException(
+        s"invalid identifier '$name': suffix '$sfx' is reserved for " +
+          "operational artifacts")
+    }
+  }
 }
 
 /** Create/load/list collections under a root directory (C1-C3 without the

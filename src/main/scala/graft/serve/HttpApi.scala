@@ -161,6 +161,9 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
                (q \ "query").extractOpt[String]
                  .getOrElse(throw new IllegalArgumentException("queries[].query is required")))
             }
+            // same contract as search_batch / percolate: one row per id
+            require(rows.map(_._1).distinct.length == rows.length,
+              "queries[].query_id values must be distinct")
             val n = coll.putQueries(rows.toDF("query_id", "query"))
             (200, ok(secs(), s"""{"saved":$n}"""))
         }

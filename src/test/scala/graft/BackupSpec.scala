@@ -121,6 +121,65 @@ class BackupSpec extends SparkSpec {
       "a failed restore must remove its partial target so a retry is not blocked")
   }
 
+  test("in-place config.json rewrite is captured even with unchanged length and mtime") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "cfgsrc")
+    val dest = tmpRoot("graft_bak_dest")
+    c.backup(dest)
+
+    // writeConfig rewrites config.json IN PLACE. Simulate the nastiest
+    // case: a change that keeps the byte length (f32 -> f16) on a
+    // filesystem whose mtime did not tick between writes. The
+    // (path, length, mtime) reuse shortcut must not apply to it.
+    val cfgFile = new java.io.File(s"${c.dir}/config.json")
+    val oldBytes = java.nio.file.Files.readAllBytes(cfgFile.toPath)
+    val newBytes = new String(oldBytes, "UTF-8")
+      .replace("\"f32\"", "\"f16\"").getBytes("UTF-8")
+    assert(newBytes.length == oldBytes.length, "test needs a same-length change")
+    val oldMtime = cfgFile.lastModified()
+    java.nio.file.Files.write(cfgFile.toPath, newBytes)
+    // the java.nio write bypassed Hadoop's checksummed stream — drop the
+    // stale sidecar so the local ChecksumFileSystem can still read it
+    new java.io.File(cfgFile.getParent, ".config.json.crc").delete()
+    assert(cfgFile.setLastModified(oldMtime))
+
+    val r2 = c.backup(dest)
+    assert(!r2.full)
+    val cfgEntry = Backup.manifest(spark, dest, 2).entries
+      .find(_.path == "config.json").get
+    assert(cfgEntry.storedIn == 2, "config.json must be re-copied, not reused")
+    assert(cat.restore(dest, "cfgcopy").config.model_variant == "f16")
+    // the parquet part files still reuse generation 1's bytes
+    assert(r2.reusedFiles > 0)
+  }
+
+  test("failed restore into a caller-prepared directory keeps the directory itself") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "premount")
+    val dest = tmpRoot("graft_bak_dest")
+    c.backup(dest)
+    // corrupt a stored file so the restore's digest check trips mid-flight
+    val stored = new java.io.File(s"$dest/gen-00001/files/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val raf = new java.io.RandomAccessFile(stored, "rw")
+    try { raf.seek(stored.length() / 2); raf.writeByte(raf.read() ^ 0xff) }
+    finally raf.close()
+    new java.io.File(stored.getParent, s".${stored.getName}.crc").delete()
+
+    // a pre-existing empty target (a prepared mount point) survives failure
+    val prepared = new java.io.File(tmpRoot("graft_bak_restore"), "mnt")
+    assert(prepared.mkdirs())
+    intercept[Exception](Backup.restore(spark, dest, prepared.toString))
+    assert(prepared.exists, "restore must not delete a directory it did not create")
+    assert(prepared.listFiles().isEmpty,
+      s"partial restore debris left behind: ${prepared.listFiles().mkString(", ")}")
+
+    // whereas a target the restore itself created is removed wholesale
+    val made = new java.io.File(tmpRoot("graft_bak_restore"), "fresh")
+    intercept[Exception](Backup.restore(spark, dest, made.toString))
+    assert(!made.exists)
+  }
+
   test("aborted generation (no manifest) is invisible and its number is safely reused") {
     val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
     val c = mkCollection(cat, "src4")

@@ -11,7 +11,8 @@ class DriverContractSpec extends org.scalatest.funsuite.AnyFunSuite {
     // driver's weaker rows-only check — this guard makes that a loud
     // local failure instead. Keep the dynamic list in sync with
     // SparkEntry.dynamicOracleSql's attempt() names.
-    val dynamic = Set("q_ivf_topk", "q71_pq", "q84_pq_rerank")
+    val dynamic = Set("q_ivf_topk", "q71_pq", "q84_pq_rerank",
+      "q123_semantic_dedup")
     val unchecked = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- dynamic
     assert(unchecked.isEmpty,
@@ -66,6 +67,32 @@ class CatalogSpec extends SparkSpec {
 
   private def tmpRoot(): String =
     java.nio.file.Files.createTempDirectory("graft_test").toString
+
+  test("identifiers: artifact-colliding names are rejected at creation time") {
+    import graft.core.Identifiers
+    // plain names, including interior underscores, are fine
+    Seq("text", "body_text", "c1", "ann2", "kw_body").foreach(Identifiers.validate)
+    // leading '_' collides with the _lease/_SUCCESS artifact class; reserved
+    // suffixes collide with staged-swap / index-structure directories —
+    // Backup.include() would silently drop such a column's index from
+    // every backup, so the name is refused before the directory can exist
+    Seq("_foo", "_key", "x_staging", "notes_import", "col_swapjournal",
+      "body_kw", "body_dd", "body_ann", "t_precompact", "t_compacting")
+      .foreach { bad =>
+        val e = intercept[IllegalArgumentException](Identifiers.validate(bad))
+        assert(e.getMessage.contains("reserved") || e.getMessage.contains("invalid"),
+          s"$bad: ${e.getMessage}")
+      }
+    val cat = new Catalog(spark, tmpRoot())
+    intercept[IllegalArgumentException] {
+      cat.create(CollectionConfig(name = "backup_staging"))
+    }
+    val c = cat.create(CollectionConfig(name = "idok"))
+    c.importDf(Seq("row").toDF("text"))
+    intercept[IllegalArgumentException] {
+      c.buildKeywordIndex("text_kw")
+    }
+  }
 
   test("create/load/list/drop/overwrite") {
     val cat = new Catalog(spark, tmpRoot())

@@ -170,6 +170,12 @@ class HttpApiSpec extends SparkSpec {
         """{"queries":[{"query_id":3,"query":"new alert"}]}""")
       assert(uc == 200 && ub.contains(""""saved":1"""), ub)
       assert(c.savedQueries.count() == 3)
+      // duplicate ids within one batch break MERGE-by-id: rejected like
+      // search_batch/percolate, nothing persisted
+      val (ddc, ddb) = post(port, "/collections/alerts/queries",
+        """{"queries":[{"query_id":4,"query":"x"},{"query_id":4,"query":"y"}]}""")
+      assert(ddc == 400 && ddb.contains("distinct"), ddb)
+      assert(c.savedQueries.count() == 3)
       val (dc, db) = post(port, "/collections/alerts/queries",
         """{"delete":[3, 99]}""")
       assert(dc == 200 && db.contains(""""deleted":1"""), db)

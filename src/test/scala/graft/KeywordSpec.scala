@@ -512,6 +512,27 @@ class KeywordSpec extends SparkSpec {
       s"q1 needs spark+shuffle only (n_terms=2, stopword dropped): $got")
   }
 
+  test("putQueries: intra-batch duplicates collapse when identical, reject when conflicting") {
+    import graft.core.{Catalog, CollectionConfig}
+    val root = java.nio.file.Files.createTempDirectory("graft_putq").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "alerts"))
+    c.importDf(Seq("seed row").toDF("text"))
+    // a retried producer repeating identical rows persists one copy
+    assert(c.putQueries(
+      Seq((1L, "spark shuffle"), (1L, "spark shuffle"), (2L, "parquet"))
+        .toDF("query_id", "query")) == 2)
+    assert(c.savedQueries.count() == 2)
+    assert(c.savedQueries.groupBy("query_id").count()
+      .filter(col("count") > 1).count() == 0, "no duplicate ids persisted")
+    // same id with different texts is an ambiguous merge: loud refusal,
+    // nothing persisted (duplicate ids would double-count percolation)
+    val e = intercept[IllegalArgumentException](
+      c.putQueries(Seq((5L, "alpha"), (5L, "beta")).toDF("query_id", "query")))
+    assert(e.getMessage.contains("conflicting"), e.getMessage)
+    assert(c.savedQueries.count() == 2)
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping pages") {
     // list A ranks: 10 (r1), 20 (r2); list B ranks: 20 (r1), 30 (r2)
     val a = Seq((10L, 0.9), (20L, 0.5)).toDF("key", "score")
