@@ -323,6 +323,20 @@ object PipelineQueries {
           documents(s, d).select(col("doc_id"), col("lang")), "doc_id", 64)
         ._2.orderBy(col("shard"))),
 
+    // Sequence packing (concat-and-chunk): documents concatenate in the
+    // deterministic shuffle order and the token stream cuts every 128
+    // tokens; the graded manifest binds membership AND order per
+    // sequence (checksum = sum key * tokens-contributed). The global
+    // running token offset comes from the distributed two-pass prefix
+    // sum — the oracle's `sum() OVER (ORDER BY ...)` is the single-task
+    // plan this operator exists to avoid at 100 TB.
+    "q123_pack" -> ((s, d) =>
+      graft.operators.Pack.packPlan(
+          documents(s, d).select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+          "doc_id", "n_tok", seqLen = 128)
+        .orderBy(col("seq_id"))),
+
     // Backup/restore lifecycle graded end-to-end: import (key-clustered)
     // -> full backup -> contiguous-range erase -> incremental backup ->
     // restore BOTH generations and read them back. Generation 1 must
@@ -729,6 +743,30 @@ object PipelineQueries {
         |  min(pos) AS pos_min, max(pos) AS pos_max,
         |  CAST(sum(doc_id * (pos % 64 + 1)) AS BIGINT) AS checksum
         |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // tokenization parity with TextFunctions.tokenCount (trim + \s+
+    // split; blank text -> 0); the cum window is total-ordered
+    // (doc_id tie-break) so ROWS == RANGE; empty docs pack nowhere
+    "q123_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        | p AS (SELECT doc_id, n_tok,
+        |   sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        | d AS (SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS s,
+        |       CAST(cum AS BIGINT) AS e FROM p WHERE n_tok > 0),
+        | x AS (SELECT doc_id, s, e,
+        |   unnest(range(s // 128, (e-1) // 128 + 1)) AS seq FROM d)
+        |SELECT CAST(seq AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(e, (seq+1)*128) - greatest(s, seq*128)) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(doc_id * (least(e, (seq+1)*128) - greatest(s, seq*128)))
+        |    AS BIGINT) AS checksum
+        |FROM x GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     // generation 1 = the full corpus at backup time; generation 2 = the
     // corpus after the keys 10..20 erase

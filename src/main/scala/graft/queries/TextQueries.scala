@@ -548,6 +548,36 @@ object TextQueries {
         .join(broadcast(top), "tok")
         .select(col("tok"), col("n_exact"), col("cm_est"))
         .orderBy(desc("n_exact"), col("tok"))
+    }),
+
+    // SemDeDup (arXiv:2303.09540): semantic near-dup pairs found ONLY
+    // within embedding clusters — k independent O((n/k)^2) problems
+    // instead of one O(n^2). Centroids are the deterministic
+    // (md5, key)-first sample so the DuckDB twin re-derives centroid
+    // choice, nearest-centroid assignment (ties to the smaller centroid
+    // key) and the within-cluster pairs exactly; cross-cluster misses
+    // are the operator's documented contract, so the gate hashes the
+    // clustered answer itself, not the q29 exact-pair twin.
+    "q124_semdedup" -> ((s, d) =>
+      graft.dedup.SemDedup.semanticDups(
+          embeddings(s, d), "vec_id", "embedding", k = 16, threshold = 0.35)
+        .orderBy(col("cluster_id"), col("key_a"), col("key_b"))),
+
+    // Late-interaction (ColBERT MaxSim) multi-vector ranking: query = 4
+    // vectors (the deterministic (md5, key)-first sample), document =
+    // its chunk set (label groups vec_ids into 10 multi-chunk docs);
+    // score = sum over query vectors of max over doc chunks of cosine.
+    // Per-term maxes round to 6 places and sum as DECIMAL so the total
+    // is addition-order-independent (the q109 fold discipline) and the
+    // oracle re-derives it bit-for-bit.
+    "q125_late_interaction" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.select(col("vec_id"), col("embedding"),
+          md5(col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h"), col("vec_id")).limit(4).drop("__h")
+      graft.search.LateInteraction.topK(q, "vec_id", "embedding",
+          e, "label", "embedding", k = 10)
+        .select(col("label").cast("int").as("label"), col("score"))
     })
   )
 
@@ -1064,7 +1094,45 @@ object TextQueries {
          |   FROM bkt b JOIN cells c USING (i, bucket) JOIN top t USING (tok)
          |   GROUP BY b.tok)
          |SELECT tok, n_exact, cm_est FROM top JOIN est USING (tok)
-         | ORDER BY n_exact DESC, tok""".stripMargin
+         | ORDER BY n_exact DESC, tok""".stripMargin,
+
+    // SemDeDup twin: same deterministic centroid sample ((md5, key)
+    // order, first 16), same argmax assignment (cosine DESC, centroid
+    // key ASC — both engines compare the identical f64 values, so the
+    // tie-break agrees), same within-cluster pair generation.
+    "q124_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        | a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(c.cvec AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        | a AS (SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rn FROM a0),
+        | g AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1)
+        |SELECT g1.cid AS cluster_id, g1.vec_id AS key_a, g2.vec_id AS key_b,
+        |  round(list_cosine_similarity(CAST(g1.embedding AS DOUBLE[]),
+        |    CAST(g2.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM g g1 JOIN g g2 ON g1.cid = g2.cid AND g1.vec_id < g2.vec_id
+        |WHERE list_cosine_similarity(CAST(g1.embedding AS DOUBLE[]),
+        |    CAST(g2.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY cluster_id, key_a, key_b""".stripMargin,
+
+    // MaxSim twin: per-(label, query-vector) max cosine, rounded to 6,
+    // summed as DECIMAL(18,6) (order-independent), cast to DOUBLE.
+    "q125_late_interaction" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+        |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+        | m AS (SELECT d.label, q.qid,
+        |    max(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[]))) AS mx
+        |  FROM embeddings d CROSS JOIN q GROUP BY 1, 2),
+        | sc AS (SELECT label,
+        |    CAST(sum(CAST(round(mx, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM m GROUP BY 1)
+        |SELECT CAST(label AS INT) AS label, score FROM sc
+        | ORDER BY score DESC, label LIMIT 10""".stripMargin
   )
 
   /** The chunker on a header-less, paragraph-less corpus is exactly the

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.LateInteraction
+
+/** MaxSim late-interaction scoring vs a driver-side model, plus its
+  * collapse to the single-query-vector per-key-max discipline.
+  */
+class LateInteractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  // 3 docs x up to 3 chunks
+  private val docChunks = Seq(
+    (100L, Array(1.0f, 0.0f, 0.0f)), (100L, Array(0.0f, 1.0f, 0.0f)),
+    (200L, Array(0.7f, 0.7f, 0.0f)), (200L, Array(0.0f, 0.0f, 1.0f)),
+    (200L, Array(-1.0f, 0.0f, 0.0f)),
+    (300L, Array(0.5f, -0.5f, 0.5f)))
+  private val queryChunks = Seq(
+    (1L, Array(1.0f, 0.1f, 0.0f)), (2L, Array(0.0f, 0.0f, 1.0f)))
+
+  private def modelScores: Map[Long, BigDecimal] =
+    docChunks.groupBy(_._1).map { case (doc, chunks) =>
+      doc -> queryChunks.map { case (_, qv) =>
+        round6(chunks.map(c => cos(c._2, qv)).max)
+      }.sum
+    }
+
+  test("topK == per-doc sum of per-query-vector max cosines (rounded fold)") {
+    val got = LateInteraction.topK(
+        queryChunks.toDF("qid", "emb"), "qid", "emb",
+        docChunks.toDF("doc", "emb"), "doc", "emb", k = 10)
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))))
+    val want = modelScores.toSeq
+      .sortBy { case (doc, s) => (-s, doc) }
+    assert(got.map(_._1).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert((g - w).abs < BigDecimal("1e-9"))
+    }
+  }
+
+  test("k truncates the page deterministically") {
+    val got = LateInteraction.topK(
+        queryChunks.toDF("qid", "emb"), "qid", "emb",
+        docChunks.toDF("doc", "emb"), "doc", "emb", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == modelScores.toSeq.sortBy { case (d, s) => (-s, d) }
+      .take(2).map(_._1))
+  }
+
+  test("single query vector degrades to the chunked per-key max") {
+    val q1 = queryChunks.take(1)
+    val got = LateInteraction.topK(
+        q1.toDF("qid", "emb"), "qid", "emb",
+        docChunks.toDF("doc", "emb"), "doc", "emb", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docChunks.groupBy(_._1).foreach { case (doc, chunks) =>
+      val want = round6(chunks.map(c => cos(c._2, q1.head._2)).max)
+      assert((BigDecimal(got(doc)) - want).abs < BigDecimal("1e-9"))
+    }
+  }
+
+  test("query side broadcasts; aggregates are partial (no chunk-fanout shuffle)") {
+    val plan = LateInteraction.topK(
+        queryChunks.toDF("qid", "emb"), "qid", "emb",
+        docChunks.toDF("doc", "emb"), "doc", "emb", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"))
+  }
+}
