@@ -312,7 +312,13 @@ object Cli {
             val nProbe = flags.getOrElse("n-probe", "2").toInt
             if (nProbe < 1) fail("--n-probe must be >= 1")
             c.searchAnn(column, query, limit, embedder, nProbe)
-          case other => fail(s"--mode must be vector|keyword|hybrid|ann, got '$other'")
+          case "late" =>
+            val mt = flags.getOrElse("chunk-max-tokens", "512").toInt
+            val ov = flags.getOrElse("chunk-overlap-tokens", "50").toInt
+            if (mt < 1 || ov < 0 || ov >= mt)
+              fail("need --chunk-max-tokens >= 1 and 0 <= --chunk-overlap-tokens < it")
+            c.searchLate(column, query, limit, embedder, mt, ov)
+          case other => fail(s"--mode must be vector|keyword|hybrid|ann|late, got '$other'")
         }
         page.show(limit, truncate = 80)
       case "serve" =>
@@ -436,11 +442,13 @@ object Cli {
       |  verify-backup --dest DIR [--generation n]  # re-digest stored files
       |  prune-backups --dest DIR [--keep-chains n]  # drop old full chains
       |  search   --collection C --query Q [--column col] [--limit n]
-      |           [--mode vector|keyword|hybrid|ann] [--n-probe p]
+      |           [--mode vector|keyword|hybrid|ann|late] [--n-probe p]
       |           [--require-all]  # keyword mode: AND semantics
       |            # keyword/hybrid use the BM25 index when built
       |            # (buildKeywordIndex), else scan; ann probes the IVF
-      |            # index when built (buildAnnIndex), else exact
+      |            # index when built (buildAnnIndex), else exact;
+      |            # late = ColBERT MaxSim over a chunked index (pass the
+      |            # index's --chunk-max-tokens/--chunk-overlap-tokens)
 
       |  serve    [--port 7898] [--host 127.0.0.1]
       |  list

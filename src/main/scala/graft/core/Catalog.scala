@@ -889,6 +889,39 @@ class Collection private[core] (
     graft.search.Search.searchAndFetch(df, emb, qv, limit, column)
   }
 
+  /** Late-interaction (ColBERT MaxSim) search over a CHUNKED index
+    * ([[embedColumnChunked]]'s multi-vector layout): the QUERY is also
+    * chunked and embedded per chunk, and a document scores the SUM over
+    * query chunks of its best-chunk cosine — so a long query whose
+    * sections match different parts of a document outranks one-best-
+    * chunk search ([[search]] is exactly the single-query-vector special
+    * case). `maxTokens`/`overlapTokens` should match what the index was
+    * built with so query and document chunk granularity agree.
+    *
+    * Scores fold through the order-independent DECIMAL discipline of
+    * [[graft.search.LateInteraction]] (per-term round(6) then exact
+    * sum), so pages are deterministic across partitionings. The query
+    * side is a handful of broadcast vectors; the index scan stays one
+    * map-side pass + partial-aggregated per-(key, term) maxes.
+    */
+  def searchLate(column: String, query: String, limit: Int,
+                 embedder: graft.embed.Embedder,
+                 maxTokens: Int = 512, overlapTokens: Int = 50): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    import spark.implicits._
+    val cfg = graft.functions.Chunker.ChunkerConfig(
+      maxTokens = maxTokens, overlapTokens = overlapTokens)
+    val pieces0 = graft.functions.Chunker.chunk(query, cfg)
+    val pieces = if (pieces0.isEmpty) Seq(query) else pieces0
+    val qDf = embedder.embed(pieces.iterator).toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("__qid", "__qvec")
+    val ranked = graft.search.LateInteraction.topK(
+      qDf, "__qid", "__qvec", embeddings(column), KeyCol, "embedding", limit)
+    df.join(broadcast(ranked), KeyCol)
+      .select(col(column).as("content"), col(KeyCol).as("key"), col("score"))
+      .orderBy(desc("score"), col("key"))
+  }
+
   // --- keyword (BM25) + hybrid search surface ----------------------------
 
   /** The keyword index lives beside the vector index
@@ -1857,6 +1890,59 @@ class Collection private[core] (
         .join(emb, Seq(KeyCol))
     graft.search.Ann.knnProbedBetween(queries, assigned, centers, KeyCol,
       "embedding", k, nProbe, excludeSelf = false)
+  }
+
+  /** Semantic near-duplicate pairs over `column`'s vectors — the
+    * SemDeDup discipline ([[graft.dedup.SemDedup]]) served from the
+    * PERSISTENT ANN index: two documents are candidates when any of
+    * their vectors share an IVF list (the index's TRAINED clusters,
+    * maintained by refresh/stream/repair — tighter than the operator's
+    * deterministic sample, and free: no assignment pass runs here).
+    * Exact cosine verifies candidates; chunked (multi-vector) documents
+    * fold to their best chunk pair, the [[knnJoin]] discipline. Returns
+    * `(key_a, key_b, cosine)` with `key_a < key_b`, cosine rounded to 6.
+    *
+    * Cross-list misses are the SemDeDup recall trade (raise the index's
+    * `nLists` probe count at BUILD time, or run
+    * [[graft.dedup.Dedup.embeddingNearDups]]'s multi-table LSH when
+    * recall matters more than reusing the stored clustering). Falls back
+    * to the operator's deterministic-centroid clustering when no index
+    * is built.
+    *
+    * Scale shape: candidate generation carries `(key, list_id)` pairs
+    * only (distinct-deduped, so a c-chunk document contributes c rows,
+    * not c²); vectors join back for the candidate set; the per-pair max
+    * is a partial aggregate.
+    */
+  def semanticDups(column: String, threshold: Double,
+                   nLists: Int = 16): DataFrame = {
+    Identifiers.validate(column)
+    val emb = embeddings(column)
+    if (!hasAnnIndex(column))
+      return graft.dedup.SemDedup.semanticDups(emb, KeyCol, "embedding",
+          k = nLists, threshold = threshold)
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(max(col("cosine")).as("cosine"))
+    recoverSwap(annListsDir(column))
+    recoverFileSwap(annListsDir(column))
+    val kl = spark.read.parquet(annListsDir(column))
+      .select(col(KeyCol), col("list_id")).distinct()
+    val cand = kl.as("a").join(kl.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col(s"a.$KeyCol") < col(s"b.$KeyCol"))
+      .select(col(s"a.$KeyCol").as("key_a"), col(s"b.$KeyCol").as("key_b"))
+      .distinct()
+    val va = emb.withColumnRenamed(KeyCol, "key_a")
+      .withColumnRenamed("embedding", "__ea")
+    val vb = emb.withColumnRenamed(KeyCol, "key_b")
+      .withColumnRenamed("embedding", "__eb")
+    cand.join(va, "key_a").join(vb, "key_b")
+      .withColumn("__cos",
+        graft.functions.VectorFunctions.cosine(col("__ea"), col("__eb")))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(max(col("__cos")).as("__m"))
+      .filter(col("__m") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("__m"), 6).as("cosine"))
   }
 
   /** Streaming twin of [[refreshAnnIndex]]: watch the VECTOR INDEX

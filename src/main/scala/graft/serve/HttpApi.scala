@@ -114,8 +114,16 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
             val nProbe = (req \ "n_probe").extractOpt[Int].getOrElse(2)
             require(nProbe >= 1, s"n_probe must be >= 1, got $nProbe")
             coll.searchAnn(column, query, limit, embedder, nProbe)
+          case "late" =>
+            // MaxSim over a chunked index; chunk_tokens should match the
+            // granularity the index was embedded with
+            val mt = (req \ "chunk_tokens").extractOpt[Int].getOrElse(512)
+            val ov = (req \ "chunk_overlap").extractOpt[Int].getOrElse(50)
+            require(mt >= 1 && ov >= 0 && ov < mt,
+              s"need chunk_tokens >= 1 and 0 <= chunk_overlap < chunk_tokens, got ($mt, $ov)")
+            coll.searchLate(column, query, limit, embedder, mt, ov)
           case other => throw new IllegalArgumentException(
-            s"mode must be vector|keyword|hybrid|ann, got '$other'")
+            s"mode must be vector|keyword|hybrid|ann|late, got '$other'")
         }).collect()
         val results = rows.map { r =>
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""

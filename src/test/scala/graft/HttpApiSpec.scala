@@ -74,6 +74,16 @@ class HttpApiSpec extends SparkSpec {
         """{"column_name":"text","query":"x","limit":2,"mode":"nope"}""")
       assert(xc == 400 && xb.contains("mode"), xb)
 
+      // late interaction: a short (single-chunk) query over a
+      // one-vector-per-doc index degrades to vector search's ranking
+      val (tc, tb) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"apple fruit","limit":2,"mode":"late"}""")
+      assert(tc == 200 && tb.contains("apple"), tb)
+      val (uc, ub) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"x","limit":2,"mode":"late",""" +
+          """"chunk_tokens":8,"chunk_overlap":8}""")
+      assert(uc == 400 && ub.contains("chunk_overlap"), ub)
+
       // K5 validation and error envelope
       val (bc, bb) = post(port, "/collections/docs/search",
         """{"column_name":"text","query":"x","limit":0}""")

@@ -71,6 +71,58 @@ class LateInteractionSpec extends SparkSpec {
     }
   }
 
+  test("collection searchLate: multi-section query outranks one-best-chunk search") {
+    import graft.core.{Catalog, CollectionConfig}
+    import graft.embed.HashingEmbedder
+    val root = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "late"))
+    val emb = new HashingEmbedder(dim = 64)
+    // doc 1 covers BOTH topics in separate sections; docs 2/3 cover one each
+    val both = "# storage\n" +
+      Array.fill(30)("parquet footer row group metadata").mkString(" ") +
+      "\n\n# physics\n" +
+      Array.fill(30)("quantum entanglement teleportation photon").mkString(" ")
+    val storageOnly = Array.fill(40)("parquet footer row group metadata").mkString(" ")
+    val physicsOnly = Array.fill(40)("quantum entanglement teleportation photon").mkString(" ")
+    c.importDf(Seq(both, storageOnly, physicsOnly).toDF("text"))
+    c.embedColumnChunked("text", emb, maxTokens = 32, overlapTokens = 4)
+
+    // the query itself spans both sections -> chunks into both topics
+    val query = "# storage\n" +
+      Array.fill(20)("parquet footer row group metadata").mkString(" ") +
+      "\n\n# physics\n" +
+      Array.fill(20)("quantum entanglement teleportation photon").mkString(" ")
+    val page = c.searchLate("text", query, 3, emb,
+      maxTokens = 32, overlapTokens = 4).collect()
+    assert(page.head.getLong(1) == 1L,
+      s"the both-topics doc must win MaxSim, got key ${page.head.getLong(1)}")
+    assert(page.head.getString(0) == both, "content hydrates to the full doc")
+
+    // model check: score = sum over query chunks of best doc-chunk cosine
+    val cfg = graft.functions.Chunker.ChunkerConfig(maxTokens = 32, overlapTokens = 4)
+    val qChunks = graft.functions.Chunker.chunk(query, cfg).map(emb.embedOne)
+    val docsById = Map(1L -> both, 2L -> storageOnly, 3L -> physicsOnly)
+    page.foreach { r =>
+      val dChunks = graft.functions.Chunker.chunk(docsById(r.getLong(1)), cfg)
+        .map(emb.embedOne)
+      val want = qChunks.map(qv => round6(dChunks.map(dv => cos(dv, qv)).max)).sum
+      assert((BigDecimal(r.getDouble(2)) - want).abs < BigDecimal("1e-9"),
+        s"key ${r.getLong(1)}")
+    }
+
+    // a single-chunk query ranks exactly like vector search (same keys,
+    // scores equal after the round-6 fold)
+    val short = "quantum entanglement teleportation photon"
+    val late = c.searchLate("text", short, 3, emb, 32, 4).collect()
+    val vec = c.search("text", short, 3, emb).collect()
+    assert(late.map(_.getLong(1)).toSeq == vec.map(_.getLong(1)).toSeq)
+    late.zip(vec).foreach { case (l, v) =>
+      assert((BigDecimal(l.getDouble(2)) - round6(v.getDouble(2))).abs <
+        BigDecimal("1e-9"))
+    }
+  }
+
   test("query side broadcasts; aggregates are partial (no chunk-fanout shuffle)") {
     val plan = LateInteraction.topK(
         queryChunks.toDF("qid", "emb"), "qid", "emb",

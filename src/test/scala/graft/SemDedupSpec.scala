@@ -105,6 +105,53 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == fixture.map(_._1).toSet -- gone)
   }
 
+  test("collection semanticDups rides the stored ANN lists; nLists=1 == exact pairs") {
+    import graft.core.{Catalog, CollectionConfig}
+    import graft.embed.HashingEmbedder
+    val root = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "sem"))
+    val emb = new HashingEmbedder(dim = 32)
+    val texts = Seq(
+      "alpha beta gamma delta", "alpha beta gamma delta", // exact dup pair
+      "alpha beta gamma epsilon", "totally different words here",
+      "quantum photon entangle state", "quantum photon entangle state extra")
+    c.importDf(texts.toDF("text"))
+    c.embedColumn("text", emb)
+    // exact ground truth from the embedder itself
+    val vecs = texts.zipWithIndex.map { case (t, i) => (i + 1L, emb.embedOne(t)) }
+    def exactPairs(t: Double) = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b && cos(va, vb) >= t
+    } yield (a, b)).toSet
+
+    // one list = everything co-listed = exact recall
+    c.buildAnnIndex("text", nLists = 1)
+    val one = c.semanticDups("text", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == exactPairs(0.5))
+
+    // more lists: subset of exact, every reported cosine is the exact value
+    c.buildAnnIndex("text", nLists = 3)
+    val multi = c.semanticDups("text", 0.5).collect()
+    val byId = vecs.toMap
+    assert(multi.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .subsetOf(exactPairs(0.5)))
+    multi.foreach { r =>
+      assert(math.abs(r.getDouble(2) - cos(byId(r.getLong(0)), byId(r.getLong(1)))) < 5e-7)
+    }
+    // the exact-dup pair is always found: identical vectors share a list
+    assert(multi.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+
+    // refresh folds appended docs into the pairs
+    c.appendDf(Seq("alpha beta gamma delta").toDF("text"))
+    c.embedColumn("text", emb)
+    c.refreshAnnIndex("text")
+    val refreshed = c.semanticDups("text", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refreshed.contains((1L, 7L)) && refreshed.contains((2L, 7L)),
+      s"appended exact dup must pair with both originals, got $refreshed")
+  }
+
   test("centroid table is the deterministic (md5, key)-first sample") {
     val cents = SemDedup.centroids(df, "vec_id", "embedding", 3)
       .select("cluster_id").as[Long].collect().toSet
