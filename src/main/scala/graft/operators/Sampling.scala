@@ -102,4 +102,39 @@ object Sampling {
       .filter(hashFraction(col(keyCol)) < col("__rate"))
       .drop("__rate")
   }
+
+  /** Keep at most `n` rows per group — the EXACT cap ("at most 10k pages
+    * per domain", C4/RefinedWeb-style host capping) next to
+    * [[temperatureMix]]'s probabilistic flattening. Survivors are the
+    * group's first `n` rows in `(md5(key), key)` order: a content-
+    * independent, engine-checkable choice that stays stable under
+    * reordering of the input (appends can displace survivors only
+    * within the group's own hash order, never by arrival time).
+    *
+    * Scale shape: one count pass finds the groups OVER the cap (a
+    * domain table — tens of thousands of rows at web scale, broadcast
+    * both ways); under-cap groups — the overwhelming majority of a
+    * heavy-tailed web corpus — pass through with a broadcast anti-join,
+    * NO ranking, NO shuffle. Only over-cap groups rank, through a
+    * window partitioned by group; a single pathological group still
+    * ranks in one task's sort, but its input is capped by that group's
+    * size, not the corpus (the giant-head domains are exactly the ones
+    * a cap exists to trim — if one holds 10^9 rows, pre-trim it with
+    * [[stratified]] at a rate that overshoots `n`, then cap exactly).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gc"))
+      .filter(col("__gc") > n).select(col(groupCol))
+    val pass = df.join(broadcast(over), Seq(groupCol), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val trimmed = df.join(broadcast(over), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+    // restore the input column order (the joins moved groupCol first)
+    pass.unionByName(trimmed).select(df.columns.map(col): _*)
+  }
 }

@@ -337,6 +337,17 @@ object PipelineQueries {
           "doc_id", "n_tok", seqLen = 128)
         .orderBy(col("seq_id"))),
 
+    // Exact per-domain cap (C4/RefinedWeb host capping): at most 10 docs
+    // per source, survivors = the group's (md5, key)-order head. The
+    // operator's two-phase shape (under-cap groups pass through with no
+    // ranking; only over-cap groups window) is invisible here — every
+    // fixture source is over cap — and is spec'd in OperatorsSpec.
+    "q127_domain_cap" -> ((s, d) =>
+      graft.operators.Sampling.capPerGroup(
+          documents(s, d).select(col("doc_id"), col("source")),
+          "source", "doc_id", 10)
+        .orderBy(col("doc_id"))),
+
     // Backup/restore lifecycle graded end-to-end: import (key-clustered)
     // -> full backup -> contiguous-range erase -> incremental backup ->
     // restore BOTH generations and read them back. Generation 1 must
@@ -767,6 +778,14 @@ object PipelineQueries {
         |  CAST(sum(doc_id * (least(e, (seq+1)*128) - greatest(s, seq*128)))
         |    AS BIGINT) AS checksum
         |FROM x GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "q127_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10
+        | ORDER BY doc_id""".stripMargin,
 
     // generation 1 = the full corpus at backup time; generation 2 = the
     // corpus after the keys 10..20 erase

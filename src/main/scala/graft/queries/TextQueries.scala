@@ -563,6 +563,21 @@ object TextQueries {
           embeddings(s, d), "vec_id", "embedding", k = 16, threshold = 0.35)
         .orderBy(col("cluster_id"), col("key_a"), col("key_b"))),
 
+    // Hard-negative mining: each vector's 3 most-similar DIFFERENT-label
+    // neighbors — the contrastive-training margin sharpener. Exact twin
+    // gated to fixture scale; Ann.hardNegativesIvf is the probed path
+    // (spec'd exhaustive == exact).
+    "q126_hard_negatives" -> ((s, d) => {
+      val e0 = embeddings(s, d)
+      val n = e0.limit(10001).count()
+      require(n <= 10000,
+        s"q126_hard_negatives is an all-pairs verification twin (at least $n rows); use Ann.hardNegativesIvf at scale")
+      graft.search.Ann.hardNegativesExact(e0, "vec_id", "embedding", "label", 3)
+        .select(col("src").as("src_id"), col("nbr").as("nbr_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("src_id"), col("nbr_id"))
+    }),
+
     // Late-interaction (ColBERT MaxSim) multi-vector ranking: query = 4
     // vectors (the deterministic (md5, key)-first sample), document =
     // its chunk set (label groups vec_ids into 10 multi-chunk docs);
@@ -1118,6 +1133,19 @@ object TextQueries {
         |WHERE list_cosine_similarity(CAST(g1.embedding AS DOUBLE[]),
         |    CAST(g2.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY cluster_id, key_a, key_b""".stripMargin,
+
+    // hard negatives: label-filtered all-pairs, per-source rank (ties
+    // on the UNROUNDED sim break by neighbor key, the q117 discipline)
+    "q126_hard_negatives" ->
+      """WITH p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+        | r AS (SELECT src_id, nbr_id, sim,
+        |   row_number() OVER (PARTITION BY src_id
+        |     ORDER BY sim DESC, nbr_id) AS rn FROM p)
+        |SELECT src_id, nbr_id, round(sim, 6) AS sim FROM r WHERE rn <= 3
+        | ORDER BY src_id, nbr_id""".stripMargin,
 
     // MaxSim twin: per-(label, query-vector) max cosine, rounded to 6,
     // summed as DECIMAL(18,6) (order-independent), cast to DOUBLE.

@@ -381,6 +381,63 @@ object Ann {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  // ---- hard-negative mining -------------------------------------------
+
+  /** Hard negatives for contrastive training: each vector's `k` MOST
+    * similar vectors carrying a DIFFERENT `labelCol` — the mining step
+    * behind embedding-model fine-tuning (in-batch negatives are easy;
+    * the near-but-wrong neighbors are what sharpen the margin). Label
+    * can be a class, a source document id (mine negatives that are not
+    * the positive's own document), or a cluster id.
+    *
+    * Exact variant: brute-force twin, fixture/oracle scale only (the
+    * [[knnJoinExact]] discipline — broadcast BNLJ, per-source rank).
+    * Output `(src, nbr, sim)`, rank ties broken by neighbor key.
+    */
+  def hardNegativesExact(embDf: DataFrame, keyCol: String, embCol: String,
+                         labelCol: String, k: Int): DataFrame = {
+    def prep(d: DataFrame) = d.select(col(keyCol).as("__k"),
+      col(embCol).cast("array<double>").as("__e"), col(labelCol).as("__l"))
+    val cos = graft.functions.VectorFunctions.cosine(col("a.__e"), col("b.__e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
+    prep(embDf).repartition(col("__k")).as("a")
+      .join(broadcast(prep(embDf).as("b")), col("a.__l") =!= col("b.__l"))
+      .select(col("a.__k").as("src"), col("b.__k").as("nbr"), cos.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** The scale path: candidates are probed-list members (the
+    * [[knnJoinIvf]] shape — O(n · nProbe · avg list), never n²), the
+    * different-label filter lands BEFORE ranking so every returned row
+    * is a negative and the page is always `k` deep. `nProbe = nLists`
+    * is exhaustive and equals [[hardNegativesExact]] bit-for-bit.
+    */
+  def hardNegativesIvf(embDf: DataFrame, keyCol: String, embCol: String,
+                       labelCol: String, k: Int, nLists: Int = 16,
+                       nProbe: Int = 2, iters: Int = 10,
+                       sampleN: Int = 10000): DataFrame = {
+    val centers = ivfTrain(embDf, keyCol, embCol, nLists, iters, sampleN)
+    val probesOf = udf((v: Seq[Float]) => ivfProbes(centers, v.toArray, nProbe))
+    val probing = embDf.select(col(keyCol).as("src"),
+      col(embCol).cast("array<double>").as("__q"), col(labelCol).as("__lq"),
+      explode(probesOf(col(embCol))).as("list_id"))
+    val cand = ivfAssign(embDf, embCol, centers)
+      .select(col(keyCol).as("nbr"),
+        col(embCol).cast("array<double>").as("__c"),
+        col(labelCol).as("__lc"), col("list_id"))
+    val cos = graft.functions.VectorFunctions.cosine(col("__q"), col("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
+    probing.join(cand, Seq("list_id"))
+      .filter(col("__lq") =!= col("__lc"))
+      .select(col("src"), col("nbr"), cos.as("sim"))
+      .groupBy(col("src"), col("nbr")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   // ---- Product quantization (PQ) --------------------------------------
   //
   // The memory-scale path past IVF: at 10^10 vectors even array<float>

@@ -275,6 +275,30 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(capped("xx") - 50L) < 25, s"capRate halves the anchor: $capped")
   }
 
+  test("capPerGroup: exact cap, md5-order survivors, under-cap pass-through") {
+    import graft.operators.Sampling
+    // "big" is over a cap of 5; "small"/"tiny" are under it
+    val df = ((0L until 40L).map(k => (k, "big", s"t$k")) ++
+      (100L until 104L).map(k => (k, "small", s"t$k")) :+
+      (200L, "tiny", "t200")).toDF("k", "g", "txt")
+    val kept = Sampling.capPerGroup(df, "g", "k", 5)
+    assert(kept.columns.toSeq == Seq("k", "g", "txt"), "column order preserved")
+    val byG = kept.collect().groupBy(_.getString(1))
+    // under-cap groups pass through COMPLETE
+    assert(byG("small").map(_.getLong(0)).sorted.toSeq == (100L until 104L).toSeq)
+    assert(byG("tiny").map(_.getLong(0)).toSeq == Seq(200L))
+    // over-cap group trims to exactly n, survivors = md5-order head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0L until 40L).sortBy(k => (hex(k.toString), k)).take(5).toSet
+    assert(byG("big").map(_.getLong(0)).toSet == want)
+    // deterministic across runs; exact boundary n == group size keeps all
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ==
+      Sampling.capPerGroup(df, "g", "k", 5).collect().map(_.getLong(0)).sorted.toSeq)
+    assert(Sampling.capPerGroup(df, "g", "k", 40).count() == 45L,
+      "n == max group size must keep everything")
+  }
+
   test("stratified sampling: deterministic, rate-proportional, append-stable") {
     import graft.operators.Sampling
     val df = (0L until 2000L).map(k => (k, if (k % 2 == 0) "a" else "b"))
@@ -632,6 +656,33 @@ class AnnSpec extends SparkSpec {
     assert(bExact.size == 30 && bExact.forall(_._2 >= 10))
     assert(page(Ann.searchBatchIvf(qs, corpus, "_key", "embedding", 3,
       nLists = 8, nProbe = 8)) == bExact)
+  }
+
+  test("hard negatives: all different-label, IVF exhaustive == exact, k-deep") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"), col("label"))
+    def page(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(t => (t._1, -t._3, t._2))
+    val exact = page(Ann.hardNegativesExact(e, "_key", "embedding", "label", 3))
+    val n = e.count()
+    assert(exact.size == n * 3, "every source gets k negatives (labels are 10-way)")
+    // every mined neighbor really carries a different label
+    val labelOf = e.select("_key", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(exact.forall { case (s, nb, _) => labelOf(s) != labelOf(nb) })
+    // negatives are HARD: key 3's top negative beats its weakest
+    // same-label neighbor from the unrestricted kNN page
+    val knn = page(Ann.knnJoinExact(e, "_key", "embedding", 3))
+    assert(exact.filter(_._1 == 3L).map(_._3).max >=
+      knn.filter(_._1 == 3L).map(_._3).min - 1e-9)
+    // exhaustive probing == exact bit-for-bit; probed recall reasonable
+    assert(page(Ann.hardNegativesIvf(e, "_key", "embedding", "label", 3,
+      nLists = 8, nProbe = 8)) == exact)
+    val probed = page(Ann.hardNegativesIvf(e, "_key", "embedding", "label", 3,
+      nLists = 8, nProbe = 2)).map(t => (t._1, t._2)).toSet
+    val recall = exact.map(t => (t._1, t._2)).count(probed.contains) / exact.size.toDouble
+    assert(recall >= 0.5, s"probed hard-negative recall unexpectedly low: $recall")
   }
 
   test("filtered ANN: allowedKeys == ANN over a pre-filtered frame, no leaks") {
