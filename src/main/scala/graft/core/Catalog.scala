@@ -239,8 +239,19 @@ class Collection private[core] (
   /** Row count. The reference's `SELECT COUNT('{col}')` counts a string
     * literal — effectively COUNT(*) (collection_actor.rs:380-389); we match
     * the actual behavior: count rows.
+    *
+    * Served from parquet FOOTER metadata ([[ParquetStats.totalRows]] —
+    * exact, authoritative, O(files) KB-sized reads), not a table scan: at
+    * 10^10 rows a count must not read data pages. Both paths list the
+    * same committed file set, so they agree in every (including
+    * mid-crash) directory state; an unreadable footer falls back to the
+    * scan rather than failing the count.
     */
-  def count(): Long = if (isEmpty) 0L else df.count()
+  def count(): Long =
+    if (isEmpty) 0L
+    else ParquetStats.totalRows(dataDir,
+        spark.sparkContext.hadoopConfiguration)
+      .getOrElse(df.count())
 
   /** Import a DataFrame as the initial table contents, assigning `_key`
     * (dense 1..N) unless the source already carries one (S1/S2).

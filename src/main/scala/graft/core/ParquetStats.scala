@@ -74,4 +74,29 @@ object ParquetStats {
       else Some(FileKeyRange(file, Long.MinValue, Long.MaxValue))
     } finally reader.close()
   }
+
+  /** Exact row count of every `*.parquet` file directly under `dir`,
+    * summed from footer block metadata — NO data pages read. Parquet
+    * footers record the authoritative per-row-group row count, so this
+    * equals a full `COUNT(*)` scan on any committed file set; at 100 TB
+    * it is O(files) KB-sized footer reads instead of a corpus pass (the
+    * same manifest discipline as [[fileKeyRanges]]). Returns `None` when
+    * any footer is unreadable (caller falls back to the scan).
+    */
+  def totalRows(dir: String, conf: Configuration): Option[Long] = {
+    val dirPath = new Path(dir)
+    val fs: FileSystem = dirPath.getFileSystem(conf)
+    if (!fs.exists(dirPath)) return Some(0L)
+    var total = 0L
+    fs.listStatus(dirPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        try {
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
+          try total += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally reader.close()
+        } catch { case _: Exception => return None }
+      }
+    Some(total)
+  }
 }

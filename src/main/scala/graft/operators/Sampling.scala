@@ -126,15 +126,18 @@ object Sampling {
                   n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gc"))
-      .filter(col("__gc") > n).select(col(groupCol))
-    val pass = df.join(broadcast(over), Seq(groupCol), "left_anti")
+      .filter(col("__gc") > n).select(col(groupCol).as("__g"))
+    // null-SAFE join condition: a NULL group (unattributed rows) is a
+    // group like any other — a plain equi-join would never match it
+    // against `over` and silently exempt it from the cap
+    val isOver = col(groupCol) <=> col("__g")
+    val pass = df.join(broadcast(over), isOver, "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    val trimmed = df.join(broadcast(over), Seq(groupCol))
+    val trimmed = df.join(broadcast(over), isOver, "left_semi")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
-    // restore the input column order (the joins moved groupCol first)
-    pass.unionByName(trimmed).select(df.columns.map(col): _*)
+    pass.unionByName(trimmed)
   }
 }

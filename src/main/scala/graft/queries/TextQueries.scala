@@ -34,6 +34,14 @@ object TextQueries {
       .agg(max(col("c")).as("top_uni"), sum(col("c")).as("n_uni"))
 
 
+  /** q128's 12-word query: chunks into exactly two 6-word windows under
+    * the maxTokens=8 chunker (ceil(6·1.3)=8), giving a genuine 2-term
+    * MaxSim fold. Words drawn from the fixture vocabulary so scores are
+    * well-separated.
+    */
+  private val LateQuery =
+    "fast key order sort table scan merge hash join batch spark value"
+
   val queries: Map[String, Q] = Map(
     // Token / char / approx-BPE counting (pure Catalyst).
     "q20_token_stats" -> ((s, d) =>
@@ -562,6 +570,26 @@ object TextQueries {
       graft.dedup.SemDedup.semanticDups(
           embeddings(s, d), "vec_id", "embedding", k = 16, threshold = 0.35)
         .orderBy(col("cluster_id"), col("key_a"), col("key_b"))),
+
+    // Late-interaction LIFECYCLE gate: import -> chunk-granularity embed
+    // (persistent multi-vector index on disk) -> MaxSim search with a
+    // multi-chunk query — the full q122-style on-disk story, hash-matched
+    // because the deterministic embedder AND the chunker are both
+    // SQL-derivable (q_embed_search + q33 oracles composed). maxTokens=8
+    // makes chunks 6-word windows on this header-less fixture; the
+    // 12-word query chunks into exactly two topic windows, so the score
+    // is a genuine 2-term MaxSim fold, not single-vector search.
+    "q128_late_lifecycle" -> ((s, d) => {
+      import graft.core.{Catalog, CollectionConfig, Keys}
+      val work = java.nio.file.Files.createTempDirectory("graft_q128").toString
+      val cat = new Catalog(s, s"$work/cat")
+      val c = cat.create(CollectionConfig(name = "docs"))
+      c.importDf(documents(s, d)
+        .select((col("doc_id") + 1).as(Keys.KeyCol), col("text")))
+      val emb = new graft.embed.HashingEmbedder(dim = 384)
+      c.embedColumnChunked("text", emb, maxTokens = 8, overlapTokens = 0)
+      c.searchLate("text", LateQuery, 10, emb, maxTokens = 8, overlapTokens = 0)
+    }),
 
     // Hard-negative mining: each vector's 3 most-similar DIFFERENT-label
     // neighbors — the contrastive-training margin sharpener. Exact twin
@@ -1134,6 +1162,8 @@ object TextQueries {
         |    CAST(g2.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY cluster_id, key_a, key_b""".stripMargin,
 
+    "q128_late_lifecycle" -> lateLifecycleOracle,
+
     // hard negatives: label-filtered all-pairs, per-source rank (ties
     // on the UNROUNDED sim break by neighbor key, the q117 discipline)
     "q126_hard_negatives" ->
@@ -1272,4 +1302,84 @@ object TextQueries {
       | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |   CAST(b.embedding AS DOUBLE[])) >= 0.5
       | ORDER BY key_a, key_b""".stripMargin
+
+  /** q128's twin: the q33 chunk windows composed with the q_embed_search
+    * embedder CTEs, at CHUNK granularity on BOTH sides, folded by MaxSim.
+    * Soundness inherits from those two oracles (exact f32 feature
+    * accumulation, idx-ordered f64 reductions, md5 parity); the one new
+    * rule is the IMPLICIT ZERO: Spark computes a cosine for every
+    * (doc chunk, query chunk) pair, but the sparse twin only materializes
+    * pairs sharing a nonzero dimension — a doc chunk sharing nothing with
+    * a query chunk has dot exactly 0, so when any of a document's chunks
+    * is missing from a query term's pair set, 0 joins that term's max
+    * (`cnt < nc` below). Units key as doc_id*1000+chunk_idx (fixture docs
+    * are <= 99 tokens = <= 17 chunks); query chunks as negative uids.
+    */
+  private lazy val lateLifecycleOracle: String = {
+    val hex8 =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(range(1, 9),
+        |     i -> CAST(strpos('0123456789abcdef', substr(hex, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |   (a, b) -> a * 16 + b)""".stripMargin
+    s"""WITH dchunk AS (
+       |  SELECT doc_id, chunk_idx,
+       |    array_to_string(toks[CAST(chunk_idx*6+1 AS INT):CAST(chunk_idx*6+6 AS INT)], ' ') AS ctext
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+       |      unnest(range(0, CAST(ceil(len(string_split_regex(trim(text), '\\s+')) / 6.0) AS BIGINT))) AS chunk_idx
+       |    FROM documents WHERE length(trim(text)) > 0)),
+       |qchunk AS (
+       |  SELECT chunk_idx,
+       |    array_to_string(toks[CAST(chunk_idx*6+1 AS INT):CAST(chunk_idx*6+6 AS INT)], ' ') AS ctext
+       |  FROM (SELECT string_split_regex(trim('$LateQuery'), '\\s+') AS toks,
+       |      unnest(range(0, CAST(ceil(len(string_split_regex(trim('$LateQuery'), '\\s+')) / 6.0) AS BIGINT))) AS chunk_idx)),
+       |units AS (
+       |  SELECT doc_id * 1000 + chunk_idx AS uid, ctext AS utext FROM dchunk
+       |  UNION ALL
+       |  SELECT -(chunk_idx + 1) AS uid, ctext AS utext FROM qchunk),
+       |utoks AS (SELECT uid, unnest(list_filter(
+       |    string_split_regex(lower(utext), '\\s+'), t -> t <> '')) AS tok FROM units),
+       |feats AS (
+       |  SELECT uid, tok AS f, CAST(1.0 AS DOUBLE) AS w FROM utoks
+       |  UNION ALL
+       |  SELECT uid, '#' || substr(tok, CAST(i AS INT), 3) AS f, CAST(0.5 AS DOUBLE) AS w
+       |  FROM (SELECT uid, tok, unnest(range(1, length(tok) - 1)) AS i
+       |        FROM utoks WHERE length(tok) >= 3)),
+       |hx AS (SELECT uid, md5('42|' || f) AS hex, w FROM feats),
+       |hi AS (SELECT uid, CAST($hex8 % 384 AS INT) AS idx,
+       |   CASE WHEN strpos('0123456789abcdef', substr(hex, 9, 1)) - 1 < 8 THEN w ELSE -w END AS sw
+       |  FROM hx),
+       |sparse AS (SELECT uid, idx, sum(sw) AS wsum FROM hi GROUP BY 1, 2 HAVING sum(sw) <> 0),
+       |nrm AS (SELECT uid, 1.0 / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(wsum * wsum ORDER BY idx)), (x, y) -> x + y)) AS inv
+       |  FROM sparse GROUP BY uid),
+       |vec AS (SELECT s.uid, s.idx, CAST(CAST(s.wsum * n.inv AS FLOAT) AS DOUBLE) AS a
+       |  FROM sparse s JOIN nrm n USING (uid)),
+       |dvec AS (SELECT uid, idx, a FROM vec WHERE uid >= 0),
+       |qvec AS (SELECT -uid AS qid, idx, a AS b FROM vec WHERE uid < 0),
+       |nu AS (SELECT uid, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(a * a ORDER BY idx)), (x, y) -> x + y) AS nn FROM dvec GROUP BY uid),
+       |nq AS (SELECT qid, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(b * b ORDER BY idx)), (x, y) -> x + y) AS nn FROM qvec GROUP BY qid),
+       |dt AS (SELECT d.uid, q.qid, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(d.a * q.b ORDER BY d.idx)), (x, y) -> x + y) AS dot
+       |  FROM dvec d JOIN qvec q ON d.idx = q.idx GROUP BY d.uid, q.qid),
+       |pc AS (SELECT dt.uid, dt.qid,
+       |    CASE WHEN sqrt(nu.nn) * sqrt(nq.nn) = 0 THEN 0.0
+       |         ELSE dt.dot / (sqrt(nu.nn) * sqrt(nq.nn)) END AS cos
+       |  FROM dt JOIN nu USING (uid) JOIN nq USING (qid)),
+       |nchunks AS (SELECT doc_id, count(*) AS nc FROM dchunk GROUP BY 1),
+       |pmax AS (SELECT uid // 1000 AS doc_id, qid, max(cos) AS mx, count(*) AS cnt
+       |  FROM pc GROUP BY 1, 2),
+       |mxs AS (SELECT c.doc_id, q.qid,
+       |    CASE WHEN coalesce(p.cnt, 0) < c.nc THEN greatest(coalesce(p.mx, 0.0), 0.0)
+       |         ELSE p.mx END AS mx
+       |  FROM nchunks c CROSS JOIN (SELECT chunk_idx + 1 AS qid FROM qchunk) q
+       |  LEFT JOIN pmax p ON c.doc_id = p.doc_id AND q.qid = p.qid),
+       |sc AS (SELECT doc_id, CAST(sum(CAST(round(mx, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM mxs GROUP BY 1),
+       |top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+       |SELECT d.text AS content, t.doc_id + 1 AS key, t.score AS score
+       |FROM top t JOIN documents d USING (doc_id)
+       |ORDER BY t.score DESC, key""".stripMargin
+  }
 }

@@ -393,6 +393,10 @@ object Ann {
     * Exact variant: brute-force twin, fixture/oracle scale only (the
     * [[knnJoinExact]] discipline — broadcast BNLJ, per-source rank).
     * Output `(src, nbr, sim)`, rank ties broken by neighbor key.
+    * NULL labels never satisfy the different-label test (SQL `<>`
+    * semantics, matching the oracle): unlabeled rows mine no negatives
+    * and serve as negatives for nobody — filter or backfill labels
+    * first if they should participate.
     */
   def hardNegativesExact(embDf: DataFrame, keyCol: String, embCol: String,
                          labelCol: String, k: Int): DataFrame = {

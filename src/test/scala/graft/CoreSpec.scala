@@ -68,6 +68,24 @@ class CatalogSpec extends SparkSpec {
   private def tmpRoot(): String =
     java.nio.file.Files.createTempDirectory("graft_test").toString
 
+  test("count is footer-metadata-only and tracks every mutation exactly") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "cnt"))
+    assert(c.count() == 0L)
+    c.importDf((1 to 37).map(i => s"doc $i").toDF("text"))
+    assert(c.count() == 37L && c.count() == c.df.count())
+    c.appendDf((1 to 5).map(i => s"more $i").toDF("text"))
+    assert(c.count() == 42L && c.count() == c.df.count())
+    c.deleteKeys(Seq(3L, 7L, 40L))
+    assert(c.count() == 39L && c.count() == c.df.count())
+    import org.apache.spark.sql.functions.col
+    c.upsert(Seq(("rewritten", 5L)).toDF("text", "_key"))
+    assert(c.count() == 39L && c.count() == c.df.count())
+    // the footer path really engages (totalRows reads this dir cleanly)
+    assert(graft.core.ParquetStats.totalRows(c.dataDir,
+      spark.sparkContext.hadoopConfiguration).contains(39L))
+  }
+
   test("identifiers: artifact-colliding names are rejected at creation time") {
     import graft.core.Identifiers
     // plain names, including interior underscores, are fine

@@ -297,6 +297,13 @@ class DedupSpec extends SparkSpec {
       Sampling.capPerGroup(df, "g", "k", 5).collect().map(_.getLong(0)).sorted.toSeq)
     assert(Sampling.capPerGroup(df, "g", "k", 40).count() == 45L,
       "n == max group size must keep everything")
+    // a NULL group (unattributed rows) is capped like any other — the
+    // null-safe join must not exempt it
+    val withNull = ((0L until 40L).map(k => (k, Option("big"))) ++
+      (500L until 540L).map(k => (k, Option.empty[String]))).toDF("k", "g")
+    val cappedNull = Sampling.capPerGroup(withNull, "g", "k", 5).collect()
+    assert(cappedNull.count(_.isNullAt(1)) == 5, "null group trims to the cap")
+    assert(cappedNull.length == 10)
   }
 
   test("stratified sampling: deterministic, rate-proportional, append-stable") {
