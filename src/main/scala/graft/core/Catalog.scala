@@ -2438,6 +2438,38 @@ class Collection private[core] (
       savedQueries, requireAll = requireAll, analyzer = analyzer)
   }
 
+  /** SEMANTIC percolation: which saved queries does each incoming
+    * document match by embedding cosine — the vector twin of
+    * [[percolate]], for alerts that should fire on meaning, not exact
+    * terms ("new docs about X", where X never appears verbatim). Saved
+    * query TEXTS embed once through the collection's embedder
+    * (driver-side — the standing set is small and about to broadcast);
+    * the incoming batch embeds map-side at `batchSize` granularity
+    * ([[graft.embed.EmbedBatch.pairs]], the [[embedColumn]] batch
+    * contract). Stateless like the keyword path: the same plan
+    * percolates a streaming source in append mode.
+    */
+  def percolateVector(column: String, docs: DataFrame,
+                      embedder: graft.embed.Embedder, threshold: Double,
+                      idCol: String = KeyCol, textCol: String = "",
+                      batchSize: Int = 32): DataFrame = {
+    Identifiers.validate(column)
+    import spark.implicits._
+    val text = if (textCol.nonEmpty) textCol else column
+    val saved = savedQueries.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("query")))
+    val qVecs = saved.iterator.map(_._1)
+      .zip(embedder.embed(saved.iterator.map(_._2))).toSeq
+      .toDF("query_id", "__qv")
+    val batchEmb = graft.embed.EmbedBatch.pairs(
+      docs.select(col(idCol).cast("long"),
+        coalesce(col(text).cast(org.apache.spark.sql.types.StringType), lit("")))
+        .as[(Long, String)],
+      embedder, batchSize).toDF("key", "__dv")
+    graft.search.Search.percolateVectors(batchEmb, "key", "__dv",
+      qVecs, "query_id", "__qv", threshold)
+  }
+
   /** Ordered maintenance plan: what to run, on what, and why — the
     * operational layer above [[indexStatus]]'s raw counters. One row per
     * recommended action, lowest `priority` first:

@@ -571,6 +571,23 @@ object TextQueries {
           embeddings(s, d), "vec_id", "embedding", k = 16, threshold = 0.35)
         .orderBy(col("cluster_id"), col("key_a"), col("key_b"))),
 
+    // Vector percolation (reverse semantic search): which saved query
+    // VECTORS does each document match at cosine >= 0.3 — the semantic
+    // twin of q121's keyword percolation (alerting on meaning). Saved
+    // set = the deterministic (md5, key)-first 4 vectors; 0.3 sits low
+    // enough that real cross-document matches fire (not just each
+    // query's own self-match at 1.0). Stateless broadcast shape, spec'd
+    // stream == batch in KeywordSpec.
+    "q129_percolate_vector" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.select(col("vec_id"), col("embedding"),
+          md5(col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h"), col("vec_id")).limit(4).drop("__h")
+      graft.search.Search.percolateVectors(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", 0.3)
+        .orderBy(col("query_id"), col("key"))
+    }),
+
     // Late-interaction LIFECYCLE gate: import -> chunk-granularity embed
     // (persistent multi-vector index on disk) -> MaxSim search with a
     // multi-chunk query — the full q122-style on-disk story, hash-matched
@@ -1163,6 +1180,17 @@ object TextQueries {
         |ORDER BY cluster_id, key_a, key_b""".stripMargin,
 
     "q128_late_lifecycle" -> lateLifecycleOracle,
+
+    "q129_percolate_vector" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+        |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)
+        |SELECT e.vec_id AS key, q.qid AS query_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings e CROSS JOIN q
+        |WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY query_id, key""".stripMargin,
 
     // hard negatives: label-filtered all-pairs, per-source rank (ties
     // on the UNROUNDED sim break by neighbor key, the q117 discipline)

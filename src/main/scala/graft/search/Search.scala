@@ -33,6 +33,31 @@ object Search {
   def scoreAgainst(embCol: Column, queryVec: Array[Float]): Column =
     VectorFunctions.cosine(embCol, typedLit(queryVec.map(_.toDouble).toSeq))
 
+  /** Vector percolation (reverse semantic search): which SAVED query
+    * vectors does each incoming document match at `cosine >= threshold`?
+    * The semantic twin of [[Keyword.percolateRowwise]] — alerting,
+    * routing, and topic-tagging flip search around: queries are the
+    * standing set (broadcast), documents are the stream. Stateless by
+    * construction (broadcast + per-row filter, no aggregation, no
+    * state store), so the SAME plan runs on a streaming source in
+    * append mode. Output `(key, query_id, cosine)` — cosine rounded to
+    * 6, one row per (document, matched query).
+    *
+    * Scale shape: the saved-query table broadcasts (standing query sets
+    * are thousands, not billions); cost is one map-side pass over the
+    * batch, O(batch · queries) cosines, nothing shuffles.
+    */
+  def percolateVectors(docs: DataFrame, keyCol: String, embCol: String,
+                       queries: DataFrame, qKeyCol: String, qEmbCol: String,
+                       threshold: Double): DataFrame = {
+    val q = queries.select(col(qKeyCol).as("query_id"), col(qEmbCol).as("__qv"))
+    docs.select(col(keyCol).as("key"), col(embCol).as("__dv"))
+      .crossJoin(broadcast(q))
+      .withColumn("__cos", VectorFunctions.cosine(col("__dv"), col("__qv")))
+      .filter(col("__cos") >= threshold)
+      .select(col("key"), col("query_id"), round(col("__cos"), 6).as("cosine"))
+  }
+
   /** K1: exact top-k `(_key, score)` for a query vector, with
     * MULTI-VECTOR-PER-KEY semantics: a key's score is the max over all its
     * vectors, and each key fills at most ONE result slot. The reference

@@ -483,6 +483,89 @@ class KeywordSpec extends SparkSpec {
       s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
 
+  test("vector percolation: model equality, shuffle-free, stateless on a stream") {
+    import graft.search.Search
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val docVecs = Seq(
+      1L -> Array(1.0f, 0.0f, 0.1f), 2L -> Array(0.0f, 1.0f, 0.0f),
+      3L -> Array(0.9f, 0.1f, 0.0f), 4L -> Array(0.0f, 0.0f, 0.0f))
+    val qVecs = Seq(10L -> Array(1.0f, 0.0f, 0.0f), 20L -> Array(0.0f, 0.9f, 0.4f))
+    val docs = docVecs.toDF("k", "v")
+    val qs = qVecs.toDF("qk", "qv")
+    val got = Search.percolateVectors(docs, "k", "v", qs, "qk", "qv", 0.5)
+    val want = (for {
+      (dk, dv) <- docVecs; (qk, qv) <- qVecs if cos(dv, qv) >= 0.5
+    } yield (dk, qk)).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    // zero vector matches nothing; plan never shuffles
+    assert(!got.collect().map(_.getLong(0)).contains(4L))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"vector percolation must be shuffle-free:\n$plan")
+
+    // the same plan on a stream, append mode, no state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = Search.percolateVectors(mem.toDF().toDF("k", "v"), "k", "v",
+      qs, "qk", "qv", 0.5)
+    val query = out.writeStream.format("memory").queryName("vperc_out")
+      .outputMode("append").start()
+    mem.addData(docVecs.take(2))
+    query.processAllAvailable()
+    mem.addData(docVecs.drop(2))
+    query.processAllAvailable()
+    val streamed = spark.table("vperc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    assert(streamed == want, s"stream/batch divergence: $streamed vs $want")
+  }
+
+  test("collection percolateVector embeds saved queries and fires on meaning") {
+    import graft.core.{Catalog, CollectionConfig}
+    import graft.embed.HashingEmbedder
+    val root = java.nio.file.Files.createTempDirectory("graft_vperc").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "valerts"))
+    c.importDf(Seq("seed row").toDF("text"))
+    val emb = new HashingEmbedder(dim = 64)
+    c.putQueries(Seq((1L, "spark shuffle spill memory"), (2L, "quantum photon"))
+      .toDF("query_id", "query"))
+    val batch = Seq(
+      (100L, "spark shuffle spills when memory is tight"),
+      (101L, "photon entanglement in quantum optics"),
+      (102L, "cooking pasta with garlic")).toDF("doc_id", "body")
+    val fired = c.percolateVector("text", batch, emb, threshold = 0.3,
+        idCol = "doc_id", textCol = "body").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // model: embed exactly like the operator and compare
+    def cosv(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val qm = Seq(1L -> "spark shuffle spill memory", 2L -> "quantum photon")
+    val dm = Seq(100L -> "spark shuffle spills when memory is tight",
+      101L -> "photon entanglement in quantum optics",
+      102L -> "cooking pasta with garlic")
+    val want = (for {
+      (d, dt) <- dm; (q, qt) <- qm
+      if cosv(emb.embedOne(dt), emb.embedOne(qt)) >= 0.3
+    } yield (d, q)).toSet
+    assert(fired == want, s"got $fired want $want")
+    assert(fired.contains((100L, 1L)) && fired.contains((101L, 2L)),
+      "semantically-matching docs must fire their queries")
+    assert(!fired.exists(_._1 == 102L), "off-topic doc fires nothing")
+  }
+
   test("collection percolation runs on a stream with the persisted analyzer") {
     import graft.core.{Catalog, CollectionConfig}
     val root = java.nio.file.Files.createTempDirectory("graft_percstream").toString
