@@ -198,9 +198,20 @@ object Cli {
             Ingest.readJsonl(s, path)
           else Ingest.readParquet(s, path)
         val idCol = flags.getOrElse("id-column", docs.columns.head)
-        c.percolate(column, docs, idCol = idCol, textCol = column,
-            requireAll = !flags.contains("any-term"))
-          .orderBy("query_id", "key")
+        val page = flags.getOrElse("mode", "keyword") match {
+          case "keyword" =>
+            c.percolate(column, docs, idCol = idCol, textCol = column,
+              requireAll = !flags.contains("any-term"))
+          case "vector" =>
+            val threshold = flags.getOrElse("threshold", "0.5").toDouble
+            if (threshold < -1.0 || threshold > 1.0)
+              fail("--threshold must be a cosine in [-1, 1]")
+            c.percolateVector(column, docs,
+              registry.load(c.config.model_name, c.config.model_variant),
+              threshold, idCol = idCol, textCol = column)
+          case other => fail(s"--mode must be keyword|vector, got '$other'")
+        }
+        page.orderBy("query_id", "key")
           .show(flags.getOrElse("limit", "50").toInt, truncate = false)
       case "maintain" =>
         // plan first (counting only), then optionally execute — looping,
@@ -431,8 +442,10 @@ object Cli {
       |            (first two columns = query_id, query; merge by id)
       |  delete-queries --collection C --ids 1,2,3  # unregister saved queries
       |  percolate --collection C [--column col] [--id-column id]
-      |            [--any-term] [--limit n] <docs file>  # reverse search:
-      |            which saved queries match each document
+      |            [--any-term] [--limit n] [--mode keyword|vector]
+      |            [--threshold c] <docs file>  # reverse search: which
+      |            saved queries match each document (vector mode fires
+      |            on embedding cosine >= threshold, not shared terms)
       |  maintain --collection C [--apply]  # ordered repair/retrain/compact
       |            plan from the status counters; --apply executes it
       |  backup   --collection C --dest DIR [--full]   # generation-chained

@@ -26,8 +26,9 @@ import graft.search.Search
   *    queries:[{id, query}...], limit?, n_probe?}` — one probed pass
   *    answers the whole page
   *  - `POST /collections/{name}/percolate`      `{column_name,
-  *    documents:[{id, text}...], require_all?}` — reverse search
-  *    against the saved-queries table
+  *    documents:[{id, text}...], require_all?, mode?, threshold?}` —
+  *    reverse search against the saved-queries table; `mode: "vector"`
+  *    matches by embedding cosine >= `threshold` instead of terms
   *
   * Responses use the reference envelope
   * `{"status":"ok","time":<sec>,"data":...}` /
@@ -255,14 +256,32 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
           "documents[].id values must be distinct")
         val spark = coll.spark
         import spark.implicits._
-        val hits = coll.percolate(column,
-            rows.toDF("id", "text"), idCol = "id", textCol = "text",
-            requireAll = requireAll)
-          .orderBy("query_id", "key").collect()
-        val matches = hits.map { r =>
-          s"""{"id":${r.getLong(0)},"query_id":${r.getLong(1)},""" +
-            s""""matched_terms":${r.getLong(2)},"n_terms":${r.getLong(3)}}"""
-        }.mkString("[", ",", "]")
+        val matches = (req \ "mode").extractOpt[String].getOrElse("keyword") match {
+          case "keyword" =>
+            coll.percolate(column,
+                rows.toDF("id", "text"), idCol = "id", textCol = "text",
+                requireAll = requireAll)
+              .orderBy("query_id", "key").collect().map { r =>
+                s"""{"id":${r.getLong(0)},"query_id":${r.getLong(1)},""" +
+                  s""""matched_terms":${r.getLong(2)},"n_terms":${r.getLong(3)}}"""
+              }.mkString("[", ",", "]")
+          case "vector" =>
+            // semantic percolation: saved queries match by embedding
+            // cosine >= threshold (default 0.5), not by shared terms
+            val threshold = (req \ "threshold").extractOpt[Double].getOrElse(0.5)
+            require(threshold >= -1.0 && threshold <= 1.0,
+              s"threshold must be a cosine in [-1, 1], got $threshold")
+            val embedder = registry.load(coll.config.model_name,
+              coll.config.model_variant)
+            coll.percolateVector(column, rows.toDF("id", "text"), embedder,
+                threshold, idCol = "id", textCol = "text")
+              .orderBy("query_id", "key").collect().map { r =>
+                s"""{"id":${r.getLong(0)},"query_id":${r.getLong(1)},""" +
+                  s""""cosine":${r.getDouble(2)}}"""
+              }.mkString("[", ",", "]")
+          case other => throw new IllegalArgumentException(
+            s"mode must be keyword|vector, got '$other'")
+        }
         (200, ok(secs(), s"""{"matches":$matches}"""))
       case _ => (404, err(secs(), s"no route for $method $path"))
     }

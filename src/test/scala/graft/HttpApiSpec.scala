@@ -164,6 +164,20 @@ class HttpApiSpec extends SparkSpec {
           |"documents":[{"id":7,"text":"spark only"}]}""".stripMargin)
       assert(qc == 200 && qb.contains(""""matched_terms":1,"n_terms":2"""), qb)
 
+      // semantic percolation: mode=vector fires on embedding cosine
+      registry.register("hf://mys/minilm", "f32", new HashingEmbedder(dim = 64))
+      val (sc2, sb2) = post(port, "/collections/alerts/percolate",
+        """{"column_name":"text","mode":"vector","threshold":0.3,
+          |"documents":[{"id":7,"text":"spark shuffle spills"},
+          |{"id":9,"text":"cooking pasta garlic"}]}""".stripMargin)
+      assert(sc2 == 200, sb2)
+      assert(sb2.contains(""""id":7,"query_id":1""") && sb2.contains("cosine"), sb2)
+      assert(!sb2.contains(""""id":9"""), sb2)
+      val (wc, wb) = post(port, "/collections/alerts/percolate",
+        """{"column_name":"text","mode":"nope",
+          |"documents":[{"id":1,"text":"x"}]}""".stripMargin)
+      assert(wc == 400 && wb.contains("mode"), wb)
+
       // validation: empty batch, missing column
       val (ec, eb) = post(port, "/collections/alerts/percolate",
         """{"column_name":"text","documents":[]}""")
