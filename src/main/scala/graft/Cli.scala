@@ -328,7 +328,9 @@ object Cli {
             val ov = flags.getOrElse("chunk-overlap-tokens", "50").toInt
             if (mt < 1 || ov < 0 || ov >= mt)
               fail("need --chunk-max-tokens >= 1 and 0 <= --chunk-overlap-tokens < it")
-            c.searchLate(column, query, limit, embedder, mt, ov)
+            val np = flags.getOrElse("n-probe", "0").toInt
+            if (np < 0) fail("--n-probe must be >= 0 (0 = exact late scoring)")
+            c.searchLate(column, query, limit, embedder, mt, ov, np)
           case other => fail(s"--mode must be vector|keyword|hybrid|ann|late, got '$other'")
         }
         page.show(limit, truncate = 80)

@@ -242,16 +242,22 @@ class Collection private[core] (
     *
     * Served from parquet FOOTER metadata ([[ParquetStats.totalRows]] —
     * exact, authoritative, O(files) KB-sized reads), not a table scan: at
-    * 10^10 rows a count must not read data pages. Both paths list the
-    * same committed file set, so they agree in every (including
-    * mid-crash) directory state; an unreadable footer falls back to the
-    * scan rather than failing the count.
+    * 10^10 rows a count must not read data pages. The same swap recovery
+    * the [[df]] getter runs MUST run first — a committed-but-unfinished
+    * file swap leaves replaced files in place and their replacements in
+    * the staging sibling, and a raw footer listing of that state counts
+    * the old rows; after healing, both paths list the same file set and
+    * agree. An unreadable footer falls back to the scan rather than
+    * failing the count.
     */
   def count(): Long =
     if (isEmpty) 0L
-    else ParquetStats.totalRows(dataDir,
-        spark.sparkContext.hadoopConfiguration)
-      .getOrElse(df.count())
+    else {
+      recoverFileSwap(dataDir) // the df getter's read-path heal
+      ParquetStats.totalRows(dataDir,
+          spark.sparkContext.hadoopConfiguration)
+        .getOrElse(df.count())
+    }
 
   /** Import a DataFrame as the initial table contents, assigning `_key`
     * (dense 1..N) unless the source already carries one (S1/S2).
@@ -914,20 +920,66 @@ class Collection private[core] (
     * sum), so pages are deterministic across partitionings. The query
     * side is a handful of broadcast vectors; the index scan stays one
     * map-side pass + partial-aggregated per-(key, term) maxes.
+    *
+    * `nProbe > 0` with a built ANN index selects the PLAID shape
+    * (candidate generation through the index, exact late scoring
+    * after): every query chunk probes its `nProbe` nearest IVF lists,
+    * candidates PRE-RANK by approximate MaxSim over only the probed
+    * lists' chunk rows (probed-chunk maxes lower-bound the true
+    * per-term maxes — good enough to order candidates, and it reads
+    * ONLY the probed lists, footer-pruned), the top `fetchK` keys
+    * (default 4 × limit) survive, and exact MaxSim rescores them with
+    * ALL their chunks fetched from the vector index through a
+    * broadcast semi-join — a candidate's final score never depends on
+    * which of its chunks landed in a probed list. PQ-coded lists carry
+    * no floats, so the PQ layout skips the pre-rank and takes every
+    * probed key as a candidate. Exact MaxSim is O(corpus chunks) per
+    * query; `nProbe = nLists` with `fetchK >= candidates` is
+    * exhaustive and equals the exact path bit-for-bit; below that it
+    * is the usual IVF recall story per term.
     */
   def searchLate(column: String, query: String, limit: Int,
                  embedder: graft.embed.Embedder,
-                 maxTokens: Int = 512, overlapTokens: Int = 50): DataFrame = {
+                 maxTokens: Int = 512, overlapTokens: Int = 50,
+                 nProbe: Int = 0, fetchK: Int = 0): DataFrame = {
     graft.search.Search.validateLimit(limit)
     import spark.implicits._
     val cfg = graft.functions.Chunker.ChunkerConfig(
       maxTokens = maxTokens, overlapTokens = overlapTokens)
     val pieces0 = graft.functions.Chunker.chunk(query, cfg)
     val pieces = if (pieces0.isEmpty) Seq(query) else pieces0
-    val qDf = embedder.embed(pieces.iterator).toSeq.zipWithIndex
+    val qVecs = embedder.embed(pieces.iterator).toSeq
+    val qDf = qVecs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("__qid", "__qvec")
+    val emb0 = embeddings(column)
+    val emb =
+      if (nProbe > 0 && hasAnnIndex(column)) {
+        recoverSwap(annListsDir(column))
+        recoverFileSwap(annListsDir(column))
+        val centers = readAnnCenters(column)
+        val probes = qVecs
+          .flatMap(v => graft.search.Ann.ivfProbes(centers, v,
+            math.min(nProbe, centers.length)))
+          .distinct.map(Integer.valueOf)
+        val lists = spark.read.parquet(annListsDir(column))
+          .filter(col("list_id").isin(probes: _*))
+        val window = math.max(limit, if (fetchK > 0) fetchK else limit * 4)
+        if (lists.schema.fieldNames.contains("embedding")) {
+          val cand = graft.search.LateInteraction.topK(qDf, "__qid", "__qvec",
+              lists.select(col(KeyCol), col("embedding")),
+              KeyCol, "embedding", window)
+            .select(col(KeyCol))
+          // <= window keys: broadcast the fetch
+          emb0.join(broadcast(cand), Seq(KeyCol), "left_semi")
+        } else {
+          // PQ lists carry codes only — every probed key is a candidate
+          // (corpus/nLists-scale set: plain semi-join, no broadcast)
+          val cand = lists.select(col(KeyCol)).distinct()
+          emb0.join(cand, Seq(KeyCol), "left_semi")
+        }
+      } else emb0
     val ranked = graft.search.LateInteraction.topK(
-      qDf, "__qid", "__qvec", embeddings(column), KeyCol, "embedding", limit)
+      qDf, "__qid", "__qvec", emb, KeyCol, "embedding", limit)
     df.join(broadcast(ranked), KeyCol)
       .select(col(column).as("content"), col(KeyCol).as("key"), col("score"))
       .orderBy(desc("score"), col("key"))

@@ -117,12 +117,15 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
             coll.searchAnn(column, query, limit, embedder, nProbe)
           case "late" =>
             // MaxSim over a chunked index; chunk_tokens should match the
-            // granularity the index was embedded with
+            // granularity the index was embedded with. n_probe > 0 routes
+            // candidate generation through the ANN index (PLAID shape)
             val mt = (req \ "chunk_tokens").extractOpt[Int].getOrElse(512)
             val ov = (req \ "chunk_overlap").extractOpt[Int].getOrElse(50)
             require(mt >= 1 && ov >= 0 && ov < mt,
               s"need chunk_tokens >= 1 and 0 <= chunk_overlap < chunk_tokens, got ($mt, $ov)")
-            coll.searchLate(column, query, limit, embedder, mt, ov)
+            val np = (req \ "n_probe").extractOpt[Int].getOrElse(0)
+            require(np >= 0, s"n_probe must be >= 0, got $np")
+            coll.searchLate(column, query, limit, embedder, mt, ov, np)
           case other => throw new IllegalArgumentException(
             s"mode must be vector|keyword|hybrid|ann|late, got '$other'")
         }).collect()

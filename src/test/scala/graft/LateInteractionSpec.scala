@@ -121,6 +121,32 @@ class LateInteractionSpec extends SparkSpec {
       assert((BigDecimal(l.getDouble(2)) - round6(v.getDouble(2))).abs <
         BigDecimal("1e-9"))
     }
+
+    // PLAID-shape probed path: ANN candidate generation + exact MaxSim.
+    // Exhaustive probing == the exact path bit-for-bit (every key is a
+    // candidate, and candidates score with ALL their chunks)
+    c.buildAnnIndex("text", nLists = 3)
+    val exactPage = c.searchLate("text", query, 3, emb, 32, 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val probedAll = c.searchLate("text", query, 3, emb, 32, 4, nProbe = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(probedAll == exactPage,
+      s"exhaustive probe must equal exact: $probedAll vs $exactPage")
+    // narrow probing returns a (possibly shorter) page whose every
+    // entry carries its EXACT full-chunk score
+    val probed1 = c.searchLate("text", query, 3, emb, 32, 4, nProbe = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val exactByKey = exactPage.toMap
+    probed1.foreach { case (k, s) =>
+      assert(!exactByKey.contains(k) || math.abs(exactByKey(k) - s) < 1e-9,
+        s"probed candidate $k must score exactly like the exact path")
+    }
+    // nProbe on an index-less column degrades to exact (fallback)
+    val c2 = cat.create(graft.core.CollectionConfig(name = "late2"))
+    c2.importDf(Seq(both, storageOnly, physicsOnly).toDF("text"))
+    c2.embedColumnChunked("text", emb, maxTokens = 32, overlapTokens = 4)
+    assert(c2.searchLate("text", query, 3, emb, 32, 4, nProbe = 2)
+      .collect().map(_.getLong(1)).toSeq == exactPage.map(_._1))
   }
 
   test("query side broadcasts; aggregates are partial (no chunk-fanout shuffle)") {
