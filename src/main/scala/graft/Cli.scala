@@ -213,6 +213,27 @@ object Cli {
         }
         page.orderBy("query_id", "key")
           .show(flags.getOrElse("limit", "50").toInt, truncate = false)
+      case "export" =>
+        // deterministic training-shard export: the collection's rows in
+        // the salted-md5 global order, fixed-size shards, one file per
+        // shard, audit manifest beside them (operators.Export)
+        val c = catalog.load(req(flags, "collection"))
+        val dest = req(flags, "dest")
+        val shardRows = flags.getOrElse("shard-rows", "100000").toInt
+        if (shardRows < 1) fail("--shard-rows must be >= 1")
+        val salt = flags.getOrElse("salt", "")
+        val cols = flags.get("columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val src =
+          if (cols.isEmpty) c.df
+          else c.df.select((graft.core.Keys.KeyCol +: cols).distinct
+            .map(org.apache.spark.sql.functions.col): _*)
+        val manifest = graft.operators.Export.writeShards(
+          src, graft.core.Keys.KeyCol, dest, shardRows, salt)
+        val m = manifest.collect()
+        println(s"exported ${m.map(_.getAs[Long]("n_rows")).sum} row(s) " +
+          s"in ${m.length} shard(s) to $dest (manifest at $dest/_manifest)")
       case "maintain" =>
         // plan first (counting only), then optionally execute — looping,
         // because a repair can surface follow-on work (re-embedding
@@ -448,6 +469,10 @@ object Cli {
       |            [--threshold c] <docs file>  # reverse search: which
       |            saved queries match each document (vector mode fires
       |            on embedding cosine >= threshold, not shared terms)
+      |  export   --collection C --dest DIR [--shard-rows n] [--salt s]
+      |           [--columns a,b]  # deterministic training shards, one
+      |           file per shard + audit manifest (re-runs reproduce
+      |           identical membership and order)
       |  maintain --collection C [--apply]  # ordered repair/retrain/compact
       |            plan from the status counters; --apply executes it
       |  backup   --collection C --dest DIR [--full]   # generation-chained

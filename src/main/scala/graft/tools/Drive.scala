@@ -162,6 +162,17 @@ object Drive {
       println(s"ops: full=${full.copiedFiles} files, incr=${incr.copiedFiles} " +
         s"copied/${incr.reusedFiles} reused, restore@1=${restored.count()} rows, " +
         s"percolate hits=${hits.length}")
+
+      // deterministic shard export: re-runs reproduce the manifest exactly
+      val shardDir = s"$root/shards"
+      val m1 = graft.operators.Export.writeShards(
+        coll.df, "_key", shardDir, rowsPerShard = 3).collect().map(_.toSeq)
+      val m2 = graft.operators.Export.writeShards(
+        coll.df, "_key", shardDir, rowsPerShard = 3).collect().map(_.toSeq)
+      require(m1.toSeq == m2.toSeq, "export re-run must reproduce the manifest")
+      val exported = spark.read.parquet(shardDir).count()
+      require(exported == coll.count(), s"export writes every row: $exported")
+      println(s"export: ${m1.length} shard(s), $exported rows, reproducible")
     }
 
     spark.stop()
