@@ -203,7 +203,10 @@ object Cli {
             c.percolate(column, docs, idCol = idCol, textCol = column,
               requireAll = !flags.contains("any-term"))
           case "vector" =>
-            val threshold = flags.getOrElse("threshold", "0.5").toDouble
+            val threshold =
+              try flags.getOrElse("threshold", "0.5").toDouble
+              catch { case _: NumberFormatException =>
+                fail("--threshold must be a number") }
             if (threshold < -1.0 || threshold > 1.0)
               fail("--threshold must be a cosine in [-1, 1]")
             c.percolateVector(column, docs,
@@ -219,8 +222,10 @@ object Cli {
         // shard, audit manifest beside them (operators.Export)
         val c = catalog.load(req(flags, "collection"))
         val dest = req(flags, "dest")
-        val shardRows = flags.getOrElse("shard-rows", "100000").toInt
+        val shardRows = intFlag("shard-rows", flags.getOrElse("shard-rows", "100000"))
         if (shardRows < 1) fail("--shard-rows must be >= 1")
+        if (c.isEmpty) { println(s"exported 0 row(s) — collection " +
+          s"'${c.config.name}' has no data"); return }
         val salt = flags.getOrElse("salt", "")
         val cols = flags.get("columns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -345,11 +350,17 @@ object Cli {
             if (nProbe < 1) fail("--n-probe must be >= 1")
             c.searchAnn(column, query, limit, embedder, nProbe)
           case "late" =>
-            val mt = flags.getOrElse("chunk-max-tokens", "512").toInt
-            val ov = flags.getOrElse("chunk-overlap-tokens", "50").toInt
-            if (mt < 1 || ov < 0 || ov >= mt)
-              fail("need --chunk-max-tokens >= 1 and 0 <= --chunk-overlap-tokens < it")
-            val np = flags.getOrElse("n-probe", "0").toInt
+            val mt = intFlag("chunk-max-tokens",
+              flags.getOrElse("chunk-max-tokens", "512"))
+            if (mt < 1) fail("--chunk-max-tokens must be >= 1")
+            // an UNSET overlap clamps to the chunk size instead of
+            // failing small --chunk-max-tokens on the 50-token default
+            val ov = flags.get("chunk-overlap-tokens")
+              .map(intFlag("chunk-overlap-tokens", _))
+              .getOrElse(math.min(50, mt - 1))
+            if (ov < 0 || ov >= mt)
+              fail("--chunk-overlap-tokens must be in [0, chunk-max-tokens)")
+            val np = intFlag("n-probe", flags.getOrElse("n-probe", "0"))
             if (np < 0) fail("--n-probe must be >= 0 (0 = exact late scoring)")
             c.searchLate(column, query, limit, embedder, mt, ov, np)
           case other => fail(s"--mode must be vector|keyword|hybrid|ann|late, got '$other'")

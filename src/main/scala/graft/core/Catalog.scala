@@ -2507,6 +2507,19 @@ class Collection private[core] (
                       batchSize: Int = 32): DataFrame = {
     Identifiers.validate(column)
     import spark.implicits._
+    // the batch embed rides the (Long, String) EmbedBatch contract — an
+    // opaque id (string slug, or a wrong default id-column guess) would
+    // cast to null and die deep in the encoder; refuse loudly instead
+    // (keyword percolate accepts any id type; here ids must be integral)
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"percolateVector needs an integral id column; '$idCol' is $other " +
+          "(pass idCol explicitly, or percolate by keyword for opaque ids)")
+    }
     val text = if (textCol.nonEmpty) textCol else column
     val saved = savedQueries.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("query")))

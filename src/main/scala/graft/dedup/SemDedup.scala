@@ -48,7 +48,10 @@ object SemDedup {
     embDf
       .select(col(keyCol).as("cluster_id"), col(embCol).as("__cvec"),
         md5(col(keyCol).cast("string")).as("__h"))
-      .orderBy(col("__h"), col("cluster_id"))
+      // the vector itself is the last tie-break: a multi-vector key
+      // (chunked index) ties on (md5, key) and would otherwise pick a
+      // partition-order-dependent chunk as the centroid
+      .orderBy(col("__h"), col("cluster_id"), col("__cvec"))
       .limit(k)
       .drop("__h")
   }
@@ -89,8 +92,12 @@ object SemDedup {
     */
   def semanticDups(embDf: DataFrame, keyCol: String, embCol: String,
                    k: Int, threshold: Double): DataFrame = {
+    // distinct: a multi-vector key (chunked index) repeats its (key,
+    // cluster) row once per chunk — without the dedup the self-join
+    // fans a c_a/c_b-chunk pair into c_a·c_b duplicate candidates and
+    // (c_a·c_b)² cosine evaluations after the vector joins
     val asg = assign(embDf, keyCol, embCol, k)
-      .select(col(keyCol), col("cluster_id"))
+      .select(col(keyCol), col("cluster_id")).distinct()
     val cand = asg.as("a").join(asg.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col(s"a.$keyCol") < col(s"b.$keyCol"))
@@ -103,9 +110,14 @@ object SemDedup {
       .join(vecs.withColumnRenamed(keyCol, "key_b")
         .withColumnRenamed(embCol, "__emb_b"), "key_b")
       .withColumn("__cos", VectorFunctions.cosine(col("__emb_a"), col("__emb_b")))
-      .filter(col("__cos") >= threshold)
+      // per-pair max BEFORE the threshold: multi-vector keys fold to
+      // their best chunk pair (the knnJoin discipline); single-vector
+      // inputs see exactly the plain pairwise cosine
+      .groupBy(col("cluster_id"), col("key_a"), col("key_b"))
+      .agg(max(col("__cos")).as("__m"))
+      .filter(col("__m") >= threshold)
       .select(col("cluster_id"), col("key_a"), col("key_b"),
-        round(col("__cos"), 6).as("cosine"))
+        round(col("__m"), 6).as("cosine"))
   }
 
   /** The pruned corpus: connected groups of semantic duplicates keep

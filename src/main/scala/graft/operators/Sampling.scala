@@ -125,8 +125,11 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // tiny (one row per over-cap group), consumed by BOTH branches —
+    // materialize once so the count pass doesn't run twice
     val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gc"))
       .filter(col("__gc") > n).select(col(groupCol).as("__g"))
+      .localCheckpoint(true)
     // null-SAFE join condition: a NULL group (unattributed rows) is a
     // group like any other — a plain equi-join would never match it
     // against `over` and silently exempt it from the cap

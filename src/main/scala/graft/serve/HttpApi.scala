@@ -120,9 +120,13 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
             // granularity the index was embedded with. n_probe > 0 routes
             // candidate generation through the ANN index (PLAID shape)
             val mt = (req \ "chunk_tokens").extractOpt[Int].getOrElse(512)
-            val ov = (req \ "chunk_overlap").extractOpt[Int].getOrElse(50)
-            require(mt >= 1 && ov >= 0 && ov < mt,
-              s"need chunk_tokens >= 1 and 0 <= chunk_overlap < chunk_tokens, got ($mt, $ov)")
+            require(mt >= 1, s"chunk_tokens must be >= 1, got $mt")
+            // an absent overlap clamps to the chunk size instead of
+            // failing small chunk_tokens on the 50-token default
+            val ov = (req \ "chunk_overlap").extractOpt[Int]
+              .getOrElse(math.min(50, mt - 1))
+            require(ov >= 0 && ov < mt,
+              s"need 0 <= chunk_overlap < chunk_tokens, got ($mt, $ov)")
             val np = (req \ "n_probe").extractOpt[Int].getOrElse(0)
             require(np >= 0, s"n_probe must be >= 0, got $np")
             coll.searchLate(column, query, limit, embedder, mt, ov, np)

@@ -105,6 +105,29 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == fixture.map(_._1).toSet -- gone)
   }
 
+  test("multi-vector keys: deduped candidates, best-chunk pairs, stable across partitionings") {
+    import graft.dedup.SemDedup
+    // every key carries TWO chunk vectors pointing different ways
+    val chunked = fixture.flatMap { case (id, v) =>
+      val alt = Array.tabulate(v.length)(i => v(v.length - 1 - i)) // reversed
+      Seq((id, v), (id, alt))
+    }
+    val df2 = chunked.toDF("vec_id", "embedding")
+    val a = SemDedup.semanticDups(df2, "vec_id", "embedding", 3, 0.5)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    // one row per pair (candidates deduped), cosine = best chunk pair
+    val byId = chunked.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    a.foreach { case ((ka, kb), c) =>
+      val best = (for { va <- byId(ka); vb <- byId(kb) } yield cos(va, vb)).max
+      assert(math.abs(c - best) < 5e-7, s"pair ($ka,$kb)")
+    }
+    // stable under a different input partitioning (centroid tie-break
+    // includes the vector, so chunk order can't flip the clustering)
+    val b = SemDedup.semanticDups(df2.repartition(7), "vec_id", "embedding", 3, 0.5)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    assert(a == b, s"partitioning changed the result:\n$a\n$b")
+  }
+
   test("collection semanticDups rides the stored ANN lists; nLists=1 == exact pairs") {
     import graft.core.{Catalog, CollectionConfig}
     import graft.embed.HashingEmbedder
