@@ -308,6 +308,9 @@ object SparkEntry {
     val e = embeddings(s, sfDir)
     attempt("q_ivf_topk") {
       ivfTopkOracle(graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8))
+    } ++ attempt("q130_semdedup_ivf") {
+      semdedupIvfOracle(
+        graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8), 0.35)
     } ++ attempt("q71_pq") {
       val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
       pqOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb), k = 10)
@@ -383,11 +386,15 @@ object SparkEntry {
        |SELECT vec_id, round(raw, 6) AS score FROM top
        | ORDER BY raw DESC, vec_id""".stripMargin
 
-  private def ivfTopkOracle(centers: Array[Array[Double]]): String = {
+  /** The shared `e`/`d`/`a` CTE block: every vector's first-wins argmin
+    * list assignment against centroid literals — strictly-sequential
+    * squared-L2 sums, exactly `nearestCentroid`'s loop. Used by the IVF
+    * top-k twin and the trained-centroid SemDeDup twin.
+    */
+  private def ivfAssignCtes(centers: Array[Array[Double]]): String = {
     val dim = centers.head.length
     def lit(c: Array[Double]): String =
       c.mkString("CAST([", ", ", "] AS DOUBLE[])")
-    // strictly-sequential sum of squared diffs == nearestCentroid's loop
     def dist(c: Array[Double]): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, ${dim + 1}),
@@ -398,11 +405,15 @@ object SparkEntry {
     val dlist = centers.indices.map(i => s"d$i").mkString(", ")
     val argmin = centers.indices
       .map(i => s"WHEN d$i = least($dlist) THEN $i").mkString("CASE ", " ", " END")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT vec_id, v, $dcols FROM e),
+       |a AS (SELECT vec_id, v, $argmin AS list_id FROM d)""".stripMargin
+  }
+
+  private def ivfTopkOracle(centers: Array[Array[Double]]): String = {
     val structs = centers.indices
       .map(i => s"struct_pack(d := d$i, i := $i)").mkString("[", ", ", "]")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |d AS (SELECT vec_id, v, $dcols FROM e),
-       |a AS (SELECT vec_id, v, $argmin AS list_id FROM d),
+    s"""WITH ${ivfAssignCtes(centers)},
        |p AS (SELECT list_transform(list_sort($structs), x -> x.i) AS probes
        |      FROM d WHERE vec_id = 0),
        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
@@ -414,6 +425,22 @@ object SparkEntry {
        |SELECT vec_id, round(raw, 6) AS score FROM top
        | ORDER BY raw DESC, vec_id""".stripMargin
   }
+
+  /** Trained-centroid SemDeDup twin (q130): same assignment CTEs, then
+    * within-list pairs verified by exact cosine — the SQL re-derivation
+    * of `SemDedup.semanticDupsAssigned(Ann.ivfAssign(...))`, i.e. the
+    * clustering the persistent ANN index stores.
+    */
+  private def semdedupIvfOracle(centers: Array[Array[Double]],
+                                threshold: Double): String =
+    s"""WITH ${ivfAssignCtes(centers)}
+       |SELECT a1.list_id AS cluster_id, a1.vec_id AS key_a,
+       |  a2.vec_id AS key_b,
+       |  round(list_cosine_similarity(a1.v, a2.v), 6) AS cosine
+       |FROM a a1 JOIN a a2
+       |  ON a1.list_id = a2.list_id AND a1.vec_id < a2.vec_id
+       |WHERE list_cosine_similarity(a1.v, a2.v) >= $threshold
+       |ORDER BY cluster_id, key_a, key_b""".stripMargin
 
   /** LSH ANN twin. The hyperplane family is a pure function of
     * (dim = 64, bits = 6, seed = 42) — the fixture's constants — so the

@@ -91,28 +91,38 @@ object SemDedup {
     * more boundary misses, or run the exact twin on a sample to measure).
     */
   def semanticDups(embDf: DataFrame, keyCol: String, embCol: String,
-                   k: Int, threshold: Double): DataFrame = {
-    // distinct: a multi-vector key (chunked index) repeats its (key,
-    // cluster) row once per chunk — without the dedup the self-join
-    // fans a c_a/c_b-chunk pair into c_a·c_b duplicate candidates and
-    // (c_a·c_b)² cosine evaluations after the vector joins
-    val asg = assign(embDf, keyCol, embCol, k)
-      .select(col(keyCol), col("cluster_id")).distinct()
+                   k: Int, threshold: Double): DataFrame =
+    semanticDupsAssigned(assign(embDf, keyCol, embCol, k),
+      keyCol, embCol, "cluster_id", threshold)
+
+  /** [[semanticDups]] over an EXTERNALLY-assigned clustering — trained
+    * IVF centroids ([[graft.search.Ann.ivfAssign]]), a persistent ANN
+    * index's stored lists, or any other partition of the key space.
+    * Same mechanics: candidates are same-cluster key pairs (deduped — a
+    * multi-vector key repeats its (key, cluster) row once per chunk,
+    * and without the dedup a c_a/c_b-chunk pair fans into c_a·c_b
+    * duplicate candidates and (c_a·c_b)² cosine evaluations), exact
+    * cosine verifies, pairs fold to their best chunk pair BEFORE the
+    * threshold (the knnJoin discipline; single-vector inputs see the
+    * plain pairwise cosine).
+    */
+  def semanticDupsAssigned(assigned: DataFrame, keyCol: String,
+                           embCol: String, clusterCol: String,
+                           threshold: Double): DataFrame = {
+    val asg = assigned
+      .select(col(keyCol), col(clusterCol).as("cluster_id")).distinct()
     val cand = asg.as("a").join(asg.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col(s"a.$keyCol") < col(s"b.$keyCol"))
       .select(col("a.cluster_id").as("cluster_id"),
         col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"))
-    val vecs = embDf.select(col(keyCol), col(embCol))
+    val vecs = assigned.select(col(keyCol), col(embCol))
     cand
       .join(vecs.withColumnRenamed(keyCol, "key_a")
         .withColumnRenamed(embCol, "__emb_a"), "key_a")
       .join(vecs.withColumnRenamed(keyCol, "key_b")
         .withColumnRenamed(embCol, "__emb_b"), "key_b")
       .withColumn("__cos", VectorFunctions.cosine(col("__emb_a"), col("__emb_b")))
-      // per-pair max BEFORE the threshold: multi-vector keys fold to
-      // their best chunk pair (the knnJoin discipline); single-vector
-      // inputs see exactly the plain pairwise cosine
       .groupBy(col("cluster_id"), col("key_a"), col("key_b"))
       .agg(max(col("__cos")).as("__m"))
       .filter(col("__m") >= threshold)

@@ -588,6 +588,22 @@ object TextQueries {
         .orderBy(col("query_id"), col("key"))
     }),
 
+    // SemDeDup over TRAINED clusters: the q124 discipline with the
+    // clustering the persistent ANN index actually stores (deterministic
+    // Lloyd-trained IVF centroids, first-wins argmin assignment) instead
+    // of the md5 centroid sample. The oracle is DYNAMIC — Verify embeds
+    // the trained centers as SQL literals (the q_ivf_topk machinery), so
+    // training, assignment, candidate generation and verification are
+    // all hash-gated end-to-end.
+    "q130_semdedup_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val centers = graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8)
+      graft.dedup.SemDedup.semanticDupsAssigned(
+          graft.search.Ann.ivfAssign(e, "embedding", centers),
+          "vec_id", "embedding", "list_id", 0.35)
+        .orderBy(col("cluster_id"), col("key_a"), col("key_b"))
+    }),
+
     // Late-interaction LIFECYCLE gate: import -> chunk-granularity embed
     // (persistent multi-vector index on disk) -> MaxSim search with a
     // multi-chunk query — the full q122-style on-disk story, hash-matched
