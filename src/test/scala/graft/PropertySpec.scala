@@ -211,4 +211,60 @@ class PropertySpec extends SparkSpec {
       got == want
     }, n = 8)
   }
+
+  test("property: pack manifest equals the sequential concat-and-chunk model") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 40L)) // zeros exercise the drop
+      len <- Gen.choose(1L, 17L)
+    } yield (toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }, len)
+    check("pack-model", Prop.forAll(gen) { case (rows, seqLen) =>
+      val got = graft.operators.Pack.packPlan(
+          rows.toDF("k", "t"), "k", "t", seqLen)
+        .orderBy("seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      var cum = 0L
+      val acc = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      rows.filter(_._2 > 0).sortBy { case (k, _) => (hex(k.toString), k) }
+        .foreach { case (k, t) =>
+          val (s, e) = (cum, cum + t); cum = e
+          (s / seqLen to (e - 1) / seqLen).foreach { q =>
+            val c = math.min(e, (q + 1) * seqLen) - math.max(s, q * seqLen)
+            val (nd, nt, cs) = acc.getOrElse(q, (0L, 0L, 0L))
+            acc(q) = (nd + 1, nt + c, cs + k * c)
+          }
+        }
+      got == acc.toSeq.sortBy(_._1)
+        .map { case (q, (nd, nt, cs)) => (q, nd, nt, cs) }
+    }, n = 8)
+  }
+
+  test("property: capPerGroup keeps exactly the md5-order head of over-cap groups") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf(Some("a"), Some("b"), Some("c"), None)
+      } yield g)
+      cap <- Gen.choose(1, 12)
+    } yield (rows.zipWithIndex.map { case (g, i) => (i.toLong, g) }, cap)
+    check("cap-model", Prop.forAll(gen) { case (rows, cap) =>
+      val got = graft.operators.Sampling.capPerGroup(
+          rows.toDF("k", "g"), "g", "k", cap)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1)))).toSet
+      val want = rows.groupBy(_._2).flatMap { case (g, members) =>
+        val kept =
+          if (members.size <= cap) members
+          else members.sortBy { case (k, _) => (hex(k.toString), k) }.take(cap)
+        kept.map { case (k, _) => (k, g) }
+      }.toSet
+      got == want
+    }, n = 8)
+  }
 }
