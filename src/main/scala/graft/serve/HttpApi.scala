@@ -29,6 +29,9 @@ import graft.search.Search
   *    documents:[{id, text}...], require_all?, mode?, threshold?}` —
   *    reverse search against the saved-queries table; `mode: "vector"`
   *    matches by embedding cosine >= `threshold` instead of terms
+  *  - `GET  /collections/{name}/status`         consistency counters +
+  *    centroid drift per index structure and the ordered maintenance
+  *    plan (counting/footer metadata only)
   *
   * Responses use the reference envelope
   * `{"status":"ok","time":<sec>,"data":...}` /
@@ -137,6 +140,28 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""
         }.mkString("[", ",", "]")
         (200, ok(secs(), s"""{"results":$results}"""))
+      case ("GET", s"/collections/$name/status") if !name.contains("/") =>
+        // operational health over HTTP: per-index-column consistency
+        // counters (+ ANN centroid drift) and the ordered maintenance
+        // plan — counting/footer-metadata only, safe for a GET
+        graft.core.Identifiers.validate(name)
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        val coll = catalog.load(name)
+        val statuses = coll.config.index_columns.flatMap { c =>
+          coll.indexStatus(c).collect().map { r =>
+            val drift = if (r.isNullAt(4)) "null" else r.getDouble(4).toString
+            s"""{"column":${js(c)},"structure":${js(r.getString(0))},""" +
+              s""""missing":${r.getLong(1)},"stale":${r.getLong(2)},""" +
+              s""""orphaned":${r.getLong(3)},"drift":$drift}"""
+          }
+        }.mkString("[", ",", "]")
+        val plan = coll.planMaintenance().collect().map { r =>
+          s"""{"priority":${r.getInt(0)},"column":${js(r.getString(1))},""" +
+            s""""structure":${js(r.getString(2))},"action":${js(r.getString(3))},""" +
+            s""""reason":${js(r.getString(4))}}"""
+        }.mkString("[", ",", "]")
+        (200, ok(secs(),
+          s"""{"count":${coll.count()},"status":$statuses,"plan":$plan}"""))
       case ("GET", s"/collections/$name/queries") if !name.contains("/") =>
         graft.core.Identifiers.validate(name)
         if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")

@@ -84,6 +84,19 @@ class HttpApiSpec extends SparkSpec {
           """"chunk_tokens":8,"chunk_overlap":8}""")
       assert(uc == 400 && ub.contains("chunk_overlap"), ub)
 
+      // ops status: clean collection reports zero inconsistencies and
+      // an empty maintenance plan
+      val (oc, ob) = get(port, "/collections/docs/status")
+      assert(oc == 200 && ob.contains("\"count\":3"), ob)
+      assert(ob.contains("\"structure\":\"vector\"") &&
+        ob.contains("\"missing\":0") && ob.contains("\"plan\":[]"), ob)
+      // staleness surfaces: append without re-embedding -> missing > 0
+      // and the plan names the catch-up action
+      c.appendDf(Seq("pear orchard harvest").toDF("text"))
+      val (oc2, ob2) = get(port, "/collections/docs/status")
+      assert(oc2 == 200 && ob2.contains("\"missing\":1") &&
+        ob2.contains("embedColumn"), ob2)
+
       // K5 validation and error envelope
       val (bc, bb) = post(port, "/collections/docs/search",
         """{"column_name":"text","query":"x","limit":0}""")
