@@ -566,6 +566,43 @@ class KeywordSpec extends SparkSpec {
     assert(!fired.exists(_._1 == 102L), "off-topic doc fires nothing")
   }
 
+  test("collection percolateVector runs on a stream: append mode, no state store") {
+    import graft.core.{Catalog, CollectionConfig}
+    import graft.embed.HashingEmbedder
+    val root = java.nio.file.Files.createTempDirectory("graft_vpercstream").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "vstream"))
+    c.importDf(Seq("seed row").toDF("text"))
+    val emb = new HashingEmbedder(dim = 64)
+    c.putQueries(Seq((1L, "spark shuffle spill memory"), (2L, "quantum photon"))
+      .toDF("query_id", "query"))
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = c.percolateVector("text", mem.toDF().toDF("doc_id", "body"),
+      emb, threshold = 0.3, idCol = "doc_id", textCol = "body")
+    val query = out.writeStream.format("memory").queryName("vperc_coll_out")
+      .outputMode("append").start()
+    val batch = Seq(
+      (100L, "spark shuffle spills when memory is tight"),
+      (101L, "photon entanglement in quantum optics"),
+      (102L, "cooking pasta with garlic"))
+    mem.addData(batch.take(1))
+    query.processAllAvailable()
+    mem.addData(batch.drop(1))
+    query.processAllAvailable()
+    val streamed = spark.table("vperc_coll_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    val inline = c.percolateVector("text", batch.toDF("doc_id", "body"),
+        emb, threshold = 0.3, idCol = "doc_id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == inline,
+      s"stream/batch divergence: $streamed vs $inline")
+    assert(streamed.contains((100L, 1L)) && streamed.contains((101L, 2L)), streamed)
+  }
+
   test("collection percolation runs on a stream with the persisted analyzer") {
     import graft.core.{Catalog, CollectionConfig}
     val root = java.nio.file.Files.createTempDirectory("graft_percstream").toString
