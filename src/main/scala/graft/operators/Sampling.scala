@@ -143,4 +143,53 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
     pass.unionByName(trimmed)
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    * deterministic weighted sample WITHOUT replacement of exactly
+    * `n` rows, with the unbiased subset-sum estimator the scheme was
+    * built for. Each row gets `u = (hash64(key) + 1) / 2^32 ∈ (0, 1]`
+    * and priority `q = w / u`; the sample is the top `n` priorities.
+    * Heavier rows get proportionally larger priorities, so inclusion
+    * probability ≈ min(1, w/τ) — the weighted-without-replacement
+    * shape temperature/stratified sampling cannot give.
+    *
+    * Engine-checkable by construction: `u` is exact (integer hash over
+    * a power of two) and `q` is ONE IEEE division of exactly-
+    * representable operands, so the priorities are bit-identical in any
+    * IEEE engine — no libm anywhere. Deterministic, append-stable
+    * ranking (a new row displaces at most one survivor), reproducible
+    * across runs and engines.
+    *
+    * Scale shape: `orderBy(q).limit(n)` compiles to
+    * TakeOrderedAndProject — each partition keeps its local top-n heap
+    * and the driver merges n·partitions candidates; NO global sort, NO
+    * shuffle of the corpus. For the estimator, `withEstimate = true`
+    * appends τ (the (n+1)-th priority) and `w_hat = max(w, τ)`:
+    * Σ w_hat over any kept subset unbiasedly estimates that subset's
+    * true weight sum in the full corpus.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weight: Column, n: Int,
+                     withEstimate: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    val scored = df.withColumn("priority", weight.cast("double") / u)
+    if (!withEstimate) {
+      scored.orderBy(col("priority").desc, col(keyCol)).limit(n)
+    } else {
+      // one extra row buys τ; localCheckpoint so the TakeOrdered pass
+      // runs once for both the sample and the threshold
+      val top = scored
+        .orderBy(col("priority").desc, col(keyCol)).limit(n + 1)
+        .localCheckpoint(true)
+      // τ = the (n+1)-th priority; 0 when the corpus has ≤ n rows (every
+      // row is kept with certainty and w_hat degrades to w exactly)
+      val tauOrZero = top.agg(
+        when(count(lit(1)) > n, min(col("priority"))).otherwise(lit(0.0))
+          .as("tau"))
+      top.orderBy(col("priority").desc, col(keyCol)).limit(n)
+        .crossJoin(broadcast(tauOrZero))
+        .withColumn("w_hat", greatest(weight.cast("double"), col("tau")))
+    }
+  }
 }

@@ -348,6 +348,43 @@ object PipelineQueries {
           "source", "doc_id", 10)
         .orderBy(col("doc_id"))),
 
+    // Bigram LM cross-entropy (CCNet-shape perplexity quality filter):
+    // the corpus trains its own add-1 smoothed bigram model and every
+    // doc scores -(1/N) sum ln p(w2|w1). One model order above q65's
+    // unigram; same fold discipline (sorted-gram f64 accumulation both
+    // sides), corpus-linear training, natural-key joins for scoring.
+    "q131_bigram_xent" -> ((s, d) =>
+      graft.functions.NgramLm.bigramCrossEntropy(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", addK = 1.0)
+        .orderBy(col("doc_id"))),
+
+    // Priority sampling (Duffield-Lund-Thorup): exactly-n weighted
+    // sampling without replacement, priority = w / u with u the exact
+    // md5 fraction — ONE IEEE division, bit-identical in DuckDB, so the
+    // kept SET and its priority order are both engine-checkable. The
+    // graded rank binds the order; the floats stay out of the output.
+    "q132_priority_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.Sampling.prioritySample(
+          documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", col("n_chars"), n = 50)
+        // 50-row page: the unpartitioned window is the rrfFuse precedent
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher repetition filters: top-2-gram character share and
+    // duplicated-3-gram coverage, per doc. Self-repetition signals next
+    // to the cross-doc dedup family; every join is doc_id-keyed.
+    "q133_repetition" -> ((s, d) =>
+      graft.functions.Repetition.signals(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Backup/restore lifecycle graded end-to-end: import (key-clustered)
     // -> full backup -> contiguous-range erase -> incremental backup ->
     // restore BOTH generations and read them back. Generation 1 must
@@ -786,6 +823,90 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 10
         | ORDER BY doc_id""".stripMargin,
+
+    // add-1 smoothed bigram LM trained on the corpus itself; the per-doc
+    // f64 log-prob sum folds in (w1, w2) order on both engines and the
+    // smoothed probability is one IEEE division of exact integers
+    "q131_bigram_xent" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |        unnest(toks[2:len(toks)]) AS w2
+         |   FROM t WHERE len(toks) >= 2),
+         | tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+         |   FROM bi GROUP BY 1, 2, 3),
+         | c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+         |   FROM tf GROUP BY 1, 2),
+         | c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         | v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |   FROM (SELECT unnest(toks) AS tok FROM t)),
+         | contrib AS (SELECT tf.doc_id, tf.w1, tf.w2, tf.tf,
+         |     tf.tf * ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+         |       / (CAST(c1.c1 AS DOUBLE) + 1.0 * (SELECT v FROM v))) AS c
+         |   FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+         | agg AS (SELECT doc_id,
+         |     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |       list(c ORDER BY w1, w2)), (x, y) -> x + y) AS sumc,
+         |     CAST(sum(tf) AS BIGINT) AS n
+         |   FROM contrib GROUP BY doc_id)
+         |SELECT d.doc_id, round(coalesce(-a.sumc / a.n, 0.0), 6) AS xent2
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // priority = w / u, u = (first-8-hex-of-md5 + 1) / 2^32 — exact on
+    // both engines, so kept set AND rank order match bit-for-bit
+    "q132_priority_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |   md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         | f AS (SELECT doc_id, lang, n_chars,
+         |   CAST(n_chars AS DOUBLE)
+         |     / ((CAST($Hex8 AS DOUBLE) + 1.0) / 4294967296.0) AS priority
+         |   FROM h),
+         | r AS (SELECT doc_id, lang, n_chars,
+         |   CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+         |     AS BIGINT) AS rank FROM f)
+         |SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 50
+         |ORDER BY doc_id""".stripMargin,
+
+    // positional coverage: token p is covered iff some duplicated
+    // 3-gram occurrence spans it; overlap counted once via DISTINCT
+    "q133_repetition" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+         |         unnest(toks) AS tok FROM t),
+         | totals AS (SELECT doc_id, CAST(sum(length(tok)) AS BIGINT)
+         |     AS total_chars FROM pos GROUP BY 1),
+         | bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |        unnest(toks[2:len(toks)]) AS w2
+         |   FROM t WHERE len(toks) >= 2),
+         | bic AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+         |   FROM bi GROUP BY 1, 2, 3),
+         | top2 AS (SELECT doc_id, cnt * (length(w1) + length(w2)) AS top_chars
+         |   FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |       ORDER BY cnt DESC, w1, w2) AS rn FROM bic) WHERE rn = 1),
+         | tri AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i,
+         |     unnest(toks[1:len(toks)-2]) AS w1,
+         |     unnest(toks[2:len(toks)-1]) AS w2,
+         |     unnest(toks[3:len(toks)]) AS w3
+         |   FROM t WHERE len(toks) >= 3),
+         | dup AS (SELECT doc_id, w1, w2, w3 FROM tri
+         |   GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+         | cov AS (SELECT DISTINCT doc_id, p FROM (
+         |   SELECT tri.doc_id, unnest([tri.i, tri.i + 1, tri.i + 2]) AS p
+         |   FROM tri JOIN dup USING (doc_id, w1, w2, w3))),
+         | dchars AS (SELECT pos.doc_id, CAST(sum(length(pos.tok)) AS BIGINT)
+         |     AS dup_chars
+         |   FROM cov JOIN pos ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+         |   GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round(coalesce(CAST(t2.top_chars AS DOUBLE) / totals.total_chars,
+         |    0.0), 6) AS top2_frac,
+         |  round(coalesce(CAST(dc.dup_chars AS DOUBLE) / totals.total_chars,
+         |    0.0), 6) AS dup3_frac
+         |FROM documents d
+         | LEFT JOIN totals USING (doc_id)
+         | LEFT JOIN top2 t2 USING (doc_id)
+         | LEFT JOIN dchars dc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // generation 1 = the full corpus at backup time; generation 2 = the
     // corpus after the keys 10..20 erase

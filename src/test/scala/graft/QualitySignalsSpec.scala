@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{NgramLm, Repetition}
+import graft.operators.Sampling
+
+/** Specs for the round-8 extension operators: bigram-LM cross-entropy
+  * (q131), priority sampling (q132) and the Gopher repetition signals
+  * (q133). Each is graded against a driver-side model small enough to
+  * verify by hand.
+  */
+class QualitySignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- bigram cross-entropy -------------------------------------------
+
+  test("bigramCrossEntropy matches a hand-computed add-1 model") {
+    // corpus: "a b a b" and "a c"; vocabulary {a, b, c}, V = 3
+    // bigram counts: (a,b)=2 (a,c)=1 (b,a)=1; contexts: c(a,.)=3 c(b,.)=1
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = NgramLm.bigramCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val V = 3.0
+    def p(c2: Double, c1: Double) = (c2 + 1.0) / (c1 + V)
+    // doc 1: occurrences (a,b) x2, (b,a) x1, N = 3
+    val x1 = -(2 * math.log(p(2, 3)) + 1 * math.log(p(1, 1))) / 3.0
+    // doc 2: (a,c) x1, N = 1
+    val x2 = -math.log(p(1, 3))
+    assert(math.abs(got(1L) - x1) < 1e-6, s"doc1: ${got(1L)} vs $x1")
+    assert(math.abs(got(2L) - x2) < 1e-6, s"doc2: ${got(2L)} vs $x2")
+    // sub-bigram docs score 0 and are still present
+    assert(got(3L) == 0.0 && got(4L) == 0.0)
+    // an in-corpus doc scores strictly lower than a same-length doc of
+    // rare transitions — the filter direction the operator exists for
+    assert(got(1L) < x2)
+  }
+
+  test("bigramCrossEntropy: conditional sums to 1 over the vocabulary") {
+    // the c(w1,.) context denominator (not the unigram count) makes
+    // sum_w2 p(w2|w1) = 1 exactly; verify on the trained counts
+    val df = Seq((1L, "x y x z x y")).toDF("doc_id", "text")
+    // bigrams: (x,y)2 (y,x)1 (x,z)1 (z,x)1; contexts c(x,.)=3 c(y,.)=1
+    // c(z,.)=1; V=3 — so p(y|x)+p(z|x)+p(x|x) = 3/6 + 2/6 + 1/6 = 1
+    val got = NgramLm.bigramCrossEntropy(df, "doc_id", "text")
+      .head().getDouble(1)
+    val x = -(2 * math.log(3.0 / 6) + 1 * math.log(2.0 / 4) +
+      1 * math.log(2.0 / 6) + 1 * math.log(2.0 / 4)) / 5.0
+    assert(math.abs(got - x) < 1e-6, s"$got vs $x")
+  }
+
+  // ---- priority sampling ----------------------------------------------
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private def priority(key: Long, w: Double): Double = {
+    val u = (java.lang.Long.parseLong(md5hex(key.toString).take(8), 16) + 1.0) /
+      4294967296.0
+    w / u
+  }
+
+  test("prioritySample: exact top-n by w/u, deterministic, append-stable") {
+    val rows = (0L until 500L).map(k => (k, (k % 7 + 1).toDouble))
+    val df = rows.toDF("k", "w")
+    val got = Sampling.prioritySample(df, "k", col("w"), 50)
+      .select("k").as[Long].collect().toSet
+    val want = rows.sortBy { case (k, w) => (-priority(k, w), k) }
+      .take(50).map(_._1).toSet
+    assert(got == want, "sample must equal the driver-side model's top-50")
+    // deterministic across runs
+    val again = Sampling.prioritySample(df, "k", col("w"), 50)
+      .select("k").as[Long].collect().toSet
+    assert(got == again)
+    // append stability: one new row displaces AT MOST one survivor
+    val grown = (rows :+ (9999L, 1000.0)).toDF("k", "w")
+    val after = Sampling.prioritySample(grown, "k", col("w"), 50)
+      .select("k").as[Long].collect().toSet
+    assert((got -- after).size <= 1, "one insert displaces at most one")
+    assert(after.contains(9999L), "a heavy row should force its way in")
+  }
+
+  test("prioritySample: heavier rows are sampled more often") {
+    // two weight classes over many keys: the heavy class must win
+    // sample slots roughly in proportion to weight share
+    val rows = (0L until 1000L).map(k => (k, if (k < 100) 50.0 else 1.0))
+    val got = Sampling.prioritySample(rows.toDF("k", "w"), "k", col("w"), 200)
+      .select("k").as[Long].collect()
+    val heavy = got.count(_ < 100L)
+    // heavy share of total weight = 5000/5900 ~ 0.85; with only 100
+    // heavy rows nearly all of them should be kept
+    assert(heavy > 80, s"heavy rows kept: $heavy of 100")
+  }
+
+  test("prioritySample withEstimate: w_hat = max(w, tau), unbiased total") {
+    val rows = (0L until 400L).map(k => (k, (k % 13 + 1).toDouble))
+    val df = rows.toDF("k", "w")
+    val got = Sampling.prioritySample(df, "k", col("w"), 60, withEstimate = true)
+    val cols = got.columns.toSeq
+    assert(cols.contains("tau") && cols.contains("w_hat"))
+    val local = got.select("k", "w", "tau", "w_hat").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(local.length == 60)
+    // tau = the 61st priority of the model
+    val pris = rows.map { case (k, w) => (priority(k, w), k) }
+      .sortBy { case (p, k) => (-p, k) }
+    val tau = pris(60)._1
+    assert(local.forall { case (_, _, t, _) => math.abs(t - tau) < 1e-9 })
+    assert(local.forall { case (_, w, t, wh) => wh == math.max(w, t) })
+    // the estimator: sum(w_hat) over the sample estimates total weight;
+    // with a deterministic hash this is one draw — accept a wide band
+    val est = local.map(_._4).sum
+    val truth = rows.map(_._2).sum
+    assert(est > truth * 0.5 && est < truth * 2.0,
+      s"subset-sum estimate $est vs truth $truth")
+  }
+
+  test("prioritySample: corpus <= n keeps everything with tau = 0") {
+    val df = (0L until 10L).map(k => (k, 2.0)).toDF("k", "w")
+    val got = Sampling.prioritySample(df, "k", col("w"), 50, withEstimate = true)
+      .select("k", "tau", "w_hat").collect()
+    assert(got.length == 10)
+    assert(got.forall(r => r.getDouble(1) == 0.0), "tau must be 0")
+    assert(got.forall(r => r.getDouble(2) == 2.0), "w_hat degrades to w")
+  }
+
+  test("prioritySample plan: TakeOrdered, no global sort, no window") {
+    val df = (0L until 100L).map(k => (k, 1.0)).toDF("k", "w")
+    val plan = Sampling.prioritySample(df, "k", col("w"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(!plan.contains("WindowExec"), "no single-task window")
+  }
+
+  // ---- repetition signals ---------------------------------------------
+
+  test("repetition signals: degenerate loop text maxes both fractions") {
+    val df = Seq(
+      (1L, "x y x y x y"),          // pure loop
+      (2L, "all these tokens differ"), // no repetition at all
+      (3L, "one"),                  // sub-bigram
+      (4L, "")                      // empty
+    ).toDF("doc_id", "text")
+    val got = Repetition.signals(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // doc 1: top bigram (x,y) occurs 3x of 5 bigrams; chars = 3*(1+1)/6
+    assert(got(1L)._1 == 1.0, s"top2 ${got(1L)}")
+    // every trigram (x,y,x)/(y,x,y) duplicates -> all positions covered
+    assert(got(1L)._2 == 1.0, s"dup3 ${got(1L)}")
+    // doc 2: every bigram occurs once; the (cnt DESC, w1, w2) tie-break
+    // picks "all these" -> (3+5)/20 total chars; no dup trigram
+    val d2 = got(2L)
+    assert(math.abs(d2._1 - 8.0 / 20.0) < 1e-6, s"top2 $d2")
+    assert(d2._2 == 0.0)
+    // short/empty docs: both 0
+    assert(got(3L) == ((0.0, 0.0)) && got(4L) == ((0.0, 0.0)))
+  }
+
+  test("repetition signals: overlapping dup-trigram coverage counts once") {
+    // "a b a b a": trigrams (a,b,a) x2 overlap on position 2 (0-based);
+    // all 5 positions are covered exactly once -> dup3 = 1.0
+    val df = Seq((1L, "a b a b a"), (2L, "p q r p q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val got = Repetition.signals(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L)._2 == 1.0, s"overlap coverage ${got(1L)}")
+    // doc 2: (p,q,r) duplicated at 0 and 3 -> covers positions 0..5 of
+    // 14 tokens, all 1-char: 6/14
+    assert(math.abs(got(2L)._2 - 6.0 / 14.0) < 1e-6, s"${got(2L)}")
+    // top bigram (p,q) occurs twice: 2*(1+1)/14
+    assert(math.abs(got(2L)._1 - 4.0 / 14.0) < 1e-6, s"${got(2L)}")
+  }
+}
