@@ -385,6 +385,28 @@ object PipelineQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram
+    // log-likelihood ratio of "looks like the en subset" vs the whole
+    // corpus. One corpus-linear model pass (target folds in via a when
+    // guard), KB-sized model broadcast into scoring, sorted-slot fold.
+    "q134_dsir" -> ((s, d) =>
+      graft.operators.Dsir.importanceWeights(
+          documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+          "doc_id", "text", col("lang") === "en", buckets = 1024)
+        .orderBy(col("doc_id"))),
+
+    // DSIR resampling: Gumbel-top-n over the weights — sampling without
+    // replacement proportional to softmax(lwt), deterministic because
+    // the Gumbel noise derives from the key's md5 fraction. The kept
+    // SET and each survivor's weight are graded; the noisy sort key
+    // stays out of the output.
+    "q135_dsir_resample" -> ((s, d) =>
+      graft.operators.Dsir.resample(
+          documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+          "doc_id", "text", col("lang") === "en", n = 50, buckets = 1024)
+        .select(col("doc_id"), col("lang"), col("lwt"))
+        .orderBy(col("doc_id"))),
+
     // Backup/restore lifecycle graded end-to-end: import (key-clustered)
     // -> full backup -> contiguous-range erase -> incremental backup ->
     // restore BOTH generations and read them back. Generation 1 must
@@ -907,6 +929,77 @@ object PipelineQueries {
          | LEFT JOIN top2 t2 USING (doc_id)
          | LEFT JOIN dchars dc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // hashed-bigram log-likelihood ratio: target = lang 'en', raw = the
+    // whole corpus; slot hash and smoothed divisions are exact on both
+    // engines, the per-doc sum folds in slot order
+    "q134_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | bi AS (SELECT doc_id, lang, unnest(toks[1:len(toks)-1]) AS w1,
+         |        unnest(toks[2:len(toks)]) AS w2
+         |   FROM t WHERE len(toks) >= 2),
+         | sl AS (SELECT doc_id, lang, ($Hex8) % 1024 AS slot
+         |   FROM (SELECT doc_id, lang, md5(w1 || ' ' || w2) AS hx FROM bi)),
+         | tf AS (SELECT doc_id, lang, slot, CAST(count(*) AS BIGINT) AS tf
+         |   FROM sl GROUP BY 1, 2, 3),
+         | model AS (SELECT slot, CAST(sum(tf) AS BIGINT) AS r,
+         |     CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS tt
+         |   FROM tf GROUP BY 1),
+         | tot AS (SELECT CAST(sum(r) AS BIGINT) AS rtot,
+         |     CAST(sum(tt) AS BIGINT) AS ttot FROM model),
+         | lr AS (SELECT slot,
+         |     ln((CAST(tt AS DOUBLE) + 1.0)
+         |       / (CAST((SELECT ttot FROM tot) AS DOUBLE) + 1024.0))
+         |   - ln((CAST(r AS DOUBLE) + 1.0)
+         |       / (CAST((SELECT rtot FROM tot) AS DOUBLE) + 1024.0)) AS lr
+         |   FROM model),
+         | contrib AS (SELECT tf.doc_id, tf.slot, tf.tf * lr.lr AS c
+         |   FROM tf JOIN lr USING (slot)),
+         | agg AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list(c ORDER BY slot)), (x, y) -> x + y) AS sumc
+         |   FROM contrib GROUP BY doc_id)
+         |SELECT d.doc_id, round(coalesce(a.sumc, 0.0), 6) AS lwt
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Gumbel-top-50 over the rounded weights; the noise is
+    // -ln(-ln(u)) of the key's exact md5 fraction, so the kept set is
+    // deterministic on both engines
+    "q135_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | bi AS (SELECT doc_id, lang, unnest(toks[1:len(toks)-1]) AS w1,
+         |        unnest(toks[2:len(toks)]) AS w2
+         |   FROM t WHERE len(toks) >= 2),
+         | sl AS (SELECT doc_id, lang, ($Hex8) % 1024 AS slot
+         |   FROM (SELECT doc_id, lang, md5(w1 || ' ' || w2) AS hx FROM bi)),
+         | tf AS (SELECT doc_id, lang, slot, CAST(count(*) AS BIGINT) AS tf
+         |   FROM sl GROUP BY 1, 2, 3),
+         | model AS (SELECT slot, CAST(sum(tf) AS BIGINT) AS r,
+         |     CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS tt
+         |   FROM tf GROUP BY 1),
+         | tot AS (SELECT CAST(sum(r) AS BIGINT) AS rtot,
+         |     CAST(sum(tt) AS BIGINT) AS ttot FROM model),
+         | lr AS (SELECT slot,
+         |     ln((CAST(tt AS DOUBLE) + 1.0)
+         |       / (CAST((SELECT ttot FROM tot) AS DOUBLE) + 1024.0))
+         |   - ln((CAST(r AS DOUBLE) + 1.0)
+         |       / (CAST((SELECT rtot FROM tot) AS DOUBLE) + 1024.0)) AS lr
+         |   FROM model),
+         | contrib AS (SELECT tf.doc_id, tf.slot, tf.tf * lr.lr AS c
+         |   FROM tf JOIN lr USING (slot)),
+         | agg AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list(c ORDER BY slot)), (x, y) -> x + y) AS sumc
+         |   FROM contrib GROUP BY doc_id),
+         | w AS (SELECT d.doc_id, d.lang, round(coalesce(a.sumc, 0.0), 6) AS lwt
+         |   FROM documents d LEFT JOIN agg a USING (doc_id)),
+         | g AS (SELECT doc_id, lang, lwt,
+         |     lwt - ln(-ln((CAST($Hex8 AS DOUBLE) + 1.0) / 4294967296.0)) AS gkey
+         |   FROM (SELECT doc_id, lang, lwt,
+         |     md5(CAST(doc_id AS VARCHAR)) AS hx FROM w)),
+         | r AS (SELECT doc_id, lang, lwt,
+         |     row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn FROM g)
+         |SELECT doc_id, lang, lwt FROM r WHERE rn <= 50
+         |ORDER BY doc_id""".stripMargin,
 
     // generation 1 = the full corpus at backup time; generation 2 = the
     // corpus after the keys 10..20 erase
