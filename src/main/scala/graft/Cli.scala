@@ -332,6 +332,50 @@ object Cli {
         val n = c.deleteKeys(keys)
         println(s"erased $n row(s) from ${c.config.name} and its indexes " +
           s"(${c.count()} rows remain)")
+      case "analyze" =>
+        // per-document quality battery (surface stats, lang id, bigram
+        // cross-entropy, repetition fractions); --dest writes the full
+        // parquet report, otherwise a corpus summary prints
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val report = c.analyzeQuality(column)
+        flags.get("dest") match {
+          case Some(dest) =>
+            report.write.mode("overwrite").parquet(dest)
+            println(s"wrote ${c.count()} report row(s) to $dest")
+          case None =>
+            import org.apache.spark.sql.functions.{avg, round => rnd}
+            report.agg(
+              rnd(avg("n_tokens"), 2).as("avg_tokens"),
+              rnd(avg("punct_ratio"), 4).as("avg_punct"),
+              rnd(avg("stopword_ratio"), 4).as("avg_stopword"),
+              rnd(avg("xent2"), 4).as("avg_xent2"),
+              rnd(avg("top2_frac"), 4).as("avg_top2"),
+              rnd(avg("dup3_frac"), 4).as("avg_dup3"))
+              .show(truncate = false)
+            report.groupBy("lang").count().orderBy("lang").show(50)
+        }
+      case "clean" =>
+        // quality-gated erase: plan first (counting), --apply executes
+        // through deleteKeys so every index structure follows the data
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val predicate = req(flags, "where")
+        val matching =
+          try c.analyzeQuality(column)
+            .filter(org.apache.spark.sql.functions.expr(predicate)).count()
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            fail(s"bad --where predicate: ${e.getMessage}") }
+        if (!flags.contains("apply"))
+          println(s"$matching row(s) match '$predicate' — re-run with " +
+            "--apply to erase them from the data and every index")
+        else {
+          val n = c.cleanByQuality(column, predicate)
+          println(s"erased $n row(s) matching '$predicate' " +
+            s"(${c.count()} rows remain)")
+        }
       case "search" =>
         val c = catalog.load(req(flags, "collection"))
         val column = flags.getOrElse("column",
@@ -448,7 +492,7 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Cli <index|add-docs|upsert|repair|status|delete|build-index|search|serve|list|list-models> [flags] [file]
+    """usage: graft.Cli <index|add-docs|upsert|repair|status|analyze|clean|delete|build-index|search|serve|list|list-models> [flags] [file]
       |  index    --collection C [--index-columns a,b] [--model m] [--variant v]
       |           [--batch-size n] [--overwrite] <file>
       |  add-docs --collection C [--batch-size n] <file>
@@ -472,6 +516,14 @@ object Cli {
       |            the corpus, heal embeddings + every index
       |  status   --collection C   # per-structure missing/stale/orphaned
       |            counts + ANN centroid drift
+      |  analyze  --collection C [--column col] [--dest dir]  # per-doc
+      |            quality battery (surface stats, lang, bigram xent,
+      |            repetition); --dest writes the parquet report,
+      |            otherwise a corpus summary prints
+      |  clean    --collection C [--column col] --where "<sql>" [--apply]
+      |            # quality-gated erase over the analyze columns, e.g.
+      |            # --where "dup3_frac > 0.5 OR n_tokens < 3"; plans
+      |            # (counts) without --apply, erases everywhere with it
       |  save-queries --collection C <file>  # register percolation queries
       |            (first two columns = query_id, query; merge by id)
       |  delete-queries --collection C --ids 1,2,3  # unregister saved queries

@@ -2535,6 +2535,32 @@ class Collection private[core] (
       qVecs, "query_id", "__qv", threshold)
   }
 
+  /** Per-document quality report over a text column: surface stats,
+    * language id, bigram cross-entropy against the collection's own LM,
+    * and the Gopher repetition fractions
+    * ([[graft.functions.QualityReport]]). Read-only; one linear pass
+    * per signal family over the text column (everything else pruned).
+    */
+  def analyzeQuality(column: String): DataFrame = {
+    Identifiers.validate(column)
+    graft.functions.QualityReport.report(
+      df.select(col(KeyCol), col(column)), KeyCol, column)
+  }
+
+  /** Quality-gated erase: delete every document whose
+    * [[analyzeQuality]] row satisfies `predicate` (a SQL boolean over
+    * the report columns, e.g. `"dup3_frac > 0.5 OR n_tokens < 3"`).
+    * Routes through [[deleteKeys]], so the erase lands in the data AND
+    * every index structure with the same journaled-swap crash story.
+    * Returns the number of rows removed.
+    */
+  def cleanByQuality(column: String, predicate: String): Long = {
+    val bad = analyzeQuality(column)
+      .filter(org.apache.spark.sql.functions.expr(predicate))
+      .select(col(KeyCol))
+    deleteKeys(bad)
+  }
+
   /** Ordered maintenance plan: what to run, on what, and why — the
     * operational layer above [[indexStatus]]'s raw counters. One row per
     * recommended action, lowest `priority` first:
