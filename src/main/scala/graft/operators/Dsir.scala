@@ -100,6 +100,83 @@ object Dsir {
         round(coalesce(col("sumc"), lit(0.0)), 6).as("lwt"))
   }
 
+  /** A driver-side snapshot of the trained slot model — KB-sized
+    * (≤ `buckets` entries), closed over by [[scoreWithModel]]'s
+    * row-local scorer so scoring needs NO join and NO shuffle: the
+    * serving/streaming shape (the percolation pattern). `defaultLr` is
+    * the smoothed log-ratio of a slot absent from the training corpus —
+    * what a genuinely novel bigram scores.
+    */
+  case class TrainedModel(lrBySlot: Map[Long, Double], defaultLr: Double,
+                          buckets: Int)
+
+  /** Trains the hashed-bigram model once and freezes it driver-side.
+    * The log-ratios reproduce [[importanceWeights]]' expression-side
+    * arithmetic operation-for-operation, so scoring a doc under the
+    * frozen model equals the inline path bit-for-bit.
+    */
+  def train(docs: DataFrame, keyCol: String, textCol: String,
+            targetPred: Column, buckets: Int = 1024,
+            addK: Double = 1.0): TrainedModel = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(addK > 0, s"addK must be positive for smoothing, got $addK")
+    val toks = docs.select(targetPred.as("is_t"),
+      cleanTokens(col(textCol)).as("toks"))
+    val counts = toks.filter(size(col("toks")) >= 2)
+      .select(col("is_t"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("b"))
+      .select(col("is_t"), slotOf(col("b.0"), col("b.1"), buckets).as("slot"))
+      .groupBy(col("slot")).agg(
+        count(lit(1)).as("r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rtot = counts.map(_._2).sum.toDouble
+    val ttot = counts.map(_._3).sum.toDouble
+    def lr(t: Double, r: Double): Double =
+      math.log((t + addK) / (ttot + addK * buckets)) -
+        math.log((r + addK) / (rtot + addK * buckets))
+    TrainedModel(
+      counts.map { case (slot, r, t) => slot -> lr(t.toDouble, r.toDouble) }
+        .toMap,
+      lr(0.0, 0.0), buckets)
+  }
+
+  /** Scores rows under a FROZEN model: per-row tokenize → hash → fold,
+    * no join, no shuffle, no state — safe on a streaming source in
+    * append mode (the continuous-scoring twin; model refresh = restart
+    * with a retrained snapshot, the pinned-corpus contract the
+    * streaming near-dedup documents). On the training corpus itself
+    * this equals [[importanceWeights]] exactly (spec'd); novel bigrams
+    * score `defaultLr`.
+    */
+  def scoreWithModel(docs: DataFrame, keyCol: String, textCol: String,
+                     m: TrainedModel): DataFrame = {
+    val score = udf { text: String =>
+      // the JVM twin of cleanTokens + slotOf + the sorted-slot fold
+      val toks =
+        if (text == null || text.trim.isEmpty) Array.empty[String]
+        else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 2) 0.0
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val slots = toks.iterator.zip(toks.iterator.drop(1)).map {
+          case (w1, w2) =>
+            md.reset()
+            val hex = md.digest((w1 + " " + w2).getBytes("UTF-8"))
+              .take(4).map("%02x".format(_)).mkString
+            java.lang.Long.parseLong(hex, 16) % m.buckets
+        }.toSeq
+        slots.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (slot, tf)) =>
+            acc + tf.toDouble * m.lrBySlot.getOrElse(slot, m.defaultLr)
+          }
+      }
+    }
+    docs.withColumn("lwt", round(score(col(textCol)), 6))
+  }
+
   /** Gumbel-top-n resampling over the importance weights: keeps `n` rows
     * sampled without replacement with probability ∝ exp(lwt) — the
     * paper's resampling step. The Gumbel noise derives from the row key

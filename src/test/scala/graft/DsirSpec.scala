@@ -72,6 +72,53 @@ class DsirSpec extends SparkSpec {
       s"cold resample must keep exactly the high-weight docs: $keys")
   }
 
+  test("scoreWithModel under the corpus's own model equals importanceWeights") {
+    val m = Dsir.train(corpus(), "k", "text", col("is_t"))
+    val frozen = Dsir.scoreWithModel(corpus(), "k", "text", m)
+      .select("k", "lwt").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inline = Dsir.importanceWeights(corpus(), "k", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(frozen == inline, "frozen-model scoring must equal the inline path")
+  }
+
+  test("scoreWithModel: novel bigrams score defaultLr; scoring is shuffle-free") {
+    val m = Dsir.train(corpus(), "k", "text", col("is_t"))
+    val novel = Seq((1L, "zzz yyy")).toDF("k", "text")
+    val got = Dsir.scoreWithModel(novel, "k", "text", m)
+      .select("lwt").head().getDouble(0)
+    assert(got == BigDecimal(m.defaultLr)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"one novel bigram = defaultLr: $got vs ${m.defaultLr}")
+    // smoothing artifact worth pinning: an unseen slot scores
+    // ln((rtot+kB)/(ttot+kB)) > 0 when the target is a corpus minority
+    // (the target model's smaller denominator inflates its smoothed
+    // mass) — mildly pro-target, never a large magnitude
+    assert(m.defaultLr > 0.0 && m.defaultLr < 2.0, s"defaultLr ${m.defaultLr}")
+    val plan = Dsir.scoreWithModel(corpus(), "k", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "frozen scoring must not shuffle")
+  }
+
+  test("scoreWithModel: stream == batch on a closed input") {
+    val m = Dsir.train(corpus(), "k", "text", col("is_t"))
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "gamma delta gamma"),
+      (3L, "zzz yyy"), (4L, ""))
+    val batch = Dsir.scoreWithModel(rows.toDF("k", "text"), "k", "text", m)
+      .select("k", "lwt").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val query = Dsir.scoreWithModel(mem.toDF().toDF("k", "text"), "k", "text", m)
+      .select("k", "lwt").writeStream.format("memory")
+      .queryName("dsir_stream_out").outputMode("append").start()
+    mem.addData(rows)
+    query.processAllAvailable()
+    val streamed = spark.table("dsir_stream_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    query.stop()
+    assert(streamed == batch, "frozen DSIR scoring must agree on stream and batch")
+  }
+
   test("importanceWeights plan: model is broadcast, no corpus-wide shuffle of text") {
     val plan = Dsir.importanceWeights(corpus(), "k", "text", col("is_t"))
       .queryExecution.executedPlan.toString
