@@ -385,6 +385,29 @@ object PipelineQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Dataset card: per-source release stats with a CORPUS-WIDE dup
+    // counter (a source that copies another source shows the overlap
+    // even with no internal dups). One fp-count aggregate + one fp
+    // equi-join + one per-source aggregate; ratios are single IEEE
+    // divisions of exact integer sums.
+    "q137_dataset_card" -> ((s, d) =>
+      graft.operators.DatasetCard.perSource(
+          documents(s, d), "doc_id", "text", "source")
+        .orderBy(col("source"))),
+
+    // Curriculum staging: dense rank by (difficulty, key) via the
+    // distributed rankBy engine (range partition + local sort +
+    // zipWithIndex — the oracle's single-task window is exactly what
+    // the operator avoids), stages cut by integer DIV of the rank.
+    // Difficulty here = n_chars (shortest-first, the classic length
+    // curriculum).
+    "q136_curriculum" -> ((s, d) =>
+      graft.operators.Curriculum.stages(
+          documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), stageRows = 50)
+        .select(col("doc_id"), col("pos"), col("stage"))
+        .orderBy(col("doc_id"))),
+
     // DSIR importance weights (Xie et al. 2023): hashed-bigram
     // log-likelihood ratio of "looks like the en subset" vs the whole
     // corpus. One corpus-linear model pass (target folds in via a when
@@ -929,6 +952,34 @@ object PipelineQueries {
          | LEFT JOIN top2 t2 USING (doc_id)
          | LEFT JOIN dchars dc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // corpus-wide fingerprint counts joined back per doc, then
+    // per-source sums; avg as sum/count (one division), not avg()
+    "q137_dataset_card" ->
+      """WITH f AS (SELECT source, doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+        |    length(text) AS chars
+        |  FROM documents),
+        | fc AS (SELECT fp, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1)
+        |SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(f.toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(f.chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+        |  CAST(sum(CASE WHEN fc.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  round(CAST(sum(CASE WHEN fc.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM f JOIN fc USING (fp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dense rank by (n_chars, doc_id) asc, stage = rank DIV 50
+    "q136_curriculum" ->
+      """SELECT doc_id, CAST(rn - 1 AS BIGINT) AS pos,
+        |  CAST((rn - 1) // 50 AS BIGINT) AS stage
+        |FROM (SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // hashed-bigram log-likelihood ratio: target = lang 'en', raw = the
     // whole corpus; slot hash and smoothed divisions are exact on both

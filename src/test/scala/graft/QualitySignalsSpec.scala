@@ -157,6 +157,62 @@ class QualitySignalsSpec extends SparkSpec {
     assert(got(3L) == ((0.0, 0.0)) && got(4L) == ((0.0, 0.0)))
   }
 
+  // ---- curriculum staging ---------------------------------------------
+
+  test("curriculum stages: rank order, exact stage sizes, no global window") {
+    import graft.operators.Curriculum
+    // scores with heavy ties to stress the key tie-break
+    val df = (0L until 137L).map(k => (k, (k % 10).toDouble)).toDF("k", "s")
+    val staged = Curriculum.stages(df, "k", col("s"), stageRows = 25)
+    val rows = staged.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getAs[Long]("pos"),
+        r.getAs[Long]("stage")))
+    assert(rows.length == 137)
+    // pos is a dense 0-based permutation
+    assert(rows.map(_._3).sorted.toSeq == (0L until 137L).toSeq)
+    // pos order == (score, key) order
+    val byPos = rows.sortBy(_._3).map(t => (t._2, t._1)).toSeq
+    assert(byPos == byPos.sorted, "rank must follow (score, key)")
+    // stages are exact 25-row cuts of the rank (last one ragged)
+    assert(rows.forall { case (_, _, pos, st) => st == pos / 25 })
+    val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes == Map(0L -> 25, 1L -> 25, 2L -> 25, 3L -> 25, 4L -> 25,
+      5L -> 12), sizes.toString)
+    // deterministic across runs
+    val again = Curriculum.stages(df, "k", col("s"), 25)
+      .select("k", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == rows.map(t => (t._1, t._3)).toSet)
+    // the engine must not funnel through a single-task window
+    val plan = Curriculum.stages(df, "k", col("s"), 25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), "no global window in rankBy")
+  }
+
+  // ---- dataset card ---------------------------------------------------
+
+  test("dataset card: corpus-wide dup counting, exact stats per source") {
+    import graft.operators.DatasetCard
+    val df = Seq(
+      (1L, "srcA", "shared text body"),
+      (2L, "srcA", "unique alpha document"),
+      (3L, "srcB", "Shared   TEXT body"),   // normalizes == doc 1
+      (4L, "srcB", "unique beta document here"),
+      (5L, "srcB", "")                       // empty: 0 tokens
+    ).toDF("doc_id", "source", "text")
+    val card = DatasetCard.perSource(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // srcA: 2 docs, 3+3 tokens; doc 1 duplicates CROSS-source
+    assert(card("srcA") == ((2L, 6L, ((16 + 21) / 2.0), 1L, 0.5)),
+      card("srcA").toString)
+    // srcB: 3 docs; doc 3 dups doc 1; empty doc counts 0 tokens
+    val b = card("srcB")
+    assert(b._1 == 3L && b._2 == 3L + 4L + 0L && b._4 == 1L,
+      card("srcB").toString)
+    assert(math.abs(b._5 - 0.333333) < 1e-9)
+  }
+
   test("repetition signals: overlapping dup-trigram coverage counts once") {
     // "a b a b a": trigrams (a,b,a) x2 overlap on position 2 (0-based);
     // all 5 positions are covered exactly once -> dup3 = 1.0
