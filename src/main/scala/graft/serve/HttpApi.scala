@@ -29,6 +29,9 @@ import graft.search.Search
   *    documents:[{id, text}...], require_all?, mode?, threshold?}` —
   *    reverse search against the saved-queries table; `mode: "vector"`
   *    matches by embedding cosine >= `threshold` instead of terms
+  *  - `GET  /collections/{name}/quality`        per-column quality
+  *    aggregates (token/punct/stopword/xent/repetition means + lang
+  *    histogram) from `analyzeQuality`
   *  - `GET  /collections/{name}/status`         consistency counters +
   *    centroid drift per index structure and the ordered maintenance
   *    plan (counting/footer metadata only)
@@ -162,6 +165,34 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
         }.mkString("[", ",", "]")
         (200, ok(secs(),
           s"""{"count":${coll.count()},"status":$statuses,"plan":$plan}"""))
+      case ("GET", s"/collections/$name/quality") if !name.contains("/") =>
+        // corpus quality summary over HTTP: per-index-column aggregates
+        // of the analyzeQuality battery plus the language histogram —
+        // read-only aggregation, safe for a GET (the full per-doc
+        // report stays a CLI/`analyze --dest` concern: it is
+        // corpus-sized and has no business in one HTTP response)
+        graft.core.Identifiers.validate(name)
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        val coll = catalog.load(name)
+        import org.apache.spark.sql.functions.{avg, count => cnt, lit, round => rnd}
+        val summaries = coll.config.index_columns.map { c =>
+          val rep = coll.analyzeQuality(c).localCheckpoint(true)
+          val a = rep.agg(cnt(lit(1)).as("n"),
+            rnd(avg("n_tokens"), 2).as("t"), rnd(avg("punct_ratio"), 6).as("p"),
+            rnd(avg("stopword_ratio"), 6).as("s"), rnd(avg("xent2"), 6).as("x"),
+            rnd(avg("top2_frac"), 6).as("r2"), rnd(avg("dup3_frac"), 6).as("r3"))
+            .head()
+          val langs = rep.groupBy("lang").count().orderBy("lang").collect()
+            .map(r => s"${js(r.getString(0))}:${r.getLong(1)}")
+            .mkString("{", ",", "}")
+          def num(i: Int) = if (a.isNullAt(i)) "null" else a.getDouble(i).toString
+          s"""{"column":${js(c)},"n_docs":${a.getLong(0)},""" +
+            s""""avg_tokens":${num(1)},"avg_punct":${num(2)},""" +
+            s""""avg_stopword":${num(3)},"avg_xent2":${num(4)},""" +
+            s""""avg_top2_frac":${num(5)},"avg_dup3_frac":${num(6)},""" +
+            s""""langs":$langs}"""
+        }.mkString("[", ",", "]")
+        (200, ok(secs(), s"""{"quality":$summaries}"""))
       case ("GET", s"/collections/$name/queries") if !name.contains("/") =>
         graft.core.Identifiers.validate(name)
         if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")

@@ -97,6 +97,13 @@ class HttpApiSpec extends SparkSpec {
       assert(oc2 == 200 && ob2.contains("\"missing\":1") &&
         ob2.contains("embedColumn"), ob2)
 
+      // corpus quality aggregates over HTTP (now 4 docs after the
+      // append above): per-column means + language histogram
+      val (qc2, qb2) = get(port, "/collections/docs/quality")
+      assert(qc2 == 200 && qb2.contains("\"column\":\"text\"") &&
+        qb2.contains("\"n_docs\":4") && qb2.contains("\"avg_tokens\"") &&
+        qb2.contains("\"avg_dup3_frac\"") && qb2.contains("\"langs\""), qb2)
+
       // K5 validation and error envelope
       val (bc, bb) = post(port, "/collections/docs/search",
         """{"column_name":"text","query":"x","limit":0}""")

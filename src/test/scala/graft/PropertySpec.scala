@@ -107,6 +107,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: rankBy equals the sequential sort model on any score multiset") {
+    // heavy ties, negatives, duplicated scores across partition counts:
+    // the rank must always equal sortBy((score, key)).zipWithIndex
+    val rowsGen = for {
+      n <- Gen.choose(1, 60)
+      scores <- Gen.listOfN(n, Gen.choose(-5L, 5L))
+      parts <- Gen.choose(1, 7)
+    } yield (scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }, parts)
+    check("rankBy-model", Prop.forAll(rowsGen) { case (rows, parts) =>
+      val df = rows.toDF("k", "s").repartition(parts)
+      val got = Shuffle.rankBy(df, Seq(col("s"), col("k")))
+        .select(col("k"), col("pos")).as[(Long, Long)].collect().toMap
+      val want = rows.sortBy { case (k, s) => (s, k) }
+        .zipWithIndex.map { case ((k, _), i) => k -> i.toLong }.toMap
+      got == want
+    })
+  }
+
   test("property: as-of join (backward + forward) equals the per-row model") {
     val sideGen = for {
       n <- Gen.choose(1, 15)
