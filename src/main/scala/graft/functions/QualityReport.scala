@@ -23,7 +23,12 @@ object QualityReport {
     * stopword_ratio, quality_score, lang, xent2, top2_frac, dup3_frac).
     * Ratios rounded 6 like their oracle-gated twins.
     */
-  def report(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+  def report(docs0: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    // NULL text scores like the empty document — without this, every
+    // surface stat propagates NULL and no cleanByQuality predicate can
+    // ever match the row (NULL comparisons are never true in SQL)
+    val docs = docs0.withColumn(textCol,
+      coalesce(col(textCol).cast("string"), lit("")))
     val t = col(textCol)
     val surface = docs.select(col(keyCol),
       TextFunctions.charCount(t).cast("long").as("n_chars"),

@@ -26,10 +26,14 @@ object DatasetCard {
     */
   def perSource(docs: DataFrame, keyCol: String, textCol: String,
                 sourceCol: String): DataFrame = {
+    // NULL text folds to '' BEFORE fingerprinting: a null fp would fall
+    // out of the fp equi-join and silently drop the doc from its
+    // source's row (and null-text docs do legitimately dup each other)
+    val t = coalesce(col(textCol).cast("string"), lit(""))
     val f = docs.select(col(sourceCol), col(keyCol),
-      TextFunctions.fingerprintMd5(col(textCol)).as("fp"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("toks"),
-      length(col(textCol)).cast("long").as("chars"))
+      TextFunctions.fingerprintMd5(t).as("fp"),
+      TextFunctions.tokenCount(t).cast("long").as("toks"),
+      length(t).cast("long").as("chars"))
     val fc = f.groupBy(col("fp")).agg(count(lit(1)).as("n"))
     f.join(fc, Seq("fp"))
       .groupBy(col(sourceCol)).agg(

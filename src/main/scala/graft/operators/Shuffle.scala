@@ -81,7 +81,10 @@ object Shuffle {
 object Curriculum {
 
   /** `df` plus `pos` (dense 0-based rank by `(score, keyCol)` asc) and
-    * `stage` (= pos div stageRows).
+    * `stage` (= pos div stageRows). NULL difficulty ranks FIRST
+    * (Spark's ascending null order) — i.e. "unknown = easiest"; pass
+    * `coalesce(score, lit(x))` to place unknowns elsewhere, and note a
+    * SQL twin needs `NULLS FIRST` (engines default differently).
     */
   def stages(df: DataFrame, keyCol: String, score: Column,
              stageRows: Int): DataFrame = {

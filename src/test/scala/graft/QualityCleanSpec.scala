@@ -71,4 +71,18 @@ class QualityCleanSpec extends SparkSpec {
     assert(c.cleanByQuality("text", "n_tokens > 100000") == 0L)
     assert(c.count() == 22L)
   }
+
+  test("NULL text scores as the empty doc — predicates can reach it") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "qn"))
+    c.importDf(Seq(Option("real document body here"), Option.empty[String])
+      .toDF("text"))
+    val rep = c.analyzeQuality("text").collect()
+      .map(r => r.getAs[Long]("_key") -> r).toMap
+    // without the coalesce every stat would be NULL and unfilterable
+    assert(rep(2L).getAs[Long]("n_tokens") == 0L)
+    assert(rep(2L).getAs[Double]("dup3_frac") == 0.0)
+    assert(c.cleanByQuality("text", "n_tokens < 1") == 1L)
+    assert(c.count() == 1L)
+  }
 }

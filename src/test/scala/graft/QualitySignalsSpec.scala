@@ -213,6 +213,21 @@ class QualitySignalsSpec extends SparkSpec {
     assert(math.abs(b._5 - 0.333333) < 1e-9)
   }
 
+  test("dataset card: NULL text folds to '' — rows never drop from the join") {
+    import graft.operators.DatasetCard
+    val df = Seq(
+      (1L, "srcA", Option("real body")),
+      (2L, "srcA", Option.empty[String]),   // null text
+      (3L, "srcA", Option.empty[String]),   // null text — dups doc 2
+      (4L, "srcB", Option(""))              // empty — dups the nulls too
+    ).toDF("doc_id", "source", "text")
+    val card = DatasetCard.perSource(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    // a null fp would have silently dropped docs 2/3 here
+    assert(card("srcA") == ((3L, 2L)), card.toString)
+    assert(card("srcB") == ((1L, 1L)), card.toString)
+  }
+
   test("repetition signals: overlapping dup-trigram coverage counts once") {
     // "a b a b a": trigrams (a,b,a) x2 overlap on position 2 (0-based);
     // all 5 positions are covered exactly once -> dup3 = 1.0
