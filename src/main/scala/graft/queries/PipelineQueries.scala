@@ -385,6 +385,30 @@ object PipelineQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Mixture plan over the dataset card: temperature-flattened token
+    // allocation with a 2-epoch up-sampling cap. Budget 100k makes the
+    // cap BIND at sf0.001 (shortfall > 0) and stay slack at sf0.01 —
+    // the two SFs gate both regimes.
+    "q139_mixture_plan" -> ((s, d) =>
+      graft.operators.Mixture.plan(
+          graft.operators.DatasetCard.perSource(
+            documents(s, d), "doc_id", "text", "source"),
+          "source", "n_tokens", budget = 100000L, alpha = 0.5,
+          maxEpochs = 2.0)
+        .select(col("source"), col("avail"), col("weight"), col("take"),
+          col("epochs"), col("shortfall"))
+        .orderBy(col("source"))),
+
+    // T5 span corruption: denoising-objective examples (input with
+    // numbered sentinels, target with the masked spans). Deterministic
+    // md5 masking, per-doc windows only (partitioned by doc_id — no
+    // global window), adjacent masks merge into one span.
+    "q138_span_corruption" -> ((s, d) =>
+      graft.operators.SpanCorruption.corrupt(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", rate = 0.15)
+        .orderBy(col("doc_id"))),
+
     // Dataset card: per-source release stats with a CORPUS-WIDE dup
     // counter (a source that copies another source shows the overlap
     // even with no internal dups). One fp-count aggregate + one fp
@@ -951,6 +975,70 @@ object PipelineQueries {
          | LEFT JOIN totals USING (doc_id)
          | LEFT JOIN top2 t2 USING (doc_id)
          | LEFT JOIN dchars dc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // weights = power(avail, .5) normalized by the source-ordered fold;
+    // take = min(floor(avail*2), round(weight*budget)); shortfall =
+    // unplaced budget (identical scalar on every row)
+    "q139_mixture_plan" ->
+      """WITH f AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        | card AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail
+        |   FROM f GROUP BY 1),
+        | tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |     list(power(CAST(avail AS DOUBLE), 0.5) ORDER BY source)),
+        |     (x, y) -> x + y) AS wsum FROM card),
+        | p AS (SELECT source, avail,
+        |   round(power(CAST(avail AS DOUBLE), 0.5)
+        |     / (SELECT wsum FROM tot), 6) AS weight FROM card),
+        | q AS (SELECT source, avail, weight,
+        |   least(CAST(floor(CAST(avail AS DOUBLE) * 2.0) AS BIGINT),
+        |         CAST(round(weight * 100000, 0) AS BIGINT)) AS take FROM p),
+        | r AS (SELECT *, CASE WHEN avail = 0 THEN 0.0
+        |     ELSE round(CAST(take AS DOUBLE) / avail, 6) END AS epochs FROM q),
+        | sh AS (SELECT greatest(100000 - CAST(sum(take) AS BIGINT),
+        |     CAST(0 AS BIGINT)) AS shortfall FROM r)
+        |SELECT source, avail, weight, take, epochs,
+        |  (SELECT shortfall FROM sh) AS shortfall
+        |FROM r ORDER BY source""".stripMargin,
+
+    // mask iff md5(':doc:pos') fraction <= rate; spans via lag +
+    // running sum, strings via ORDER BY p aggregation — all windows
+    // doc-partitioned
+    "q138_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | pos AS (SELECT doc_id, unnest(range(0, len(toks))) AS p,
+         |         unnest(toks) AS tok FROM t),
+         | h AS (SELECT doc_id, p, tok,
+         |   md5(':' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)) AS hx
+         |   FROM pos),
+         | f AS (SELECT doc_id, p, tok,
+         |   ((CAST($Hex8 AS DOUBLE) + 1.0) / 4294967296.0) <= 0.15 AS m FROM h),
+         | g AS (SELECT *, m AND NOT coalesce(
+         |     lag(m) OVER (PARTITION BY doc_id ORDER BY p), false) AS is_start
+         |   FROM f),
+         | s AS (SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+         |     OVER (PARTITION BY doc_id ORDER BY p) - 1 AS span_id FROM g),
+         | ip AS (SELECT doc_id, p,
+         |   CASE WHEN NOT m THEN tok WHEN is_start
+         |     THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '>' END AS piece
+         |   FROM s),
+         | inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS input
+         |   FROM ip WHERE piece IS NOT NULL GROUP BY 1),
+         | tp AS (SELECT doc_id, p, span_id,
+         |   CASE WHEN is_start
+         |     THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '> ' || tok
+         |     ELSE tok END AS piece
+         |   FROM s WHERE m),
+         | tgt AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS target,
+         |     CAST(max(span_id) + 1 AS BIGINT) AS n_spans FROM tp GROUP BY 1)
+         |SELECT d.doc_id, coalesce(inp.input, '') AS input,
+         |  coalesce(tgt.target, '') AS target,
+         |  coalesce(tgt.n_spans, 0) AS n_spans
+         |FROM documents d LEFT JOIN inp USING (doc_id)
+         | LEFT JOIN tgt USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     // corpus-wide fingerprint counts joined back per doc, then

@@ -188,6 +188,84 @@ class QualitySignalsSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"), "no global window in rankBy")
   }
 
+  // ---- mixture planning -----------------------------------------------
+
+  test("mixture plan: flattening, epoch cap, shortfall accounting") {
+    import graft.operators.Mixture
+    val avail = Seq(("big", 90000L), ("mid", 10000L), ("small", 100L),
+      ("empty", 0L)).toDF("source", "n_tokens")
+    val plan = Mixture.plan(avail, "source", "n_tokens",
+        budget = 50000L, alpha = 0.5, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    val wsum = math.sqrt(90000) + math.sqrt(10000) + math.sqrt(100) + 0.0
+    // weights are the flattened shares (sqrt), rounded 6
+    def w(x: Double) = BigDecimal(math.sqrt(x) / wsum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(plan("big")._2 == w(90000) && plan("mid")._2 == w(10000))
+    // small source: share round(w * B) = 1220 > cap floor(100*2) = 200
+    assert(plan("small")._3 == 200L, plan("small").toString)
+    assert(plan("small")._4 == 2.0, "capped source runs maxEpochs")
+    // big source: share binds, cap (180000) does not
+    assert(plan("big")._3 == math.round(w(90000) * 50000),
+      plan("big").toString)
+    assert(plan("big")._4 < 1.0, "big source undersampled (flattening)")
+    // empty source: zero take, zero epochs, present in the plan
+    assert(plan("empty") == ((0L, 0.0, 0L, 0.0, plan("empty")._5)))
+    // shortfall = unplaced budget, same scalar on every row
+    val takes = plan.values.map(_._3).sum
+    assert(plan.values.map(_._5).toSet.size == 1)
+    assert(plan("big")._5 == math.max(0L, 50000L - takes))
+  }
+
+  // ---- span corruption ------------------------------------------------
+
+  test("span corruption: reconstruction, sentinel pairing, rate extremes") {
+    import graft.operators.SpanCorruption
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "alpha beta"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val out = SpanCorruption.corrupt(docs, "doc_id", "text", rate = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    val sentinel = "<extra_id_\\d+>".r
+    out.foreach { case (k, (inp, tgt, n)) =>
+      // sentinels appear 0..n-1 exactly once each, in order, in BOTH
+      val si = sentinel.findAllIn(inp).toSeq
+      val st = sentinel.findAllIn(tgt).toSeq
+      assert(si == (0L until n).map(i => s"<extra_id_$i>"), s"doc $k input $si")
+      assert(st == si, s"doc $k target sentinels differ")
+      // splicing the target's spans back into the input rebuilds the doc
+      val spans = if (n == 0) Map.empty[String, String]
+        else tgt.split("<extra_id_").drop(1).map { part =>
+          val (id, rest) = part.span(_ != '>')
+          s"<extra_id_$id>" -> rest.drop(1).trim
+        }.toMap
+      val rebuilt = sentinel.replaceAllIn(inp,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.matched)))
+        .replaceAll("\\s+", " ").trim
+      val orig = docs.filter(col("doc_id") === k).head().getString(1)
+        .toLowerCase.trim.replaceAll("\\s+", " ")
+      assert(rebuilt == orig, s"doc $k: $rebuilt != $orig")
+    }
+    // rate 0: identity input, empty target
+    val id0 = SpanCorruption.corrupt(docs, "doc_id", "text", rate = 0.0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(id0(1L) == (("the quick brown fox jumps over the lazy dog again", 0L)))
+    assert(id0(4L) == (("", 0L)))
+    // rate 1: one all-covering span per non-empty doc
+    val id1 = SpanCorruption.corrupt(docs, "doc_id", "text", rate = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(id1(3L) == (("<extra_id_0>", "<extra_id_0> solo", 1L)))
+    assert(id1(1L)._3 == 1L && id1(1L)._1 == "<extra_id_0>")
+    // salt re-deals the mask; same salt reproduces
+    val a = SpanCorruption.corrupt(docs, "doc_id", "text", 0.3, salt = "s1")
+      .collect().map(_.toSeq).toSet
+    assert(a == SpanCorruption.corrupt(docs, "doc_id", "text", 0.3, "s1")
+      .collect().map(_.toSeq).toSet)
+  }
+
   // ---- dataset card ---------------------------------------------------
 
   test("dataset card: corpus-wide dup counting, exact stats per source") {
