@@ -133,6 +133,25 @@ object Drive {
         .startsWith("v2 "), "upsert must take the update side")
       println(s"pipeline ops: ${docs.count()} docs -> ${unique.count()} unique, " +
         s"sample=${s1.size} deterministic, upsert stable")
+
+      // assembly chain: curriculum stages -> mixture plan -> corruption
+      val staged = graft.operators.Curriculum
+        .stages(docs, "doc_id", col("n_chars"), stageRows = 100)
+      require(staged.agg(max(col("pos"))).head().getLong(0) ==
+        docs.count() - 1, "curriculum ranks every doc densely")
+      val card = graft.operators.DatasetCard
+        .perSource(docs, "doc_id", "text", "source")
+      val plan = graft.operators.Mixture
+        .plan(card, "source", "n_tokens", budget = 10000L)
+      require(plan.count() == card.count(), "one plan row per source")
+      require(plan.agg(sum(col("take"))).head().getLong(0) <= 10000L,
+        "plan never exceeds the budget")
+      val ex = graft.operators.SpanCorruption
+        .corrupt(docs.limit(20), "doc_id", "text")
+      require(ex.count() == 20 &&
+        ex.filter(col("n_spans") > 0).count() > 0, "corruption produces spans")
+      println(s"assembly: ${card.count()} sources planned, " +
+        s"${ex.count()} corruption examples")
     }
 
     println("=== 8. operations: maintenance plan, backup chain, percolation ===")
@@ -173,6 +192,16 @@ object Drive {
       val exported = spark.read.parquet(shardDir).count()
       require(exported == coll.count(), s"export writes every row: $exported")
       println(s"export: ${m1.length} shard(s), $exported rows, reproducible")
+
+      // quality surface: analyze every doc, clean nothing (threshold
+      // no doc trips), then verify the erase path with a real match
+      val rep = coll.analyzeQuality("text")
+      require(rep.count() == coll.count(), "one report row per doc")
+      require(coll.cleanByQuality("text", "n_tokens > 1000000") == 0L)
+      coll.appendDf(Seq("loop loop loop loop loop loop").toDF("text"))
+      val cleaned = coll.cleanByQuality("text", "dup3_frac >= 0.99")
+      require(cleaned == 1L, s"the loop doc cleans: $cleaned")
+      println(s"quality: ${rep.count()} analyzed, $cleaned cleaned")
     }
 
     spark.stop()

@@ -72,6 +72,21 @@ class QualityCleanSpec extends SparkSpec {
     assert(c.count() == 22L)
   }
 
+  test("analyzeQuality prunes the scan to the text column") {
+    // a 100 TB collection carries fat payload columns (embeddings,
+    // media) next to the text; the battery must never read them
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "qp"))
+    c.importDf(Seq(
+      ("short real text", Array.fill(4096)(7.toByte)),
+      ("another document body", Array.fill(4096)(9.toByte)))
+      .toDF("text", "payload"))
+    val plan = c.analyzeQuality("text").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), "expected a parquet scan")
+    assert(!plan.contains("payload"),
+      s"fat column must be pruned from every scan:\n${plan.take(2000)}")
+  }
+
   test("NULL text scores as the empty doc — predicates can reach it") {
     val cat = new Catalog(spark, tmpRoot())
     val c = cat.create(CollectionConfig(name = "qn"))
