@@ -639,6 +639,23 @@ object TextQueries {
         .orderBy(col("src_id"), col("nbr_id"))
     }),
 
+    // Contrastive triplets: anchor + nearest same-label positive + 2
+    // hard negatives per anchor — the InfoNCE data shape (exact twin;
+    // contrastiveTripletsIvf is the probed scale path, spec'd
+    // exhaustive == exact)
+    "q140_triplets" -> ((s, d) => {
+      val e0 = embeddings(s, d)
+      val n = e0.limit(10001).count()
+      require(n <= 10000,
+        s"q140_triplets is an all-pairs verification twin (at least $n rows); use Ann.contrastiveTripletsIvf at scale")
+      graft.search.Ann.contrastiveTriplets(e0, "vec_id", "embedding", "label", 2)
+        .select(col("src").as("src_id"), col("pos").as("pos_id"),
+          round(col("pos_sim"), 6).as("pos_sim"),
+          col("neg").as("neg_id"), round(col("neg_sim"), 6).as("neg_sim"),
+          col("rank"))
+        .orderBy(col("src_id"), col("rank"))
+    }),
+
     // Late-interaction (ColBERT MaxSim) multi-vector ranking: query = 4
     // vectors (the deterministic (md5, key)-first sample), document =
     // its chunk set (label groups vec_ids into 10 multi-chunk docs);
@@ -1220,6 +1237,29 @@ object TextQueries {
         |     ORDER BY sim DESC, nbr_id) AS rn FROM p)
         |SELECT src_id, nbr_id, round(sim, 6) AS sim FROM r WHERE rn <= 3
         | ORDER BY src_id, nbr_id""".stripMargin,
+
+    // nearest same-label partner joined against the q126 negatives
+    "q140_triplets" ->
+      """WITH pp AS (SELECT a.vec_id AS src_id, b.vec_id AS pos_id,
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        | pos AS (SELECT src_id, pos_id, sim FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY src_id
+        |     ORDER BY sim DESC, pos_id) AS rn FROM pp) WHERE rn = 1),
+        | np AS (SELECT a.vec_id AS src_id, b.vec_id AS neg_id,
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+        | neg AS (SELECT src_id, neg_id, sim,
+        |   CAST(rn AS BIGINT) AS rank FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY src_id
+        |     ORDER BY sim DESC, neg_id) AS rn FROM np) WHERE rn <= 2)
+        |SELECT p.src_id, p.pos_id, round(p.sim, 6) AS pos_sim,
+        |  n.neg_id, round(n.sim, 6) AS neg_sim, n.rank
+        |FROM pos p JOIN neg n USING (src_id)
+        |ORDER BY src_id, rank""".stripMargin,
 
     // MaxSim twin: per-(label, query-vector) max cosine, rounded to 6,
     // summed as DECIMAL(18,6) (order-independent), cast to DOUBLE.

@@ -442,6 +442,73 @@ object Ann {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Contrastive training triplets: each anchor paired with its nearest
+    * SAME-label neighbor (the positive) and its `kNeg` nearest
+    * DIFFERENT-label neighbors (the hard negatives) — the InfoNCE /
+    * triplet-loss data shape, one row per (anchor, negative) with the
+    * positive columns repeated. Anchors whose label has no second
+    * member (no positive exists) drop. Exact all-pairs verification
+    * twin — use [[contrastiveTripletsIvf]] at scale.
+    */
+  def contrastiveTriplets(embDf: DataFrame, keyCol: String, embCol: String,
+                          labelCol: String, kNeg: Int): DataFrame = {
+    def prep(d: DataFrame) = d.select(col(keyCol).as("__k"),
+      col(embCol).cast("array<double>").as("__e"), col(labelCol).as("__l"))
+    val cos = graft.functions.VectorFunctions.cosine(col("a.__e"), col("b.__e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("pos_sim"), col("pos"))
+    val positives = prep(embDf).repartition(col("__k")).as("a")
+      .join(broadcast(prep(embDf).as("b")),
+        col("a.__l") === col("b.__l") && col("a.__k") =!= col("b.__k"))
+      .select(col("a.__k").as("src"), col("b.__k").as("pos"),
+        cos.as("pos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    positives.join(
+      hardNegativesExact(embDf, keyCol, embCol, labelCol, kNeg)
+        .select(col("src"), col("nbr").as("neg"), col("sim").as("neg_sim"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src"))
+            .orderBy(desc("sim"), col("nbr"))).cast("long").as("rank")),
+      Seq("src"))
+  }
+
+  /** The scale path: positives and negatives both mined from probed IVF
+    * lists (the [[hardNegativesIvf]] cost shape); `nProbe = nLists` is
+    * exhaustive and equals [[contrastiveTriplets]] bit-for-bit (spec'd).
+    */
+  def contrastiveTripletsIvf(embDf: DataFrame, keyCol: String, embCol: String,
+                             labelCol: String, kNeg: Int, nLists: Int = 16,
+                             nProbe: Int = 2, iters: Int = 10,
+                             sampleN: Int = 10000): DataFrame = {
+    val centers = ivfTrain(embDf, keyCol, embCol, nLists, iters, sampleN)
+    val probesOf = udf((v: Seq[Float]) => ivfProbes(centers, v.toArray, nProbe))
+    val probing = embDf.select(col(keyCol).as("src"),
+      col(embCol).cast("array<double>").as("__q"), col(labelCol).as("__lq"),
+      explode(probesOf(col(embCol))).as("list_id"))
+    val cand = ivfAssign(embDf, embCol, centers)
+      .select(col(keyCol).as("nbr"),
+        col(embCol).cast("array<double>").as("__c"),
+        col(labelCol).as("__lc"), col("list_id"))
+    val cos = graft.functions.VectorFunctions.cosine(col("__q"), col("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("pos_sim"), col("pos"))
+    val positives = probing.join(cand, Seq("list_id"))
+      .filter(col("__lq") === col("__lc") && col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr").as("pos"), cos.as("pos_sim"))
+      .groupBy(col("src"), col("pos")).agg(max(col("pos_sim")).as("pos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    positives.join(
+      hardNegativesIvf(embDf, keyCol, embCol, labelCol, kNeg, nLists,
+          nProbe, iters, sampleN)
+        .select(col("src"), col("nbr").as("neg"), col("sim").as("neg_sim"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src"))
+            .orderBy(desc("sim"), col("nbr"))).cast("long").as("rank")),
+      Seq("src"))
+  }
+
   // ---- Product quantization (PQ) --------------------------------------
   //
   // The memory-scale path past IVF: at 10^10 vectors even array<float>

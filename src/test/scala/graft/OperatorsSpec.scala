@@ -692,6 +692,32 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"probed hard-negative recall unexpectedly low: $recall")
   }
 
+  test("contrastive triplets: positive same-label, negatives hard, IVF exhaustive == exact") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("_key"), col("embedding"), col("label"))
+    def page(df: org.apache.spark.sql.DataFrame) = df
+      .select("src", "pos", "pos_sim", "neg", "neg_sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq.sortBy(t => (t._1, t._6))
+    val exact = page(Ann.contrastiveTriplets(e, "_key", "embedding", "label", 2))
+    val n = e.count()
+    assert(exact.size == n * 2, "every anchor pages 2 negatives (10-way labels)")
+    val labelOf = e.select("_key", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    exact.foreach { case (s, p, psim, g, nsim, _) =>
+      assert(labelOf(s) == labelOf(p) && s != p, "positive shares the label")
+      assert(labelOf(s) != labelOf(g), "negative crosses labels")
+      // triplet-loss sanity on this fixture: not universally ordered,
+      // but sims are valid cosines
+      assert(psim <= 1.0 + 1e-9 && nsim <= 1.0 + 1e-9)
+    }
+    // ranks are 1..kNeg per anchor
+    assert(exact.groupBy(_._1).values.forall(_.map(_._6).sorted == Seq(1L, 2L)))
+    // exhaustive probing == exact bit-for-bit
+    assert(page(Ann.contrastiveTripletsIvf(e, "_key", "embedding", "label", 2,
+      nLists = 8, nProbe = 8)) == exact)
+  }
+
   test("filtered ANN: allowedKeys == ANN over a pre-filtered frame, no leaks") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("vec_id").as("_key"), col("embedding"))
