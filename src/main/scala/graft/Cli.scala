@@ -152,7 +152,13 @@ object Cli {
           case "dedup" =>
             c.buildDedupIndex(column)
             println(s"built dedup (MinHash band) index on '$column'")
-          case other => fail(s"--type must be ann|keyword|dedup, got '$other'")
+          case "tokenizer" =>
+            val n = c.trainTokenizer(column,
+              numMerges = flags.getOrElse("merges", "200").toInt,
+              minCount = flags.getOrElse("min-count", "2").toLong)
+            println(s"trained BPE tokenizer on '$column' ($n rules)")
+          case other =>
+            fail(s"--type must be ann|keyword|dedup|tokenizer, got '$other'")
         }
       case "repair" =>
         // unscoped full reconcile (fsck): re-fingerprint the corpus and
@@ -507,11 +513,14 @@ object Cli {
       |            set a field to null. Delete-and-add-docs to null a field.)
       |  delete   --collection C --keys 1,2,3   # erase rows from the
       |            collection AND every index (vector/keyword/dedup/ANN)
-      |  build-index --collection C [--column col] [--type ann|keyword|dedup]
+      |  build-index --collection C [--column col]
+      |           [--type ann|keyword|dedup|tokenizer]
       |           [--n-lists n] [--pq-m m] [--analyzer ws|wp|stop:w1,w2,...]
+      |           [--merges n] [--min-count c]
       |            # persisted acceleration structures; --pq-m stores
       |            # m-byte PQ codes + exact rerank; --analyzer picks the
-      |            # keyword tokenization (persisted in the index)
+      |            # keyword tokenization (persisted in the index);
+      |            # tokenizer trains a BPE merge table (--merges rules)
       |  repair   --collection C   # full reconcile (fsck): re-fingerprint
       |            the corpus, heal embeddings + every index
       |  status   --collection C   # per-structure missing/stale/orphaned

@@ -2383,6 +2383,75 @@ class Collection private[core] (
     rows.toSeq.toDF("structure", "missing", "stale", "orphaned", "drift")
   }
 
+  // ---- trained tokenizer artifact (BPE merge table) -------------------
+  //
+  // The tokenizer is an aggregate artifact like the ANN centroids: it is
+  // trained FROM the corpus but not keyed by rows, so deleteKeys leaves
+  // it alone and drift is handled by explicit retraining (the merge
+  // table records how many rules it holds; retrain when the corpus
+  // composition moves). The table is KB-sized and broadcasts into the
+  // row-local serving apply.
+
+  def tokenizerDir(column: String): String =
+    s"$dir/${config.index_dir}/${column}_tok"
+
+  def hasTokenizer(column: String): Boolean = {
+    recoverSwap(tokenizerDir(column))
+    fs.exists(new Path(s"${tokenizerDir(column)}/merges"))
+  }
+
+  /** Train a BPE merge table over `column` and persist it — fresh build
+    * writes in place, retrain is a staged swap ([[writeAndSwap]], the
+    * keyword-rebuild discipline: readers never see a half-written merge
+    * list and a crash rolls back or forward on the next read). The
+    * corpus scan is [[graft.functions.Bpe.learn]]'s single word-freq
+    * pass; every merge round after it is vocab-sized. Returns the
+    * number of learned rules.
+    */
+  def trainTokenizer(column: String, numMerges: Int = 200,
+                     minCount: Long = 2L): Int = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = tokenizerDir(column)
+      recoverSwap(target)
+      val merges =
+        graft.functions.Bpe.learn(df.select(col(column)), column,
+          numMerges, minCount)
+      import spark.implicits._
+      def build(where: String): Unit =
+        merges.zipWithIndex
+          .map { case (m, i) => ((i + 1).toLong, m.a, m.b, m.count) }
+          .toDF("rank", "sym_a", "sym_b", "cnt")
+          .coalesce(1).write.mode("overwrite").parquet(s"$where/merges")
+      if (!fs.exists(new Path(target))) build(target)
+      else writeAndSwap(target) { tmp =>
+        build(tmp)
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      }
+      merges.size
+    } finally writeLock.unlock()
+  }
+
+  /** The stored merge table `(rank, sym_a, sym_b, cnt)`, rank-ordered. */
+  def tokenizerMerges(column: String): DataFrame = {
+    recoverSwap(tokenizerDir(column))
+    spark.read.parquet(s"${tokenizerDir(column)}/merges").orderBy("rank")
+  }
+
+  /** Tokenize the collection with the stored rules: the KB-sized merge
+    * list collects once and broadcasts; application is row-local (no
+    * shuffle, no join — [[graft.functions.Bpe.segmentWithRules]]).
+    * Returns `(_key, <column>, tokens)`.
+    */
+  def tokenizeColumn(column: String): DataFrame = {
+    require(hasTokenizer(column), s"no tokenizer trained for '$column'")
+    val rules = tokenizerMerges(column).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+    graft.functions.Bpe.segmentWithRules(
+      df.select(col(KeyCol), col(column)), column, rules)
+  }
+
   // ---- saved percolation queries (reverse search / alerting) ----------
 
   /** Directory holding the collection's saved percolation queries —
@@ -2661,6 +2730,7 @@ class Collection private[core] (
         val t = annIndexDir(c0)
         recoverSwap(t); recoverSwap(annListsDir(c0))
         recoverFileSwap(annListsDir(c0)); recoverFileSwap(s"$t/fps")
+      case (c0, "tok") => recoverSwap(tokenizerDir(c0))
       case _ => ()
     }
   }
@@ -2704,6 +2774,7 @@ class Collection private[core] (
         if (n.endsWith("_kw")) (n.dropRight(3), "kw")
         else if (n.endsWith("_dd")) (n.dropRight(3), "dd")
         else if (n.endsWith("_ann")) (n.dropRight(4), "ann")
+        else if (n.endsWith("_tok")) (n.dropRight(4), "tok")
         else (n, "vector")
       }
       .sortBy { case (c0, kind) => (if (kind == "vector") 0 else 1, c0) }
@@ -2737,7 +2808,7 @@ object Identifiers {
     "_precompact", "_compacting", "__stage", "__stage_commit",
     // index-structure dir suffixes: column "body_kw" would collide with
     // column "body"'s keyword index directory under index/
-    "_kw", "_dd", "_ann")
+    "_kw", "_dd", "_ann", "_tok")
 
   def validate(name: String): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003) — the MOSS algorithm. Selects a small, position-stable subset
+  * of a document's character k-gram hashes such that any shared
+  * substring of length >= w + k - 1 between two documents is GUARANTEED
+  * to surface as a shared selected fingerprint (the winnowing coverage
+  * theorem). That guarantee is what MinHash cannot give: MinHash bounds
+  * the *probability* of catching near-dups; winnowing catches every
+  * sufficiently long verbatim overlap — the right tool for
+  * quote/boilerplate/plagiarism detection inside a training corpus.
+  *
+  * Selection rule (the paper's, with its robust tie-break): slide a
+  * window of `w` consecutive k-gram hashes; in each window select the
+  * minimum hash, breaking ties by the RIGHTMOST position; record each
+  * selected (position, hash) once. Hashes are the first 8 hex chars of
+  * md5 of the gram — bit-identical in DuckDB, so the exact selected set
+  * is SQL-checkable.
+  *
+  * Scale shape: everything is doc-local — grams, windows and selection
+  * never cross a document boundary, so the whole fingerprint pass is one
+  * narrow map over the corpus (the explode is a bounded w-times blowup of
+  * gram rows, all inside the row's partition; no shuffle until the
+  * per-doc `groupBy`, which is doc-keyed and uniform). The cross-doc step
+  * ([[sharedFingerprintPairs]]) is a fingerprint-bucketed equi-join —
+  * the same capped-bucket candidate shape as MinHash-LSH bands
+  * (dedup/Dedup.scala), never an all-pairs product.
+  */
+object Winnowing {
+
+  /** Whitespace-collapsed lowercase text — the paper's "irrelevant
+    * features" normalization; [[TextFunctions.normalized]], the corpus'
+    * canonical fingerprinting form, so winnowed overlap and exact-dup
+    * fingerprints agree on what a document "is".
+    */
+  private def normalize(text: Column): Column =
+    TextFunctions.normalized(text)
+
+  /** 32-bit gram hash from md5, bit-identical across engines. */
+  private def gramHash(gram: Column): Column =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
+
+  /** Selected fingerprints per document: `(key, pos, fp)` where `pos` is
+    * the 1-based gram position in the normalized text and `fp` the gram's
+    * hash. Documents shorter than `k` normalized chars yield no rows;
+    * documents with fewer than `w` grams are winnowed as a single
+    * (short) window, so every non-empty document keeps at least one
+    * fingerprint.
+    */
+  def fingerprints(df: DataFrame, keyCol: String, textCol: String,
+                   k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val grams = df
+      .withColumn("__norm", normalize(col(textCol)))
+      .withColumn("__g", (length(col("__norm")) - k + 1).cast("int"))
+      .filter(col("__g") >= 1)
+      // window count: one window per w-gram run, or a single window when
+      // the doc has fewer than w grams
+      .withColumn("__wn", greatest(col("__g") - w + 1, lit(1)))
+      .select(col(keyCol), col("__wn"),
+        posexplode(expr(s"transform(sequence(1, __g), i -> substring(__norm, i, $k))"))
+          .as(Seq("__i", "__gram")))
+      .select(col(keyCol), col("__wn"),
+        (col("__i") + 1).as("pos"), gramHash(col("__gram")).as("fp"))
+    // each gram at pos p sits in windows [max(1, p-w+1), min(p, windows)]
+    val entries = grams.select(col(keyCol), col("pos"), col("fp"),
+      explode(sequence(greatest(col("pos") - (w - 1), lit(1)),
+        least(col("pos"), col("__wn")))).as("win"))
+    // per-window minimum hash, rightmost position on ties: the struct
+    // min on (fp, -pos) encodes both orderings in one aggregate
+    entries
+      .groupBy(col(keyCol), col("win"))
+      .agg(min(struct(col("fp"), (-col("pos")).as("negpos"))).as("sel"))
+      .select(col(keyCol), (-col("sel.negpos")).cast("long").as("pos"),
+        col("sel.fp").as("fp"))
+      .distinct()
+  }
+
+  /** Candidate overlap pairs `(key_a, key_b, shared)` — documents sharing
+    * at least `minShared` distinct selected fingerprint hashes, with the
+    * shared count. The join is bucketed by fingerprint value;
+    * `maxPostings` drops fingerprints selected by more than that many
+    * documents (ubiquitous boilerplate grams — the winnowing analogue of
+    * LSH's degenerate buckets; at web scale a stop-gram's posting list
+    * would otherwise explode quadratically).
+    */
+  def sharedFingerprintPairs(fps: DataFrame, keyCol: String,
+                             minShared: Int = 2,
+                             maxPostings: Int = 1000): DataFrame = {
+    require(minShared >= 1 && maxPostings >= 2,
+      s"minShared >= 1 and maxPostings >= 2 required, got $minShared/$maxPostings")
+    // distinct (doc, fp) postings; cap each fingerprint's doc list
+    val postings = fps.select(col(keyCol), col("fp")).distinct()
+    val kept = postings.groupBy(col("fp"))
+      .agg(collect_list(col(keyCol)).as("keys"))
+      .filter(size(col("keys")) > 1 && size(col("keys")) <= maxPostings)
+    val pairsUdf = udf { (keys: Seq[Long]) =>
+      val s = keys.sorted
+      for { i <- s.indices; j <- (i + 1) until s.length } yield (s(i), s(j))
+    }
+    kept.select(explode(pairsUdf(col("keys"))).as("pair"))
+      .groupBy(col("pair._1").as("key_a"), col("pair._2").as("key_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+}

@@ -144,6 +144,41 @@ object Sampling {
     pass.unionByName(trimmed)
   }
 
+  /** Deterministic train/validation/test assignment — the split step
+    * every training pipeline ends with. Each row lands in exactly one
+    * named split by its key's [[hashBucket]] falling into consecutive
+    * percent ranges (`("train", 90), ("val", 5), ("test", 5)` assigns
+    * buckets 0-89, 90-94, 95-99 in the order given). Hash-range, not
+    * `rand()`: membership is a pure function of the key, so the split
+    * is reproducible across runs and engines, a row NEVER migrates
+    * between splits as the corpus grows (append-only pipelines keep
+    * their test set uncontaminated by yesterday's train rows), and two
+    * tables split on a SHARED key (documents and their embeddings) land
+    * on the same side without coordination.
+    *
+    * Scale shape: a map-side CASE over a literal chain — no shuffle,
+    * no join, no sampling state. Downstream consumers filter
+    * `split = 'train'`, which pushes to the scan.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).forall(_ > 0) &&
+      splits.map(_._2).sum == 100,
+      s"split percents must be positive and sum to 100, got $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be unique, got ${splits.map(_._1)}")
+    val bounds = splits.scanLeft(0) { case (acc, (_, pct)) => acc + pct }
+    // upper-bound CASE chain in declaration order: bucket < 90 -> train,
+    // bucket < 95 -> val, ... (the last arm is the `otherwise`)
+    val label = splits.init.zip(bounds.tail.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+        when(col("__bucket") < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("__bucket", hashBucket(col(keyCol)))
+      .withColumn("split", label)
+      .drop("__bucket")
+  }
+
   /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
     * deterministic weighted sample WITHOUT replacement of exactly
     * `n` rows, with the unbiased subset-sum estimator the scheme was

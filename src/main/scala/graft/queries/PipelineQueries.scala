@@ -599,7 +599,63 @@ object PipelineQueries {
           documents(s, d).select(col("doc_id"), col("lang")),
           "doc_id", "lang", alpha = 0.5)
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic train/val/test split: hash-range assignment
+    // (90/5/5), a pure function of doc_id — reproducible, append-stable
+    // (a row never migrates as the corpus grows), and shared-key tables
+    // land on the same side for free. Map-side CASE, no shuffle; the
+    // graded output is the FULL assignment, not just counts.
+    "q141_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(
+          documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Winnowing fingerprints (MOSS, SIGMOD 2003): per-doc selected
+    // (pos, fp) over char 8-grams with window 8 — every shared
+    // substring of length >= w+k-1 = 15 surfaces as a shared fp (the
+    // coverage guarantee MinHash can't give). All doc-local; the exact
+    // selected SET is the graded output.
+    "q142_winnowing" -> ((s, d) =>
+      graft.functions.Winnowing.fingerprints(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 8, w = 8)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // BPE merge learning, round 1: corpus-wide adjacent character-pair
+    // counts over the word-frequency table (the one corpus-linear pass;
+    // every later merge round is vocab-sized — see functions/Bpe.scala),
+    // top-20 merges by (count DESC, pair ASC). Exact integer counts,
+    // total rank order — engine-checkable; the iterative loop is spec'd
+    // against a driver-side model (BpeSpec).
+    "q143_bpe_round1" -> ((s, d) => {
+      val pc = graft.functions.Bpe.pairCounts(
+        graft.functions.Bpe.withSymbols(
+          graft.functions.Bpe.wordFreqs(documents(s, d), "text")))
+      // 20-row page: the unpartitioned window is the rrfFuse precedent
+      pc.withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("sym_a"), col("sym_b")))
+          .cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("sym_a"), col("sym_b"), col("cnt"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    // Winnowed overlap pairs: docs sharing >= 20 selected fingerprints
+    // (the shared-count histogram separates cleanly: template near-dups
+    // share 20+, vocabulary-noise pairs < 15),
+    // via the fp-bucketed equi-join (capped postings, the LSH-bands
+    // candidate shape) — verbatim-overlap detection as a first-class
+    // pair source next to MinHash/SimHash/embedding near-dups.
+    "q144_winnow_pairs" -> ((s, d) =>
+      graft.functions.Winnowing.sharedFingerprintPairs(
+          graft.functions.Winnowing.fingerprints(
+            documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", "text", k = 8, w = 8),
+          "doc_id", minShared = 20, maxPostings = 100)
+        .orderBy(col("key_a"), col("key_b")))
   )
 
   private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -1220,6 +1276,77 @@ object PipelineQueries {
         | round(quantile_cont(n_chars, 0.5), 6) AS p50,
         | round(quantile_cont(n_chars, 0.9), 6) AS p90,
         | round(quantile_cont(n_chars, 0.99), 6) AS p99
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // hash-range split: bucket = first-8-hex of md5(doc_id) mod 100,
+    // consecutive ranges 0-89 / 90-94 / 95-99 in declaration order
+    "q141_hash_split" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |   md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         | b AS (SELECT doc_id, lang, $Hex8 % 100 AS bucket FROM h)
+         |SELECT doc_id, lang,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q142_winnowing" ->
+      s"""$WinnowSel
+         |SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rn = 1
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q143_bpe_round1" ->
+      s"""WITH t AS (SELECT list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | w AS (SELECT unnest(toks) AS word FROM t),
+         | wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+         | p AS (SELECT substr(word, CAST(i AS INT), 1) AS sym_a,
+         |        substr(word, CAST(i AS INT) + 1, 1) AS sym_b, freq
+         |   FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+         |         FROM wf WHERE length(word) >= 2)),
+         | pc AS (SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS cnt
+         |   FROM p GROUP BY 1, 2),
+         | r AS (SELECT sym_a, sym_b, cnt,
+         |   CAST(row_number() OVER (ORDER BY cnt DESC, sym_a, sym_b)
+         |     AS BIGINT) AS rank FROM pc)
+         |SELECT sym_a, sym_b, cnt, rank FROM r WHERE rank <= 20
+         |ORDER BY rank""".stripMargin,
+
+    "q144_winnow_pairs" ->
+      s"""$WinnowSel,
+         | fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE rn = 1),
+         | kept AS (SELECT fp FROM fps GROUP BY fp
+         |   HAVING count(*) > 1 AND count(*) <= 100),
+         | pairs AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b, a.fp
+         |   FROM fps a JOIN fps b USING (fp) JOIN kept USING (fp)
+         |   WHERE a.doc_id < b.doc_id)
+         |SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS shared
+         |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 20
+         |ORDER BY key_a, key_b""".stripMargin
   )
+
+  /** Winnowing selection CTE chain (k = 5, w = 4), shared by q142/q144:
+    * char-5-gram hashes over the canonical normalized text, windows of 4
+    * consecutive grams (single short window when a doc has fewer), per-
+    * window min hash with rightmost-position tie-break. `$Hex8` runs on
+    * the gram md5 aliased `hx`, matching `Winnowing.gramHash`.
+    */
+  private lazy val WinnowSel: String =
+    s"""WITH n AS (SELECT doc_id,
+       |   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |   FROM documents),
+       | g0 AS (SELECT doc_id, norm,
+       |   CAST(length(norm) - 7 AS BIGINT) AS ng
+       |   FROM n WHERE length(norm) >= 8),
+       | grams AS (SELECT doc_id, ng,
+       |   greatest(ng - 7, CAST(1 AS BIGINT)) AS wn,
+       |   CAST(i AS BIGINT) AS pos,
+       |   md5(substr(norm, CAST(i AS INT), 8)) AS hx
+       |   FROM (SELECT doc_id, norm, ng, unnest(range(1, ng + 1)) AS i
+       |         FROM g0)),
+       | hg AS (SELECT doc_id, wn, pos, $Hex8 AS fp FROM grams),
+       | e AS (SELECT doc_id, pos, fp,
+       |   unnest(range(greatest(pos - 7, CAST(1 AS BIGINT)),
+       |     least(pos, wn) + 1)) AS win FROM hg),
+       | sel AS (SELECT doc_id, win, fp, pos,
+       |   row_number() OVER (PARTITION BY doc_id, win
+       |     ORDER BY fp ASC, pos DESC) AS rn FROM e)""".stripMargin
 }

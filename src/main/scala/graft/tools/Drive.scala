@@ -202,6 +202,15 @@ object Drive {
       val cleaned = coll.cleanByQuality("text", "dup3_frac >= 0.99")
       require(cleaned == 1L, s"the loop doc cleans: $cleaned")
       println(s"quality: ${rep.count()} analyzed, $cleaned cleaned")
+
+      // tokenizer artifact: train, retrain (staged swap), row-local apply
+      val nRules = coll.trainTokenizer("text", numMerges = 16)
+      require(nRules > 0 && coll.hasTokenizer("text"), "tokenizer trains")
+      require(coll.trainTokenizer("text", numMerges = 16) == nRules,
+        "retrain over the same corpus learns the same rules")
+      val toks = coll.tokenizeColumn("text")
+      require(toks.count() == coll.count(), "every row tokenizes")
+      println(s"tokenizer: $nRules rules, ${toks.count()} rows tokenized")
     }
 
     spark.stop()

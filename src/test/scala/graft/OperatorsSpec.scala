@@ -326,6 +326,40 @@ class DedupSpec extends SparkSpec {
     assert(subset == keys1.filter(_ < 1000L).toSet, "append-stable membership")
   }
 
+  test("hashSplit: total, disjoint, proportional, append-stable, shared-key aligned") {
+    import graft.operators.Sampling
+    val df = (0L until 2000L).map(k => (k, s"t$k")).toDF("k", "payload")
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val out = Sampling.hashSplit(df, "k", splits)
+    // total + disjoint: every row gets exactly one split label
+    assert(out.count() == 2000L)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size == 2000)
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1800) < 100, s"got $counts")
+    assert(math.abs(counts("val") - 100) < 50 &&
+      math.abs(counts("test") - 100) < 50, s"got $counts")
+    // append-stable: splitting a prefix assigns the same labels
+    val prefix = Sampling.hashSplit(df.filter(col("k") < 500), "k", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(prefix == byId.filter(_._1 < 500L), "assignments never migrate")
+    // shared-key alignment: a different table splits identically by key
+    val other = (0L until 2000L).map(k => (k, k * 2.0)).toDF("k", "w")
+    val aligned = Sampling.hashSplit(other, "k", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(aligned == byId, "same key, same side — no coordination needed")
+    // map-side only: no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSplit must not shuffle:\n$plan")
+    // invalid percent tables are rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "k", Seq("a" -> 50, "b" -> 40))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "k", Seq("a" -> 50, "a" -> 50))
+    }
+  }
+
   test("weighted sampling: deterministic, weight-proportional, append-stable") {
     import graft.operators.Sampling
     val df = (0L until 4000L).map(k => (k, (k % 4) * 0.25)).toDF("k", "w")
