@@ -240,11 +240,38 @@ object Cli {
           if (cols.isEmpty) c.df
           else c.df.select((graft.core.Keys.KeyCol +: cols).distinct
             .map(org.apache.spark.sql.functions.col): _*)
-        val manifest = graft.operators.Export.writeShards(
-          src, graft.core.Keys.KeyCol, dest, shardRows, salt)
-        val m = manifest.collect()
-        println(s"exported ${m.map(_.getAs[Long]("n_rows")).sum} row(s) " +
-          s"in ${m.length} shard(s) to $dest (manifest at $dest/_manifest)")
+        flags.get("split") match {
+          case None =>
+            val manifest = graft.operators.Export.writeShards(
+              src, graft.core.Keys.KeyCol, dest, shardRows, salt)
+            val m = manifest.collect()
+            println(s"exported ${m.map(_.getAs[Long]("n_rows")).sum} row(s) " +
+              s"in ${m.length} shard(s) to $dest (manifest at $dest/_manifest)")
+          case Some(spec) =>
+            // --split train:90,val:5,test:5 — hash-range assignment
+            // (append-stable), one shard tree + manifest per split
+            val splits = spec.split(",").toSeq.map { part =>
+              part.split(":") match {
+                case Array(n, pct) =>
+                  try n.trim -> pct.trim.toInt
+                  catch { case _: NumberFormatException =>
+                    fail(s"--split percent must be an integer, got '$part'") }
+                case _ => fail(s"--split entries are name:percent, got '$part'")
+              }
+            }
+            val manifest = graft.operators.Export.writeSplitShards(
+              src, graft.core.Keys.KeyCol, dest, shardRows, splits, salt)
+            manifest.groupBy("split")
+              .agg(org.apache.spark.sql.functions.sum("n_rows").as("rows"),
+                org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)).as("shards"))
+              .collect().sortBy(_.getString(0)).foreach { r =>
+                println(s"exported split '${r.getString(0)}': " +
+                  s"${r.getAs[Long]("rows")} row(s) in " +
+                  s"${r.getAs[Long]("shards")} shard(s) under " +
+                  s"$dest/${r.getString(0)}")
+              }
+        }
       case "maintain" =>
         // plan first (counting only), then optionally execute — looping,
         // because a repair can surface follow-on work (re-embedding
@@ -542,9 +569,11 @@ object Cli {
       |            saved queries match each document (vector mode fires
       |            on embedding cosine >= threshold, not shared terms)
       |  export   --collection C --dest DIR [--shard-rows n] [--salt s]
-      |           [--columns a,b]  # deterministic training shards, one
-      |           file per shard + audit manifest (re-runs reproduce
-      |           identical membership and order)
+      |           [--columns a,b] [--split train:90,val:5,test:5]
+      |           # deterministic training shards, one file per shard +
+      |           # audit manifest (re-runs reproduce identical membership
+      |           # and order); --split writes per-split trees under
+      |           # DIR/<name> with hash-range, append-stable assignment
       |  maintain --collection C [--apply]  # ordered repair/retrain/compact
       |            plan from the status counters; --apply executes it
       |  backup   --collection C --dest DIR [--full]   # generation-chained

@@ -81,6 +81,68 @@ object Winnowing {
       .distinct()
   }
 
+  /** Executor-local twin of [[fingerprints]] — one document, same
+    * hashes, same selection rule — for the row-local paths (the
+    * streaming contamination screen, where a distributed groupBy would
+    * make the query stateful). Sliding-window minimum via a monotonic
+    * deque: O(grams), not O(grams * w). Spec'd equal to the distributed
+    * form and to an independent naive model (WinnowingSpec).
+    */
+  def winnowLocal(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    if (text == null) return Set.empty
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](norm.length - k + 1)
+    var i = 0
+    while (i < hashes.length) {
+      val digest = md.digest(norm.substring(i, i + k).getBytes("UTF-8"))
+      // first 8 hex chars == top 4 bytes, unsigned
+      hashes(i) = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      i += 1
+    }
+    val out = scala.collection.mutable.Set.empty[(Int, Long)]
+    // monotonic deque of indices; back = candidate minimum. `<=` when
+    // pushing keeps the RIGHTMOST index among equal hashes — the paper's
+    // robust tie-break.
+    val dq = new java.util.ArrayDeque[Int]()
+    val lastWindow = math.max(hashes.length - w, 0)
+    var p = 0
+    while (p < hashes.length) {
+      while (!dq.isEmpty && hashes(dq.peekLast) >= hashes(p)) dq.pollLast()
+      dq.addLast(p)
+      val winStart = p - w + 1
+      if (!dq.isEmpty && dq.peekFirst < winStart) dq.pollFirst()
+      // a window completes at p >= w-1; short docs have one window at
+      // the final position
+      if (p >= w - 1 || p == hashes.length - 1) {
+        if (p - w + 1 <= lastWindow) {
+          val sel = dq.peekFirst
+          out += ((sel + 1, hashes(sel)))
+        }
+      }
+      p += 1
+    }
+    out.toSet
+  }
+
+  /** Batch contamination screen: documents sharing at least `minShared`
+    * winnowed fingerprints with a benchmark fp set (the verbatim-overlap
+    * form of decontamination — a training doc quoting >= w+k-1
+    * consecutive chars of an eval item is GUARANTEED to surface).
+    * Returns `(key, shared)`.
+    */
+  def contaminationScreen(docs: DataFrame, keyCol: String, textCol: String,
+                          benchFps: DataFrame, k: Int = 8, w: Int = 8,
+                          minShared: Int = 2): DataFrame = {
+    val fps = fingerprints(docs, keyCol, textCol, k, w)
+      .select(col(keyCol), col("fp")).distinct()
+    fps.join(broadcast(benchFps.select(col("fp")).distinct()), Seq("fp"))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Candidate overlap pairs `(key_a, key_b, shared)` — documents sharing
     * at least `minShared` distinct selected fingerprint hashes, with the
     * shared count. The join is bucketed by fingerprint value;

@@ -57,4 +57,28 @@ object Export {
     manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
     manifest
   }
+
+  /** Split-aware export: assign every row a split via
+    * [[Sampling.hashSplit]] (hash-range on the key — append-stable, so
+    * a row can never drift from test into train between releases), then
+    * write each split as its own deterministic shard tree under
+    * `outDir/<split>/`. Returns the union of the per-split manifests
+    * with a leading `split` column.
+    *
+    * The split assignment costs nothing extra (a map-side CASE on the
+    * same pass); each split's shard order is the deterministic shuffle
+    * of ITS rows, so a training job can consume `train/` while `test/`
+    * ships to an eval harness, both auditable against their manifests.
+    */
+  def writeSplitShards(df: DataFrame, keyCol: String, outDir: String,
+                       rowsPerShard: Int, splits: Seq[(String, Int)],
+                       salt: String = ""): DataFrame = {
+    val assigned = Sampling.hashSplit(df, keyCol, splits)
+    splits.map { case (name, _) =>
+      writeShards(assigned.filter(col("split") === name).drop("split"),
+          keyCol, s"$outDir/$name", rowsPerShard, salt)
+        .withColumn("split", lit(name))
+        .select("split", "shard", "n_rows", "pos_min", "pos_max", "checksum")
+    }.reduce(_ unionByName _)
+  }
 }

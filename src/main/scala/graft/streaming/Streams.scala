@@ -366,4 +366,36 @@ object Streams {
         out.iterator
       }
   }
+
+  /** Contamination screening at ingest: flag stream documents sharing at
+    * least `minShared` winnowed fingerprints with a benchmark/eval fp
+    * set — the verbatim-overlap decontamination gate, run where it
+    * belongs (BEFORE a contaminated doc enters the corpus, not as a
+    * nightly sweep). Any doc quoting >= w+k-1 consecutive normalized
+    * chars of an eval item is guaranteed to surface (the winnowing
+    * coverage theorem).
+    *
+    * Scale shape: completely STATELESS — the benchmark fp set is
+    * KB..MB-sized (eval suites are small), ships once as a broadcast
+    * set, and each document screens row-locally via
+    * [[graft.functions.Winnowing.winnowLocal]] (no shuffle, no
+    * stream-static join, no watermark state). The batch twin is
+    * [[graft.functions.Winnowing.contaminationScreen]]; stream == batch
+    * is spec'd. Like [[nearDedupStream]], the benchmark side is pinned
+    * at call time — restart the query to pick up a refreshed eval set.
+    *
+    * Returns the input rows plus a `shared` count, contaminated rows
+    * only.
+    */
+  def contaminationScreenStream(newDocs: DataFrame, benchFps: Set[Long],
+                                textCol: String, k: Int = 8, w: Int = 8,
+                                minShared: Int = 2): DataFrame = {
+    val bFps = newDocs.sparkSession.sparkContext.broadcast(benchFps)
+    val sharedUdf = udf { (text: String) =>
+      graft.functions.Winnowing.winnowLocal(text, k, w)
+        .iterator.map(_._2).toSet.count(bFps.value.contains).toLong
+    }
+    newDocs.withColumn("shared", sharedUdf(col(textCol)))
+      .filter(col("shared") >= minShared)
+  }
 }

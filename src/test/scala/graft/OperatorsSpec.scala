@@ -200,6 +200,33 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/_manifest").count() == 8L)
   }
 
+  test("split export: per-split trees partition the corpus, assignment matches hashSplit") {
+    import graft.operators.{Export, Sampling}
+    val df = (0L until 600L).map(k => (k, s"doc $k")).toDF("k", "v").repartition(5)
+    val out = java.nio.file.Files.createTempDirectory("graft_split").toString
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val manifest = Export.writeSplitShards(df, "k", out, rowsPerShard = 64, splits)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_rows")))
+    // the trees partition the corpus: every row lands in exactly one split
+    val bySplit = splits.map { case (name, _) =>
+      name -> spark.read.parquet(s"$out/$name").select("k")
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    assert(bySplit.values.map(_.size).sum == 600)
+    assert(bySplit.values.reduce(_ union _).size == 600, "splits are disjoint")
+    // membership is exactly hashSplit's assignment (a training job and a
+    // later audit derive the same sides from the keys alone)
+    val want = Sampling.hashSplit(df, "k", splits).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    bySplit.foreach { case (name, keys) =>
+      assert(keys == want.filter(_._2 == name).keySet, s"split $name")
+    }
+    // per-split manifests agree with the written trees
+    manifest.groupBy(_._1).foreach { case (name, rows) =>
+      assert(rows.map(_._2).sum == bySplit(name).size.toLong, s"manifest $name")
+    }
+  }
+
   test("collection dedup index: indexed check == inline, refresh catches appends") {
     import graft.core.{Catalog, CollectionConfig}
     import graft.dedup.Dedup

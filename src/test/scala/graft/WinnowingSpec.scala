@@ -93,6 +93,69 @@ class WinnowingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 2L)))
   }
 
+  test("winnowLocal (deque form) equals the naive model and the distributed form") {
+    val fixtures = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaa", "tiny", "exactly.",
+      "Spaces   collapse\tand CASE  folds before gramming",
+      ('a' to 'z').mkString(" ") * 4)
+    for (t <- fixtures; (k, w) <- Seq((5, 4), (8, 8), (3, 1))) {
+      assert(graft.functions.Winnowing.winnowLocal(t, k, w) == refWinnow(t, k, w),
+        s"k=$k w=$w text=${t.take(20)}")
+    }
+    assert(graft.functions.Winnowing.winnowLocal(null, 5, 4).isEmpty)
+    // distributed == local over the real fixture
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val dist = graft.functions.Winnowing
+      .fingerprints(docs, "doc_id", "text", 8, 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1).toInt, r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val want = graft.functions.Winnowing.winnowLocal(r.getString(1), 8, 8)
+      assert(dist.getOrElse(r.getLong(0), Set.empty) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("contamination screen: batch form flags planted overlap, stream == batch") {
+    import graft.functions.Winnowing
+    val evalSet = Seq(
+      (900L, "which ocean borders the republic of zanzibar exactly"),
+      (901L, "name the smallest prime number greater than ninety"))
+      .toDF("doc_id", "text")
+    val benchFps = Winnowing.fingerprints(evalSet, "doc_id", "text", 8, 8)
+      .select("fp").distinct()
+    val docs = Seq(
+      (1L, "totally unrelated text about spark shuffles and joins"),
+      // quotes >= 15 consecutive chars of eval item 900 -> must flag
+      (2L, "trivia dump: the republic of zanzibar exactly as asked"),
+      (3L, "name the smallest prime number greater than ninety please"))
+      .toDF("doc_id", "text")
+    val batch = Winnowing.contaminationScreen(
+        docs, "doc_id", "text", benchFps, 8, 8, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.contains(3L), "near-verbatim quote must flag")
+    assert(!batch.contains(1L), "unrelated text must not flag")
+
+    // stream twin over the same docs: identical flagged set
+    val benchSet = benchFps.collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val screened = graft.streaming.Streams.contaminationScreenStream(
+      mem.toDF().toDF("doc_id", "text"), benchSet, "text", 8, 8, minShared = 2)
+    val q = screened.writeStream.format("memory")
+      .queryName("contam_stream_out").outputMode("append").start()
+    try {
+      mem.addData((1L, "totally unrelated text about spark shuffles and joins"),
+        (2L, "trivia dump: the republic of zanzibar exactly as asked"),
+        (3L, "name the smallest prime number greater than ninety please"))
+      q.processAllAvailable()
+      val got = spark.table("contam_stream_out")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shared")).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("fingerprinting is doc-local: no exchange before the per-doc groupBy") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = Winnowing.fingerprints(docs, "doc_id", "text")
