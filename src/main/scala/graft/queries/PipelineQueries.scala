@@ -655,7 +655,49 @@ object PipelineQueries {
             documents(s, d).select(col("doc_id"), col("text")),
             "doc_id", "text", k = 8, w = 8),
           "doc_id", minShared = 20, maxPostings = 100)
-        .orderBy(col("key_a"), col("key_b")))
+        .orderBy(col("key_a"), col("key_b"))),
+
+    // Verbatim-overlap decontamination: screen the corpus against the
+    // src0 docs as a stand-in eval set — any doc quoting >= w+k-1 = 27
+    // consecutive normalized chars of an eval item is GUARANTEED to
+    // flag (the winnowing theorem); k = 20 makes vocabulary noise
+    // vanish (true copies share ~100 fps, unrelated docs < 2). The
+    // benchmark fp set is broadcast-sized; screening is one fp
+    // equi-join + a doc-keyed count.
+    "q145_winnow_decontam" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"),
+        col("source"))
+      val bench = graft.functions.Winnowing.fingerprints(
+        docs.filter(col("source") === "src0"), "doc_id", "text",
+        k = 20, w = 8)
+      graft.functions.Winnowing.contaminationScreen(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          bench, k = 20, w = 8, minShared = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Retrieval-quality eval harness: recall@10 / MRR / binary nDCG@10
+    // of a ranked candidate page against a gold set. The fixture is
+    // hash-deterministic (gold = doc_id%50==qid, candidates =
+    // doc_id%25==qid ranked by md5 — so every query has partial,
+    // varying overlap including rank-order effects); the graded surface
+    // is the METRIC math: the join, the zero-hit query, the rank-ordered
+    // DCG folds and the single-division discipline.
+    "q146_retrieval_eval" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val gold = ids.withColumn("query_id", col("doc_id") % 50)
+        .filter(col("query_id") < 10)
+      val results = ids.withColumn("query_id", col("doc_id") % 25)
+        .filter(col("query_id") < 10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(
+            md5(concat(col("query_id").cast("string"), lit("|"),
+              col("doc_id").cast("string"))), col("doc_id")))
+          .cast("long"))
+        .filter(col("rank") <= 10)
+      graft.operators.Eval.retrievalMetrics(results, gold, k = 10)
+        .orderBy(col("query_id"))
+    })
   )
 
   private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -1310,6 +1352,55 @@ object PipelineQueries {
          |SELECT sym_a, sym_b, cnt, rank FROM r WHERE rank <= 20
          |ORDER BY rank""".stripMargin,
 
+    "q146_retrieval_eval" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        | gold AS (SELECT doc_id % 50 AS query_id, doc_id FROM d
+        |   WHERE doc_id % 50 < 10),
+        | cand AS (SELECT doc_id % 25 AS query_id, doc_id FROM d
+        |   WHERE doc_id % 25 < 10),
+        | res AS (SELECT query_id, doc_id,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY md5(CAST(query_id AS VARCHAR) || '|' ||
+        |       CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+        |   FROM cand),
+        | ng AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold
+        |   FROM gold GROUP BY 1),
+        | h AS (SELECT r.query_id, r.rank FROM res r
+        |   JOIN gold g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+        |   WHERE r.rank <= 10),
+        | agg AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+        |   min(rank) AS first_rank,
+        |   list(rank ORDER BY rank) AS hit_ranks FROM h GROUP BY 1),
+        | m AS (SELECT ng.query_id, ng.n_gold,
+        |   coalesce(agg.hits, 0) AS hits,
+        |   CAST(coalesce(agg.hits, 0) AS DOUBLE) / ng.n_gold AS recall,
+        |   CASE WHEN agg.first_rank IS NULL THEN 0.0
+        |        ELSE 1.0 / agg.first_rank END AS mrr,
+        |   coalesce(list_reduce(
+        |     list_prepend(CAST(0.0 AS DOUBLE), list_transform(agg.hit_ranks,
+        |       r -> 0.6931471805599453 / ln(CAST(r AS DOUBLE) + 1.0))),
+        |     (a, b) -> a + b), 0.0) AS dcg,
+        |   list_reduce(
+        |     list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+        |       range(1, least(10, ng.n_gold) + 1),
+        |       i -> 0.6931471805599453 / ln(CAST(i AS DOUBLE) + 1.0))),
+        |     (a, b) -> a + b) AS idcg
+        |   FROM ng LEFT JOIN agg USING (query_id))
+        |SELECT query_id, n_gold, hits, round(recall, 6) AS recall,
+        |  round(mrr, 6) AS mrr, round(dcg / idcg, 6) AS ndcg
+        |FROM m ORDER BY query_id""".stripMargin,
+
+    "q145_winnow_decontam" ->
+      s"""${winnowSelCte(20, 8)},
+         | fps AS (SELECT DISTINCT s.doc_id, s.fp, d.source
+         |   FROM sel s JOIN documents d USING (doc_id) WHERE rn = 1),
+         | bench AS (SELECT DISTINCT fp FROM fps WHERE source = 'src0')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS shared
+         |FROM (SELECT DISTINCT f.doc_id, f.fp FROM fps f
+         |      JOIN bench b USING (fp) WHERE f.source <> 'src0')
+         |GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY doc_id""".stripMargin,
+
     "q144_winnow_pairs" ->
       s"""$WinnowSel,
          | fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE rn = 1),
@@ -1323,30 +1414,33 @@ object PipelineQueries {
          |ORDER BY key_a, key_b""".stripMargin
   )
 
-  /** Winnowing selection CTE chain (k = 5, w = 4), shared by q142/q144:
-    * char-5-gram hashes over the canonical normalized text, windows of 4
+  /** Winnowing selection CTE chain, parameterized on (k, w): char
+    * k-gram hashes over the canonical normalized text, windows of w
     * consecutive grams (single short window when a doc has fewer), per-
     * window min hash with rightmost-position tie-break. `$Hex8` runs on
     * the gram md5 aliased `hx`, matching `Winnowing.gramHash`.
     */
-  private lazy val WinnowSel: String =
+  private def winnowSelCte(k: Int, w: Int): String =
     s"""WITH n AS (SELECT doc_id,
        |   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
        |   FROM documents),
        | g0 AS (SELECT doc_id, norm,
-       |   CAST(length(norm) - 7 AS BIGINT) AS ng
-       |   FROM n WHERE length(norm) >= 8),
+       |   CAST(length(norm) - ${k - 1} AS BIGINT) AS ng
+       |   FROM n WHERE length(norm) >= $k),
        | grams AS (SELECT doc_id, ng,
-       |   greatest(ng - 7, CAST(1 AS BIGINT)) AS wn,
+       |   greatest(ng - ${w - 1}, CAST(1 AS BIGINT)) AS wn,
        |   CAST(i AS BIGINT) AS pos,
-       |   md5(substr(norm, CAST(i AS INT), 8)) AS hx
+       |   md5(substr(norm, CAST(i AS INT), $k)) AS hx
        |   FROM (SELECT doc_id, norm, ng, unnest(range(1, ng + 1)) AS i
        |         FROM g0)),
        | hg AS (SELECT doc_id, wn, pos, $Hex8 AS fp FROM grams),
        | e AS (SELECT doc_id, pos, fp,
-       |   unnest(range(greatest(pos - 7, CAST(1 AS BIGINT)),
+       |   unnest(range(greatest(pos - ${w - 1}, CAST(1 AS BIGINT)),
        |     least(pos, wn) + 1)) AS win FROM hg),
        | sel AS (SELECT doc_id, win, fp, pos,
        |   row_number() OVER (PARTITION BY doc_id, win
-       |     ORDER BY fp ASC, pos DESC) AS rn FROM e)""".stripMargin
+       |     ORDER BY fp ASC, pos DESC) AS rn FROM e)"""
+
+  /** q142/q144's instance (k = 8, w = 8). */
+  private lazy val WinnowSel: String = winnowSelCte(8, 8).stripMargin
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.Eval
+
+/** Hand-computed fixtures for the retrieval-quality harness — the
+  * engine-vs-engine parity is graded by q146's oracle; this pins the
+  * METRIC semantics against values derived on paper.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metrics(results: Seq[(Long, Long, Long)],
+                      gold: Seq[(Long, Long)], k: Int) =
+    Eval.retrievalMetrics(
+        results.toDF("query_id", "doc_id", "rank"),
+        gold.toDF("query_id", "doc_id"), k)
+      .orderBy("query_id").collect()
+
+  test("perfect ranking: recall 1, mrr 1, ndcg 1") {
+    val rows = metrics(
+      results = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)),
+      gold = Seq((1L, 10L), (1L, 11L), (1L, 12L)), k = 10)
+    assert(rows === Array(Row(1L, 3L, 3L, 1.0, 1.0, 1.0)))
+  }
+
+  test("zero-hit gold query reports 0s, not a dropped row") {
+    val rows = metrics(
+      results = Seq((1L, 99L, 1L)),
+      gold = Seq((1L, 10L), (2L, 20L)), k = 10)
+    // query 2 has gold but no candidates at all; query 1 has a miss page
+    assert(rows === Array(
+      Row(1L, 1L, 0L, 0.0, 0.0, 0.0),
+      Row(2L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("candidates for a query with no gold are excluded") {
+    val rows = metrics(
+      results = Seq((7L, 1L, 1L)),
+      gold = Seq((1L, 10L)), k = 10)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("single hit at rank 3 of 2 gold: hand-computed mrr and ndcg") {
+    val rows = metrics(
+      results = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)),
+      gold = Seq((1L, 12L), (1L, 55L)), k = 10)
+    val r = rows(0)
+    assert((r.getLong(1), r.getLong(2)) === ((2L, 1L)))
+    assert(r.getDouble(3) === 0.5)                  // recall 1/2
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-6) // mrr 1/3
+    // dcg = 1/log2(4); idcg = 1/log2(2) + 1/log2(3)
+    val dcg = 1.0 / (math.log(4) / math.log(2))
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(r.getDouble(5) - dcg / idcg) < 1e-6)
+  }
+
+  test("k truncates both the candidate page and the ideal gain") {
+    // hit at rank 3 is invisible at k=2; idcg uses min(k, n_gold)=2 slots
+    val rows = metrics(
+      results = Seq((1L, 10L, 1L), (1L, 12L, 3L)),
+      gold = Seq((1L, 12L), (1L, 10L), (1L, 11L)), k = 2)
+    val r = rows(0)
+    assert(r.getLong(2) === 1L)     // only the rank-1 hit counts
+    assert(math.abs(r.getDouble(3) - 1.0 / 3) < 1e-6)
+    assert(r.getDouble(4) === 1.0)
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(r.getDouble(5) - 1.0 / idcg) < 1e-6)
+  }
+
+  test("duplicate gold rows do not inflate n_gold") {
+    val rows = metrics(
+      results = Seq((1L, 10L, 1L)),
+      gold = Seq((1L, 10L), (1L, 10L)), k = 5)
+    assert(rows(0).getLong(1) === 1L)
+    assert(rows(0).getDouble(3) === 1.0)
+  }
+}
