@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained document-quality classifier: logistic regression on hashed
+  * token-count features, fit by distributed batch gradient descent — the
+  * fastText/CCNet-style LEARNED quality filter (Joulin et al. 2016,
+  * arXiv:1607.01759; Wenzek et al. 2019, arXiv:1911.00359) that
+  * complements the heuristic battery (q21) and the perplexity filters
+  * (q65/q131): label a seed set, train, score the corpus, keep the top
+  * band. The reference engine has no trainable scoring at all; this is a
+  * north-star training-pipeline extension on the `documents` fixture.
+  *
+  * Scale shape (the part that must survive 100 TB): features are hashed
+  * to a FIXED dim (the vocabulary never shuffles — same reason q114's
+  * count-min works), the weight vector is a dim+1 array broadcast into
+  * the scoring expression as a literal, and each GD iteration is one
+  * key-keyed aggregate (margins) plus one j-keyed integer aggregate
+  * (gradient, map-side partial combine into at most dim+1 rows per
+  * partition). The only driver-side state is the dim+1 weight array —
+  * the `collect()` is bounded by construction. Iterations are fixed and
+  * few; total cost is `iters` corpus-linear passes.
+  *
+  * Engine-checkable determinism (the q109/q131/q146 discipline, plus one
+  * new trick): per-doc margins fold w_j*x_j in sorted-j order on both
+  * engines (Spark `aggregate` over `sort_array` == DuckDB `list_reduce`
+  * over `list(... ORDER BY j)`), and the gradient — the one place a
+  * global f64 sum over arbitrary row order would be engine-dependent —
+  * is accumulated in FIXED POINT: each per-row term is rounded to
+  * integer micro-units (`round(term * 1e6)` as BIGINT) and the sum of
+  * integers is exact under any order, partitioning, or engine. The ≤1-ulp
+  * cross-engine drift of `exp` inside the sigmoid can only flip a term
+  * at an exact .5-micro-unit boundary (measure zero; the gate at two SFs
+  * would catch one). The weight update `w - lr*(g/1e6)` is the same
+  * IEEE expression tree on both sides, so trained weights are
+  * bit-identical — and with them every margin and score.
+  */
+object Classifier {
+
+  /** Hashed token-count features in long form: `(keyCol, j, x)` with
+    * j = first-8-hex-of-md5(token) mod `dim` (the [[Sampling.hashBucket]]
+    * scheme — engine-portable, seed-free) and x the bucket's token count,
+    * plus a constant bias row `(key, dim, 1)` for EVERY input row (so
+    * empty/null text still scores through the bias). Tokens are the
+    * house lower-cased whitespace tokens with split-edge empties removed.
+    */
+  def hashedFeatures(docs: DataFrame, keyCol: String, textCol: String,
+                     dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val toks = array_remove(
+      graft.functions.TextFunctions.tokens(lower(col(textCol))), "")
+    val counted = docs
+      .select(col(keyCol), explode(toks).as("tok"))
+      .select(col(keyCol),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % dim).as("j"))
+      .groupBy(col(keyCol), col("j"))
+      .agg(count(lit(1)).as("x"))
+    counted.unionByName(
+      docs.select(col(keyCol), lit(dim.toLong).as("j"), lit(1L).as("x")))
+  }
+
+  /** Per-key margin Σ_j w_j·x_j under weight vector `w`, folded in
+    * sorted-j order (j is unique per key, so the struct sort is fully
+    * determined and the fold order engine-independent).
+    */
+  def margins(feats: DataFrame, w: Array[Double],
+              keyCol: String): DataFrame = {
+    val wArr = array(w.toIndexedSeq.map(lit): _*)
+    feats.groupBy(col(keyCol)).agg(
+      aggregate(
+        sort_array(collect_list(struct(col("j"), col("x")))),
+        lit(0.0),
+        (acc, s) => acc + element_at(wArr, s.getField("j").cast("int") + 1)
+          * s.getField("x").cast("double")).as("margin"))
+  }
+
+  /** Fit `iters` full-batch GD steps of logistic loss; returns the
+    * trained weights (index dim = bias). `labels` is `(keyCol, y)` with
+    * y ∈ {0.0, 1.0}. Weights are bit-deterministic (fixed-point gradient
+    * — see object doc); the per-iteration collect is dim+1 rows.
+    */
+  def train(feats: DataFrame, labels: DataFrame, keyCol: String,
+            dim: Int, iters: Int = 3, lr: Double = 1e-5): Array[Double] = {
+    require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0; got $iters, $lr")
+    val w = Array.fill(dim + 1)(0.0)
+    val lab = labels.select(col(keyCol), col("y").cast("double").as("y"))
+    for (_ <- 1 to iters) {
+      val m = margins(feats, w, keyCol)
+      val p = lit(1.0) / (lit(1.0) + exp(-col("margin")))
+      val grad = feats
+        .join(m, Seq(keyCol)).join(lab, Seq(keyCol))
+        .select(col("j"),
+          round((p - col("y")) * col("x").cast("double") * lit(1000000.0))
+            .cast("long").as("g"))
+        .groupBy(col("j")).agg(sum(col("g")).as("g"))
+        .collect() // bounded: at most dim+1 rows
+      grad.foreach { r =>
+        val j = r.getLong(0).toInt
+        val g = r.getLong(1)
+        // identical IEEE expression tree to the SQL twin:
+        // w - lr * (CAST(g AS DOUBLE) / 1000000.0)
+        w(j) = w(j) - lr * (g.toDouble / 1000000.0)
+      }
+    }
+    w
+  }
+
+  /** Score `feats` under trained weights: `(keyCol, score)` with score
+    * the raw margin (monotone in p — filter on it directly; the sigmoid
+    * adds nothing but an exp).
+    */
+  def score(feats: DataFrame, w: Array[Double], keyCol: String): DataFrame =
+    margins(feats, w, keyCol).withColumnRenamed("margin", "score")
+
+  /** Train-and-score in one call: hash features once, fit, score every
+    * input row. `docs` must carry `(keyCol, textCol, labelCol)` with the
+    * label 0.0/1.0. Output `(keyCol, label BIGINT, score DOUBLE
+    * rounded 6)` — one row per input row, ordered by the caller.
+    */
+  def trainScore(docs: DataFrame, keyCol: String, textCol: String,
+                 labelCol: String, dim: Int = 32, iters: Int = 3,
+                 lr: Double = 1e-5): DataFrame = {
+    val feats = hashedFeatures(docs, keyCol, textCol, dim)
+      .localCheckpoint() // features feed iters+1 jobs; cut the lineage
+    val labels = docs.select(col(keyCol), col(labelCol).as("y"))
+    val w = train(feats, labels, keyCol, dim, iters, lr)
+    score(feats, w, keyCol)
+      .join(labels, Seq(keyCol))
+      .select(col(keyCol), col("y").cast("long").as("label"),
+        round(col("score"), 6).as("score"))
+  }
+}

@@ -697,6 +697,23 @@ object PipelineQueries {
         .filter(col("rank") <= 10)
       graft.operators.Eval.retrievalMetrics(results, gold, k = 10)
         .orderBy(col("query_id"))
+    }),
+
+    // Trained quality classifier (fastText/CCNet-shape learned filter):
+    // logistic regression on 32 hashed token-count buckets + bias, 3
+    // full-batch GD steps, labels = "is a src0 doc". The graded surface
+    // is the ENTIRE training computation — hashed features, sorted-j
+    // margin folds, fixed-point (integer micro-unit) gradient sums, the
+    // IEEE weight-update expression — unrolled iteration-by-iteration in
+    // the SQL twin, so a drift anywhere in 3 rounds of distributed GD
+    // fails the hash. Scale: gradient state is 33 integers; margins are
+    // one key-keyed aggregate per iteration; nothing is all-pairs.
+    "q147_quality_classifier" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"),
+        when(col("source") === "src0", 1.0).otherwise(0.0).as("y"))
+      graft.operators.Classifier.trainScore(docs, "doc_id", "text", "y",
+          dim = 32, iters = 3, lr = 1e-5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1390,6 +1407,8 @@ object PipelineQueries {
         |  round(mrr, 6) AS mrr, round(dcg / idcg, 6) AS ndcg
         |FROM m ORDER BY query_id""".stripMargin,
 
+    "q147_quality_classifier" -> classifierOracle(dim = 32, iters = 3),
+
     "q145_winnow_decontam" ->
       s"""${winnowSelCte(20, 8)},
          | fps AS (SELECT DISTINCT s.doc_id, s.fp, d.source
@@ -1443,4 +1462,56 @@ object PipelineQueries {
 
   /** q142/q144's instance (k = 8, w = 8). */
   private lazy val WinnowSel: String = winnowSelCte(8, 8).stripMargin
+
+  /** q147's twin: `Classifier.trainScore` unrolled iteration-by-iteration.
+    * Each iteration is three CTEs — margins (sorted-j `list_reduce` fold,
+    * matching Spark's `aggregate` over `sort_array`), the fixed-point
+    * gradient (per-row terms rounded to integer micro-units, summed as
+    * BIGINT — exact under any row order), and the weight update (the
+    * identical IEEE expression tree `w - lr * (CAST(g AS DOUBLE)/1e6)`).
+    * Weights are therefore bit-equal to the Scala side's, and with them
+    * the final margins.
+    */
+  private def classifierOracle(dim: Int, iters: Int): String = {
+    def marginCte(t: Int): String =
+      s"""m$t AS (SELECT f.doc_id,
+         |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |     list(w${t - 1}.w * CAST(f.x AS DOUBLE) ORDER BY f.j)),
+         |     (a, b) -> a + b) AS m
+         |  FROM feats f JOIN w${t - 1} ON f.j = w${t - 1}.j
+         |  GROUP BY f.doc_id)""".stripMargin
+    def gradCte(t: Int): String =
+      s"""g$t AS (SELECT f.j,
+         |   CAST(sum(CAST(round((1.0/(1.0 + exp(-m$t.m)) - lab.y)
+         |     * CAST(f.x AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS g
+         |  FROM feats f JOIN m$t USING (doc_id) JOIN lab USING (doc_id)
+         |  GROUP BY f.j)""".stripMargin
+    def wCte(t: Int): String =
+      s"""w$t AS (SELECT w.j,
+         |   w.w - 0.00001 * (CAST(coalesce(g.g, 0) AS DOUBLE) / 1000000.0) AS w
+         |  FROM w${t - 1} w LEFT JOIN g$t g ON w.j = g.j)""".stripMargin
+    val steps = (1 to iters)
+      .map(t => s"${marginCte(t)},\n ${gradCte(t)},\n ${wCte(t)}")
+      .mkString(",\n ")
+    s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks
+       |   FROM documents),
+       | lab AS (SELECT doc_id,
+       |   CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+       |   FROM documents),
+       | tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       | htok AS (SELECT doc_id, md5(tk) AS hx FROM tok),
+       | f0 AS (SELECT doc_id, ($Hex8) % $dim AS j,
+       |   CAST(count(*) AS BIGINT) AS x FROM htok GROUP BY 1, 2),
+       | feats AS (SELECT doc_id, j, x FROM f0
+       |   UNION ALL SELECT doc_id, CAST($dim AS BIGINT) AS j,
+       |     CAST(1 AS BIGINT) AS x FROM documents),
+       | w0 AS (SELECT CAST(unnest(range(0, ${dim + 1})) AS BIGINT) AS j,
+       |   CAST(0.0 AS DOUBLE) AS w),
+       | $steps,
+       | ${marginCte(iters + 1)}
+       |SELECT m.doc_id, CAST(lab.y AS BIGINT) AS label,
+       |  round(m.m, 6) AS score
+       |FROM m${iters + 1} m JOIN lab USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }
