@@ -355,6 +355,22 @@ object Cli {
           println(s"column '$col':")
           c.indexStatus(col).show(20, truncate = false)
         }
+      case "eval-recall" =>
+        // measured IVF recall through the real serving path: hash-ordered
+        // query sample, probed pages vs the exact top-k gold (one
+        // bounded-state pass), per-query metrics averaged for the console
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val k = flags.get("k").map(_.toInt).getOrElse(10)
+        val nProbe = flags.get("n-probe").map(_.toInt).getOrElse(2)
+        val nq = flags.get("queries").map(_.toInt).getOrElse(32)
+        import org.apache.spark.sql.functions.{avg, count, lit}
+        val row = c.annRecallReport(column, k, nProbe, nq)
+          .agg(avg("recall"), avg("mrr"), avg("ndcg"), count(lit(1))).head()
+        println(f"ann recall@$k%d over ${row.getLong(3)}%d queries " +
+          f"(nProbe=$nProbe%d): recall=${row.getDouble(0)}%.4f " +
+          f"mrr=${row.getDouble(1)}%.4f ndcg=${row.getDouble(2)}%.4f")
       case "delete" =>
         val c = catalog.load(req(flags, "collection"))
         val keys =
@@ -525,7 +541,7 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Cli <index|add-docs|upsert|repair|status|analyze|clean|delete|build-index|search|serve|list|list-models> [flags] [file]
+    """usage: graft.Cli <index|add-docs|upsert|repair|status|analyze|clean|delete|eval-recall|build-index|search|serve|list|list-models> [flags] [file]
       |  index    --collection C [--index-columns a,b] [--model m] [--variant v]
       |           [--batch-size n] [--overwrite] <file>
       |  add-docs --collection C [--batch-size n] <file>
@@ -574,6 +590,9 @@ object Cli {
       |           # audit manifest (re-runs reproduce identical membership
       |           # and order); --split writes per-split trees under
       |           # DIR/<name> with hash-range, append-stable assignment
+      |  eval-recall --collection C [--column col] [--k 10] [--n-probe 2]
+      |           [--queries 32]  # measured ANN recall/MRR/nDCG vs the
+      |            exact gold through the real probed serving path
       |  maintain --collection C [--apply]  # ordered repair/retrain/compact
       |            plan from the status counters; --apply executes it
       |  backup   --collection C --dest DIR [--full]   # generation-chained

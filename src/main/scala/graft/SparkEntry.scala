@@ -172,6 +172,39 @@ object SparkEntry {
       graft.search.Ann.pqTopKRerank(enc, e, cb, q, k = 10, fetchK = 40,
           keyCol = "vec_id", embCol = "embedding")
         .withColumn("score", round(col("score"), 6))
+    }),
+
+    // IVF recall report: probed ANN pages for 20 query vectors graded
+    // against the exact top-10 gold by the q146 metric harness — the
+    // "how much recall does nProbe=2 buy me" answer as a query. Results
+    // come from the probed-candidate path (knnProbedBetween, one
+    // fp-bucketed equi-join), gold from the ONE-PASS bounded-state
+    // multi-query exact scan (exactTopKMulti — never the broadcast
+    // all-pairs twin), metrics touch only k-row pages. Oracle: dynamic
+    // twin with centroid literals (assignment + probes + candidates +
+    // exact gold + metric math, all re-derived in SQL).
+    "q148_ann_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val qdf = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val centers = graft.search.Ann.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+      val ivf = graft.search.Ann.knnProbedBetween(qdf,
+          graft.search.Ann.ivfAssign(corpus, "embedding", centers), centers,
+          "vec_id", "embedding", k = 10, nProbe = 2, excludeSelf = false)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+            .orderBy(desc("sim"), col("nbr"))).cast("long"))
+      val queries = qdf.select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val gold = graft.search.Ann.exactTopKMulti(corpus, queries,
+        "vec_id", "embedding", k = 10)
+      graft.operators.Eval.retrievalMetrics(
+          ivf.select(col("src").as("query_id"), col("nbr").as("doc_id"),
+            col("rank")),
+          gold.select(col("src").as("query_id"), col("nbr").as("doc_id")),
+          k = 10)
+        .orderBy(col("query_id"))
     })
   )
 
@@ -311,6 +344,9 @@ object SparkEntry {
     } ++ attempt("q130_semdedup_ivf") {
       semdedupIvfOracle(
         graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8), 0.35)
+    } ++ attempt("q148_ann_recall") {
+      annRecallOracle(graft.search.Ann.ivfTrain(
+        e.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 8))
     } ++ attempt("q71_pq") {
       val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
       pqOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb), k = 10)
@@ -408,6 +444,60 @@ object SparkEntry {
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |d AS (SELECT vec_id, v, $dcols FROM e),
        |a AS (SELECT vec_id, v, $argmin AS list_id FROM d)""".stripMargin
+  }
+
+  /** q148 twin: IVF probed pages for the 20 query vectors (assignment +
+    * per-query 2-probe set + candidate ranking, the q_ivf_topk scheme
+    * generalized per query) graded against the exact top-10 gold by the
+    * q146 metric CTEs — recall/MRR/nDCG re-derived wholly in SQL.
+    */
+  private def annRecallOracle(centers: Array[Array[Double]]): String = {
+    val structs = centers.indices
+      .map(i => s"struct_pack(d := d$i, i := $i)").mkString("[", ", ", "]")
+    s"""WITH ${ivfAssignCtes(centers)},
+       |p AS (SELECT vec_id AS query_id,
+       |   list_transform(list_sort($structs), x -> x.i) AS probes
+       |  FROM d WHERE vec_id < 20),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+       |c AS (SELECT vec_id, v, list_id FROM a WHERE vec_id >= 20),
+       |cand AS (SELECT p.query_id, c.vec_id AS doc_id,
+       |   list_cosine_similarity(q.v, c.v) AS sim
+       |  FROM p JOIN q USING (query_id)
+       |  JOIN c ON c.list_id IN (p.probes[1], p.probes[2])),
+       |res AS (SELECT query_id, doc_id,
+       |   CAST(row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, doc_id) AS BIGINT) AS rank FROM cand),
+       |ex AS (SELECT q.query_id, c2.vec_id AS doc_id,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY list_cosine_similarity(q.v, c2.v) DESC, c2.vec_id) AS rn
+       |  FROM q CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id >= 20) c2),
+       |gold AS (SELECT query_id, doc_id FROM ex WHERE rn <= 10),
+       |ng AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold
+       |  FROM gold GROUP BY 1),
+       |h AS (SELECT r.query_id, r.rank FROM res r
+       |  JOIN gold g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+       |  WHERE r.rank <= 10),
+       |agg AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+       |  min(rank) AS first_rank,
+       |  list(rank ORDER BY rank) AS hit_ranks FROM h GROUP BY 1),
+       |m AS (SELECT ng.query_id, ng.n_gold,
+       |  coalesce(agg.hits, 0) AS hits,
+       |  CAST(coalesce(agg.hits, 0) AS DOUBLE) / ng.n_gold AS recall,
+       |  CASE WHEN agg.first_rank IS NULL THEN 0.0
+       |       ELSE 1.0 / agg.first_rank END AS mrr,
+       |  coalesce(list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(agg.hit_ranks,
+       |      r -> 0.6931471805599453 / ln(CAST(r AS DOUBLE) + 1.0))),
+       |    (a, b) -> a + b), 0.0) AS dcg,
+       |  list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+       |      range(1, least(10, ng.n_gold) + 1),
+       |      i -> 0.6931471805599453 / ln(CAST(i AS DOUBLE) + 1.0))),
+       |    (a, b) -> a + b) AS idcg
+       |  FROM ng LEFT JOIN agg USING (query_id))
+       |SELECT query_id, n_gold, hits, round(recall, 6) AS recall,
+       |  round(mrr, 6) AS mrr, round(dcg / idcg, 6) AS ndcg
+       |FROM m ORDER BY query_id""".stripMargin
   }
 
   private def ivfTopkOracle(centers: Array[Array[Double]]): String = {

@@ -1823,7 +1823,19 @@ class Collection private[core] (
     }
     recoverSwap(annListsDir(column))
     recoverFileSwap(annListsDir(column))
-    val qv = embedder.embedOne(query)
+    fetchHits(annPage(column, embedder.embedOne(query), limit, nProbe,
+      predicate, fetchK), column)
+  }
+
+  /** The probed `(key, score)` page for a query VECTOR through the
+    * stored index — [[searchAnn]] minus embed and fetch; callers must
+    * have healed swaps. Shared by serving and [[annRecallReport]] so the
+    * report measures exactly the page the API returns.
+    */
+  private def annPage(column: String, qv: Array[Float], limit: Int,
+                      nProbe: Int,
+                      predicate: Option[org.apache.spark.sql.Column],
+                      fetchK: Int): DataFrame = {
     val centers = readAnnCenters(column)
     val probes = graft.search.Ann.ivfProbes(centers, qv,
       math.min(nProbe, centers.length)).map(Integer.valueOf)
@@ -1847,7 +1859,50 @@ class Collection private[core] (
           .join(broadcast(cands), Seq(KeyCol), "left_semi")
         graft.search.Search.topK(exact, qv, limit)
       }
-    fetchHits(hits, column)
+    hits
+  }
+
+  /** Measured recall of the stored ANN index: a hash-ordered sample of
+    * `nQueries` indexed vectors is searched through the REAL probed
+    * serving path ([[annPage]] — flat or PQ layout alike) and graded
+    * against the exact top-k gold by [[graft.operators.Eval]]'s
+    * recall@k / MRR / nDCG harness. The companion to `indexStatus`'s
+    * drift column: drift says the centroids aged, this says what that
+    * costs in recall — and what a higher `nProbe` would buy back
+    * (`nProbe` = nLists is exhaustive: recall 1.0 by construction,
+    * pinned in AnnIndexSpec).
+    *
+    * Cost: gold is ONE bounded-state pass over the vector index
+    * (`Ann.exactTopKMulti`, never the broadcast all-pairs twin);
+    * results are `nQueries` probed pages (each reads only its probed
+    * list ranges). Returns one row per sampled query:
+    * `(query_id, n_gold, hits, recall, mrr, ndcg)`.
+    */
+  def annRecallReport(column: String, k: Int = 10, nProbe: Int = 2,
+                      nQueries: Int = 32, fetchK: Int = 0): DataFrame = {
+    Identifiers.validate(column)
+    require(k >= 1 && nQueries >= 1, s"need k, nQueries >= 1; got $k, $nQueries")
+    require(hasAnnIndex(column), s"no ANN index for '$column' — buildAnnIndex first")
+    recoverSwap(annListsDir(column))
+    recoverFileSwap(annListsDir(column))
+    val emb = embeddings(column)
+    val queries = emb
+      .orderBy(md5(col(KeyCol).cast("string")), col(KeyCol)).limit(nQueries)
+      .select(col(KeyCol), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)) // bounded: nQueries rows
+    require(queries.nonEmpty, s"vector index for '$column' is empty")
+    val pages = queries.toSeq.map { case (qid, qv) =>
+      annPage(column, qv, k, nProbe, None, fetchK)
+        .select(lit(qid).as("query_id"), col(KeyCol),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1)).orderBy(desc("score"), col(KeyCol)))
+            .cast("long").as("rank"))
+    }.reduce(_.unionByName(_))
+    val gold = graft.search.Ann.exactTopKMulti(emb, queries, KeyCol,
+        "embedding", k)
+      .select(col("src").as("query_id"), col("nbr").as(KeyCol))
+    graft.operators.Eval.retrievalMetrics(pages, gold, k,
+      queryCol = "query_id", keyCol = KeyCol)
   }
 
   /** Fold vectors the ANN index has not seen (keys above the stored

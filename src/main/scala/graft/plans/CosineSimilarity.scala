@@ -23,6 +23,27 @@ import org.apache.spark.sql.types._
   * norm is zero. Null elements contribute nothing. Extra trailing elements
   * of the longer array are ignored.
   */
+object CosineSimilarity {
+  /** Driver/executor scalar twin of the Expression: the SAME single pass
+    * (dot and both norms accumulated together, i ascending) and the same
+    * zero-denominator rule, so values are bit-identical to the codegen'd
+    * column — callers that mix column-side and JVM-side scoring (e.g.
+    * `Ann.exactTopKMulti`) stay hash-comparable with it.
+    */
+  def scalar(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -381,6 +381,78 @@ object Ann {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Exact top-k for a BOUNDED query batch in ONE corpus pass with
+    * bounded executor state — the scale-path gold standard for recall
+    * evaluation. [[searchBatchExact]] broadcasts the CORPUS (a
+    * verification twin, fixture scale only); this broadcasts the QUERY
+    * batch (driver-side by construction — an eval set, not a corpus)
+    * and streams the corpus once: each partition keeps, per query, a
+    * (key -> max sim) map compacted to the top-k whenever it exceeds
+    * `localStateCap` (the `Search.topK` pruning argument holds per
+    * query independently), so the shuffle carries at most
+    * k·queries·partitions rows and executor heap is
+    * O(queries · cap) regardless of corpus size.
+    *
+    * Multi-vector keys get max-over-vectors semantics (same as
+    * [[knnProbedBetween]]); cosine is [[graft.plans.CosineSimilarity]]'s
+    * scalar twin, bit-identical to the column form. Output
+    * `(src, nbr, sim)`, k rows per query, ties on the lower key.
+    */
+  def exactTopKMulti(corpus: DataFrame, queries: Array[(Long, Array[Float])],
+                     keyCol: String, embCol: String, k: Int,
+                     localStateCap: Int = 4096): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    require(k >= 1 && localStateCap >= 1, s"need k, cap >= 1; got $k, $localStateCap")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(
+      queries.map { case (id, v) => (id, v.map(_.toDouble)) })
+    val rows = corpus
+      .filter(col(embCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+    val cap = math.max(k, localStateCap)
+    val local = rows.mapPartitions { it =>
+      val qs = qb.value
+      val best = Array.fill(qs.length)(
+        new java.util.HashMap[java.lang.Long, java.lang.Double])
+      def top(qi: Int, n: Int): Array[(Long, Double)] = {
+        import scala.jdk.CollectionConverters._
+        best(qi).entrySet().iterator().asScala
+          .map(e => (e.getKey.longValue, e.getValue.doubleValue))
+          .toArray.sortBy { case (key, s) => (-s, key) }.take(n)
+      }
+      it.foreach { case (key, emb) =>
+        val v = emb.toArray
+        var qi = 0
+        while (qi < qs.length) {
+          val sim = graft.plans.CosineSimilarity.scalar(qs(qi)._2, v)
+          val m = best(qi)
+          val cur = m.get(key)
+          if (cur == null || sim > cur) {
+            m.put(key, sim)
+            if (m.size > cap) {
+              val keep = top(qi, k)
+              m.clear()
+              keep.foreach { case (kk, ss) => m.put(kk, ss) }
+            }
+          }
+          qi += 1
+        }
+      }
+      qs.indices.iterator.flatMap { qi =>
+        top(qi, k).iterator.map { case (key, s) => (qs(qi)._1, key, s) }
+      }
+    }.toDF("src", "nbr", "sim")
+    // a key's partial maxima may arrive from several partitions: re-max,
+    // then the global page (k·q·p survivor rows — window is cheap here)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
+    local.groupBy(col("src"), col("nbr")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   // ---- hard-negative mining -------------------------------------------
 
   /** Hard negatives for contrastive training: each vector's `k` MOST

@@ -264,4 +264,45 @@ class AnnIndexSpec extends SparkSpec {
     assert(rebuilt < drifted / 2 && rebuilt < 2.0,
       s"rebuild must lower drift: $drifted -> $rebuilt")
   }
+
+  test("exactTopKMulti: one-pass bounded-state gold == broadcast exact twin") {
+    val c = mkCollection("ann8")
+    val corpus = c.embeddings("text")
+    val queries = corpus.filter(col("_key") <= 5L)
+      .select(col("_key") + 1000L, col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qdf = corpus.filter(col("_key") <= 5L)
+      .select((col("_key") + 1000L).as("_key"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(t => (t._1, -t._3, t._2))
+    val multi = pairs(Ann.exactTopKMulti(corpus, queries, "_key", "embedding", 4))
+    assert(multi == pairs(Ann.searchBatchExact(qdf, corpus, "_key", "embedding", 4)))
+    // a tiny compaction cap must not change results (the per-query
+    // pruning argument) — and neither must partitioning
+    assert(multi == pairs(Ann.exactTopKMulti(corpus.repartition(7), queries,
+      "_key", "embedding", 4, localStateCap = 1)))
+  }
+
+  test("annRecallReport: exhaustive probing scores perfect; starved probing cannot beat it") {
+    val c = mkCollection("ann9")
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100)
+    def metrics(nProbe: Int) =
+      c.annRecallReport("text", k = 5, nProbe = nProbe, nQueries = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toSeq.sortBy(_._1)
+    val full = metrics(nProbe = 4)
+    assert(full.size == 8)
+    assert(full.forall { case (_, recall, mrr, ndcg) =>
+      recall == 1.0 && mrr == 1.0 && ndcg == 1.0
+    }, s"exhaustive probes must have perfect metrics: $full")
+    val starved = metrics(nProbe = 1)
+    assert(starved.size == 8)
+    starved.zip(full).foreach { case ((q, r1, _, n1), (_, rF, _, nF)) =>
+      assert(r1 <= rF && n1 <= nF, s"query $q: 1-probe beat exhaustive")
+    }
+    // no index -> loud refusal, not a silent exact-vs-exact report
+    val c2 = mkCollection("ann10", n = 10)
+    intercept[IllegalArgumentException] { c2.annRecallReport("text") }
+  }
 }
