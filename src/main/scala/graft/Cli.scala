@@ -432,11 +432,26 @@ object Cli {
         val limit = flags.getOrElse("limit", "10").toInt
         val query = req(flags, "query")
         def embedder = registry.load(c.config.model_name, c.config.model_variant)
-        val page = flags.getOrElse("mode", "vector") match {
-          case "vector" => c.search(column, query, limit, embedder)
+        // --after "score,key": keyset cursor — the previous page's last
+        // row, echoed verbatim (vector/keyword modes)
+        val after = flags.get("after").map { a =>
+          a.split(",") match {
+            case Array(s, k) =>
+              try (s.trim.toDouble, k.trim.toLong)
+              catch { case _: NumberFormatException =>
+                fail("--after must be score,key (a double and a long)")
+              }
+            case _ => fail("--after must be score,key")
+          }
+        }
+        val mode = flags.getOrElse("mode", "vector")
+        if (after.isDefined && mode != "vector" && mode != "keyword")
+          fail(s"--after supports --mode vector|keyword, not '$mode'")
+        val page = mode match {
+          case "vector" => c.search(column, query, limit, embedder, after)
           case "keyword" =>
             c.searchKeyword(column, query, limit,
-              requireAll = flags.contains("require-all"))
+              requireAll = flags.contains("require-all"), after = after)
           case "hybrid" => c.searchHybrid(column, query, limit, embedder)
           case "ann" =>
             val nProbe = flags.getOrElse("n-probe", "2").toInt
@@ -604,6 +619,8 @@ object Cli {
       |  search   --collection C --query Q [--column col] [--limit n]
       |           [--mode vector|keyword|hybrid|ann|late] [--n-probe p]
       |           [--require-all]  # keyword mode: AND semantics
+      |           [--after score,key]  # keyset cursor: previous page's
+      |            last row, echoed verbatim (vector/keyword modes)
       |            # keyword/hybrid use the BM25 index when built
       |            # (buildKeywordIndex), else scan; ann probes the IVF
       |            # index when built (buildAnnIndex), else exact;

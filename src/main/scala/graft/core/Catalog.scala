@@ -882,10 +882,21 @@ class Collection private[core] (
     * reference's `SearchResult` (collection_utils.rs:81-86).
     */
   def search(column: String, query: String, limit: Int,
-             embedder: graft.embed.Embedder): DataFrame = {
+             embedder: graft.embed.Embedder,
+             after: Option[(Double, Long)] = None): DataFrame = {
     graft.search.Search.validateLimit(limit)
     val qv = embedder.embedOne(query)
-    graft.search.Search.searchAndFetch(df, embeddings(column), qv, limit, column)
+    after match {
+      case None =>
+        graft.search.Search.searchAndFetch(df, embeddings(column), qv, limit,
+          column)
+      case Some(cursor) =>
+        // keyset page N: exact per-key max, filtered past the cursor
+        // (Search.topKAfter explains why the page-1 fast path is unsound
+        // under a cursor), then the same fetch envelope
+        fetchHits(graft.search.Search.topKAfter(embeddings(column), qv,
+          limit, cursor), column)
+    }
   }
 
   /** [[search]] restricted to rows matching `predicate` (a Column over
@@ -1189,7 +1200,8 @@ class Collection private[core] (
     * term are returned.
     */
   def searchKeyword(column: String, query: String, limit: Int,
-                    requireAll: Boolean = false): DataFrame = {
+                    requireAll: Boolean = false,
+                    after: Option[(Double, Long)] = None): DataFrame = {
     graft.search.Search.validateLimit(limit)
     // query tokenization must mirror the INDEX's analyzer (stored in its
     // stats); the inline fallback has no stored analyzer and stays on
@@ -1206,7 +1218,7 @@ class Collection private[core] (
     if (terms.isEmpty)
       return df.select(col(column).as("content"), col(KeyCol).as("key"),
         lit(0.0).as("score")).limit(0)
-    fetchHits(keywordHits(column, terms, limit, requireAll), column)
+    fetchHits(keywordHits(column, terms, limit, requireAll, after), column)
   }
 
   /** Hybrid retrieval: RRF fusion of the dense page ([[search]]'s
@@ -1230,14 +1242,15 @@ class Collection private[core] (
   }
 
   private def keywordHits(column: String, terms: Seq[String], limit: Int,
-                          requireAll: Boolean = false): DataFrame = {
+                          requireAll: Boolean = false,
+                          after: Option[(Double, Long)] = None): DataFrame = {
     val hits =
       if (hasKeywordIndex(column))
         graft.search.Keyword.searchIndex(spark, keywordIndexDir(column),
-          terms, limit, requireAll = requireAll)
+          terms, limit, requireAll = requireAll, after = after)
       else
         graft.search.Keyword.bm25TopK(df, terms, limit, idCol = KeyCol,
-          textCol = column, requireAll = requireAll)
+          textCol = column, requireAll = requireAll, after = after)
     hits.withColumnRenamed("key", KeyCol)
   }
 

@@ -421,6 +421,22 @@ object TextQueries {
       Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 10)
         .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))),
 
+    // Keyset pagination (search_after): page 2 of q109's ranking, reached
+    // through the stateless cursor — the previous page's last (RAW score,
+    // key) echoed back, strict-after filter, same order. The oracle takes
+    // ranks 11..20 of the one true ranking, so a cursor that skips, dups,
+    // or re-orders a single row fails the hash. Deep pages re-score and
+    // skip (keyset, never OFFSET-through-collected-rows); the cursor
+    // compares raw f64, exact because the per-key fold is ordered.
+    "q149_search_after" -> ((s, d) => {
+      val page1 = Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 10)
+        .collect() // bounded: k rows, already (score desc, key) ordered
+      val last = page1.last
+      Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 10,
+          after = Some((last.getDouble(1), last.getLong(0))))
+        .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
     // Hybrid retrieval: RRF fusion of the BM25 page and the dense cosine
     // page (Search.topK vs the vec_id=0 query vector) — ranks re-derived
     // from (raw score desc, key) on both sides, 1/(60+r) contributions.
@@ -1045,6 +1061,15 @@ object TextQueries {
          | top AS (SELECT doc_id, score FROM bm25agg
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
+         | ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q149_search_after" ->
+      s"""WITH $Bm25Cte,
+         | r AS (SELECT doc_id, score,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |   FROM bm25agg)
+         |SELECT doc_id, round(score, 6) AS score FROM r
+         | WHERE rn BETWEEN 11 AND 20
          | ORDER BY score DESC, doc_id""".stripMargin,
 
     "q115_bm25_stopword" ->

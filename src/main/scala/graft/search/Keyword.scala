@@ -95,10 +95,25 @@ object Keyword {
     * matched-term count) — query cost stays O(query-term postings),
     * the filter adds no extra pass or shuffle.
     */
+  /** Keyset (search_after) cursor: keep only rows strictly after
+    * `(score, key)` in the page order `(score DESC, key ASC)`. Scores
+    * compare RAW (the ordered-fold f64 is deterministic, so the cursor
+    * is exact and stateless — no server-side scroll context, any page
+    * re-derivable from its predecessor's last row). Deep paging
+    * re-scores matches and skips (every search engine's search_after
+    * cost); it never OFFSETs through collected rows.
+    */
+  private def afterFilter(after: Option[(Double, Long)], scoreCol: Column,
+                          keyCol: Column): Column =
+    after.fold(lit(true)) { case (s, key) =>
+      scoreCol < s || (scoreCol === s && keyCol > key)
+    }
+
   def bm25FromTables(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
                      queryTerms: Seq[String], k: Int,
                      k1: Double = DefaultK1, b: Double = DefaultB,
-                     requireAll: Boolean = false): DataFrame = {
+                     requireAll: Boolean = false,
+                     after: Option[(Double, Long)] = None): DataFrame = {
     val qt = queryTerms.map(_.toLowerCase).distinct
     require(qt.nonEmpty, "bm25 requires at least one query term")
     val tf = postings.filter(col("tok").isin(qt: _*))
@@ -116,6 +131,7 @@ object Keyword {
       count(lit(1)).as("__nt"))
     (if (requireAll) agg.filter(col("__nt") === qt.size) else agg)
       .select(col("key"), col("score"))
+      .filter(afterFilter(after, col("score"), col("key")))
       .orderBy(desc("score"), col("key"))
       .limit(k)
   }
@@ -128,9 +144,11 @@ object Keyword {
                idCol: String = "doc_id", textCol: String = "text",
                k1: Double = DefaultK1, b: Double = DefaultB,
                analyzer: Analyzer = Analyzer.Whitespace,
-               requireAll: Boolean = false): DataFrame = {
+               requireAll: Boolean = false,
+               after: Option[(Double, Long)] = None): DataFrame = {
     val (postings, doclen, stats) = corpusTables(docs, idCol, textCol, analyzer)
-    bm25FromTables(postings, doclen, stats, queryTerms, k, k1, b, requireAll)
+    bm25FromTables(postings, doclen, stats, queryTerms, k, k1, b, requireAll,
+      after)
   }
 
   // --- persistent bucketed inverted index --------------------------------
@@ -605,7 +623,8 @@ object Keyword {
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
                   k1: Double = DefaultK1, b: Double = DefaultB,
-                  requireAll: Boolean = false): DataFrame = {
+                  requireAll: Boolean = false,
+                  after: Option[(Double, Long)] = None): DataFrame = {
     val stored = spark.read.parquet(s"$dir/stats")
     val nBuckets = stored.select(col("n_buckets")).head().getInt(0)
     // nullif guards the fully-erased index (n_docs = 0): no postings
@@ -621,7 +640,7 @@ object Keyword {
     val doclen = liveDoclenOf(
         spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"))
       .select(col("key"), col("dl"))
-    bm25FromTables(postings, doclen, stats, qt, k, k1, b, requireAll)
+    bm25FromTables(postings, doclen, stats, qt, k, k1, b, requireAll, after)
   }
 
   // --- reciprocal-rank fusion --------------------------------------------

@@ -140,6 +140,40 @@ object Search {
       .limit(k)
   }
 
+  /** [[topK]]'s page N: the k best keys STRICTLY AFTER the keyset cursor
+    * `(score, key)` in page order (score DESC, key ASC) — stateless
+    * search_after pagination (no scroll context; any page re-derivable
+    * from its predecessor's last row). Scores compare RAW f64 — the
+    * scoring expression is deterministic, and the HTTP layer serializes
+    * doubles round-trip-exactly, so a client echoing the last hit's
+    * score/key lands exactly one row past it.
+    *
+    * Deliberately NOT the bounded-local-cut plan: under a cursor the
+    * local top-k cut is unsound twice over (page-1 keys can crowd a
+    * page-2 key out of a partition's cut, and a multi-vector key whose
+    * true max is before the cursor must be excluded even where its
+    * partition-local max is not). Deep pages pay one exact per-key max
+    * — a map-side-combined groupBy (multi-vector rows collapse in the
+    * map) — then filter, then TakeOrderedAndProject's k·p bound. Page 1
+    * stays on [[topK]]'s O(cap)-state fast path.
+    */
+  def topKAfter(embeddings: DataFrame, queryVec: Array[Float], k: Int,
+                after: (Double, Long),
+                keyColName: String = KeyCol,
+                embColName: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (s, key) = after
+    embeddings
+      .filter(col(embColName).isNotNull && col(keyColName).isNotNull)
+      .select(col(keyColName).cast("long").as(keyColName),
+        scoreAgainst(col(embColName), queryVec).as("score"))
+      .groupBy(col(keyColName)).agg(max(col("score")).as("score"))
+      .filter(col("score") < s ||
+        (col("score") === s && col(keyColName) > key))
+      .orderBy(desc("score"), col(keyColName))
+      .limit(k)
+  }
+
   /** K3: search-and-fetch — top-k hits joined back to the collection for
     * content; returns `(content, key, score)` like the reference's
     * `SearchResult` (collection_utils.rs:81-86), descending score.

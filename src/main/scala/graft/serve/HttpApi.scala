@@ -107,15 +107,33 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
         val limit = (req \ "limit").extractOpt[Int].getOrElse(Search.DefaultLimit)
         Search.validateLimit(limit)
         val mode = (req \ "mode").extractOpt[String].getOrElse("vector")
+        // keyset pagination: the LAST hit's [score, key], echoed verbatim
+        // (doubles serialize round-trip-exactly, so the cursor is exact).
+        // Stateless — no scroll context is held server-side.
+        val searchAfter: Option[(Double, Long)] =
+          (req \ "search_after") match {
+            // json4s extracts an ABSENT field as an empty Seq — match
+            // JNothing/JNull explicitly so only present-but-malformed
+            // cursors error
+            case org.json4s.JNothing | org.json4s.JNull => None
+            case v => v.extractOpt[Seq[Double]] match {
+              case Some(Seq(s, key)) if key.isWhole => Some((s, key.toLong))
+              case other => throw new IllegalArgumentException(
+                s"search_after must be [score, key], got $other")
+            }
+          }
+        if (searchAfter.isDefined && mode != "vector" && mode != "keyword")
+          throw new IllegalArgumentException(
+            s"search_after supports modes vector|keyword, not '$mode'")
         val coll = catalog.load(name)
         def embedder = registry.load(coll.config.model_name, coll.config.model_variant)
         val rows = (mode match {
-          case "vector" => coll.search(column, query, limit, embedder)
+          case "vector" => coll.search(column, query, limit, embedder, searchAfter)
           case "keyword" =>
             // require_all=true -> conjunctive (AND) semantics
             val requireAll = (req \ "require_all").extractOpt[Boolean]
               .getOrElse(false)
-            coll.searchKeyword(column, query, limit, requireAll)
+            coll.searchKeyword(column, query, limit, requireAll, searchAfter)
           case "hybrid" => coll.searchHybrid(column, query, limit, embedder)
           case "ann" =>
             val nProbe = (req \ "n_probe").extractOpt[Int].getOrElse(2)
@@ -142,7 +160,13 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
         val results = rows.map { r =>
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""
         }.mkString("[", ",", "]")
-        (200, ok(secs(), s"""{"results":$results}"""))
+        // a FULL page advertises its continuation cursor (vector/keyword
+        // modes); a short page is the end — no next
+        val next =
+          if (rows.length == limit && (mode == "vector" || mode == "keyword"))
+            s""","next":[${rows.last.getDouble(2)},${rows.last.getLong(1)}]"""
+          else ""
+        (200, ok(secs(), s"""{"results":$results$next}"""))
       case ("GET", s"/collections/$name/status") if !name.contains("/") =>
         // operational health over HTTP: per-index-column consistency
         // counters (+ ANN centroid drift) and the ordered maintenance

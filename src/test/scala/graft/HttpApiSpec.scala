@@ -104,6 +104,29 @@ class HttpApiSpec extends SparkSpec {
         qb2.contains("\"n_docs\":4") && qb2.contains("\"avg_tokens\"") &&
         qb2.contains("\"avg_dup3_frac\"") && qb2.contains("\"langs\""), qb2)
 
+      // keyset pagination: a full page advertises "next"; echoing it
+      // back yields the continuation with no overlap, and a short page
+      // carries no cursor
+      val (p1c, p1b) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"apple fruit","limit":2}""")
+      assert(p1c == 200 && p1b.contains("\"next\":["), p1b)
+      val cursor = p1b.split("\"next\":\\[")(1).split("]")(0)
+      val p1keys = "\"key\":(\\d+)".r.findAllMatchIn(p1b).map(_.group(1)).toSet
+      val (p2c, p2b) = post(port, "/collections/docs/search",
+        s"""{"column_name":"text","query":"apple fruit","limit":2,""" +
+          s""""search_after":[$cursor]}""")
+      assert(p2c == 200, p2b)
+      val p2keys = "\"key\":(\\d+)".r.findAllMatchIn(p2b).map(_.group(1)).toSet
+      assert(p2keys.nonEmpty && p2keys.intersect(p1keys).isEmpty,
+        s"pages must not overlap: $p1b / $p2b")
+      // 3 docs total: page 2 is short (1 row) -> no next cursor
+      assert(!p2b.contains("\"next\""), p2b)
+      // cursor with an unsupported mode is a loud 400
+      val (pxc, pxb) = post(port, "/collections/docs/search",
+        """{"column_name":"text","query":"apple","limit":2,"mode":"hybrid",""" +
+          """"search_after":[0.5,1]}""")
+      assert(pxc == 400 && pxb.contains("search_after"), pxb)
+
       // K5 validation and error envelope
       val (bc, bb) = post(port, "/collections/docs/search",
         """{"column_name":"text","query":"x","limit":0}""")
