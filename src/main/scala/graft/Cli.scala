@@ -233,6 +233,9 @@ object Cli {
         if (c.isEmpty) { println(s"exported 0 row(s) — collection " +
           s"'${c.config.name}' has no data"); return }
         val salt = flags.getOrElse("salt", "")
+        val format = flags.getOrElse("format", "parquet")
+        if (format != "parquet" && format != "jsonl")
+          fail(s"--format must be parquet|jsonl, got '$format'")
         val cols = flags.get("columns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
@@ -243,7 +246,7 @@ object Cli {
         flags.get("split") match {
           case None =>
             val manifest = graft.operators.Export.writeShards(
-              src, graft.core.Keys.KeyCol, dest, shardRows, salt)
+              src, graft.core.Keys.KeyCol, dest, shardRows, salt, format)
             val m = manifest.collect()
             println(s"exported ${m.map(_.getAs[Long]("n_rows")).sum} row(s) " +
               s"in ${m.length} shard(s) to $dest (manifest at $dest/_manifest)")
@@ -260,7 +263,8 @@ object Cli {
               }
             }
             val manifest = graft.operators.Export.writeSplitShards(
-              src, graft.core.Keys.KeyCol, dest, shardRows, splits, salt)
+              src, graft.core.Keys.KeyCol, dest, shardRows, splits, salt,
+              format)
             manifest.groupBy("split")
               .agg(org.apache.spark.sql.functions.sum("n_rows").as("rows"),
                 org.apache.spark.sql.functions.count(
@@ -601,6 +605,8 @@ object Cli {
       |            on embedding cosine >= threshold, not shared terms)
       |  export   --collection C --dest DIR [--shard-rows n] [--salt s]
       |           [--columns a,b] [--split train:90,val:5,test:5]
+      |           [--format parquet|jsonl]  # jsonl = interchange shards
+      |            that round-trip through `index`/ImportJsonl
       |           # deterministic training shards, one file per shard +
       |           # audit manifest (re-runs reproduce identical membership
       |           # and order); --split writes per-split trees under

@@ -44,16 +44,27 @@ object Export {
     (rows, manifest)
   }
 
-  /** Write `outDir/shard=N/` parquet (one file per shard, rows in
-    * deterministic order) plus `outDir/_manifest` parquet. Returns the
-    * manifest.
+  /** Write `outDir/shard=N/` (one file per shard, rows in deterministic
+    * order) plus `outDir/_manifest` parquet. Returns the manifest.
+    *
+    * `format`: `parquet` (default — typed, splittable, the training
+    * path) or `jsonl` (interchange — round-trips through `ImportJsonl`
+    * and any other engine's JSON reader; types go through JSON's usual
+    * inference on re-read, so prefer parquet when the consumer is
+    * Spark). Both carry the `pos` column, so a consumer can re-derive
+    * the manifest checksum and PROVE it received every row in order —
+    * the manifest is not a trust-me artifact.
     */
   def writeShards(df: DataFrame, keyCol: String, outDir: String,
-                  rowsPerShard: Int, salt: String = ""): DataFrame = {
+                  rowsPerShard: Int, salt: String = "",
+                  format: String = "parquet"): DataFrame = {
+    require(format == "parquet" || format == "jsonl",
+      s"format must be parquet|jsonl, got '$format'")
     val (rows, manifest) = shardPlan(df, keyCol, rowsPerShard, salt)
-    rows.repartition(col("shard"))
+    val w = rows.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      .write.mode("overwrite").partitionBy("shard")
+    if (format == "jsonl") w.json(outDir) else w.parquet(outDir)
     manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
     manifest
   }
@@ -72,11 +83,12 @@ object Export {
     */
   def writeSplitShards(df: DataFrame, keyCol: String, outDir: String,
                        rowsPerShard: Int, splits: Seq[(String, Int)],
-                       salt: String = ""): DataFrame = {
+                       salt: String = "",
+                       format: String = "parquet"): DataFrame = {
     val assigned = Sampling.hashSplit(df, keyCol, splits)
     splits.map { case (name, _) =>
       writeShards(assigned.filter(col("split") === name).drop("split"),
-          keyCol, s"$outDir/$name", rowsPerShard, salt)
+          keyCol, s"$outDir/$name", rowsPerShard, salt, format)
         .withColumn("split", lit(name))
         .select("split", "shard", "n_rows", "pos_min", "pos_max", "checksum")
     }.reduce(_ unionByName _)
