@@ -213,6 +213,35 @@ object Drive {
       println(s"tokenizer: $nRules rules, ${toks.count()} rows tokenized")
     }
 
+    println("=== 9. eval: recall report, keyset pages, learned quality ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // measured ANN recall through the real probed serving path;
+      // exhaustive probing must be perfect by construction
+      coll.buildAnnIndex("text", nLists = 2, sampleN = 100)
+      val rec = coll.annRecallReport("text", k = 3, nProbe = 2, nQueries = 4)
+        .collect()
+      require(rec.length == 4 && rec.forall(_.getDouble(3) == 1.0),
+        s"exhaustive probing must have recall 1: ${rec.mkString(",")}")
+      // keyset pagination: two cursor pages tile the one true top-6
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val big = keyed(coll.search("text", "alpha beta", 6, emb))
+      val p1 = keyed(coll.search("text", "alpha beta", 3, emb))
+      val p2 = keyed(coll.search("text", "alpha beta", 3, emb,
+        after = Some((p1.last._2, p1.last._1))))
+      require(p1 ++ p2 == big, s"cursor pages must tile: $p1 / $p2 vs $big")
+      // learned quality filter: train on a labeled seed, score every doc
+      val labeled = coll.df.select(col("_key"), col("text"),
+        when(col("text").contains("alpha"), 1.0).otherwise(0.0).as("y"))
+      val scored = graft.operators.Classifier.trainScore(
+        labeled, "_key", "text", "y", dim = 16, iters = 3, lr = 1e-3)
+      require(scored.count() == coll.count(), "one score per doc")
+      println(s"eval: recall report ${rec.length} queries, " +
+        s"pages tile ${p1.size}+${p2.size}, classifier scored ${scored.count()}")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }
