@@ -437,6 +437,17 @@ object TextQueries {
         .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Exact-phrase search (the quoted query): documents containing the
+    // consecutive sequence "hash join", ranked by occurrence count. The
+    // operator is a chain of position-ALIGNED (key, pos) semi-joins over
+    // phrase-term postings — O(phrase-term postings), never a per-doc
+    // regex scan; counts are exact integers, so the page needs no float
+    // discipline at all. ~25 fixture docs match, a handful twice, so the
+    // count ranking and key tie-break are both exercised.
+    "q150_phrase" -> ((s, d) =>
+      Keyword.phraseTopK(documents(s, d), Seq("hash", "join"), k = 10)
+        .select(col("key").as("doc_id"), col("n_matches"))),
+
     // Hybrid retrieval: RRF fusion of the BM25 page and the dense cosine
     // page (Search.topK vs the vec_id=0 query vector) — ranks re-derived
     // from (raw score desc, key) on both sides, 1/(60+r) contributions.
@@ -1062,6 +1073,19 @@ object TextQueries {
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q150_phrase" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | sel AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+         |   FROM t),
+         | m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |   FROM sel
+         |   WHERE toks[CAST(i AS INT)] = 'hash'
+         |     AND toks[CAST(i + 1 AS INT)] = 'join'
+         |   GROUP BY 1)
+         |SELECT doc_id, n_matches FROM m
+         | ORDER BY n_matches DESC, doc_id LIMIT 10""".stripMargin,
 
     "q149_search_after" ->
       s"""WITH $Bm25Cte,

@@ -151,6 +151,51 @@ object Keyword {
       after)
   }
 
+  /** Exact-phrase occurrences `(key, pos)` — one row per start position
+    * of the consecutive token sequence `phrase` (the quoted-query
+    * operator; also the precise half of decontamination checks, where
+    * winnowing is the recall half). Matching is a chain of
+    * position-ALIGNED semi-joins over positional postings: term i's
+    * occurrences shift to `pos - i`, so every join is a plain (key, pos)
+    * equi-join — sort-merge/hash at scale, never a per-doc regex scan or
+    * an all-positions window. Postings prune to the phrase's terms
+    * first, so cost is O(phrase-term postings), the [[bm25FromTables]]
+    * discipline.
+    */
+  def phraseMatches(docs: DataFrame, phrase: Seq[String],
+                    idCol: String = "doc_id", textCol: String = "text",
+                    analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    val terms = phrase.map(_.toLowerCase)
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      "phrase must have at least one non-empty term")
+    val toks = docs.select(col(idCol).as("key"),
+        posexplode(analyzer.tokensCol(col(textCol)))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms.distinct: _*))
+    var cur = toks.filter(col("tok") === terms.head)
+      .select(col("key"), col("pos"))
+    for (i <- 1 until terms.length)
+      cur = cur.join(
+        toks.filter(col("tok") === terms(i))
+          .select(col("key"), (col("pos") - i).as("pos")),
+        Seq("key", "pos"), "left_semi")
+    cur
+  }
+
+  /** Top-k documents by exact-phrase frequency: `(key, n_matches)`,
+    * ties on the lower key. Counts are exact integers — the page is
+    * engine-checkable with no float discipline at all.
+    */
+  def phraseTopK(docs: DataFrame, phrase: Seq[String], k: Int,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    phraseMatches(docs, phrase, idCol, textCol, analyzer)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(desc("n_matches"), col("key"))
+      .limit(k)
+  }
+
   // --- persistent bucketed inverted index --------------------------------
 
   /** md5-derived token bucket — computable identically on the driver

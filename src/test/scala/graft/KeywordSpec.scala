@@ -666,4 +666,31 @@ class KeywordSpec extends SparkSpec {
     assert(got.map(_._1) == want.map(_._1))
     got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-15) }
   }
+
+  test("phrase search: consecutive-only, overlap-counting, repeated terms, blank-safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join beats nested loop hash join"), // 2 occurrences
+      (2L, "hash of the join"),                      // terms present, not adjacent
+      (3L, "join hash"),                             // wrong order
+      (4L, "a hash join"),                           // 1 occurrence
+      (5L, "go go go"),                              // overlapping repeated-term phrase
+      (6L, ""), (7L, null.asInstanceOf[String])      // blank/null text
+    ).toDF("doc_id", "text")
+    def page(phrase: Seq[String]) =
+      graft.search.Keyword.phraseTopK(docs, phrase, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // count desc, key asc; non-adjacent and wrong-order docs never match
+    assert(page(Seq("hash", "join")) == Seq(1L -> 2L, 4L -> 1L))
+    // repeated-term phrase counts overlapping occurrences ("go go" in
+    // "go go go" starts at positions 0 and 1)
+    assert(page(Seq("go", "go")) == Seq(5L -> 2L))
+    assert(page(Seq("GO", "Go")) == Seq(5L -> 2L), "query terms lowercase")
+    // single-term phrase degrades to term occurrence counting
+    assert(page(Seq("hash")) == Seq(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(page(Seq("quasar")).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.search.Keyword.phraseTopK(docs, Seq.empty, 10)
+    }
+  }
 }
