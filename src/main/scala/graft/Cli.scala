@@ -157,8 +157,19 @@ object Cli {
               numMerges = flags.getOrElse("merges", "200").toInt,
               minCount = flags.getOrElse("min-count", "2").toLong)
             println(s"trained BPE tokenizer on '$column' ($n rules)")
+          case "classifier" =>
+            // learned quality filter: positives labeled by a SQL
+            // predicate over the collection's columns
+            val where = flags.getOrElse("positive-where",
+              fail("--type classifier requires --positive-where \"<sql>\""))
+            val nPos = c.trainClassifier(column,
+              org.apache.spark.sql.functions.expr(where),
+              dim = flags.getOrElse("dim", "64").toInt,
+              iters = flags.getOrElse("iters", "3").toInt)
+            println(s"trained quality classifier on '$column' " +
+              s"($nPos positive-labeled rows)")
           case other =>
-            fail(s"--type must be ann|keyword|dedup|tokenizer, got '$other'")
+            fail(s"--type must be ann|keyword|dedup|tokenizer|classifier, got '$other'")
         }
       case "repair" =>
         // unscoped full reconcile (fsck): re-fingerprint the corpus and
@@ -358,6 +369,32 @@ object Cli {
         c.config.index_columns.foreach { col =>
           println(s"column '$col':")
           c.indexStatus(col).show(20, truncate = false)
+        }
+      case "classify" =>
+        // score every row under the stored learned filter; --dest writes
+        // the (key, score) parquet, otherwise a summary prints;
+        // --clean-below erases the low band through deleteKeys
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        flags.get("clean-below") match {
+          case Some(t) =>
+            val n = c.cleanByClassifier(column, t.toDouble)
+            println(s"erased $n row(s) scoring below $t " +
+              s"(${c.count()} rows remain)")
+          case None =>
+            val scores = c.classifierScores(column)
+            flags.get("dest") match {
+              case Some(dest) =>
+                scores.write.mode("overwrite").parquet(dest)
+                println(s"wrote ${c.count()} score row(s) to $dest")
+              case None =>
+                import org.apache.spark.sql.functions.{avg, min, max}
+                val r = scores.agg(min("score"), avg("score"), max("score")).head()
+                println(f"scores over ${c.count()}%d row(s): " +
+                  f"min=${r.getDouble(0)}%.4f avg=${r.getDouble(1)}%.4f " +
+                  f"max=${r.getDouble(2)}%.4f")
+            }
         }
       case "eval-recall" =>
         // measured IVF recall through the real serving path: hash-ordered
@@ -576,9 +613,10 @@ object Cli {
       |  delete   --collection C --keys 1,2,3   # erase rows from the
       |            collection AND every index (vector/keyword/dedup/ANN)
       |  build-index --collection C [--column col]
-      |           [--type ann|keyword|dedup|tokenizer]
+      |           [--type ann|keyword|dedup|tokenizer|classifier]
       |           [--n-lists n] [--pq-m m] [--analyzer ws|wp|stop:w1,w2,...]
-      |           [--merges n] [--min-count c]
+      |           [--merges n] [--min-count c] [--positive-where "<sql>"]
+      |           [--dim n] [--iters n]
       |            # persisted acceleration structures; --pq-m stores
       |            # m-byte PQ codes + exact rerank; --analyzer picks the
       |            # keyword tokenization (persisted in the index);
@@ -611,6 +649,11 @@ object Cli {
       |           # audit manifest (re-runs reproduce identical membership
       |           # and order); --split writes per-split trees under
       |           # DIR/<name> with hash-range, append-stable assignment
+      |  classify --collection C [--column col] [--dest dir]
+      |           [--clean-below t]  # score rows under the trained
+      |            quality filter (build-index --type classifier
+      |            --positive-where "<sql>"); --clean-below erases the
+      |            low band through the full deleteKeys surface
       |  eval-recall --collection C [--column col] [--k 10] [--n-probe 2]
       |           [--queries 32]  # measured ANN recall/MRR/nDCG vs the
       |            exact gold through the real probed serving path

@@ -2520,6 +2520,93 @@ class Collection private[core] (
       df.select(col(KeyCol), col(column)), column, rules)
   }
 
+  // ---- learned quality classifier (persisted weights) -----------------
+  //
+  // Like the tokenizer and the IVF centroids, the trained weights are an
+  // aggregate artifact: derived from the corpus, not keyed by rows —
+  // deleteKeys leaves them alone, drift is handled by explicit
+  // retraining. The weight table is dim+1 doubles; serving broadcasts it
+  // into a row-local scorer (zero shuffles, stateless on a stream).
+
+  def classifierDir(column: String): String =
+    s"$dir/${config.index_dir}/${column}_clf"
+
+  def hasClassifier(column: String): Boolean = {
+    recoverSwap(classifierDir(column))
+    fs.exists(new Path(s"${classifierDir(column)}/weights"))
+  }
+
+  /** Train the learned quality filter on THIS collection's rows:
+    * y = 1.0 where `positive` holds, 0.0 elsewhere
+    * ([[graft.operators.Classifier]]'s fixed-point logistic GD — trained
+    * weights are bit-deterministic), and persist the weights beside the
+    * other per-column index artifacts (fresh build in place, retrain via
+    * the staged swap readers heal). Returns the positive-label count the
+    * model was fit on (0 or all-positive corpora train a useless
+    * constant model — the count lets callers notice).
+    */
+  def trainClassifier(column: String, positive: org.apache.spark.sql.Column,
+                      dim: Int = 64, iters: Int = 3,
+                      lr: Double = 1e-5): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = classifierDir(column)
+      recoverSwap(target)
+      val labeled = df.select(col(KeyCol), col(column),
+        when(positive, 1.0).otherwise(0.0).as("__y"))
+      val feats = graft.operators.Classifier
+        .hashedFeatures(labeled, KeyCol, column, dim).localCheckpoint()
+      val w = graft.operators.Classifier.train(feats,
+        labeled.select(col(KeyCol), col("__y").as("y")), KeyCol,
+        dim, iters, lr)
+      val nPos = labeled.filter(col("__y") === 1.0).count()
+      import spark.implicits._
+      def build(where: String): Unit = {
+        w.toIndexedSeq.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
+          .toDF("j", "w")
+          .coalesce(1).write.mode("overwrite").parquet(s"$where/weights")
+        Seq((dim, iters, lr, nPos))
+          .toDF("dim", "iters", "lr", "n_pos")
+          .write.mode("overwrite").parquet(s"$where/params")
+      }
+      if (!fs.exists(new Path(target))) build(target)
+      else writeAndSwap(target) { tmp =>
+        build(tmp)
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      }
+      nPos
+    } finally writeLock.unlock()
+  }
+
+  /** The stored weight vector (index dim = bias). */
+  def classifierWeights(column: String): Array[Double] = {
+    require(hasClassifier(column), s"no classifier trained for '$column'")
+    val rows = spark.read.parquet(s"${classifierDir(column)}/weights")
+      .orderBy("j").collect()
+    rows.map(_.getDouble(1)) // bounded: dim + 1 rows
+  }
+
+  /** Score every row under the stored weights: `(_key, score)` with
+    * score the raw margin (monotone in the positive-class probability).
+    * Row-local ([[graft.operators.Classifier.scoreUdf]] — bit-equal to
+    * the training-side fold, zero shuffles), so the same call serves a
+    * batch report or a `foreachBatch` stream stage.
+    */
+  def classifierScores(column: String): DataFrame = {
+    val w = classifierWeights(column)
+    df.select(col(KeyCol),
+      graft.operators.Classifier.scoreUdf(w)(col(column)).as("score"))
+  }
+
+  /** Erase every row whose learned score falls below `threshold` —
+    * the trained-filter form of [[cleanByQuality]]: same full-surface
+    * [[deleteKeys]] path, so all index families follow the data.
+    */
+  def cleanByClassifier(column: String, threshold: Double): Long =
+    deleteKeys(classifierScores(column)
+      .filter(col("score") < threshold).select(col(KeyCol)))
+
   // ---- saved percolation queries (reverse search / alerting) ----------
 
   /** Directory holding the collection's saved percolation queries —
@@ -2799,6 +2886,7 @@ class Collection private[core] (
         recoverSwap(t); recoverSwap(annListsDir(c0))
         recoverFileSwap(annListsDir(c0)); recoverFileSwap(s"$t/fps")
       case (c0, "tok") => recoverSwap(tokenizerDir(c0))
+      case (c0, "clf") => recoverSwap(classifierDir(c0))
       case _ => ()
     }
   }
@@ -2843,6 +2931,7 @@ class Collection private[core] (
         else if (n.endsWith("_dd")) (n.dropRight(3), "dd")
         else if (n.endsWith("_ann")) (n.dropRight(4), "ann")
         else if (n.endsWith("_tok")) (n.dropRight(4), "tok")
+        else if (n.endsWith("_clf")) (n.dropRight(4), "clf")
         else (n, "vector")
       }
       .sortBy { case (c0, kind) => (if (kind == "vector") 0 else 1, c0) }
@@ -2876,7 +2965,7 @@ object Identifiers {
     "_precompact", "_compacting", "__stage", "__stage_commit",
     // index-structure dir suffixes: column "body_kw" would collide with
     // column "body"'s keyword index directory under index/
-    "_kw", "_dd", "_ann", "_tok")
+    "_kw", "_dd", "_ann", "_tok", "_clf")
 
   def validate(name: String): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),

@@ -114,6 +114,46 @@ object Classifier {
   def score(feats: DataFrame, w: Array[Double], keyCol: String): DataFrame =
     margins(feats, w, keyCol).withColumnRenamed("margin", "score")
 
+  /** Scalar twin of [[hashedFeatures]]' bucket: first 8 hex of
+    * md5(token) mod dim (identical to the column-side
+    * `conv(substring(md5(tok), 1, 8), 16, 10) % dim`).
+    */
+  def bucketOf(tok: String, dim: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % dim).toInt
+  }
+
+  /** Scalar serving twin of [[margins]]: same tokenization (lowercase,
+    * trim, whitespace split, empties dropped), same bucket hash, and the
+    * SAME sorted-j fold `acc + w_j * x_j` with the bias last — so scores
+    * are bit-identical to the distributed form (spec'd), but row-local:
+    * no shuffle, no state, safe inside a streaming map. `w.length` must
+    * be dim + 1.
+    */
+  def scalarScore(text: String, w: Array[Double]): Double = {
+    val dim = w.length - 1
+    val counts = new java.util.TreeMap[Int, Long]()
+    Option(text).map(_.toLowerCase.trim).getOrElse("")
+      .split("\\s+").filter(_.nonEmpty)
+      .foreach { t => counts.merge(bucketOf(t, dim), 1L, (a, b) => a + b) }
+    counts.put(dim, 1L) // bias: largest j, folds last like sort_array's
+    var acc = 0.0
+    counts.forEach { (j, x) => acc = acc + w(j) * x.toDouble }
+    acc
+  }
+
+  /** Row-local scoring column over trained weights — the serving/stream
+    * shape: [[scalarScore]] as a UDF (the per-row TreeMap build doesn't
+    * codegen, but it replaces a corpus-wide explode + groupBy with zero
+    * shuffles and is stateless on a stream; the janino-expressible
+    * alternative would fold in token order and drift from training's
+    * sorted-j f64 by a few ulps — bit-parity with training wins here).
+    */
+  def scoreUdf(w: Array[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => scalarScore(text, w))
+
   /** Train-and-score in one call: hash features once, fit, score every
     * input row. `docs` must carry `(keyCol, textCol, labelCol)` with the
     * label 0.0/1.0. Output `(keyCol, label BIGINT, score DOUBLE
