@@ -58,4 +58,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"membership is a pure function of the key — no shuffle allowed:\n$p")
   }
+
+  test("classifier serving (scoreUdf) plans zero shuffles") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val w = Array.fill(17)(0.01)
+    val p = planOf(docs.select(col("doc_id"),
+      graft.operators.Classifier.scoreUdf(w)(col("text")).as("score")))
+    assert(!p.contains("Exchange"),
+      s"row-local scoring must not shuffle (that's its point vs margins):\n$p")
+  }
+
+  test("classifier gradient is a partial aggregate (map-side combine)") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val feats = graft.operators.Classifier.hashedFeatures(docs, "doc_id", "text", 32)
+    // the j-keyed sum that feeds the driver's weight update: dim+1 keys,
+    // partial_sum before the exchange so the shuffle carries at most
+    // dim+1 rows per map task
+    val g = feats.groupBy(col("j")).agg(sum(col("x")).as("g"))
+    val p = planOf(g)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"gradient must combine map-side:\n$p")
+  }
+
+  test("phrase matching joins by hash/merge on (key, pos), never nested-loop") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val p = planOf(graft.search.Keyword.phraseMatches(docs,
+      Seq("hash", "join", "fast")))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"aligned semi-joins must stay equi-joins:\n$p")
+  }
+
+  test("keyset vector page (topKAfter) has no window and a partial max") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val p = planOf(graft.search.Search.topKAfter(emb,
+      Array.fill(384)(0.1f), 10, (0.5, 42L), keyColName = "vec_id"))
+    assert(!p.contains("Window"),
+      s"deep page must not window the corpus:\n$p")
+    assert(p.contains("partial_max") || p.contains("Partial"),
+      s"per-key max must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the page cut must be TakeOrdered's k-per-partition bound:\n$p")
+  }
 }
