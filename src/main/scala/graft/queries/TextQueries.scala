@@ -494,6 +494,29 @@ object TextQueries {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // Phrase percolation: saved QUOTED queries — a doc matches only if
+    // the phrase occurs as consecutive tokens ("join hash" and "hash
+    // join" match different docs; term percolation can't tell them
+    // apart). Row-local: both sides join tokens with sentinel spaces and
+    // the test is one substring probe per (doc, query) — no positions
+    // table, no shuffle, streams unchanged. 3-term and no-match phrases
+    // exercise the boundary guards.
+    "q151_percolate_phrase" -> ((s, d) => {
+      import s.implicits._
+      val saved = Seq(
+        (1L, "hash join"),
+        (2L, "slow scan"),
+        (3L, "vector window batch"),
+        (4L, "join hash"),
+        (5L, "quasar pulse")
+      ).toDF("query_id", "query")
+      Keyword.percolatePhrases(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", saved)
+        .select(col("key").as("doc_id"), col("query_id"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // Collection-surface percolation with ANALYZER PARITY: the saved
     // queries tokenize through the keyword index's persisted stopword
     // analyzer, so "the fast join" matches documents containing fast+join
@@ -1105,6 +1128,22 @@ object TextQueries {
 
     // percolation: distinct doc tokens joined to distinct stored-query
     // terms; a hit must match EVERY term of the query
+    "q151_percolate_phrase" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  (CAST(1 AS BIGINT), 'hash join'), (2, 'slow scan'),
+         |  (3, 'vector window batch'), (4, 'join hash'),
+         |  (5, 'quasar pulse')),
+         | t AS (SELECT doc_id,
+         |   ' ' || array_to_string(list_filter($Toks, x -> x <> ''), ' ')
+         |     || ' ' AS norm FROM documents),
+         | qq AS (SELECT query_id,
+         |   ' ' || array_to_string(list_filter(
+         |     string_split_regex(trim(lower(qtext)), '\\s+'),
+         |     x -> x <> ''), ' ') || ' ' AS qn FROM q)
+         |SELECT t.doc_id, qq.query_id FROM t, qq
+         | WHERE strpos(t.norm, qq.qn) > 0
+         | ORDER BY query_id, doc_id""".stripMargin,
+
     "q121_percolate" ->
       s"""WITH q(query_id, qtext) AS (VALUES
          |  (1, 'fast join'), (2, 'vector window batch'),

@@ -777,6 +777,34 @@ object Keyword {
     else scored.filter(col("matched_terms") > 0)
   }
 
+  /** Phrase percolation: which saved queries occur in each document as
+    * an exact CONSECUTIVE token sequence — the alerting shape for quoted
+    * queries (term percolation fires on "hash ... join" anywhere;
+    * this only on "hash join" adjacent). Row-local like
+    * [[percolateRowwise]]: both sides normalize to a space-joined token
+    * string with sentinel spaces, and the phrase test is one substring
+    * probe per (doc, query) — space-delimited tokens make the token-
+    * boundary guarantee exact, no positions table and no shuffle, so
+    * the identical plan runs on a stream. Output `(key, query_id)`.
+    */
+  def percolatePhrases(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, queryIdCol: String = "query_id",
+                       queryTextCol: String = "query",
+                       analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    def joined(c: Column): Column =
+      concat(lit(" "), array_join(analyzer.tokensCol(c), " "), lit(" "))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        joined(col(queryTextCol)).as("__q_norm"))
+      // an empty phrase would match everything — drop it, same as a
+      // no-token query matching nothing under requireAll percolation
+      .filter(col("__q_norm") =!= "  ")
+    docs
+      .select(col(idCol).as("key"), joined(col(textCol)).as("__d_norm"))
+      .crossJoin(broadcast(q))
+      .filter(instr(col("__d_norm"), col("__q_norm")) > 0)
+      .select(col("key"), col("query_id"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], keyCol: String, k: Int,
               c: Int = DefaultRrfC): DataFrame = {
     require(lists.nonEmpty, "rrfFuse requires at least one ranked list")

@@ -693,4 +693,27 @@ class KeywordSpec extends SparkSpec {
       graft.search.Keyword.phraseTopK(docs, Seq.empty, 10)
     }
   }
+
+  test("phrase percolation: token boundaries, order, blank-safe, stream-shaped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the hash join wins"),
+      (2L, "smash joint venture"),    // substring 'ash jo' inside tokens
+      (3L, "join hash reversed"),
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val saved = Seq((1L, "hash join"), (2L, "ash jo"), (3L, "  "), (4L, "JOIN hash"))
+      .toDF("query_id", "query")
+    val got = graft.search.Keyword.percolatePhrases(docs, "doc_id", "text", saved)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // q1 matches only doc 1 (adjacent, in order); q2 never matches inside
+    // tokens; q3 (empty phrase) matches nothing; q4 lowercases and
+    // matches only the reversed doc
+    assert(got == Seq(1L -> 1L, 3L -> 4L), s"got $got")
+    // the plan is shuffle-free (broadcast only) — streamable as-is
+    val p = graft.search.Keyword.percolatePhrases(docs, "doc_id", "text", saved)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange (hash|range|Single)".r.unanchored.matches(p),
+      s"phrase percolation must not shuffle:\n$p")
+  }
 }
