@@ -50,35 +50,30 @@ object Winnowing {
     * documents with fewer than `w` grams are winnowed as a single
     * (short) window, so every non-empty document keeps at least one
     * fingerprint.
+    *
+    * Execution is ROW-LOCAL ([[winnowLocal]]'s monotonic-deque scan —
+    * O(grams), zero shuffles): winnowing never crosses a document
+    * boundary, so there is nothing for a shuffle to do. The earlier
+    * declarative form (gram explode × w window explode + a (key, win)
+    * min-aggregate) computed the identical selection — WinnowingSpec
+    * pins the deque against the same independent naive model — but
+    * pushed w× the gram rows through an exchange; at sf0.1 the swap cut
+    * the q142/q144/q145 family roughly in half. `keyCol` must be
+    * integral (every fingerprint consumer keys by `_key`/`doc_id`).
     */
   def fingerprints(df: DataFrame, keyCol: String, textCol: String,
                    k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    val grams = df
-      .withColumn("__norm", normalize(col(textCol)))
-      .withColumn("__g", (length(col("__norm")) - k + 1).cast("int"))
-      .filter(col("__g") >= 1)
-      // window count: one window per w-gram run, or a single window when
-      // the doc has fewer than w grams
-      .withColumn("__wn", greatest(col("__g") - w + 1, lit(1)))
-      .select(col(keyCol), col("__wn"),
-        posexplode(expr(s"transform(sequence(1, __g), i -> substring(__norm, i, $k))"))
-          .as(Seq("__i", "__gram")))
-      .select(col(keyCol), col("__wn"),
-        (col("__i") + 1).as("pos"), gramHash(col("__gram")).as("fp"))
-    // each gram at pos p sits in windows [max(1, p-w+1), min(p, windows)]
-    val entries = grams.select(col(keyCol), col("pos"), col("fp"),
-      explode(sequence(greatest(col("pos") - (w - 1), lit(1)),
-        least(col("pos"), col("__wn")))).as("win"))
-    // per-window minimum hash, rightmost position on ties: the struct
-    // min on (fp, -pos) encodes both orderings in one aggregate
-    entries
-      .groupBy(col(keyCol), col("win"))
-      .agg(min(struct(col("fp"), (-col("pos")).as("negpos"))).as("sel"))
-      .select(col(keyCol), (-col("sel.negpos")).cast("long").as("pos"),
-        col("sel.fp").as("fp"))
-      .distinct()
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (key, text) =>
+        winnowLocal(text, k, w).iterator
+          .map { case (pos, fp) => (key, pos.toLong, fp) }
+      }
+      .toDF(keyCol, "pos", "fp")
   }
 
   /** Executor-local twin of [[fingerprints]] — one document, same

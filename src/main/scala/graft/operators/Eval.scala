@@ -26,6 +26,69 @@ object Eval {
 
   private val Ln2 = 0.6931471805599453 // ln(2), exact literal both engines
 
+  /** Paired bootstrap significance test (Sakai, SIGIR 2006 evaluation
+    * practice): is system A's per-query metric really better than
+    * system B's, or is the mean delta luck of the query draw? Takes the
+    * two systems' per-query metric tables (e.g. two
+    * [[retrievalMetrics]] outputs), pairs them by query, and resamples
+    * the paired deltas `nBoot` times WITH replacement; the one-sided
+    * p-value is the fraction of resamples whose mean delta is <= 0.
+    *
+    * Resampling is DETERMINISTIC — draw (b, i) picks the query ranked
+    * `hex8(md5(b || ':' || i)) % n` by query id — so the p-value is a
+    * reproducible function of the inputs, re-derivable in any engine
+    * (the q64/q132 hash-sampling discipline applied to evaluation).
+    *
+    * Scale shape: the metric tables are per-QUERY (eval sets — hundreds
+    * to thousands of rows, never corpora); the draw grid is nBoot × n
+    * rows built from `sequence`, joined to deltas by rank — broadcast-
+    * sized at any realistic eval size. Output: one row
+    * `(n_queries, mean_delta, p_value)`, floats rounded 6.
+    */
+  def pairedBootstrap(metricsA: DataFrame, metricsB: DataFrame,
+                      metricCol: String, nBoot: Int = 200,
+                      queryCol: String = "query_id"): DataFrame = {
+    require(nBoot >= 1, s"nBoot must be >= 1, got $nBoot")
+    val deltas = metricsA.select(col(queryCol),
+        col(metricCol).cast("double").as("__a"))
+      .join(metricsB.select(col(queryCol),
+        col(metricCol).cast("double").as("__b")), Seq(queryCol))
+      .select(col(queryCol), (col("__a") - col("__b")).as("delta"))
+    // rank deltas by query id so draw -> query is a stable total order;
+    // the delta table is eval-set-sized, collect/sort stays tiny but we
+    // keep it distributed anyway: a rank join, not a collect
+    val ranked = deltas
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(queryCol)))
+        .cast("long"))
+    val n = ranked.count()
+    require(n >= 1, "no paired queries to resample")
+    val draws = ranked.sparkSession.range(1, nBoot + 1)
+      .select(col("id").as("b"),
+        explode(sequence(lit(1L), lit(n))).as("i"))
+      .select(col("b"),
+        (conv(substring(md5(concat(col("b").cast("string"), lit(":"),
+          col("i").cast("string"))), 1, 8), 16, 10).cast("long") % n + 1L)
+          .as("__r"))
+    val perBoot = draws.join(ranked.select(col("__r"), col("delta")), Seq("__r"))
+      .groupBy(col("b"))
+      // deltas fold in sorted (draw index irrelevant — mean is over the
+      // multiset; sum order pinned by sorting the drawn deltas)
+      .agg(aggregate(sort_array(collect_list(col("delta"))), lit(0.0),
+        (acc, x) => acc + x).as("__sum"), count(lit(1)).as("__n"))
+      .select(col("b"), (col("__sum") / col("__n")).as("mean_delta"))
+    val overall = deltas.agg(
+      aggregate(sort_array(collect_list(col("delta"))), lit(0.0),
+        (acc, x) => acc + x).as("__sum"), count(lit(1)).as("__n"))
+    perBoot.agg(
+        count(lit(1)).as("__nb"),
+        sum(when(col("mean_delta") <= 0.0, 1L).otherwise(0L)).as("__le"))
+      .crossJoin(overall)
+      .select(col("__n").as("n_queries"),
+        round(col("__sum") / col("__n"), 6).as("mean_delta"),
+        round(col("__le").cast("double") / col("__nb"), 6).as("p_value"))
+  }
+
   /** `results`: `(queryCol, keyCol, rankCol)` — a ranked candidate page
     * per query (rank 1-based). `gold`: `(queryCol, keyCol)` — the
     * relevant keys per query. Returns one row per GOLD query (queries

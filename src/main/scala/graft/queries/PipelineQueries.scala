@@ -714,6 +714,26 @@ object PipelineQueries {
       graft.operators.Classifier.trainScore(docs, "doc_id", "text", "y",
           dim = 32, iters = 3, lr = 1e-5)
         .orderBy(col("doc_id"))
+    }),
+
+    // Paired bootstrap significance (the eval-harness capstone): is
+    // system A really better than B, or is the mean per-query delta
+    // luck of the query draw? Resampling is hash-deterministic (draw
+    // (b, i) -> query ranked md5(b:i) % n), so the p-value is an exact,
+    // engine-checkable function of the inputs — the q64/q132 sampling
+    // discipline applied to evaluation. The fixture gives 40 queries
+    // md5-fraction metrics under two salts; the graded surface is the
+    // ENTIRE test: pairing, the draw grid, per-resample sorted-fold
+    // means, and the single-division p-value.
+    "q152_eval_bootstrap" -> ((s, d) => {
+      def frac(salt: String) =
+        conv(substring(md5(concat(col("query_id").cast("string"),
+          lit(salt))), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+      val q = documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id").as("query_id"))
+      val mA = q.withColumn("recall", frac("A"))
+      val mB = q.withColumn("recall", frac("B"))
+      graft.operators.Eval.pairedBootstrap(mA, mB, "recall", nBoot = 200)
     })
   )
 
@@ -1408,6 +1428,40 @@ object PipelineQueries {
         |FROM m ORDER BY query_id""".stripMargin,
 
     "q147_quality_classifier" -> classifierOracle(dim = 32, iters = 3),
+
+    "q152_eval_bootstrap" ->
+      s"""WITH q AS (SELECT doc_id AS query_id FROM documents
+         |   WHERE doc_id < 40),
+         | m AS (SELECT query_id,
+         |   (SELECT $Hex8 FROM (SELECT md5(CAST(query_id AS VARCHAR) || 'A') AS hx))
+         |     / 4294967296.0
+         |   - (SELECT $Hex8 FROM (SELECT md5(CAST(query_id AS VARCHAR) || 'B') AS hx))
+         |     / 4294967296.0 AS delta
+         |   FROM q),
+         | r AS (SELECT query_id, delta,
+         |   CAST(row_number() OVER (ORDER BY query_id) AS BIGINT) AS rr
+         |   FROM m),
+         | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+         | g AS (SELECT b.b, i.i FROM
+         |   (SELECT unnest(range(1, 201)) AS b) b,
+         |   (SELECT unnest(range(1, (SELECT n FROM n) + 1)) AS i) i),
+         | d AS (SELECT b,
+         |   (SELECT $Hex8 FROM (SELECT md5(CAST(b AS VARCHAR) || ':' ||
+         |      CAST(i AS VARCHAR)) AS hx)) % (SELECT n FROM n) + 1 AS rr
+         |   FROM g),
+         | pb AS (SELECT d.b,
+         |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |     list(r.delta ORDER BY r.delta)), (a, x) -> a + x)
+         |   / CAST(count(*) AS BIGINT) AS mean_delta
+         |   FROM d JOIN r USING (rr) GROUP BY d.b),
+         | ov AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |     list(delta ORDER BY delta)), (a, x) -> a + x)
+         |   / CAST(count(*) AS BIGINT) AS mean_delta FROM m)
+         |SELECT ov.n_queries, round(ov.mean_delta, 6) AS mean_delta,
+         |  round(CAST((SELECT count(*) FROM pb WHERE mean_delta <= 0.0)
+         |    AS DOUBLE) / (SELECT count(*) FROM pb), 6) AS p_value
+         |FROM ov""".stripMargin,
 
     "q145_winnow_decontam" ->
       s"""${winnowSelCte(20, 8)},

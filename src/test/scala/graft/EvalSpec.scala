@@ -75,4 +75,36 @@ class EvalSpec extends SparkSpec {
     assert(rows(0).getLong(1) === 1L)
     assert(rows(0).getDouble(3) === 1.0)
   }
+
+  private def boot(a: Seq[(Long, Double)], b: Seq[(Long, Double)],
+                   nBoot: Int = 100) =
+    Eval.pairedBootstrap(a.toDF("query_id", "recall"),
+      b.toDF("query_id", "recall"), "recall", nBoot).head()
+
+  test("paired bootstrap: a strictly dominant system is significant") {
+    val a = (1L to 20L).map(q => (q, 0.9))
+    val b = (1L to 20L).map(q => (q, 0.5))
+    val r = boot(a, b)
+    assert(r.getLong(0) === 20L)
+    assert(math.abs(r.getDouble(1) - 0.4) < 1e-9)
+    assert(r.getDouble(2) === 0.0, "every resample's mean delta is 0.4 > 0")
+  }
+
+  test("paired bootstrap: identical systems are maximally insignificant") {
+    val a = (1L to 20L).map(q => (q, 0.7))
+    val r = boot(a, a)
+    assert(r.getDouble(1) === 0.0 && r.getDouble(2) === 1.0,
+      "zero deltas: every resample mean is 0 <= 0")
+  }
+
+  test("paired bootstrap is deterministic and pairs by query id") {
+    val a = (1L to 15L).map(q => (q, (q % 5).toDouble / 5))
+    val b = (1L to 15L).map(q => (q, (q % 3).toDouble / 3))
+    val r1 = boot(a, b, nBoot = 150)
+    val r2 = boot(a.reverse, b, nBoot = 150) // row order must not matter
+    assert(r1 === r2)
+    // unpaired queries are excluded from the test
+    val r3 = boot(a ++ Seq((99L, 1.0)), b)
+    assert(r3.getLong(0) === 15L)
+  }
 }
