@@ -657,6 +657,33 @@ object PipelineQueries {
           "doc_id", minShared = 20, maxPostings = 100)
         .orderBy(col("key_a"), col("key_b"))),
 
+    // Split-leakage audit (the check every hash-split release needs):
+    // near-identical docs landing on DIFFERENT sides of the train/val/
+    // test split — exactly the leakage that inflates eval numbers.
+    // Pure composition of shipped operators: winnowed overlap pairs
+    // (verbatim-overlap recall guarantee) x hashSplit assignment,
+    // keeping only cross-split pairs. At scale this is the q144 pair
+    // join plus one broadcast-sized split map — no new shuffle shape.
+    "q153_split_leakage" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val pairs = graft.functions.Winnowing.sharedFingerprintPairs(
+        graft.functions.Winnowing.fingerprints(docs, "doc_id", "text",
+          k = 8, w = 8),
+        "doc_id", minShared = 20, maxPostings = 100)
+      val splits = Sampling.hashSplit(docs.select(col("doc_id")),
+          "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("key_a"),
+          col("split").as("split_a")), Seq("key_a"))
+        .join(splits.select(col("doc_id").as("key_b"),
+          col("split").as("split_b")), Seq("key_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("key_a"), col("key_b"), col("shared"),
+          col("split_a"), col("split_b"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     // Verbatim-overlap decontamination: screen the corpus against the
     // src0 docs as a stand-in eval set — any doc quoting >= w+k-1 = 27
     // consecutive normalized chars of an eval item is GUARANTEED to
@@ -1484,6 +1511,29 @@ object PipelineQueries {
          |   WHERE a.doc_id < b.doc_id)
          |SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS shared
          |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 20
+         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q153_split_leakage" ->
+      s"""$WinnowSel,
+         | fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE rn = 1),
+         | kept AS (SELECT fp FROM fps GROUP BY fp
+         |   HAVING count(*) > 1 AND count(*) <= 100),
+         | pairs AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b, a.fp
+         |   FROM fps a JOIN fps b USING (fp) JOIN kept USING (fp)
+         |   WHERE a.doc_id < b.doc_id),
+         | sh AS (SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS shared
+         |   FROM pairs GROUP BY 1, 2 HAVING count(*) >= 20),
+         | sp AS (SELECT doc_id,
+         |   CASE WHEN bucket < 90 THEN 'train'
+         |        WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |   FROM (SELECT doc_id, $Hex8 % 100 AS bucket FROM
+         |     (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+         |      FROM documents)))
+         |SELECT sh.key_a, sh.key_b, sh.shared,
+         |  sa.split AS split_a, sb.split AS split_b
+         |FROM sh JOIN sp sa ON sh.key_a = sa.doc_id
+         |  JOIN sp sb ON sh.key_b = sb.doc_id
+         |WHERE sa.split <> sb.split
          |ORDER BY key_a, key_b""".stripMargin
   )
 

@@ -12,7 +12,7 @@ class DriverContractSpec extends org.scalatest.funsuite.AnyFunSuite {
     // local failure instead. Keep the dynamic list in sync with
     // SparkEntry.dynamicOracleSql's attempt() names.
     val dynamic = Set("q_ivf_topk", "q71_pq", "q84_pq_rerank",
-      "q130_semdedup_ivf")
+      "q130_semdedup_ivf", "q148_ann_recall")
     val unchecked = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- dynamic
     assert(unchecked.isEmpty,
