@@ -743,6 +743,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SFT example assembly: render (prompt, response) into the chat
+    // template with the LOSS SPAN as 1-based inclusive char offsets —
+    // substring(text, loss_start, len) == response by construction
+    // (spec'd), so the mask survives any later tokenizer. Row-local
+    // concat + length arithmetic; the fixture derives pairs from the
+    // documents text so offsets vary per row.
+    "q154_sft_render" -> ((s, d) => {
+      val pairs = documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 80).as("prompt"),
+        substring(col("text"), 81, 160).as("response"))
+      graft.operators.Sft.renderPairs(pairs, "doc_id", "prompt", "response",
+          systemPrompt = Some("You are a helpful assistant."))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Length-bucketed batching with padding accounting: batches filled
+    // in (len DESC, key) order via the distributed rank (range partition
+    // + zipWithIndex — no single-task sort), per-batch padding =
+    // n*max - sum, all integers. The graded output carries BOTH
+    // strategies' per-batch stats (length-sorted vs the salted-md5
+    // random baseline) so the padding saved is itself oracle-checked.
+    "q155_length_batching" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      val byLen = graft.operators.Batching.paddingStats(
+        graft.operators.Batching.lengthBatches(docs, "doc_id", "n_chars", 32),
+        "n_chars").withColumn("strategy", lit("length"))
+      val rand = graft.operators.Batching.paddingStats(
+        graft.operators.Batching.shuffledBatches(docs, "doc_id", "n_chars", 32),
+        "n_chars").withColumn("strategy", lit("shuffle"))
+      byLen.unionByName(rand)
+        .select(col("strategy"), col("batch_id"), col("n"), col("max_len"),
+          col("sum_len"), col("padding"))
+        .orderBy(col("strategy"), col("batch_id"))
+    }),
+
     // Paired bootstrap significance (the eval-harness capstone): is
     // system A really better than B, or is the mean per-query delta
     // luck of the query draw? Resampling is hash-deterministic (draw
@@ -1455,6 +1491,42 @@ object PipelineQueries {
         |FROM m ORDER BY query_id""".stripMargin,
 
     "q147_quality_classifier" -> classifierOracle(dim = 32, iters = 3),
+
+    "q154_sft_render" ->
+      """WITH p AS (SELECT doc_id,
+        |   coalesce(substr(text, 1, 80), '') AS prompt,
+        |   coalesce(substr(text, 81, 160), '') AS response
+        |   FROM documents),
+        | r AS (SELECT doc_id,
+        |   '<|system|>' || chr(10) || 'You are a helpful assistant.'
+        |     || chr(10) || '<|user|>' || chr(10) || prompt || chr(10)
+        |     || '<|assistant|>' || chr(10) AS prefix,
+        |   response FROM p)
+        |SELECT doc_id, prefix || response || '<|end|>' AS text,
+        |  CAST(length(prefix) + 1 AS BIGINT) AS loss_start,
+        |  CAST(length(prefix) + length(response) AS BIGINT) AS loss_end
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q155_length_batching" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |   FROM documents),
+         | bl AS (SELECT doc_id, n_chars,
+         |   (CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+         |     AS BIGINT) - 1) // 32 AS batch_id FROM d),
+         | br AS (SELECT doc_id, n_chars,
+         |   (CAST(row_number() OVER (ORDER BY
+         |     md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1) // 32
+         |     AS batch_id FROM d),
+         | s1 AS (SELECT 'length' AS strategy, batch_id,
+         |   CAST(count(*) AS BIGINT) AS n, max(n_chars) AS max_len,
+         |   CAST(sum(n_chars) AS BIGINT) AS sum_len FROM bl GROUP BY 2),
+         | s2 AS (SELECT 'shuffle' AS strategy, batch_id,
+         |   CAST(count(*) AS BIGINT) AS n, max(n_chars) AS max_len,
+         |   CAST(sum(n_chars) AS BIGINT) AS sum_len FROM br GROUP BY 2),
+         | u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         |SELECT strategy, batch_id, n, max_len, sum_len,
+         |  n * max_len - sum_len AS padding
+         |FROM u ORDER BY strategy, batch_id""".stripMargin,
 
     "q152_eval_bootstrap" ->
       s"""WITH q AS (SELECT doc_id AS query_id FROM documents
