@@ -285,4 +285,69 @@ class PropertySpec extends SparkSpec {
       got == want
     }, n = 8)
   }
+
+  test("property: retrieval metrics equal the per-query brute-force model") {
+    val gen = for {
+      nq <- Gen.choose(1, 6)
+      k <- Gen.choose(1, 6)
+      gold <- Gen.listOf(for {
+        q <- Gen.choose(1L, nq.toLong); d <- Gen.choose(1L, 12L)
+      } yield (q, d))
+      cand <- Gen.listOf(Gen.choose(1L, nq.toLong + 2))
+    } yield (nq, k, gold.distinct,
+      // candidate pages: ranked 1..m per query, docs drawn from the pool
+      cand.distinct.map { q =>
+        val docs = (1L to 12L).filter(d => (d * 7 + q) % 3 != 0).take(8)
+        docs.zipWithIndex.map { case (d, i) => (q, d, i.toLong + 1) }
+      }.flatten)
+    check("retrievalMetrics", Prop.forAll(gen) { case (_, k, gold, results) =>
+      gold.isEmpty || {
+        val got = graft.operators.Eval.retrievalMetrics(
+            results.toDF("query_id", "doc_id", "rank"),
+            gold.toDF("query_id", "doc_id"), k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+        def dcgAt(ranks: Seq[Long]) =
+          ranks.sorted.map(r => math.log(2) / math.log(r + 1.0)).sum
+        val want = gold.groupBy(_._1).map { case (q, g) =>
+          val gset = g.map(_._2).toSet
+          val hits = results.filter(t => t._1 == q && t._3 <= k &&
+            gset.contains(t._2)).map(_._3).sorted
+          val n = gset.size.toLong
+          val recall = math.rint(hits.size.toDouble / n * 1e6) / 1e6
+          val mrr = math.rint(
+            (if (hits.isEmpty) 0.0 else 1.0 / hits.min) * 1e6) / 1e6
+          val idcg = dcgAt((1L to math.min(k.toLong, n)))
+          val ndcg = math.rint(dcgAt(hits) / idcg * 1e6) / 1e6
+          (q, n, hits.size.toLong, recall, mrr, ndcg)
+        }.toSet
+        got == want
+      }
+    }, n = 12)
+  }
+
+  test("property: batch assignment tiles the rank order; padding matches the model") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      b <- Gen.choose(1, 9)
+      lens <- Gen.listOfN(n, Gen.choose(1L, 50L))
+    } yield (b, lens.zipWithIndex.map { case (l, i) => (i.toLong + 1, l) })
+    check("lengthBatches", Prop.forAll(gen) { case (b, rows) =>
+      val got = graft.operators.Batching.lengthBatches(
+          rows.toDF("k", "len"), "k", "len", b)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val want = rows.sortBy { case (k, l) => (-l, k) }.zipWithIndex
+        .map { case ((k, _), i) => k -> (i / b).toLong }.toMap
+      val pads = graft.operators.Batching.paddingStats(
+          graft.operators.Batching.lengthBatches(
+            rows.toDF("k", "len"), "k", "len", b), "len")
+        .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+      val wantPads = rows.sortBy { case (k, l) => (-l, k) }.zipWithIndex
+        .groupBy(_._2 / b).map { case (g, xs) =>
+          val ls = xs.map(_._1._2)
+          g.toLong -> (ls.size * ls.max - ls.sum)
+        }
+      got == want && pads == wantPads
+    }, n = 12)
+  }
 }
