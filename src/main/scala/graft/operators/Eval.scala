@@ -48,6 +48,24 @@ object Eval {
   def pairedBootstrap(metricsA: DataFrame, metricsB: DataFrame,
                       metricCol: String, nBoot: Int = 200,
                       queryCol: String = "query_id"): DataFrame = {
+    val (perBoot, overall) =
+      bootstrapMeans(metricsA, metricsB, metricCol, nBoot, queryCol)
+    perBoot.agg(
+        count(lit(1)).as("__nb"),
+        sum(when(col("mean_delta") <= 0.0, 1L).otherwise(0L)).as("__le"))
+      .crossJoin(overall)
+      .select(col("__n").as("n_queries"),
+        round(col("__sum") / col("__n"), 6).as("mean_delta"),
+        round(col("__le").cast("double") / col("__nb"), 6).as("p_value"))
+  }
+
+  /** The shared resample engine behind [[pairedBootstrap]] and
+    * [[bootstrapCi]]: `(per-resample means (b, mean_delta), overall
+    * (__sum, __n))` over the hash-deterministic draw grid.
+    */
+  private def bootstrapMeans(metricsA: DataFrame, metricsB: DataFrame,
+                             metricCol: String, nBoot: Int,
+                             queryCol: String): (DataFrame, DataFrame) = {
     require(nBoot >= 1, s"nBoot must be >= 1, got $nBoot")
     val deltas = metricsA.select(col(queryCol),
         col(metricCol).cast("double").as("__a"))
@@ -80,13 +98,40 @@ object Eval {
     val overall = deltas.agg(
       aggregate(sort_array(collect_list(col("delta"))), lit(0.0),
         (acc, x) => acc + x).as("__sum"), count(lit(1)).as("__n"))
-    perBoot.agg(
-        count(lit(1)).as("__nb"),
-        sum(when(col("mean_delta") <= 0.0, 1L).otherwise(0L)).as("__le"))
+    (perBoot, overall)
+  }
+
+  /** [[pairedBootstrap]]'s interval form: the same deterministic
+    * resamples, summarized as a nearest-rank percentile confidence
+    * interval on the mean delta — `(n_queries, mean_delta, ci_lo,
+    * ci_hi)` with lo/hi the resample means ranked
+    * `floor((nB-1)·α)` and `ceil((nB-1)·(1-α))` (0-based, exact
+    * integer index arithmetic — no interpolation, so the interval is
+    * bit-checkable in any engine). An interval excluding 0 is the
+    * two-sided significance read; the p-value form answers the
+    * one-sided question.
+    */
+  def bootstrapCi(metricsA: DataFrame, metricsB: DataFrame,
+                  metricCol: String, nBoot: Int = 200,
+                  alpha: Double = 0.025,
+                  queryCol: String = "query_id"): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val (perBoot, overall) =
+      bootstrapMeans(metricsA, metricsB, metricCol, nBoot, queryCol)
+    val loIdx = math.floor((nBoot - 1) * alpha).toLong
+    val hiIdx = math.ceil((nBoot - 1) * (1.0 - alpha)).toLong
+    val ranked = perBoot.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mean_delta"), col("b"))).cast("long") - 1L)
+    ranked.filter(col("__r") === loIdx)
+      .select(col("mean_delta").as("ci_lo"))
+      .crossJoin(ranked.filter(col("__r") === hiIdx)
+        .select(col("mean_delta").as("ci_hi")))
       .crossJoin(overall)
       .select(col("__n").as("n_queries"),
         round(col("__sum") / col("__n"), 6).as("mean_delta"),
-        round(col("__le").cast("double") / col("__nb"), 6).as("p_value"))
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"))
   }
 
   /** `results`: `(queryCol, keyCol, rankCol)` — a ranked candidate page

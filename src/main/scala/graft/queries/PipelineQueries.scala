@@ -797,6 +797,22 @@ object PipelineQueries {
       val mA = q.withColumn("recall", frac("A"))
       val mB = q.withColumn("recall", frac("B"))
       graft.operators.Eval.pairedBootstrap(mA, mB, "recall", nBoot = 200)
+    }),
+
+    // The interval form of q152: a nearest-rank 95% percentile CI on
+    // the mean delta over the SAME deterministic resamples — exact
+    // integer order statistics (ranks floor/ceil of (nB-1)·α), no
+    // interpolation, so the interval is bit-checkable. An interval
+    // excluding 0 is the two-sided significance read.
+    "q156_eval_bootstrap_ci" -> ((s, d) => {
+      def frac(salt: String) =
+        conv(substring(md5(concat(col("query_id").cast("string"),
+          lit(salt))), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+      val q = documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id").as("query_id"))
+      val mA = q.withColumn("recall", frac("A"))
+      val mB = q.withColumn("recall", frac("B"))
+      graft.operators.Eval.bootstrapCi(mA, mB, "recall", nBoot = 200)
     })
   )
 
@@ -1529,37 +1545,23 @@ object PipelineQueries {
          |FROM u ORDER BY strategy, batch_id""".stripMargin,
 
     "q152_eval_bootstrap" ->
-      s"""WITH q AS (SELECT doc_id AS query_id FROM documents
-         |   WHERE doc_id < 40),
-         | m AS (SELECT query_id,
-         |   (SELECT $Hex8 FROM (SELECT md5(CAST(query_id AS VARCHAR) || 'A') AS hx))
-         |     / 4294967296.0
-         |   - (SELECT $Hex8 FROM (SELECT md5(CAST(query_id AS VARCHAR) || 'B') AS hx))
-         |     / 4294967296.0 AS delta
-         |   FROM q),
-         | r AS (SELECT query_id, delta,
-         |   CAST(row_number() OVER (ORDER BY query_id) AS BIGINT) AS rr
-         |   FROM m),
-         | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
-         | g AS (SELECT b.b, i.i FROM
-         |   (SELECT unnest(range(1, 201)) AS b) b,
-         |   (SELECT unnest(range(1, (SELECT n FROM n) + 1)) AS i) i),
-         | d AS (SELECT b,
-         |   (SELECT $Hex8 FROM (SELECT md5(CAST(b AS VARCHAR) || ':' ||
-         |      CAST(i AS VARCHAR)) AS hx)) % (SELECT n FROM n) + 1 AS rr
-         |   FROM g),
-         | pb AS (SELECT d.b,
-         |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |     list(r.delta ORDER BY r.delta)), (a, x) -> a + x)
-         |   / CAST(count(*) AS BIGINT) AS mean_delta
-         |   FROM d JOIN r USING (rr) GROUP BY d.b),
-         | ov AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
-         |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |     list(delta ORDER BY delta)), (a, x) -> a + x)
-         |   / CAST(count(*) AS BIGINT) AS mean_delta FROM m)
+      s"""WITH $BootstrapCtes
          |SELECT ov.n_queries, round(ov.mean_delta, 6) AS mean_delta,
          |  round(CAST((SELECT count(*) FROM pb WHERE mean_delta <= 0.0)
          |    AS DOUBLE) / (SELECT count(*) FROM pb), 6) AS p_value
+         |FROM ov""".stripMargin,
+
+    // nearest-rank percentile indexes for nBoot = 200, alpha = 0.025:
+    // 0-based floor(199 * 0.025) = 4 and ceil(199 * 0.975) = 195 ->
+    // 1-based row_number ranks 5 and 196
+    "q156_eval_bootstrap_ci" ->
+      s"""WITH $BootstrapCtes,
+         | rk AS (SELECT mean_delta,
+         |   CAST(row_number() OVER (ORDER BY mean_delta, b) AS BIGINT)
+         |     AS rn FROM pb)
+         |SELECT ov.n_queries, round(ov.mean_delta, 6) AS mean_delta,
+         |  round((SELECT mean_delta FROM rk WHERE rn = 5), 6) AS ci_lo,
+         |  round((SELECT mean_delta FROM rk WHERE rn = 196), 6) AS ci_hi
          |FROM ov""".stripMargin,
 
     "q145_winnow_decontam" ->
@@ -1638,6 +1640,42 @@ object PipelineQueries {
 
   /** q142/q144's instance (k = 8, w = 8). */
   private lazy val WinnowSel: String = winnowSelCte(8, 8).stripMargin
+
+  /** q152/q156's shared resample CTEs: the 40-query md5-fraction metric
+    * fixture, paired deltas ranked by query id, the 200 x n
+    * hash-deterministic draw grid, per-resample sorted-fold means (pb)
+    * and the overall mean (ov) — `Eval.bootstrapMeans` re-derived in
+    * SQL once, consumed by both the p-value and the CI twin.
+    */
+  private lazy val BootstrapCtes: String =
+    s"""q AS (SELECT doc_id AS query_id FROM documents
+       |   WHERE doc_id < 40),
+       | m AS (SELECT query_id,
+       |   (SELECT $Hex8 FROM (SELECT md5(CAST(query_id AS VARCHAR) || 'A') AS hx))
+       |     / 4294967296.0
+       |   - (SELECT $Hex8 FROM (SELECT md5(CAST(query_id AS VARCHAR) || 'B') AS hx))
+       |     / 4294967296.0 AS delta
+       |   FROM q),
+       | r AS (SELECT query_id, delta,
+       |   CAST(row_number() OVER (ORDER BY query_id) AS BIGINT) AS rr
+       |   FROM m),
+       | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+       | g AS (SELECT b.b, i.i FROM
+       |   (SELECT unnest(range(1, 201)) AS b) b,
+       |   (SELECT unnest(range(1, (SELECT n FROM n) + 1)) AS i) i),
+       | d AS (SELECT b,
+       |   (SELECT $Hex8 FROM (SELECT md5(CAST(b AS VARCHAR) || ':' ||
+       |      CAST(i AS VARCHAR)) AS hx)) % (SELECT n FROM n) + 1 AS rr
+       |   FROM g),
+       | pb AS (SELECT d.b,
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list(r.delta ORDER BY r.delta)), (a, x) -> a + x)
+       |   / CAST(count(*) AS BIGINT) AS mean_delta
+       |   FROM d JOIN r USING (rr) GROUP BY d.b),
+       | ov AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list(delta ORDER BY delta)), (a, x) -> a + x)
+       |   / CAST(count(*) AS BIGINT) AS mean_delta FROM m)""".stripMargin
 
   /** q147's twin: `Classifier.trainScore` unrolled iteration-by-iteration.
     * Each iteration is three CTEs — margins (sorted-j `list_reduce` fold,

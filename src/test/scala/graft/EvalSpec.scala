@@ -97,6 +97,33 @@ class EvalSpec extends SparkSpec {
       "zero deltas: every resample mean is 0 <= 0")
   }
 
+  test("bootstrap CI: dominant system's interval excludes 0; identical straddles at 0") {
+    val a = (1L to 20L).map(q => (q, 0.9))
+    val b = (1L to 20L).map(q => (q, 0.5))
+    val r = Eval.bootstrapCi(a.toDF("query_id", "recall"),
+      b.toDF("query_id", "recall"), "recall", nBoot = 100).head()
+    // constant deltas: every resample mean is exactly 0.4
+    assert(math.abs(r.getDouble(1) - 0.4) < 1e-9)
+    assert(r.getDouble(2) === 0.4 && r.getDouble(3) === 0.4)
+    val same = Eval.bootstrapCi(a.toDF("query_id", "recall"),
+      a.toDF("query_id", "recall"), "recall", nBoot = 100).head()
+    assert(same.getDouble(2) === 0.0 && same.getDouble(3) === 0.0)
+    // lo <= mean <= hi on a mixed fixture, and determinism
+    val c = (1L to 15L).map(q => (q, (q % 5).toDouble / 5))
+    val d0 = (1L to 15L).map(q => (q, (q % 3).toDouble / 3))
+    val m1 = Eval.bootstrapCi(c.toDF("query_id", "recall"),
+      d0.toDF("query_id", "recall"), "recall", nBoot = 150).head()
+    assert(m1.getDouble(2) <= m1.getDouble(1) + 1e-9 &&
+      m1.getDouble(1) <= m1.getDouble(3) + 1e-9)
+    val m2 = Eval.bootstrapCi(c.reverse.toDF("query_id", "recall"),
+      d0.toDF("query_id", "recall"), "recall", nBoot = 150).head()
+    assert(m1 === m2)
+    intercept[IllegalArgumentException] {
+      Eval.bootstrapCi(c.toDF("query_id", "recall"),
+        d0.toDF("query_id", "recall"), "recall", alpha = 0.6)
+    }
+  }
+
   test("paired bootstrap is deterministic and pairs by query id") {
     val a = (1L to 15L).map(q => (q, (q % 5).toDouble / 5))
     val b = (1L to 15L).map(q => (q, (q % 3).toDouble / 3))
