@@ -48,4 +48,24 @@ object Sft {
       (length(prefix) + 1).cast("long").as("loss_start"),
       (length(prefix) + length(r)).cast("long").as("loss_end"))
   }
+
+  /** Preference-pair (DPO/RLHF reward-model) assembly: each
+    * (prompt, chosen, rejected) row renders as TWO training rows
+    * sharing the pair key — `(keyCol, side 'chosen'|'rejected', text,
+    * loss_start, loss_end)` — both sides through the IDENTICAL template
+    * and span arithmetic as [[renderPairs]], so the only difference
+    * between a pair's rows is the response span's content (exactly the
+    * contrast a preference loss consumes). Row-local: one projection
+    * per side, a two-way union, no shuffle.
+    */
+  def renderPreferencePairs(df: DataFrame, keyCol: String,
+                            promptCol: String, chosenCol: String,
+                            rejectedCol: String,
+                            systemPrompt: Option[String] = None): DataFrame = {
+    def side(responseCol: String, label: String) =
+      renderPairs(df, keyCol, promptCol, responseCol, systemPrompt)
+        .select(col(keyCol), lit(label).as("side"), col("text"),
+          col("loss_start"), col("loss_end"))
+    side(chosenCol, "chosen").unionByName(side(rejectedCol, "rejected"))
+  }
 }

@@ -758,6 +758,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Preference-pair (DPO) assembly: each (prompt, chosen, rejected)
+    // renders as two rows sharing the pair key — both sides through the
+    // IDENTICAL template + span arithmetic, so a pair's rows differ
+    // only in the response span's content. The fixture derives chosen/
+    // rejected from disjoint slices of the document text.
+    "q157_dpo_render" -> ((s, d) => {
+      val triples = documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 60).as("prompt"),
+        substring(col("text"), 61, 80).as("chosen"),
+        substring(col("text"), 141, 80).as("rejected"))
+      graft.operators.Sft.renderPreferencePairs(triples, "doc_id",
+          "prompt", "chosen", "rejected")
+        .orderBy(col("doc_id"), col("side"))
+    }),
+
     // Length-bucketed batching with padding accounting: batches filled
     // in (len DESC, key) order via the distributed rank (range partition
     // + zipWithIndex — no single-task sort), per-batch padding =
@@ -1522,6 +1537,31 @@ object PipelineQueries {
         |  CAST(length(prefix) + 1 AS BIGINT) AS loss_start,
         |  CAST(length(prefix) + length(response) AS BIGINT) AS loss_end
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q157_dpo_render" ->
+      """WITH p AS (SELECT doc_id,
+        |   coalesce(substr(text, 1, 60), '') AS prompt,
+        |   coalesce(substr(text, 61, 80), '') AS chosen,
+        |   coalesce(substr(text, 141, 80), '') AS rejected
+        |   FROM documents),
+        | r AS (SELECT doc_id,
+        |   '<|user|>' || chr(10) || prompt || chr(10)
+        |     || '<|assistant|>' || chr(10) AS prefix,
+        |   chosen, rejected FROM p),
+        | u AS (
+        |   SELECT doc_id, 'chosen' AS side,
+        |     prefix || chosen || '<|end|>' AS text,
+        |     CAST(length(prefix) + 1 AS BIGINT) AS loss_start,
+        |     CAST(length(prefix) + length(chosen) AS BIGINT) AS loss_end
+        |   FROM r
+        |   UNION ALL
+        |   SELECT doc_id, 'rejected' AS side,
+        |     prefix || rejected || '<|end|>' AS text,
+        |     CAST(length(prefix) + 1 AS BIGINT) AS loss_start,
+        |     CAST(length(prefix) + length(rejected) AS BIGINT) AS loss_end
+        |   FROM r)
+        |SELECT doc_id, side, text, loss_start, loss_end FROM u
+        |ORDER BY doc_id, side""".stripMargin,
 
     "q155_length_batching" ->
       s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars

@@ -38,6 +38,30 @@ class AssemblySpec extends SparkSpec {
     assert(bare.startsWith("<|user|>\n"))
   }
 
+  test("dpo render: two rows per pair, identical prefix, spans hold per side") {
+    val triples = Seq(
+      (1L, "pick one", "good answer", "bad answer!"),
+      (2L, "empty rejected", "only side", "")
+    ).toDF("doc_id", "prompt", "chosen", "rejected")
+    val out = Sft.renderPreferencePairs(triples, "doc_id",
+        "prompt", "chosen", "rejected")
+      .orderBy("doc_id", "side").collect()
+    assert(out.length == 4)
+    val bySide = out.map(r => ((r.getLong(0), r.getString(1)),
+      (r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // spans select the side's response
+    def span(t: (String, Long, Long)) =
+      t._1.substring(t._2.toInt - 1, t._3.toInt)
+    assert(span(bySide((1L, "chosen"))) == "good answer")
+    assert(span(bySide((1L, "rejected"))) == "bad answer!")
+    assert(span(bySide((2L, "rejected"))) == "")
+    // a pair's rows share the exact prompt prefix (the DPO contrast is
+    // response-only)
+    val (c, cs, _) = bySide((1L, "chosen"))
+    val (j, js, _) = bySide((1L, "rejected"))
+    assert(cs == js && c.substring(0, cs.toInt - 1) == j.substring(0, js.toInt - 1))
+  }
+
   test("length batching: full batches, short tail, deterministic, less padding") {
     val docs = (1L to 100L).map(k => (k, (k * 37 % 97 + 3))).toDF("doc_id", "len")
     val bl = Batching.lengthBatches(docs, "doc_id", "len", 8)
