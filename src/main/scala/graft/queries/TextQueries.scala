@@ -721,6 +721,43 @@ object TextQueries {
       graft.search.LateInteraction.topK(q, "vec_id", "embedding",
           e, "label", "embedding", k = 10)
         .select(col("label").cast("int").as("label"), col("score"))
+    }),
+
+    // Binary (1-bit sign) quantization serving: Hamming distance over
+    // 32-bit packed sign words ranks 40 candidates (integer bit_count
+    // xor inside whole-stage codegen, TakeOrderedAndProject — the 32x
+    // smaller read is THE cheap first pass at 10^10 rows), exact f64
+    // cosine reranks the survivors to 10. Words, Hamming and both
+    // tie-breaks are exactly re-derivable in SQL, so the gate hashes
+    // the full two-stage path.
+    "q158_binary_hamming" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.search.BinaryQuant.topKRerank(e, q, k = 10, fetchK = 40,
+          keyCol = "vec_id", embCol = "embedding")
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // Matryoshka (MRL) truncated-dimension serving: candidates ranked by
+    // cosine over the FIRST 16 of 64 dims (a 4x smaller stage-1 read —
+    // MRL-trained embedders put the signal in the prefix), exact
+    // full-dim rerank to 10. Both stages are plain cosine folds the
+    // oracle re-derives over list slices.
+    "q159_matryoshka" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cand = e.select(col("vec_id"),
+          Search.scoreAgainst(slice(col("embedding"), 1, 16), q.take(16))
+            .as("__t"))
+        .orderBy(desc("__t"), col("vec_id")).limit(40)
+      e.join(broadcast(cand), Seq("vec_id"))
+        .select(col("vec_id"), col("__t"),
+          Search.scoreAgainst(col("embedding"), q).as("__raw"))
+        .orderBy(desc("__raw"), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("__t"), 6).as("trunc_score"),
+          round(col("__raw"), 6).as("score"))
     })
   )
 
@@ -1362,8 +1399,53 @@ object TextQueries {
         |    CAST(sum(CAST(round(mx, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
         |  FROM m GROUP BY 1)
         |SELECT CAST(label AS INT) AS label, score FROM sc
-        | ORDER BY score DESC, label LIMIT 10""".stripMargin
+        | ORDER BY score DESC, label LIMIT 10""".stripMargin,
+
+    // sign words re-derived bit for bit: bit j of word w = v[32w+j] > 0,
+    // 32 bits per word so both engines stay in non-negative BIGINT land;
+    // Hamming = bit_count(xor) summed over words; candidate and final
+    // tie-breaks on vec_id, like the Spark plan
+    "q158_binary_hamming" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |w AS (SELECT vec_id, v, ${binWordSql(0)} AS w0, ${binWordSql(1)} AS w1 FROM e),
+         |q AS (SELECT w0 AS q0, w1 AS q1, v AS qv FROM w WHERE vec_id = 0),
+         |h AS (SELECT w.vec_id,
+         |   CAST(bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1)) AS INT)
+         |     AS hamming
+         |  FROM w, q),
+         |cand AS (SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 40),
+         |top AS (SELECT c.vec_id, c.hamming,
+         |   list_cosine_similarity(e.v, q.qv) AS raw
+         |  FROM e JOIN cand c USING (vec_id), q
+         |  ORDER BY raw DESC, c.vec_id LIMIT 10)
+         |SELECT vec_id, hamming, round(raw, 6) AS score FROM top
+         | ORDER BY raw DESC, vec_id""".stripMargin,
+
+    // truncated-prefix cosine over v[1:16] selects the 40, full-dim
+    // cosine reranks — the same f64 fold at both widths
+    "q159_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |t AS (SELECT e.vec_id, list_cosine_similarity(e.v[1:16], q.qv[1:16]) AS traw
+        |  FROM e, q),
+        |cand AS (SELECT vec_id, traw FROM t ORDER BY traw DESC, vec_id LIMIT 40),
+        |top AS (SELECT c.vec_id, c.traw, list_cosine_similarity(e.v, q.qv) AS raw
+        |  FROM e JOIN cand c USING (vec_id), q
+        |  ORDER BY raw DESC, c.vec_id LIMIT 10)
+        |SELECT vec_id, round(traw, 6) AS trunc_score, round(raw, 6) AS score
+        | FROM top ORDER BY raw DESC, vec_id""".stripMargin
   )
+
+  /** SQL for packed sign word `w` of the 64-dim vector `v` (32 bits per
+    * word): sum over j in [1,32] of CASE v[32w+j] > 0 THEN 1 << (j-1).
+    */
+  private def binWordSql(w: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, 33),
+       |   j -> CASE WHEN v[CAST(j + ${w * 32} AS INT)] > 0
+       |        THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT))
+       |        ELSE CAST(0 AS BIGINT) END)),
+       |  (a, b) -> a + b)""".stripMargin
 
   /** The chunker on a header-less, paragraph-less corpus is exactly the
     * raw token-window split: with maxTokens=8, overlap=0 and the
