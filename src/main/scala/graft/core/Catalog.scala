@@ -1207,18 +1207,28 @@ class Collection private[core] (
     // stats); the inline fallback has no stored analyzer and stays on
     // the whitespace default
     require(query.trim.nonEmpty, "keyword search requires a non-empty query")
-    val terms =
+    // the search-box NOT operator: a '-'-prefixed word excludes
+    // documents containing it ("hash join -slow"). Prefixes are parsed
+    // off the RAW words, then both groups go through the index's
+    // analyzer so exclusion matches exactly what the index stores.
+    val words = query.trim.split("\\s+").toSeq
+    val (negWords, posWords) = words.partition(w => w.length > 1 && w.startsWith("-"))
+    require(posWords.nonEmpty,
+      "keyword search requires at least one non-excluded query term")
+    val analyzer =
       if (hasKeywordIndex(column))
         graft.search.Keyword.analyzerOf(spark, keywordIndexDir(column))
-          .queryTokens(query)
-      else graft.search.Keyword.queryTerms(query)
+      else graft.search.Analyzer.Whitespace
+    val terms = analyzer.queryTokens(posWords.mkString(" "))
+    val mustNot = analyzer.queryTokens(negWords.map(_.drop(1)).mkString(" "))
     // a non-empty query whose every term the index's analyzer filters
     // away (all stopwords) matches nothing — empty page, not an error
     // (searchHybrid already degrades the same case to dense-only)
     if (terms.isEmpty)
       return df.select(col(column).as("content"), col(KeyCol).as("key"),
         lit(0.0).as("score")).limit(0)
-    fetchHits(keywordHits(column, terms, limit, requireAll, after), column)
+    fetchHits(keywordHits(column, terms, limit, requireAll, after, mustNot),
+      column)
   }
 
   /** Hybrid retrieval: RRF fusion of the dense page ([[search]]'s
@@ -1243,14 +1253,17 @@ class Collection private[core] (
 
   private def keywordHits(column: String, terms: Seq[String], limit: Int,
                           requireAll: Boolean = false,
-                          after: Option[(Double, Long)] = None): DataFrame = {
+                          after: Option[(Double, Long)] = None,
+                          mustNot: Seq[String] = Nil): DataFrame = {
     val hits =
       if (hasKeywordIndex(column))
         graft.search.Keyword.searchIndex(spark, keywordIndexDir(column),
-          terms, limit, requireAll = requireAll, after = after)
+          terms, limit, requireAll = requireAll, after = after,
+          mustNot = mustNot)
       else
         graft.search.Keyword.bm25TopK(df, terms, limit, idCol = KeyCol,
-          textCol = column, requireAll = requireAll, after = after)
+          textCol = column, requireAll = requireAll, after = after,
+          mustNot = mustNot)
     hits.withColumnRenamed("key", KeyCol)
   }
 

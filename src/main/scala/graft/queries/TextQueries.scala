@@ -461,6 +461,34 @@ object TextQueries {
         .select(col("key").as("doc_id"), round(col("score"), 6).as("rrf_score"))
     }),
 
+    // Boolean NOT (the search-box '-term' operator): q109's query with
+    // documents containing 'group' excluded. The exclusion is an
+    // anti-join against the excluded term's postings — O(mustNot-term
+    // postings), the same pruning discipline as the positive terms (the
+    // indexed path reads the excluded term's bucket, never the corpus).
+    // 'group' knocks 3 docs out of q109's top-10, so the page genuinely
+    // re-ranks rather than just truncating.
+    "q160_bm25_not" -> ((s, d) =>
+      Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 10,
+          mustNot = Seq("group"))
+        .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))),
+
+    // Search-results snippets: q109's page joined back to content, each
+    // hit excerpted around the EARLIEST query-term occurrence (80 chars
+    // from 30 before the match). Row-local locate/least/substr on the
+    // k-row page AFTER the broadcast content join — snippets cost
+    // nothing at corpus scale; the 1-based match position is hashed
+    // too, so the oracle pins the exact occurrence arithmetic.
+    "q161_snippets" -> ((s, d) => {
+      val top = Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 10)
+      documents(s, d)
+        .join(broadcast(top), col("doc_id") === col("key"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          Keyword.matchPos(col("text"), Bm25Terms).as("match_pos"),
+          Keyword.snippet(col("text"), Bm25Terms).as("snippet"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
     // BM25 under the Stopworded analyzer: same three query terms as
     // q109 but the norms (dl, avgdl, n_docs) are computed over the
     // stop-stripped token stream — exactly what a stopworded keyword
@@ -1162,6 +1190,37 @@ object TextQueries {
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q160_bm25_not" ->
+      s"""WITH $Bm25Cte,
+         | excl AS (SELECT DISTINCT doc_id FROM toks2 WHERE tok = 'group'),
+         | top AS (SELECT doc_id, score FROM bm25agg
+         |   WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+         |   ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 6) AS score FROM top
+         | ORDER BY score DESC, doc_id""".stripMargin,
+
+    // earliest-term-occurrence snippet arithmetic re-derived: 1-based
+    // strpos with an absent-term sentinel, 80 chars from 30 before the
+    // match, clamped to the head
+    "q161_snippets" ->
+      s"""WITH $Bm25Cte,
+         | top AS (SELECT doc_id, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 10),
+         | pos AS (SELECT t.doc_id, t.score,
+         |   least(
+         |     CASE WHEN strpos(lower(d.text), 'hash') > 0
+         |          THEN strpos(lower(d.text), 'hash') ELSE 2147483647 END,
+         |     CASE WHEN strpos(lower(d.text), 'join') > 0
+         |          THEN strpos(lower(d.text), 'join') ELSE 2147483647 END,
+         |     CASE WHEN strpos(lower(d.text), 'vector') > 0
+         |          THEN strpos(lower(d.text), 'vector') ELSE 2147483647 END)
+         |     ::INT AS match_pos,
+         |   d.text AS text
+         |  FROM top t JOIN documents d USING (doc_id))
+         |SELECT doc_id, round(score, 6) AS score, match_pos,
+         |  substring(text, greatest(1, match_pos - 30), 80) AS snippet
+         | FROM pos ORDER BY score DESC, doc_id""".stripMargin,
 
     // percolation: distinct doc tokens joined to distinct stored-query
     // terms; a hit must match EVERY term of the query

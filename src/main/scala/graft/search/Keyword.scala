@@ -113,9 +113,13 @@ object Keyword {
                      queryTerms: Seq[String], k: Int,
                      k1: Double = DefaultK1, b: Double = DefaultB,
                      requireAll: Boolean = false,
-                     after: Option[(Double, Long)] = None): DataFrame = {
+                     after: Option[(Double, Long)] = None,
+                     mustNot: Seq[String] = Nil): DataFrame = {
     val qt = queryTerms.map(_.toLowerCase).distinct
     require(qt.nonEmpty, "bm25 requires at least one query term")
+    val neg = mustNot.map(_.toLowerCase).distinct
+    require(qt.intersect(neg).isEmpty,
+      s"terms ${qt.intersect(neg).mkString(", ")} are both required and excluded")
     val tf = postings.filter(col("tok").isin(qt: _*))
     // df over the matched postings only — corpus-wide df per query term
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -129,7 +133,17 @@ object Keyword {
       aggregate(sort_array(collect_list(struct(col("tok"), col("c")))),
         lit(0.0), (acc, x) => acc + x.getField("c")).as("score"),
       count(lit(1)).as("__nt"))
-    (if (requireAll) agg.filter(col("__nt") === qt.size) else agg)
+    val kept = if (requireAll) agg.filter(col("__nt") === qt.size) else agg
+    // boolean NOT: drop documents carrying ANY excluded term. An
+    // anti-join against the excluded terms' postings — cost is
+    // O(mustNot-term postings), the same pruning discipline as the
+    // positive terms; nothing rescans the corpus.
+    val negFiltered =
+      if (neg.isEmpty) kept
+      else kept.join(
+        postings.filter(col("tok").isin(neg: _*)).select(col("key")),
+        Seq("key"), "left_anti")
+    negFiltered
       .select(col("key"), col("score"))
       .filter(afterFilter(after, col("score"), col("key")))
       .orderBy(desc("score"), col("key"))
@@ -145,10 +159,11 @@ object Keyword {
                k1: Double = DefaultK1, b: Double = DefaultB,
                analyzer: Analyzer = Analyzer.Whitespace,
                requireAll: Boolean = false,
-               after: Option[(Double, Long)] = None): DataFrame = {
+               after: Option[(Double, Long)] = None,
+               mustNot: Seq[String] = Nil): DataFrame = {
     val (postings, doclen, stats) = corpusTables(docs, idCol, textCol, analyzer)
     bm25FromTables(postings, doclen, stats, queryTerms, k, k1, b, requireAll,
-      after)
+      after, mustNot)
   }
 
   /** Exact-phrase occurrences `(key, pos)` — one row per start position
@@ -669,7 +684,8 @@ object Keyword {
                   queryTerms: Seq[String], k: Int,
                   k1: Double = DefaultK1, b: Double = DefaultB,
                   requireAll: Boolean = false,
-                  after: Option[(Double, Long)] = None): DataFrame = {
+                  after: Option[(Double, Long)] = None,
+                  mustNot: Seq[String] = Nil): DataFrame = {
     val stored = spark.read.parquet(s"$dir/stats")
     val nBuckets = stored.select(col("n_buckets")).head().getInt(0)
     // nullif guards the fully-erased index (n_docs = 0): no postings
@@ -677,7 +693,10 @@ object Keyword {
     val stats = stored.select(col("n_docs"),
       (col("sum_dl").cast("double") / nullif(col("n_docs"), lit(0))).as("avgdl"))
     val qt = queryTerms.map(_.toLowerCase).distinct
-    val buckets = qt.map(tokenBucket(_, nBuckets)).distinct
+    val neg = mustNot.map(_.toLowerCase).distinct
+    // excluded terms' postings live in their own buckets — read those
+    // too (still O(query+mustNot buckets), never the whole postings log)
+    val buckets = (qt ++ neg).map(tokenBucket(_, nBuckets)).distinct
     val postings = netPostingsOf(
         spark.read.parquet(s"$dir/postings")
           .filter(col("bucket").isin(buckets: _*)))
@@ -685,8 +704,36 @@ object Keyword {
     val doclen = liveDoclenOf(
         spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"))
       .select(col("key"), col("dl"))
-    bm25FromTables(postings, doclen, stats, qt, k, k1, b, requireAll, after)
+    bm25FromTables(postings, doclen, stats, qt, k, k1, b, requireAll, after,
+      neg)
   }
+
+  // --- snippets ------------------------------------------------------------
+
+  /** 1-based position of the EARLIEST occurrence of any query term in
+    * `text` (terms compared lowercase; `Int.MaxValue` when none occur —
+    * callers join this onto a matched page, where at least one term is
+    * always present as a token and therefore as a substring).
+    * Row-local `locate`/`least` — whole-stage codegen, no UDF.
+    */
+  def matchPos(text: Column, terms: Seq[String]): Column = {
+    val lowered = lower(text)
+    val ps = terms.map(_.toLowerCase).distinct.map { t =>
+      val p = locate(t, lowered)
+      when(p > 0, p).otherwise(lit(Int.MaxValue))
+    }
+    if (ps.length == 1) ps.head else least(ps: _*)
+  }
+
+  /** Display snippet: `width` chars of `text` starting `before` chars
+    * ahead of the earliest term match (clamped to the string head). The
+    * standard search-results excerpt, computed where the rows already
+    * are — row-local string ops on the k-row hits page after the
+    * broadcast content join, so snippets cost nothing at corpus scale.
+    */
+  def snippet(text: Column, terms: Seq[String],
+              before: Int = 30, width: Int = 80): Column =
+    text.substr(greatest(lit(1), matchPos(text, terms) - before), lit(width))
 
   // --- reciprocal-rank fusion --------------------------------------------
 

@@ -716,4 +716,80 @@ class KeywordSpec extends SparkSpec {
     assert(!"Exchange (hash|range|Single)".r.unanchored.matches(p),
       s"phrase percolation must not shuffle:\n$p")
   }
+
+  test("boolean NOT: excluded-term docs drop, scores unchanged, indexed == inline") {
+    val docs = Seq(
+      (1L, "spark engine spark shuffle"), // matches, has 'shuffle' -> excluded
+      (2L, "spark spark spark"),          // matches, survives
+      (3L, "shuffle only here"),          // no positive match anyway
+      (4L, "spark and shuffle again"),    // excluded
+      (5L, "spark parquet files")         // survives
+    ).toDF("doc_id", "text")
+    val base = Keyword.bm25TopK(docs, Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val not = Keyword.bm25TopK(docs, Seq("spark"), k = 10,
+        mustNot = Seq("shuffle"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(not.map(_._1).toSet == Set(2L, 5L), s"NOT page: $not")
+    // exclusion is membership-only: surviving scores are the plain BM25
+    not.foreach { case (k, s) => assert(s == base(k)) }
+    // the persistent index agrees with the inline scan (exclusion term's
+    // bucket is read through the same pruned path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwnot").toString + "/idx"
+    Keyword.buildIndex(docs, dir, nBuckets = 8)
+    val viaIdx = Keyword.searchIndex(spark, dir, Seq("spark"), k = 10,
+        mustNot = Seq("shuffle"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIdx == not)
+    // a term both required and excluded is a loud error
+    val e = intercept[IllegalArgumentException] {
+      Keyword.bm25TopK(docs, Seq("spark"), k = 10, mustNot = Seq("SPARK"))
+    }
+    assert(e.getMessage.contains("required and excluded"))
+  }
+
+  test("collection searchKeyword parses '-term' exclusions through the analyzer") {
+    import graft.core.{Catalog, CollectionConfig}
+    val root = java.nio.file.Files.createTempDirectory("graft_kwneg").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "kn", index_columns = Seq("text")))
+    c.importDf(Seq(
+      "spark engine spark shuffle",
+      "spark spark spark",
+      "spark and shuffle again",
+      "spark parquet files").toDF("text"))
+    val got = c.searchKeyword("text", "spark -shuffle", 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got.toSet == Set(2L, 4L), s"got $got")
+    // all-excluded query is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      c.searchKeyword("text", "-spark", 10)
+    }
+    assert(e.getMessage.contains("non-excluded"))
+    // a lone '-' is a term, not an exclusion marker (no crash)
+    assert(c.searchKeyword("text", "spark -", 10).count() >= 1)
+  }
+
+  test("matchPos/snippet: earliest-term window, head clamp, absent-term sentinel") {
+    val df = Seq(
+      (1L, "x" * 50 + " vector here and hash later"),
+      (2L, "hash at the head"),
+      (3L, "nothing relevant")
+    ).toDF("id", "text")
+    val terms = Seq("hash", "vector")
+    val got = df.select(col("id"),
+        Keyword.matchPos(col("text"), terms).as("p"),
+        Keyword.snippet(col("text"), terms, before = 5, width = 12).as("s"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2)))).toMap
+    val byId = got
+    // doc 1: 'vector' at 52 beats 'hash' at 68 -> window starts at 47
+    assert(byId(1L)._1 == 52)
+    assert(byId(1L)._2 == "xxxx vector ")
+    // doc 2: match at 1, window clamps to the string head
+    assert(byId(2L)._1 == 1)
+    assert(byId(2L)._2 == "hash at the ")
+    // doc 3: sentinel position, empty snippet (start beyond the string)
+    assert(byId(3L)._1 == Int.MaxValue)
+    assert(byId(3L)._2 == "")
+  }
 }
