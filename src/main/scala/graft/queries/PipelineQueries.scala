@@ -828,6 +828,29 @@ object PipelineQueries {
       val mA = q.withColumn("recall", frac("A"))
       val mB = q.withColumn("recall", frac("B"))
       graft.operators.Eval.bootstrapCi(mA, mB, "recall", nBoot = 200)
+    }),
+
+    // Data-contract expectations: the whole assertion battery (null/
+    // empty rates, key uniqueness, language coverage, length bounds)
+    // evaluated in ONE corpus pass — every rule is an aggregate
+    // expression folded into one agg, map-side combined; N rules cost
+    // one scan, not N. Rates derive from exact integer counts with one
+    // final division (avg() over doubles is summation-order dependent
+    // and would flake the gate); passed compares the unrounded actual.
+    "q163_expectations" -> ((s, d) => {
+      import graft.operators.Expect
+      import graft.operators.Expect.Rule
+      Expect.report(documents(s, d), Seq(
+        Rule("null_text_rate", Expect.rate(col("text").isNull), "<=", 0.01),
+        Rule("empty_text_rate",
+          Expect.rate(coalesce(trim(col("text")), lit("x")) === ""), "<=", 0.05),
+        Rule("dup_doc_id",
+          (count(lit(1)) - countDistinct(col("doc_id"))).cast("double"), "==", 0.0),
+        Rule("known_lang_rate",
+          Expect.rate(col("lang").isin("en", "es", "zh", "de", "fr")), ">=", 0.99),
+        Rule("min_chars", min(col("n_chars")).cast("double"), ">=", 1.0),
+        Rule("max_chars", max(col("n_chars")).cast("double"), "<=", 100000.0)
+      )).orderBy(col("check"))
     })
   )
 
@@ -1603,6 +1626,41 @@ object PipelineQueries {
          |  round((SELECT mean_delta FROM rk WHERE rn = 5), 6) AS ci_lo,
          |  round((SELECT mean_delta FROM rk WHERE rn = 196), 6) AS ci_hi
          |FROM ov""".stripMargin,
+
+    // the battery's actuals re-derived from exact integer aggregates
+    // with one final division; passed compares the unrounded actual
+    "q163_expectations" ->
+      """WITH a AS (SELECT
+        |   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / CAST(count(*) AS DOUBLE) AS null_text_rate,
+        |   CAST(sum(CASE WHEN coalesce(trim(text), 'x') = '' THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / CAST(count(*) AS DOUBLE) AS empty_text_rate,
+        |   CAST(count(*) - count(DISTINCT doc_id) AS DOUBLE) AS dup_doc_id,
+        |   CAST(sum(CASE WHEN lang IN ('en','es','zh','de','fr') THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / CAST(count(*) AS DOUBLE) AS known_lang_rate,
+        |   CAST(min(n_chars) AS DOUBLE) AS min_chars,
+        |   CAST(max(n_chars) AS DOUBLE) AS max_chars
+        |  FROM documents)
+        |SELECT * FROM (
+        | SELECT 'null_text_rate' AS "check", round(null_text_rate, 6) AS actual,
+        |   '<=' AS op, CAST(0.01 AS DOUBLE) AS threshold,
+        |   null_text_rate <= 0.01 AS passed FROM a
+        | UNION ALL
+        | SELECT 'empty_text_rate', round(empty_text_rate, 6), '<=',
+        |   CAST(0.05 AS DOUBLE), empty_text_rate <= 0.05 FROM a
+        | UNION ALL
+        | SELECT 'dup_doc_id', round(dup_doc_id, 6), '==',
+        |   CAST(0.0 AS DOUBLE), dup_doc_id = 0.0 FROM a
+        | UNION ALL
+        | SELECT 'known_lang_rate', round(known_lang_rate, 6), '>=',
+        |   CAST(0.99 AS DOUBLE), known_lang_rate >= 0.99 FROM a
+        | UNION ALL
+        | SELECT 'min_chars', round(min_chars, 6), '>=',
+        |   CAST(1.0 AS DOUBLE), min_chars >= 1.0 FROM a
+        | UNION ALL
+        | SELECT 'max_chars', round(max_chars, 6), '<=',
+        |   CAST(100000.0 AS DOUBLE), max_chars <= 100000.0 FROM a
+        |) ORDER BY 1""".stripMargin,
 
     "q145_winnow_decontam" ->
       s"""${winnowSelCte(20, 8)},

@@ -461,6 +461,17 @@ object TextQueries {
         .select(col("key").as("doc_id"), round(col("score"), 6).as("rrf_score"))
     }),
 
+    // Fuzzy (typo-tolerant) vocabulary lookup, the pg_trgm shape: the
+    // misspelled query 'partk' finds 'part' then 'spark'. Candidates
+    // come from a
+    // trigram semi-join (only tokens sharing a trigram with the query
+    // pay the Levenshtein rerank — never the whole vocabulary); the
+    // vocabulary aggregate is the one corpus-scale stage and its output
+    // is vocabulary-sized. Edit distances and doc frequencies are exact
+    // integers — no float discipline needed.
+    "q162_fuzzy_vocab" -> ((s, d) =>
+      graft.search.Fuzzy.fuzzyTerms(documents(s, d), "partk", k = 5)),
+
     // Boolean NOT (the search-box '-term' operator): q109's query with
     // documents containing 'group' excluded. The exclusion is an
     // anti-join against the excluded term's postings — O(mustNot-term
@@ -1190,6 +1201,23 @@ object TextQueries {
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,
+
+    // trigram candidate generation + Levenshtein rerank re-derived; the
+    // query's trigrams are the same driver-side literals
+    "q162_fuzzy_vocab" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
+         | v AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |   FROM t GROUP BY 1),
+         | g AS (SELECT tok, unnest(CASE WHEN len(tok) >= 3
+         |     THEN list_transform(range(1, len(tok) - 1),
+         |       i -> substr(tok, CAST(i AS INT), 3))
+         |     ELSE [] END) AS tg FROM v),
+         | cand AS (SELECT DISTINCT tok FROM g
+         |   WHERE tg IN ('par', 'art', 'rtk')),
+         | m AS (SELECT v.tok, CAST(levenshtein(v.tok, 'partk') AS INT) AS dist,
+         |   v.df FROM v JOIN cand USING (tok))
+         |SELECT tok, dist, df FROM m WHERE dist <= 3
+         | ORDER BY dist, tok LIMIT 5""".stripMargin,
 
     "q160_bm25_not" ->
       s"""WITH $Bm25Cte,
