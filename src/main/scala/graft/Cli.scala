@@ -152,6 +152,9 @@ object Cli {
           case "dedup" =>
             c.buildDedupIndex(column)
             println(s"built dedup (MinHash band) index on '$column'")
+          case "binary" =>
+            val n = c.buildBinarySketch(column)
+            println(s"built binary (1-bit sign) sketch on '$column' ($n keys)")
           case "tokenizer" =>
             val n = c.trainTokenizer(column,
               numMerges = flags.getOrElse("merges", "200").toInt,
@@ -169,7 +172,7 @@ object Cli {
             println(s"trained quality classifier on '$column' " +
               s"($nPos positive-labeled rows)")
           case other =>
-            fail(s"--type must be ann|keyword|dedup|tokenizer|classifier, got '$other'")
+            fail(s"--type must be ann|keyword|dedup|binary|tokenizer|classifier, got '$other'")
         }
       case "repair" =>
         // unscoped full reconcile (fsck): re-fingerprint the corpus and
@@ -493,11 +496,20 @@ object Cli {
           case "keyword" =>
             c.searchKeyword(column, query, limit,
               requireAll = flags.contains("require-all"), after = after)
+          case "fuzzy" =>
+            val maxDist = flags.getOrElse("max-dist", "2").toInt
+            if (maxDist < 1) fail("--max-dist must be >= 1")
+            c.searchKeywordFuzzy(column, query, limit,
+              requireAll = flags.contains("require-all"), maxDist = maxDist)
           case "hybrid" => c.searchHybrid(column, query, limit, embedder)
           case "ann" =>
             val nProbe = flags.getOrElse("n-probe", "2").toInt
             if (nProbe < 1) fail("--n-probe must be >= 1")
             c.searchAnn(column, query, limit, embedder, nProbe)
+          case "binary" =>
+            val fetchK = flags.getOrElse("fetch-k", "0").toInt
+            if (fetchK < 0) fail("--fetch-k must be >= 0")
+            c.searchBinary(column, query, limit, embedder, fetchK)
           case "late" =>
             val mt = intFlag("chunk-max-tokens",
               flags.getOrElse("chunk-max-tokens", "512"))
@@ -512,7 +524,7 @@ object Cli {
             val np = intFlag("n-probe", flags.getOrElse("n-probe", "0"))
             if (np < 0) fail("--n-probe must be >= 0 (0 = exact late scoring)")
             c.searchLate(column, query, limit, embedder, mt, ov, np)
-          case other => fail(s"--mode must be vector|keyword|hybrid|ann|late, got '$other'")
+          case other => fail(s"--mode must be vector|keyword|fuzzy|hybrid|ann|binary|late, got '$other'")
         }
         page.show(limit, truncate = 80)
       case "serve" =>

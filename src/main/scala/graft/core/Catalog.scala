@@ -573,6 +573,44 @@ class Collection private[core] (
     fs.delete(embedStageMarker(column), false)
   }
 
+  /** K2: insert caller-provided vectors directly into `column`'s index —
+    * the reference accepts externally produced embeddings into its
+    * usearch index (src/collection/vector_index.rs:57-120 `add`); this
+    * is that surface for pre-embedded corpora (an upstream GPU fleet
+    * computed the vectors, Spark only indexes them). Schema by position:
+    * key (cast to long), `array<float>` vector, optional fingerprint
+    * (absent reads null — repair passes conservatively treat
+    * fingerprint-less rows as changed). Vectors quantize per the
+    * collection's `model_variant` like every embed pass and the append
+    * commits through the same fenced stage.
+    */
+  def insertVectors(column: String, vectors: DataFrame): Long = {
+    import spark.implicits._
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      recoverEmbedStage(column)
+      val before = indexedCount(column)
+      val cols = vectors.columns
+      require(cols.length >= 2,
+        s"insertVectors needs (key, embedding[, fp]) columns, got ${cols.mkString(", ")}")
+      val fp = if (cols.length >= 3) col(cols(2)).cast(StringType)
+               else lit(null).cast(StringType)
+      val src = vectors.select(col(cols(0)).cast(LongType).as(KeyCol),
+        fp.as("fp"), col(cols(1)).cast(ArrayType(FloatType)).as("embedding"))
+      val variant = config.model_variant
+      val out =
+        if (variant == "f32") src
+        else src.as[(Long, String, Array[Float])]
+          .map { case (k, f, v) =>
+            (k, f, graft.embed.Quantization.encode(variant, v)) }
+          .toDF(KeyCol, "fp", "qembedding")
+      fencedIndexAppend(column)(stage =>
+        out.write.mode("overwrite").parquet(stage))
+      indexedCount(column) - before
+    } finally writeLock.unlock()
+  }
+
   def embedColumn(column: String, embedder: graft.embed.Embedder,
                   batchSize: Int = 32): Long = {
     import spark.implicits._
@@ -1229,6 +1267,68 @@ class Collection private[core] (
         lit(0.0).as("score")).limit(0)
     fetchHits(keywordHits(column, terms, limit, requireAll, after, mustNot),
       column)
+  }
+
+  /** The column's live vocabulary `(tok, df)` — off the keyword index's
+    * postings log when built (vocabulary-sized read), else one corpus
+    * tokenization pass.
+    */
+  private def keywordVocab(column: String): DataFrame =
+    if (hasKeywordIndex(column))
+      graft.search.Fuzzy.vocabFromPostings(
+        graft.search.Keyword.livePostings(spark, keywordIndexDir(column)))
+    else graft.search.Fuzzy.vocab(df, KeyCol, column)
+
+  /** "Did you mean": top-`k` vocabulary tokens fuzzily matching `term`
+    * — `(tok, dist, df)` by (edit distance, token). Candidates are
+    * trigram-gated ([[graft.search.Fuzzy]]); with a keyword index the
+    * vocabulary comes from the postings log, never the corpus.
+    */
+  def suggest(column: String, term: String, k: Int = 5,
+              maxDist: Int = 3): DataFrame =
+    graft.search.Fuzzy.vocabMatch(keywordVocab(column), term, k, maxDist)
+
+  /** [[searchKeyword]] with typo auto-correction: query terms ABSENT
+    * from the column's vocabulary are replaced by their best fuzzy match
+    * (nearest edit distance, token tie-break) before scoring; terms with
+    * no acceptable match (or too short to trigram) drop out. Present
+    * terms are never rewritten, so a correctly-spelled query scores
+    * exactly like [[searchKeyword]]. '-term' exclusions pass through
+    * uncorrected (excluding a typo nobody wrote is harmless; silently
+    * widening an exclusion is not).
+    */
+  def searchKeywordFuzzy(column: String, query: String, limit: Int,
+                         requireAll: Boolean = false,
+                         maxDist: Int = 2): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    require(query.trim.nonEmpty, "keyword search requires a non-empty query")
+    val words = query.trim.split("\\s+").toSeq
+    val (negWords, posWords) = words.partition(w => w.length > 1 && w.startsWith("-"))
+    require(posWords.nonEmpty,
+      "keyword search requires at least one non-excluded query term")
+    val analyzer =
+      if (hasKeywordIndex(column))
+        graft.search.Keyword.analyzerOf(spark, keywordIndexDir(column))
+      else graft.search.Analyzer.Whitespace
+    val terms = analyzer.queryTokens(posWords.mkString(" "))
+    val mustNot = analyzer.queryTokens(negWords.map(_.drop(1)).mkString(" "))
+    if (terms.isEmpty)
+      return df.select(col(column).as("content"), col(KeyCol).as("key"),
+        lit(0.0).as("score")).limit(0)
+    val vocab = keywordVocab(column).localCheckpoint(true)
+    val present = vocab.filter(col("tok").isin(terms: _*))
+      .select(col("tok")).collect().map(_.getString(0)).toSet // <= |terms| rows
+    val corrected = terms.flatMap { t =>
+      if (present(t)) Some(t)
+      else if (t.length < 3) None // cannot trigram; drop
+      else graft.search.Fuzzy.vocabMatch(vocab, t, k = 1, maxDist)
+        .collect().headOption.map(_.getString(0)) // bounded: 1 row
+    }.distinct.filterNot(mustNot.contains)
+    if (corrected.isEmpty)
+      return df.select(col(column).as("content"), col(KeyCol).as("key"),
+        lit(0.0).as("score")).limit(0)
+    fetchHits(keywordHits(column, corrected, limit, requireAll,
+      after = None, mustNot = mustNot), column)
   }
 
   /** Hybrid retrieval: RRF fusion of the dense page ([[search]]'s
@@ -2255,6 +2355,206 @@ class Collection private[core] (
     } finally writeLock.unlock()
   }
 
+  // --- binary (1-bit sign) sketch surface ---------------------------------
+  //
+  // The cheapest persistent acceleration tier for vector serving: one
+  // SIGN bit per dimension, packed 32 dims per long word
+  // ([[graft.search.BinaryQuant]]), stored key-clustered beside the
+  // vector index. A 384-dim f32 corpus shrinks 32x in the candidate
+  // pass — stage 1 of a search reads ONLY the words table (integer
+  // bit_count(xor) ranking), stage 2 fetches float vectors pointwise
+  // for the fetchK survivors and reranks by exact cosine. Unlike
+  // IVF/PQ there is nothing to train and no drift to watch: the sketch
+  // is a pure row-local function of each vector, so refresh is a
+  // watermark append and repair is the standard fingerprint-driven COW
+  // rewrite — the dedup-band maintenance story applied to vectors.
+
+  def binaryIndexDir(column: String): String =
+    s"$dir/${config.index_dir}/${column}_bin"
+
+  private def binarySketchDir(column: String): String =
+    s"${binaryIndexDir(column)}/sketch"
+
+  private def hasBinarySketch(column: String): Boolean = {
+    recoverSwap(binaryIndexDir(column))
+    fs.exists(new Path(s"${binaryIndexDir(column)}/params"))
+  }
+
+  private def readBinaryDim(column: String): Int =
+    spark.read.parquet(s"${binaryIndexDir(column)}/params")
+      .head().getAs[Int]("dim")
+
+  private def binaryRows(src: DataFrame, dim: Int): DataFrame =
+    src.select(col(KeyCol),
+      graft.search.BinaryQuant.signWords(col("embedding"), dim).as("words"))
+
+  /** Build (or staged-swap rebuild) the binary sign sketch for
+    * `column`'s vector index. Write order: sketch, fps, `params` last —
+    * [[hasBinarySketch]] keys on `params`, so a half-written build
+    * reads as "no sketch". Chunked indexes sketch every chunk vector
+    * (one row per vector, several per key); search folds per key.
+    */
+  def buildBinarySketch(column: String, nFiles: Int = 0): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val emb = embeddings(column)
+      val first = emb.select(col("embedding")).limit(1).collect()
+      require(first.nonEmpty,
+        s"no embedding index for '$column'; run embedColumn first")
+      val dim = first.head.getSeq[Float](0).length
+      val target = binaryIndexDir(column)
+      recoverSwap(target)
+      val n = if (nFiles > 0) nFiles
+              else math.max(1, spark.sparkContext.defaultParallelism / 4)
+      def build(where: String): Unit = {
+        import spark.implicits._
+        binaryRows(emb, dim)
+          .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(s"$where/sketch")
+        annUpstreamFps(column)
+          .repartitionByRange(n, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(s"$where/fps")
+        Seq((dim, graft.search.BinaryQuant.nWords(dim)))
+          .toDF("dim", "n_words")
+          .write.mode("overwrite").parquet(s"$where/params")
+      }
+      if (!fs.exists(new Path(target))) build(target)
+      else writeAndSwap(target) { tmp =>
+        build(tmp)
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      }
+      spark.read.parquet(binarySketchDir(column))
+        .select(col(KeyCol)).distinct().count()
+    } finally writeLock.unlock()
+  }
+
+  /** Fold vectors the sketch has not seen (keys above the stored max)
+    * into it — O(new rows), the watermark catch-up every other index
+    * family uses. Builds outright when absent. Returns keys folded in.
+    */
+  def refreshBinarySketch(column: String): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = binaryIndexDir(column)
+      recoverSwap(target)
+      recoverFileSwap(binarySketchDir(column))
+      recoverFileSwap(s"$target/fps")
+      if (!hasBinarySketch(column)) return buildBinarySketch(column)
+      val watermark = spark.read.parquet(binarySketchDir(column))
+        .agg(max(col(KeyCol))).head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r => r.getLong(0)
+        }
+      val pending = embeddings(column).filter(col(KeyCol) > watermark)
+        .localCheckpoint(true)
+      if (pending.isEmpty) return 0L
+      val dim = readBinaryDim(column)
+      binaryRows(pending, dim).write.mode("append").parquet(binarySketchDir(column))
+      annUpstreamFps(column)
+        .join(pending.select(col(KeyCol)).distinct(), Seq(KeyCol), "left_semi")
+        .write.mode("append").parquet(s"$target/fps")
+      pending.select(col(KeyCol)).distinct().count()
+    } finally writeLock.unlock()
+  }
+
+  /** Fingerprint-driven repair after [[upsert]]/re-embed rewrote vectors
+    * under existing keys: changed keys (stored fps vs the vector
+    * index's current fps; unseen/legacy-null rows count as changed)
+    * have their sketch files rewritten through the file-granular COW
+    * swap — only footer-range-intersecting files are touched, fps
+    * follows through [[upsertByKeyRange]]. Returns keys re-sketched.
+    */
+  def repairBinarySketch(column: String, scope: Option[DataFrame] = None): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = binaryIndexDir(column)
+      recoverSwap(target)
+      recoverFileSwap(binarySketchDir(column))
+      recoverFileSwap(s"$target/fps")
+      if (!hasBinarySketch(column)) return 0L
+      def sc(d: DataFrame): DataFrame = scope.fold(d)(k => scopedTo(d, k))
+      val cur = sc(annUpstreamFps(column)).withColumnRenamed("fp", "__fp")
+      val stored = sc(spark.read.parquet(s"$target/fps"))
+      val changed = cur.join(stored, Seq(KeyCol), "left_outer")
+        .filter(col("fp").isNull || col("__fp").isNull ||
+          col("fp") =!= col("__fp"))
+        .select(col(KeyCol)).localCheckpoint(true)
+      val n = changed.count()
+      if (n == 0L) return 0L
+      val dim = readBinaryDim(column)
+      val fresh = binaryRows(scopedTo(embeddings(column), changed), dim)
+      val touched = touchedFiles(binarySketchDir(column), changed)
+      val next =
+        if (touched.isEmpty) fresh
+        else spark.read.parquet(touched.map(_.path.toString).toIndexedSeq: _*)
+          .join(changed, Seq(KeyCol), "left_anti")
+          .unionByName(fresh)
+      replaceFiles(binarySketchDir(column), touched.map(_.path.getName)) { tmp =>
+        next.repartitionByRange(math.max(1, touched.length), col(KeyCol))
+          .sortWithinPartitions(KeyCol).write.mode("overwrite").parquet(tmp)
+      }
+      upsertByKeyRange(s"$target/fps",
+        annUpstreamFps(column).join(changed, Seq(KeyCol), "left_semi"))
+      n
+    } finally writeLock.unlock()
+  }
+
+  /** Re-cluster the sketch into ~`targetFileBytes` files — heals refresh
+    * small-file growth and folds away duplicate rows from a repair that
+    * crashed between its sketch swap and fps update (duplicates are
+    * benign for serving — the per-key fold is a min — but inflate the
+    * table). Same discipline as [[compactAnnIndex]].
+    */
+  def compactBinarySketch(column: String,
+                          targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      if (!hasBinarySketch(column)) return 0
+      recoverFileSwap(binarySketchDir(column))
+      val totalBytes =
+        fs.getContentSummary(new Path(binarySketchDir(column))).getLength
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val rows = spark.read.parquet(binarySketchDir(column)).dropDuplicates()
+      writeAndSwap(binarySketchDir(column)) { tmp =>
+        rows.repartitionByRange(nFiles, col(KeyCol)).sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      nFiles
+    } finally writeLock.unlock()
+  }
+
+  /** Two-stage binary serving: Hamming over the stored sketch ranks
+    * `fetchK` candidate KEYS (per-key min over chunk vectors), exact
+    * cosine over the pointwise-fetched float vectors reranks to the
+    * final page — [[search]]'s envelope `(content, key, score)`. Falls
+    * back to exact [[search]] when no sketch is built.
+    */
+  def searchBinary(column: String, query: String, limit: Int,
+                   embedder: graft.embed.Embedder, fetchK: Int = 0): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    if (!hasBinarySketch(column)) return search(column, query, limit, embedder)
+    recoverFileSwap(binarySketchDir(column))
+    val qv = embedder.embedOne(query)
+    val dim = readBinaryDim(column)
+    require(qv.length == dim,
+      s"query embeds to ${qv.length} dims but the sketch stores $dim")
+    val window = math.max(limit, if (fetchK > 0) fetchK else limit * 4)
+    val qWords = graft.search.BinaryQuant.packSign(qv)
+    val cand = spark.read.parquet(binarySketchDir(column))
+      .select(col(KeyCol),
+        graft.search.BinaryQuant.hamming(col("words"), qWords).as("__h"))
+      .groupBy(col(KeyCol)).agg(min(col("__h")).as("__h"))
+      .orderBy(col("__h"), col(KeyCol)).limit(window)
+      .select(col(KeyCol)).localCheckpoint(true)
+    val hits = graft.search.Search.topK(
+      scopedTo(embeddings(column), cand), qv, limit)
+    fetchHits(hits, column)
+  }
+
   // --- delete (right-to-be-forgotten) ------------------------------------
 
   /** Erase rows by `_key` from the collection AND every persisted index
@@ -2313,6 +2613,15 @@ class Collection private[core] (
           recoverFileSwap(s"$target/bands")
           if (hasDedupIndex(c0)) {
             deleteByKeyRange(s"$target/bands", del)
+            if (fs.exists(new Path(s"$target/fps")))
+              deleteByKeyRange(s"$target/fps", del)
+          }
+        case (c0, "bin") =>
+          val target = binaryIndexDir(c0)
+          recoverSwap(target)
+          recoverFileSwap(binarySketchDir(c0))
+          if (hasBinarySketch(c0)) {
+            deleteByKeyRange(binarySketchDir(c0), del)
             if (fs.exists(new Path(s"$target/fps")))
               deleteByKeyRange(s"$target/fps", del)
           }
@@ -2460,6 +2769,12 @@ class Collection private[core] (
           embeddings(column), KeyCol, "embedding", readAnnCenters(column)) / b
       }
       rows += base.copy(_5 = drift)
+    }
+    if (hasBinarySketch(column)) {
+      recoverFileSwap(s"${binaryIndexDir(column)}/fps")
+      rows += counts("binary",
+        spark.read.parquet(s"${binaryIndexDir(column)}/fps"),
+        annUpstreamFps(column).withColumnRenamed("fp", "__fp"))
     }
     rows.toSeq.toDF("structure", "missing", "stale", "orphaned", "drift")
   }
@@ -2866,6 +3181,8 @@ class Collection private[core] (
     structs.foreach {
       case (c0, "vector") => filePressure(indexDir(c0), c0, "vector", "compactIndex")
       case (c0, "ann") => filePressure(annListsDir(c0), c0, "ann", "compactAnnIndex")
+      case (c0, "bin") =>
+        filePressure(binarySketchDir(c0), c0, "binary", "compactBinarySketch")
       case (c0, "kw") =>
         if (hasKeywordIndex(c0)) {
           val dead = graft.search.Keyword.deadFraction(spark, keywordIndexDir(c0))
@@ -2900,6 +3217,10 @@ class Collection private[core] (
         recoverFileSwap(annListsDir(c0)); recoverFileSwap(s"$t/fps")
       case (c0, "tok") => recoverSwap(tokenizerDir(c0))
       case (c0, "clf") => recoverSwap(classifierDir(c0))
+      case (c0, "bin") =>
+        val t = binaryIndexDir(c0)
+        recoverSwap(t); recoverFileSwap(binarySketchDir(c0))
+        recoverFileSwap(s"$t/fps")
       case _ => ()
     }
   }
@@ -2945,6 +3266,7 @@ class Collection private[core] (
         else if (n.endsWith("_ann")) (n.dropRight(4), "ann")
         else if (n.endsWith("_tok")) (n.dropRight(4), "tok")
         else if (n.endsWith("_clf")) (n.dropRight(4), "clf")
+        else if (n.endsWith("_bin")) (n.dropRight(4), "bin")
         else (n, "vector")
       }
       .sortBy { case (c0, kind) => (if (kind == "vector") 0 else 1, c0) }
@@ -2978,7 +3300,7 @@ object Identifiers {
     "_precompact", "_compacting", "__stage", "__stage_commit",
     // index-structure dir suffixes: column "body_kw" would collide with
     // column "body"'s keyword index directory under index/
-    "_kw", "_dd", "_ann", "_tok", "_clf")
+    "_kw", "_dd", "_ann", "_tok", "_clf", "_bin")
 
   def validate(name: String): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),

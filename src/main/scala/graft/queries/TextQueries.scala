@@ -461,6 +461,34 @@ object TextQueries {
         .select(col("key").as("doc_id"), round(col("score"), 6).as("rrf_score"))
     }),
 
+    // Binary-sketch LIFECYCLE gate: import documents -> insert the
+    // fixture vectors through the K2 surface (insertVectors — the
+    // pre-embedded-corpus path) -> buildBinarySketch -> serve through
+    // searchBinary (stored words, Hamming candidates, pointwise exact
+    // rerank, content fetch). The query "embedder" returns the fixture's
+    // vec_id=0 vector, so the oracle is q158's math + the content join —
+    // the full on-disk story hash-gated end to end.
+    "q164_binary_lifecycle" -> ((s, d) => {
+      import graft.core.{Catalog, CollectionConfig, Keys}
+      val work = java.nio.file.Files.createTempDirectory("graft_q164").toString
+      val cat = new Catalog(s, s"$work/cat")
+      val c = cat.create(CollectionConfig(name = "docs"))
+      c.importDf(documents(s, d)
+        .select((col("doc_id") + 1).as(Keys.KeyCol), col("text")))
+      c.insertVectors("text", embeddings(s, d)
+        .select((col("vec_id") + 1).as(Keys.KeyCol), col("embedding")))
+      c.buildBinarySketch("text")
+      val qv = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val fixed = new graft.embed.Embedder {
+        val dim: Int = qv.length
+        def embed(texts: Iterator[String]): Iterator[Array[Float]] =
+          texts.map(_ => qv)
+      }
+      c.searchBinary("text", "fixture query", 10, fixed, fetchK = 40)
+        .select(col("content"), col("key"), round(col("score"), 6).as("score"))
+    }),
+
     // Fuzzy (typo-tolerant) vocabulary lookup, the pg_trgm shape: the
     // misspelled query 'partk' finds 'part' then 'spark'. Candidates
     // come from a
@@ -471,6 +499,25 @@ object TextQueries {
     // integers — no float discipline needed.
     "q162_fuzzy_vocab" -> ((s, d) =>
       graft.search.Fuzzy.fuzzyTerms(documents(s, d), "partk", k = 5)),
+
+    // Fuzzy-corrected keyword search, end to end: the typo'd query
+    // "vectr hash" auto-corrects through the keyword index's vocabulary
+    // ('vectr' is absent -> trigram candidates -> 'vector' at distance
+    // 1; 'hash' is present and never rewritten) and scores as plain
+    // BM25 over the corrected terms. The oracle hard-pins the corrected
+    // ranking + content join, so a correction regression (wrong term,
+    // dropped term, rewritten present term) fails the hash.
+    "q165_fuzzy_search" -> ((s, d) => {
+      import graft.core.{Catalog, CollectionConfig, Keys}
+      val work = java.nio.file.Files.createTempDirectory("graft_q165").toString
+      val cat = new Catalog(s, s"$work/cat")
+      val c = cat.create(CollectionConfig(name = "fz"))
+      c.importDf(documents(s, d)
+        .select((col("doc_id") + 1).as(Keys.KeyCol), col("text")))
+      c.buildKeywordIndex("text")
+      c.searchKeywordFuzzy("text", "vectr hash", 10)
+        .select(col("content"), col("key"), round(col("score"), 6).as("score"))
+    }),
 
     // Boolean NOT (the search-box '-term' operator): q109's query with
     // documents containing 'group' excluded. The exclusion is an
@@ -1201,6 +1248,35 @@ object TextQueries {
          |   ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT doc_id, round(score, 6) AS score FROM top
          | ORDER BY score DESC, doc_id""".stripMargin,
+
+    // q158's binary math + the content join: keys shift by +1 (the
+    // collection assigns _key = vec_id + 1), order by (score desc, key)
+    "q164_binary_lifecycle" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |w AS (SELECT vec_id, v, ${binWordSql(0)} AS w0, ${binWordSql(1)} AS w1 FROM e),
+         |q AS (SELECT w0 AS q0, w1 AS q1, v AS qv FROM w WHERE vec_id = 0),
+         |h AS (SELECT w.vec_id,
+         |   CAST(bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1)) AS INT)
+         |     AS hamming
+         |  FROM w, q),
+         |cand AS (SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 40),
+         |top AS (SELECT c.vec_id, list_cosine_similarity(e.v, q.qv) AS raw
+         |  FROM e JOIN cand c USING (vec_id), q
+         |  ORDER BY raw DESC, c.vec_id LIMIT 10)
+         |SELECT d.text AS content, t.vec_id + 1 AS key, round(t.raw, 6) AS score
+         | FROM top t JOIN documents d ON d.doc_id = t.vec_id
+         | ORDER BY t.raw DESC, key""".stripMargin,
+
+    // the CORRECTED ranking re-derived: 'vectr' -> 'vector' pinned as a
+    // literal, the BM25 CTE over the corrected terms, content joined
+    "q165_fuzzy_search" ->
+      s"""WITH ${bm25CteOver("'vector', 'hash'")},
+         | top AS (SELECT doc_id, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT d.text AS content, t.doc_id + 1 AS key,
+         |  round(t.score, 6) AS score
+         | FROM top t JOIN documents d USING (doc_id)
+         | ORDER BY t.score DESC, key""".stripMargin,
 
     // trigram candidate generation + Levenshtein rerank re-derived; the
     // query's trigrams are the same driver-side literals

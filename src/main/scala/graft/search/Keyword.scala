@@ -603,6 +603,16 @@ object Keyword {
     // pure read — see [[analyzerOf]] for why recovery must not run here
     liveFpsOf(spark.read.option("mergeSchema", "true").parquet(s"$dir/doclen"))
 
+  /** Live `(tok, key, tf)` postings of a stored index, net of tombstones
+    * — the vocabulary source for fuzzy suggestion
+    * ([[Fuzzy.vocabFromPostings]]): reading (tok, key) off the postings
+    * log beats re-tokenizing the corpus by the corpus/vocabulary size
+    * ratio. Reads every bucket (vocabulary-wide by definition).
+    */
+  def livePostings(spark: SparkSession, dir: String): DataFrame =
+    netPostingsOf(spark.read.parquet(s"$dir/postings"))
+      .select(col("tok"), col("key"), col("tf"))
+
   /** Delete documents from the index — the tombstone-append twin of
     * [[repairIndex]] with no fresh side: each deleted key's net postings
     * are negated into the log, its doclen rows are tombstoned, and stats

@@ -134,11 +134,24 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
             val requireAll = (req \ "require_all").extractOpt[Boolean]
               .getOrElse(false)
             coll.searchKeyword(column, query, limit, requireAll, searchAfter)
+          case "fuzzy" =>
+            // keyword search with typo auto-correction (vocabulary-
+            // absent terms replaced by their best trigram/edit match)
+            val requireAll = (req \ "require_all").extractOpt[Boolean]
+              .getOrElse(false)
+            val maxDist = (req \ "max_dist").extractOpt[Int].getOrElse(2)
+            require(maxDist >= 1, s"max_dist must be >= 1, got $maxDist")
+            coll.searchKeywordFuzzy(column, query, limit, requireAll, maxDist)
           case "hybrid" => coll.searchHybrid(column, query, limit, embedder)
           case "ann" =>
             val nProbe = (req \ "n_probe").extractOpt[Int].getOrElse(2)
             require(nProbe >= 1, s"n_probe must be >= 1, got $nProbe")
             coll.searchAnn(column, query, limit, embedder, nProbe)
+          case "binary" =>
+            // Hamming candidates over the 1-bit sketch, exact rerank
+            val fetchK = (req \ "fetch_k").extractOpt[Int].getOrElse(0)
+            require(fetchK >= 0, s"fetch_k must be >= 0, got $fetchK")
+            coll.searchBinary(column, query, limit, embedder, fetchK)
           case "late" =>
             // MaxSim over a chunked index; chunk_tokens should match the
             // granularity the index was embedded with. n_probe > 0 routes
@@ -155,7 +168,7 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
             require(np >= 0, s"n_probe must be >= 0, got $np")
             coll.searchLate(column, query, limit, embedder, mt, ov, np)
           case other => throw new IllegalArgumentException(
-            s"mode must be vector|keyword|hybrid|ann|late, got '$other'")
+            s"mode must be vector|keyword|fuzzy|hybrid|ann|binary|late, got '$other'")
         }).collect()
         val results = rows.map { r =>
           s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""

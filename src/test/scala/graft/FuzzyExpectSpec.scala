@@ -66,6 +66,42 @@ class FuzzyExpectSpec extends SparkSpec {
     assert(viaCorpus == Map("spark" -> 2L, "sort" -> 2L, "filter" -> 2L))
   }
 
+  test("collection suggest + fuzzy search: correction, stability, exclusions") {
+    import graft.core.{Catalog, CollectionConfig}
+    val root = java.nio.file.Files.createTempDirectory("graft_fzc").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "fz", index_columns = Seq("text")))
+    c.importDf(Seq(
+      "spark engine spark shuffle",
+      "spark spark spark",
+      "shuffle only here",
+      "spark parquet files").toDF("text"))
+    // suggestion page off the corpus vocabulary (no index yet)
+    val sug = c.suggest("text", "sparc", k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(sug.headOption.map(_._1).contains("spark"), s"got $sug")
+    // fuzzy search corrects the typo; exact query scores identically
+    val exact = c.searchKeyword("text", "spark", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val fuzzy = c.searchKeywordFuzzy("text", "sparc", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(fuzzy == exact, s"fuzzy $fuzzy != exact $exact")
+    // a present term is never rewritten
+    assert(c.searchKeywordFuzzy("text", "spark", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq == exact)
+    // indexed path: same behavior through the postings-log vocabulary
+    c.buildKeywordIndex("text", nBuckets = 8)
+    assert(c.searchKeywordFuzzy("text", "sparc", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq == exact)
+    assert(c.suggest("text", "sparc", k = 1).head().getString(0) == "spark")
+    // '-term' exclusions pass through uncorrected and still exclude
+    val notShuffle = c.searchKeywordFuzzy("text", "sparc -shuffle", 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(notShuffle.toSet == Set(2L, 4L), s"got $notShuffle")
+    // hopeless typo (no shared trigram) -> term drops -> empty page
+    assert(c.searchKeywordFuzzy("text", "zzqqy", 10).count() == 0)
+  }
+
   test("expectations: pass/fail per rule, unrounded compare, one-pass battery") {
     val df = Seq(
       (1L, Some("hello world"), 11L),
