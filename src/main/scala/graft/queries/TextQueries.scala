@@ -500,6 +500,28 @@ object TextQueries {
     "q162_fuzzy_vocab" -> ((s, d) =>
       graft.search.Fuzzy.fuzzyTerms(documents(s, d), "partk", k = 5)),
 
+    // RAG context packing: q109's top-10 page assembled into one
+    // budget-bounded context block — greedy in rank order, whitespace
+    // token counts, skip-and-continue past overflowing documents. The
+    // whole pack is one aggregate fold over the k-row page (row-local;
+    // no corpus-scale work), and the oracle re-derives the fold exactly,
+    // so the gate hashes the assembled STRING, the doc count and the
+    // token total.
+    "q166_context_pack" -> ((s, d) => {
+      val top = Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 10)
+      val page = documents(s, d)
+        .join(broadcast(top), col("doc_id") === col("key"))
+        .select(col("text").as("content"), col("key"), col("score"))
+      graft.operators.Rag.packContext(page, budgetTokens = 120)
+    }),
+
+    // Facet counts over the FULL match set of q109's query (every doc
+    // containing any term, not just the page): matches come from the
+    // term-pruned postings, then one semi-joined aggregate over the
+    // metadata column — the search-sidebar aggregation at corpus scale.
+    "q167_facets" -> ((s, d) =>
+      Keyword.facets(documents(s, d), Bm25Terms, "lang")),
+
     // Fuzzy-corrected keyword search, end to end: the typo'd query
     // "vectr hash" auto-corrects through the keyword index's vocabulary
     // ('vectr' is absent -> trigram candidates -> 'vector' at distance
@@ -1266,6 +1288,38 @@ object TextQueries {
          |SELECT d.text AS content, t.vec_id + 1 AS key, round(t.raw, 6) AS score
          | FROM top t JOIN documents d ON d.doc_id = t.vec_id
          | ORDER BY t.raw DESC, key""".stripMargin,
+
+    // the identical greedy fold as a DuckDB struct-accumulator
+    // list_reduce over the rank-ordered page
+    "q166_context_pack" ->
+      s"""WITH $Bm25Cte,
+         | top AS (SELECT doc_id, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 10),
+         | pg AS (SELECT t.doc_id, t.score, coalesce(d.text, '') AS c,
+         |   CASE WHEN length(trim(coalesce(d.text, ''))) = 0 THEN CAST(0 AS BIGINT)
+         |        ELSE CAST(len(string_split_regex(trim(coalesce(d.text, '')), '\\s+')) AS BIGINT)
+         |   END AS nt
+         |  FROM top t JOIN documents d USING (doc_id)),
+         | lst AS (SELECT list(struct_pack(used := nt, n := CAST(0 AS BIGINT),
+         |     ctx := c) ORDER BY score DESC, doc_id) AS xs FROM pg),
+         | folded AS (SELECT list_reduce(
+         |    list_prepend(struct_pack(used := CAST(0 AS BIGINT),
+         |      n := CAST(0 AS BIGINT), ctx := ''), xs),
+         |    (acc, x) -> CASE WHEN acc.used + x.used <= 120
+         |      THEN struct_pack(used := acc.used + x.used, n := acc.n + 1,
+         |        ctx := CASE WHEN acc.n = 0 THEN x.ctx
+         |               ELSE acc.ctx || chr(10) || chr(10) || x.ctx END)
+         |      ELSE acc END) AS p FROM lst)
+         |SELECT p.ctx AS context, p.n AS n_docs, p.used AS n_tokens
+         | FROM folded""".stripMargin,
+
+    "q167_facets" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksGuarded) AS tok FROM documents),
+         | m AS (SELECT DISTINCT doc_id FROM t
+         |   WHERE tok IN ('vector', 'hash', 'join'))
+         |SELECT d.lang AS facet, CAST(count(*) AS BIGINT) AS n_docs
+         | FROM documents d JOIN m USING (doc_id)
+         | GROUP BY 1 ORDER BY n_docs DESC, facet""".stripMargin,
 
     // the CORRECTED ranking re-derived: 'vectr' -> 'vector' pinned as a
     // literal, the BM25 CTE over the corrected terms, content joined

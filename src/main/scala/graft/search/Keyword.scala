@@ -718,6 +718,38 @@ object Keyword {
       neg)
   }
 
+  // --- facets ----------------------------------------------------------------
+
+  /** Facet counts over the query's FULL match set (not just the top-k
+    * page): how many matching documents fall in each value of
+    * `facetCol` — the sidebar every search UI grows ("lang: en (212),
+    * de (31), ..."). `requireAll = true` counts conjunctive matches.
+    *
+    * Scale shape: match keys come from the token postings (pruned to
+    * the query terms — O(query-term postings), the [[bm25FromTables]]
+    * discipline), then ONE semi-joined aggregate over the metadata
+    * column. Returns `(facet, n_docs)` ordered by (count desc, facet).
+    */
+  def facets(docs: DataFrame, queryTerms: Seq[String], facetCol: String,
+             idCol: String = "doc_id", textCol: String = "text",
+             requireAll: Boolean = false,
+             analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    val qt = queryTerms.map(_.toLowerCase).distinct
+    require(qt.nonEmpty, "facets require at least one query term")
+    val matchedToks = explodedTokens(docs, idCol, textCol, analyzer)
+      .filter(col("tok").isin(qt: _*))
+    val matched =
+      if (requireAll)
+        matchedToks.groupBy(col("key"))
+          .agg(countDistinct(col("tok")).as("__nt"))
+          .filter(col("__nt") === qt.size).select(col("key"))
+      else matchedToks.select(col("key")).distinct()
+    docs.select(col(idCol).as("key"), col(facetCol).as("facet"))
+      .join(matched, Seq("key"), "left_semi")
+      .groupBy(col("facet")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("facet"))
+  }
+
   // --- snippets ------------------------------------------------------------
 
   /** 1-based position of the EARLIEST occurrence of any query term in
