@@ -2502,6 +2502,65 @@ class Collection private[core] (
     } finally writeLock.unlock()
   }
 
+  /** Streaming twin of [[refreshBinarySketch]]: watch the VECTOR index
+    * directory and fold newly appended vectors' sign words into the
+    * sketch continuously — the same watermark discipline as
+    * [[annIndexStream]] (a cached max-sketched-key filters every
+    * micro-batch, so file replays drop already-sketched keys). A crash
+    * between the sketch and fps appends is conservative: the keys' fps
+    * rows are missing, so [[repairBinarySketch]] flags them changed and
+    * re-sketches idempotently (the COW rewrite replaces; serving's
+    * per-key min fold is duplicate-tolerant meanwhile). Bootstraps by
+    * building the sketch when absent.
+    */
+  def binarySketchStream(column: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Identifiers.validate(column)
+    val target = binaryIndexDir(column)
+    val srcSchema = indexRaw(column).getOrElse(throw new IllegalStateException(
+      s"no embedding index for '$column'; run embedColumn or " +
+        "embedColumnStream first")).schema
+    def sketchMax(): Long =
+      spark.read.parquet(binarySketchDir(column)).agg(max(col(KeyCol)))
+        .head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r => r.getLong(0)
+        }
+    @volatile var maxSeen = Long.MinValue
+    @volatile var seeded = false
+    spark.readStream.schema(srcSchema)
+      .option("ignoreMissingFiles", "true").parquet(indexDir(column))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeLock.lock()
+        try {
+          recoverSwap(target)
+          recoverFileSwap(binarySketchDir(column))
+          recoverFileSwap(s"$target/fps")
+          if (!hasBinarySketch(column)) {
+            buildBinarySketch(column)
+            maxSeen = sketchMax(); seeded = true
+          } else {
+            if (!seeded) { maxSeen = sketchMax(); seeded = true }
+            val pending = batch.filter(col(KeyCol) > maxSeen)
+            val mx = pending.agg(max(col(KeyCol))).head()
+            if (!mx.isNullAt(0)) {
+              val dim = readBinaryDim(column)
+              binaryRows(dequantView(pending), dim)
+                .write.mode("append").parquet(binarySketchDir(column))
+              val fp = if (pending.schema.fieldNames.contains("fp")) col("fp")
+                       else lit(null).cast(StringType).as("fp")
+              pending.select(col(KeyCol), fp.as("fp")).dropDuplicates(KeyCol)
+                .write.mode("append").parquet(s"$target/fps")
+              maxSeen = mx.getLong(0)
+            }
+          }
+        } finally writeLock.unlock()
+      }
+      .start()
+  }
+
   /** Re-cluster the sketch into ~`targetFileBytes` files — heals refresh
     * small-file growth and folds away duplicate rows from a repair that
     * crashed between its sketch swap and fps update (duplicates are

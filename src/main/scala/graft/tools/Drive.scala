@@ -242,6 +242,43 @@ object Drive {
         s"pages tile ${p1.size}+${p2.size}, classifier scored ${scored.count()}")
     }
 
+    println("=== 10. binary sketch, fuzzy search, facets, context pack ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      // binary sketch lifecycle: build -> serve -> refresh -> status
+      val nKeys = coll.buildBinarySketch("text")
+      val q = "fast key order sort table scan"
+      val exact = coll.search("text", q, 5, emb)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val viaSketch = coll.searchBinary("text", q, 5, emb, fetchK = 10000)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      require(viaSketch == exact, "all-candidates binary serving must be exact")
+      require(coll.refreshBinarySketch("text") == 0L, "nothing pending")
+      val binStatus = coll.indexStatus("text")
+        .filter(col("structure") === "binary").head()
+      require(binStatus.getLong(1) == 0, "binary sketch must be current")
+      // typo-tolerant search: correction equals the corrected-query page
+      coll.buildKeywordIndex("text")
+      val corrected = coll.searchKeyword("text", "fast key", 5)
+        .collect().map(_.getLong(1)).toSeq
+      val fuzzy = coll.searchKeywordFuzzy("text", "fastt key", 5)
+        .collect().map(_.getLong(1)).toSeq
+      require(fuzzy == corrected, s"fuzzy $fuzzy != corrected $corrected")
+      val sug = coll.suggest("text", "fastt", k = 1).head().getString(0)
+      // facets over the match set + a budget-packed context block
+      val fac = graft.search.Keyword.facets(
+        coll.df.select(col("_key").as("doc_id"), col("text"),
+          (col("_key") % 3).as("bucket")),
+        Seq("fast", "key"), "bucket")
+      val page = coll.search("text", q, 10, emb)
+      val packed = graft.operators.Rag.packContext(page, budgetTokens = 100)
+        .head()
+      require(packed.getLong(2) <= 100, "context must respect the budget")
+      println(s"binary: $nKeys keys sketched, serving exact; " +
+        s"fuzzy: 'fastt' -> '$sug'; facets: ${fac.count()} buckets; " +
+        s"context: ${packed.getLong(1)} docs / ${packed.getLong(2)} tokens")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }

@@ -137,4 +137,45 @@ class IndexStreamSpec extends SparkSpec {
       assert(got.contains(31L), s"rerank page must surface the new doc: ${got.toSeq}")
     } finally annQ.stop()
   }
+
+  test("binary sketch stream: bootstrap, chained embed-stream fold, exactly-once replay") {
+    val emb = new HashingEmbedder(dim = 32)
+    val root = java.nio.file.Files.createTempDirectory("graft_binstream").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "binstr"))
+    c.importDf((1 to 40).map(i => s"alpha beta document number $i").toDF("text"))
+    assert(c.embedColumn("text", emb) == 40)
+    def page(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Double)] =
+      df.collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val sketchDir = s"${c.binaryIndexDir("text")}/sketch"
+    val embQ = c.embedColumnStream("text", emb, s"$root/_embckpt")
+    val binQ = c.binarySketchStream("text", s"$root/_binckpt")
+    try {
+      binQ.processAllAvailable() // bootstrap: builds the sketch
+      val q1 = "alpha beta document"
+      assert(page(c.searchBinary("text", q1, 5, emb, fetchK = 1000)) ==
+        page(c.search("text", q1, 5, emb)),
+        "all-candidates sketch serving must equal exact search after bootstrap")
+      // chained continuous ingest: data append -> embed stream -> sketch
+      c.appendDf(Seq("zephyr quill unique payload fresh",
+        "zephyr quill unique payload fresher").toDF("text"))
+      embQ.processAllAvailable()
+      binQ.processAllAvailable()
+      assert(spark.read.parquet(sketchDir)
+        .filter(col("_key") > 40).count() == 2L, "stream missed new vectors")
+      val q2 = "zephyr quill unique payload"
+      val exact = page(c.search("text", q2, 3, emb))
+      assert(page(c.searchBinary("text", q2, 3, emb, fetchK = 1000)) == exact,
+        "sketch serving must see the streamed-in vectors")
+    } finally { binQ.stop(); embQ.stop() }
+    val rows = spark.read.parquet(sketchDir).count()
+    // checkpoint loss: every vector-index file re-delivered; watermark
+    // filter drops them all
+    val binQ2 = c.binarySketchStream("text", s"$root/_binckpt_fresh")
+    try {
+      binQ2.processAllAvailable()
+      assert(spark.read.parquet(sketchDir).count() == rows,
+        "full replay must not re-sketch indexed keys")
+    } finally binQ2.stop()
+  }
 }
