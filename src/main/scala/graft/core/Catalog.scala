@@ -236,6 +236,24 @@ class Collection private[core] (
       .join(broadcast(k), Seq(KeyCol), "left_semi")
   }
 
+  /** Key-scoped read of a key-clustered directory that opens ONLY the
+    * footer-planned touched files — [[scopedTo]] prunes row groups but
+    * still opens every file's footer from the tasks, so at bounded file
+    * size its task-visible read cost grows with the corpus's FILE count.
+    * Planning here happens driver-side over [[ParquetStats]] (the
+    * designed metadata plane); the task data plane then reads only the
+    * files a scoped key actually lives in.
+    */
+  private def scopedRead(target: String, keys: DataFrame): DataFrame = {
+    val k = keys.select(col(keys.columns.head).cast(LongType).as(KeyCol))
+    val touched = touchedFiles(target, k)
+    if (touched.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(target).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(_.path.toString): _*)
+      .join(broadcast(k), Seq(KeyCol), "left_semi")
+  }
+
   /** Row count. The reference's `SELECT COUNT('{col}')` counts a string
     * literal — effectively COUNT(*) (collection_actor.rs:380-389); we match
     * the actual behavior: count rows.
@@ -1700,13 +1718,20 @@ class Collection private[core] (
     * here. Pre-fingerprint index rows read fp null and conservatively
     * count as changed in [[repairAnnIndex]].
     */
-  private def annUpstreamFps(column: String): DataFrame = {
+  private def annUpstreamFps(column: String,
+                             scope: Option[DataFrame] = None): DataFrame = {
     val raw = indexRaw(column).getOrElse(
       throw new IllegalStateException(
         s"no embedding index for '$column'; run embedColumn first"))
     val fp = if (raw.schema.fieldNames.contains("fp")) col("fp")
              else lit(null).cast(StringType).as("fp")
-    raw.select(col(KeyCol), fp.as("fp")).dropDuplicates(KeyCol)
+    // scope restricts BEFORE the per-key dedup AND at file granularity:
+    // a filter on top of dropDuplicates does not reliably push below the
+    // Deduplicate node, and a pushed filter still opens every file's
+    // footer — scopedRead plans the touched files driver-side instead
+    val src = scope.fold(raw.select(col(KeyCol), fp.as("fp")))(k =>
+      scopedRead(indexDir(column), k).select(col(KeyCol), fp.as("fp")))
+    src.dropDuplicates(KeyCol)
   }
 
   /** `(key, fp, list_ids)` sidecar rows for a batch: fingerprints joined
@@ -2294,10 +2319,10 @@ class Collection private[core] (
       // (narrow-column corpus scans); a SCOPED repair — the caller knows
       // which keys its upsert touched — prunes both sides to the batch's
       // key range (footer/row-group stats) before comparing
-      def sc(d: DataFrame): DataFrame = scope.fold(d)(k => scopedTo(d, k))
-      val cur = sc(annUpstreamFps(column)).withColumnRenamed("fp", "__fp")
+      val cur = annUpstreamFps(column, scope).withColumnRenamed("fp", "__fp")
       val fpsDf = spark.read.option("mergeSchema", "true").parquet(s"$target/fps")
-      val changed = cur.join(sc(fpsDf), Seq(KeyCol), "left_outer")
+      val storedFps = scope.fold(fpsDf)(k => scopedRead(s"$target/fps", k))
+      val changed = cur.join(storedFps, Seq(KeyCol), "left_outer")
         .filter(col("fp").isNull || col("__fp").isNull || col("fp") =!= col("__fp"))
         .select(col(KeyCol)).localCheckpoint(true)
       val n = changed.count()
@@ -2308,9 +2333,10 @@ class Collection private[core] (
       // ((list_id, key) pair pruning through the sidecar); fresh rows
       // land in new files, whatever their list
       val touched = annTouchedLists(column, changed)
-      // the fresh vectors read is key-range-pruned too — a bare semi-join
+      // the fresh vectors read is file-granular too — a bare semi-join
       // would scan the whole (wide) embedding column
-      val fresh = annRows(scopedTo(embeddings(column), changed), centers, cb)
+      val fresh = annRows(dequantView(scopedRead(indexDir(column), changed)),
+        centers, cb)
         .localCheckpoint(true)
       val next =
         if (touched.isEmpty) fresh
@@ -2452,8 +2478,7 @@ class Collection private[core] (
       if (pending.isEmpty) return 0L
       val dim = readBinaryDim(column)
       binaryRows(pending, dim).write.mode("append").parquet(binarySketchDir(column))
-      annUpstreamFps(column)
-        .join(pending.select(col(KeyCol)).distinct(), Seq(KeyCol), "left_semi")
+      annUpstreamFps(column, Some(pending.select(col(KeyCol))))
         .write.mode("append").parquet(s"$target/fps")
       pending.select(col(KeyCol)).distinct().count()
     } finally writeLock.unlock()
@@ -2475,9 +2500,9 @@ class Collection private[core] (
       recoverFileSwap(binarySketchDir(column))
       recoverFileSwap(s"$target/fps")
       if (!hasBinarySketch(column)) return 0L
-      def sc(d: DataFrame): DataFrame = scope.fold(d)(k => scopedTo(d, k))
-      val cur = sc(annUpstreamFps(column)).withColumnRenamed("fp", "__fp")
-      val stored = sc(spark.read.parquet(s"$target/fps"))
+      val cur = annUpstreamFps(column, scope).withColumnRenamed("fp", "__fp")
+      val stored = scope.fold(spark.read.parquet(s"$target/fps"))(k =>
+        scopedRead(s"$target/fps", k))
       val changed = cur.join(stored, Seq(KeyCol), "left_outer")
         .filter(col("fp").isNull || col("__fp").isNull ||
           col("fp") =!= col("__fp"))
@@ -2485,7 +2510,8 @@ class Collection private[core] (
       val n = changed.count()
       if (n == 0L) return 0L
       val dim = readBinaryDim(column)
-      val fresh = binaryRows(scopedTo(embeddings(column), changed), dim)
+      val fresh = binaryRows(dequantView(scopedRead(indexDir(column), changed)),
+        dim)
       val touched = touchedFiles(binarySketchDir(column), changed)
       val next =
         if (touched.isEmpty) fresh
@@ -2496,8 +2522,10 @@ class Collection private[core] (
         next.repartitionByRange(math.max(1, touched.length), col(KeyCol))
           .sortWithinPartitions(KeyCol).write.mode("overwrite").parquet(tmp)
       }
-      upsertByKeyRange(s"$target/fps",
-        annUpstreamFps(column).join(changed, Seq(KeyCol), "left_semi"))
+      // scopedTo, not a bare semi-join: the key-range filter pushes below
+      // the fp dedup into the vector-index scan, so a 10-key repair reads
+      // 10 keys' row groups — the ScaleProbe-audited O(touched) shape
+      upsertByKeyRange(s"$target/fps", annUpstreamFps(column, Some(changed)))
       n
     } finally writeLock.unlock()
   }

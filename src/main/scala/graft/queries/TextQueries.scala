@@ -536,7 +536,9 @@ object TextQueries {
       val c = cat.create(CollectionConfig(name = "fz"))
       c.importDf(documents(s, d)
         .select((col("doc_id") + 1).as(Keys.KeyCol), col("text")))
-      c.buildKeywordIndex("text")
+      // 8 buckets: the fixture vocabulary is ~31 tokens — 64 bucket
+      // files would be build cost with no pruning benefit at this size
+      c.buildKeywordIndex("text", nBuckets = 8)
       c.searchKeywordFuzzy("text", "vectr hash", 10)
         .select(col("content"), col("key"), round(col("score"), 6).as("score"))
     }),

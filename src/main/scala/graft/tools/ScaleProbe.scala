@@ -179,6 +179,9 @@ object ScaleProbe {
     probe("build:dedup-index") {
       c.buildDedupIndex("text", nFiles = 8 * factor)
     }
+    probe("build:binary-sketch") {
+      c.buildBinarySketch("text", nFiles = 8 * factor)
+    }
     probe("build:ann-index") {
       // the sqrt(n) list-count rule: list COUNT grows with the corpus so
       // a fixed correction batch touches a shrinking fraction of lists
@@ -214,6 +217,9 @@ object ScaleProbe {
     probe("repairAnnIndex(scoped)") {
       assert(c.repairAnnIndex("text", scope = scope) == 10)
     }
+    probe("repairBinarySketch(scoped)") {
+      assert(c.repairBinarySketch("text", scope = scope) == 10)
+    }
     probe("deleteKeys(10)") { assert(c.deleteKeys((11L to 20L)) == 10) }
     // full reconciles (fsck mode): corpus-wide fingerprint compare by
     // design — narrow-column scans that SHOULD scale with the corpus;
@@ -221,6 +227,9 @@ object ScaleProbe {
     probe("reconcile:reembedChanged") { assert(c.reembedChanged("text", emb) == 0) }
     probe("reconcile:repairDedupIndex") { assert(c.repairDedupIndex("text") == 0) }
     probe("reconcile:repairAnnIndex") { assert(c.repairAnnIndex("text") == 0) }
+    probe("reconcile:repairBinarySketch") {
+      assert(c.repairBinarySketch("text") == 0)
+    }
     // incremental backup after the correction: only files the
     // upsert/repairs/delete rewrote may be copied
     val incrBak = c.backup(bdest)

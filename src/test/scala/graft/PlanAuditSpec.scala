@@ -99,4 +99,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"the page cut must be TakeOrdered's k-per-partition bound:\n$p")
   }
+
+  test("binary Hamming page: TakeOrdered both stages, broadcast rerank, pruned scan") {
+    val p = planOf(SparkEntry.queries("q158_binary_hamming")(spark, sf0001))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"both binary stages must be TakeOrdered k-per-partition cuts:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rerank fetch must broadcast the candidate page:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a 40-row candidate page must never sort-merge:\n$p")
+  }
+
+  test("snippets are row-local on the hits page (no post-join shuffle)") {
+    val p = planOf(SparkEntry.queries("q161_snippets")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"content fetch must broadcast the k-row page:\n$p")
+    // the only exchanges are the BM25 aggregates; snippet/locate adds none
+    assert(!p.contains("Window"), s"snippets must not window:\n$p")
+  }
+
+  test("context pack folds the page in one aggregate (no corpus-side work)") {
+    val p = planOf(SparkEntry.queries("q166_context_pack")(spark, sf0001))
+    assert(!p.contains("Window"), s"the greedy fold must not window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"page hydration must broadcast:\n$p")
+  }
+
+  test("expectations battery is one scan + partial aggregate") {
+    val p = planOf(SparkEntry.queries("q163_expectations")(spark, sf0001))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"N rules must cost ONE corpus scan:\n$p")
+    assert(p.contains("Partial") || p.contains("partial"),
+      s"the battery must combine map-side:\n$p")
+  }
 }
