@@ -500,6 +500,29 @@ object TextQueries {
     "q162_fuzzy_vocab" -> ((s, d) =>
       graft.search.Fuzzy.fuzzyTerms(documents(s, d), "partk", k = 5)),
 
+    // Diversified results: the top-2 BM25 matches WITHIN each language
+    // — the result-diversity knob. The full match set ranks (term-
+    // pruned postings), then one per-facet window; the shuffle carries
+    // match-set rows hashed by facet, never the corpus.
+    "q168_facet_topk" -> ((s, d) =>
+      Keyword.facetTopK(documents(s, d), Bm25Terms, "lang", kPerFacet = 2)
+        .select(col("facet"), col("key").as("doc_id"),
+          round(col("score"), 6).as("score"), col("rank"))),
+
+    // Weighted min-max-normalized hybrid (the rank-free fusion next to
+    // q110's RRF): each 20-row page rescales to [0,1], fuses as
+    // 0.7*keyword + 0.3*dense, absent entries contribute 0. Preserves
+    // score gaps RRF flattens; every step re-derived in SQL.
+    "q169_hybrid_weighted" -> ((s, d) => {
+      val kw = Keyword.bm25TopK(documents(s, d), Bm25Terms, k = 20)
+      val qv = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val dn = Search.topK(embeddings(s, d), qv, k = 20, keyColName = "vec_id")
+        .select(col("vec_id").as("key"), col("score"))
+      Keyword.fuseWeighted(Seq((kw, 0.7), (dn, 0.3)), "key", k = 10)
+        .select(col("key").as("doc_id"), round(col("score"), 6).as("wscore"))
+    }),
+
     // RAG context packing: q109's top-10 page assembled into one
     // budget-bounded context block — greedy in rank order, whitespace
     // token counts, skip-and-continue past overflowing documents. The
@@ -1290,6 +1313,43 @@ object TextQueries {
          |SELECT d.text AS content, t.vec_id + 1 AS key, round(t.raw, 6) AS score
          | FROM top t JOIN documents d ON d.doc_id = t.vec_id
          | ORDER BY t.raw DESC, key""".stripMargin,
+
+    "q168_facet_topk" ->
+      s"""WITH $Bm25Cte,
+         | r AS (SELECT d.lang AS facet, b.doc_id, b.score,
+         |   CAST(row_number() OVER (PARTITION BY d.lang
+         |     ORDER BY b.score DESC, b.doc_id) AS BIGINT) AS rank
+         |  FROM bm25agg b JOIN documents d USING (doc_id))
+         |SELECT facet, doc_id, round(score, 6) AS score, rank FROM r
+         | WHERE rank <= 2 ORDER BY facet, rank""".stripMargin,
+
+    // min-max normalization + weighted sum re-derived per page; the
+    // per-key fold orders by list index like the Spark aggregate
+    "q169_hybrid_weighted" ->
+      s"""WITH $Bm25Cte,
+         | kw AS (SELECT doc_id AS key, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 20),
+         | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         | dn AS (SELECT e.vec_id AS key,
+         |   list_cosine_similarity(e.v, q.qv) AS score
+         |  FROM e, q ORDER BY score DESC, key LIMIT 20),
+         | kn AS (SELECT key, 0 AS li,
+         |   (CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+         |    ELSE (score - min(score) OVER ())
+         |      / (max(score) OVER () - min(score) OVER ()) END) * 0.7 AS contrib
+         |  FROM kw),
+         | dnn AS (SELECT key, 1 AS li,
+         |   (CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+         |    ELSE (score - min(score) OVER ())
+         |      / (max(score) OVER () - min(score) OVER ()) END) * 0.3 AS contrib
+         |  FROM dn),
+         | u AS (SELECT * FROM kn UNION ALL SELECT * FROM dnn),
+         | f AS (SELECT key, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list(contrib ORDER BY li)), (a, b) -> a + b) AS wscore
+         |  FROM u GROUP BY key)
+         |SELECT key AS doc_id, round(wscore, 6) AS wscore FROM f
+         | ORDER BY wscore DESC, key LIMIT 10""".stripMargin,
 
     // the identical greedy fold as a DuckDB struct-accumulator
     // list_reduce over the rank-ordered page

@@ -912,4 +912,83 @@ object Keyword {
       .orderBy(desc("score"), col(keyCol))
       .limit(k)
   }
+
+  /** Weighted score fusion with per-list MIN-MAX normalization — the
+    * other standard hybrid besides [[rrfFuse]]: each page's scores
+    * rescale to [0, 1] ((s - min)/(max - min); a constant page reads
+    * 1.0 so its presence still votes), then fuse as a weighted sum with
+    * absent entries contributing 0. Rank-free, so it preserves score
+    * GAPS that RRF flattens — the right fusion when one retriever's
+    * margins are meaningful. Same page-sized cost envelope as RRF
+    * (k <= ~100-row inputs; the single-partition window is deliberate);
+    * the per-key sum folds in list-index order (deterministic f64).
+    */
+  def fuseWeighted(lists: Seq[(DataFrame, Double)], keyCol: String,
+                   k: Int): DataFrame = {
+    require(lists.nonEmpty, "fuseWeighted requires at least one ranked list")
+    require(lists.forall(_._2 >= 0), "list weights must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val parts = lists.zipWithIndex.map { case ((l, weight), i) =>
+      val lo = min(col("score")).over(w)
+      val hi = max(col("score")).over(w)
+      l.select(col(keyCol), col("score"))
+        .withColumn("n", when(hi === lo, lit(1.0))
+          .otherwise((col("score") - lo) / (hi - lo)))
+        .select(col(keyCol), lit(i).as("li"),
+          (col("n") * weight).as("contrib"))
+    }
+    parts.reduce(_ unionByName _)
+      .groupBy(col(keyCol)).agg(
+        aggregate(sort_array(collect_list(struct(col("li"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy(desc("score"), col(keyCol))
+      .limit(k)
+  }
+
+  /** All matching `(key, score)` BM25 rows for `queryTerms` — the
+    * page-free form of [[bm25TopK]] for consumers that rank WITHIN
+    * groups afterwards ([[facetTopK]]). Same scoring, no global cut.
+    */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+                 idCol: String = "doc_id", textCol: String = "text",
+                 k1: Double = DefaultK1, b: Double = DefaultB,
+                 analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    val (postings, doclen, stats) = corpusTables(docs, idCol, textCol, analyzer)
+    val qt = queryTerms.map(_.toLowerCase).distinct
+    require(qt.nonEmpty, "bm25 requires at least one query term")
+    val tf = postings.filter(col("tok").isin(qt: _*))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(doclen, "key")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", bm25Contrib(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .groupBy(col("key")).agg(
+        aggregate(sort_array(collect_list(struct(col("tok"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+  }
+
+  /** Diversified results: the top `kPerFacet` matches WITHIN each value
+    * of `facetCol` — "best 2 per language", the grouped page every
+    * search UI's diversity knob needs. Ranks the FULL match set (term-
+    * pruned postings, the [[facets]] discipline), windowed per facet —
+    * the shuffle carries match-set rows hashed by facet, never the
+    * corpus. Returns `(facet, key, score, rank)`.
+    */
+  def facetTopK(docs: DataFrame, queryTerms: Seq[String], facetCol: String,
+                kPerFacet: Int, idCol: String = "doc_id",
+                textCol: String = "text",
+                analyzer: Analyzer = Analyzer.Whitespace): DataFrame = {
+    require(kPerFacet >= 1, s"kPerFacet must be >= 1, got $kPerFacet")
+    val scores = bm25Scores(docs, queryTerms, idCol, textCol,
+      analyzer = analyzer)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("facet")).orderBy(desc("score"), col("key"))
+    docs.select(col(idCol).as("key"), col(facetCol).as("facet"))
+      .join(scores, Seq("key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kPerFacet)
+      .select(col("facet"), col("key"), col("score"), col("rank"))
+      .orderBy(col("facet"), col("rank"))
+  }
 }

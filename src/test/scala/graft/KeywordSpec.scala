@@ -770,6 +770,44 @@ class KeywordSpec extends SparkSpec {
     assert(c.searchKeyword("text", "spark -", 10).count() >= 1)
   }
 
+  test("fuseWeighted: hand-computed min-max fusion, constant page, absent entries") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("key", "score")
+    val b = Seq((2L, 0.5), (4L, 0.5)).toDF("key", "score") // constant page
+    val got = Keyword.fuseWeighted(Seq((a, 0.8), (b, 0.2)), "key", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // a normalizes to 1.0/0.5/0.0; b is constant -> every entry 1.0
+    // key 1: 0.8*1.0 = 0.8; key 2: 0.8*0.5 + 0.2*1.0 = 0.6 (f64 fold);
+    // key 4: 0.2*1.0 = 0.2; key 3: 0.0
+    assert(got.map(_._1) == Seq(1L, 2L, 4L, 3L), s"got $got")
+    got.zip(Seq(0.8, 0.6, 0.2, 0.0)).foreach { case ((_, s), w) =>
+      assert(math.abs(s - w) < 1e-12, s"got $got")
+    }
+    intercept[IllegalArgumentException] {
+      Keyword.fuseWeighted(Seq((a, -1.0)), "key", 5)
+    }
+  }
+
+  test("facetTopK: per-facet ranks, key tie-break, non-matching facets absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark", "en"), // en rank 1 (tf 3)
+      (2L, "spark spark", "en"),       // en rank 2 (tf 2)
+      (3L, "spark", "en"),             // en rank 3 -> cut
+      (4L, "spark here", "de"),        // de rank 1
+      (5L, "nothing relevant", "fr")   // no match -> fr absent
+    ).toDF("doc_id", "text", "lang")
+    val got = Keyword.facetTopK(docs, Seq("spark"), "lang", kPerFacet = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq(("de", 4L, 1L), ("en", 1L, 1L), ("en", 2L, 2L)),
+      s"got $got")
+    // scores are the plain BM25 sums (rank cut only changes membership)
+    val full = Keyword.bm25TopK(docs, Seq("spark"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Keyword.facetTopK(docs, Seq("spark"), "lang", kPerFacet = 2)
+      .collect().foreach(r => assert(r.getDouble(2) == full(r.getLong(1))))
+  }
+
   test("matchPos/snippet: earliest-term window, head clamp, absent-term sentinel") {
     val df = Seq(
       (1L, "x" * 50 + " vector here and hash later"),
