@@ -138,14 +138,34 @@ object Bench {
     }
     val full = render(short = false, dp = -1)
     // prefer full names at reduced precision over abbreviated names: the
-    // per-query keys are what a human reads in the launcher's record
+    // per-query keys are what a human reads in the launcher's record.
+    // Budget 1700, not 1900: the summary line below must also fit the
+    // launcher's 2000-char tail alongside whatever survives of this one.
     val line = LazyList(
       () => render(short = false, dp = 3),
       () => render(short = false, dp = 2),
-      () => render(short = true, dp = 3))
-      .map(_.apply()).find(_.length <= 1900)
-      .getOrElse(render(short = true, dp = 2))
+      () => render(short = true, dp = 3),
+      () => render(short = true, dp = 2))
+      .map(_.apply()).find(_.length <= 1700)
+      .getOrElse(render(short = true, dp = 1))
     println(line)
+    // ALWAYS print a final summary-only line — total/runs/failures, no
+    // per-query map — as the LAST stdout line. Round 8's per-query line
+    // outgrew the launcher's 2000-char tail at 179 queries and cut
+    // `"metric":"total"` off the front, so the driver recorded no total
+    // (BENCH_r08.json parsed:null). This line is ~180 chars and sits at
+    // the very end of stdout, so the tail can never lose it; the full
+    // per-query record lives in BENCH_LAST.json either way.
+    val failsShort = results.collect { case (k, _, Some(e)) =>
+      jstr("q(\\d+)_.*".r.replaceAllIn(k, m => "q" + m.group(1))) + ":" +
+        jstr(e.take(60))
+    }
+    val summary =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$runs,""" +
+      s""""n_queries":${results.size},"failures":${failsShort.mkString("{", ",", "}")},""" +
+      s""""sf":"${new java.io.File(sfDir).getName}",""" +
+      s""""load1":[${fmt(loadStart, 2)},${fmt(loadEnd, 2)}],"other_jvms":[$jvmsStart,$jvmsEnd]}"""
+    println(summary)
     // Belt-and-braces for log-wrapping launchers: also drop the FULL
     // (unabbreviated, full-precision) line in a well-known file.
     try {

@@ -409,12 +409,23 @@ object Cli {
         val k = flags.get("k").map(_.toInt).getOrElse(10)
         val nProbe = flags.get("n-probe").map(_.toInt).getOrElse(2)
         val nq = flags.get("queries").map(_.toInt).getOrElse(32)
-        import org.apache.spark.sql.functions.{avg, count, lit}
-        val row = c.annRecallReport(column, k, nProbe, nq)
-          .agg(avg("recall"), avg("mrr"), avg("ndcg"), count(lit(1))).head()
-        println(f"ann recall@$k%d over ${row.getLong(3)}%d queries " +
-          f"(nProbe=$nProbe%d): recall=${row.getDouble(0)}%.4f " +
-          f"mrr=${row.getDouble(1)}%.4f ndcg=${row.getDouble(2)}%.4f")
+        if (flags.contains("sweep")) {
+          // serving-tier decision table: every tier the collection has
+          // built, graded on the same query sample vs the exact gold
+          println("| tier | recall@" + k + " | mrr | ndcg | s/query | MB read/query |")
+          println("|---|---|---|---|---|---|")
+          c.tierSweep(column, k, nProbe, nq).foreach { t =>
+            println(f"| ${t.tier} | ${t.recall}%.4f | ${t.mrr}%.4f | " +
+              f"${t.ndcg}%.4f | ${t.secPerQuery}%.3f | ${t.mbReadPerQuery}%.2f |")
+          }
+        } else {
+          import org.apache.spark.sql.functions.{avg, count, lit}
+          val row = c.annRecallReport(column, k, nProbe, nq)
+            .agg(avg("recall"), avg("mrr"), avg("ndcg"), count(lit(1))).head()
+          println(f"ann recall@$k%d over ${row.getLong(3)}%d queries " +
+            f"(nProbe=$nProbe%d): recall=${row.getDouble(0)}%.4f " +
+            f"mrr=${row.getDouble(1)}%.4f ndcg=${row.getDouble(2)}%.4f")
+        }
       case "delete" =>
         val c = catalog.load(req(flags, "collection"))
         val keys =
@@ -579,7 +590,7 @@ object Cli {
       if (a.startsWith("--")) {
         val key = a.drop(2)
         if (key == "overwrite" || key == "require-all" || key == "apply" ||
-            key == "full" || key == "any-term") {
+            key == "full" || key == "any-term" || key == "sweep") {
           flags += key -> "true"; i += 1
         }
         else if (i + 1 < args.length) { flags += key -> args(i + 1); i += 2 }
@@ -667,8 +678,10 @@ object Cli {
       |            --positive-where "<sql>"); --clean-below erases the
       |            low band through the full deleteKeys surface
       |  eval-recall --collection C [--column col] [--k 10] [--n-probe 2]
-      |           [--queries 32]  # measured ANN recall/MRR/nDCG vs the
-      |            exact gold through the real probed serving path
+      |           [--queries 32] [--sweep]  # measured ANN recall/MRR/nDCG
+      |            vs the exact gold through the real probed serving path;
+      |            --sweep grades EVERY built tier (exact/ivf/ivf-pq/
+      |            binary) side by side with s/query and MB-read/query
       |  maintain --collection C [--apply]  # ordered repair/retrain/compact
       |            plan from the status counters; --apply executes it
       |  backup   --collection C --dest DIR [--full]   # generation-chained

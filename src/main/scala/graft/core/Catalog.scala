@@ -614,8 +614,33 @@ class Collection private[core] (
         s"insertVectors needs (key, embedding[, fp]) columns, got ${cols.mkString(", ")}")
       val fp = if (cols.length >= 3) col(cols(2)).cast(StringType)
                else lit(null).cast(StringType)
-      val src = vectors.select(col(cols(0)).cast(LongType).as(KeyCol),
+      val src0 = vectors.select(col(cols(0)).cast(LongType).as(KeyCol),
         fp.as("fp"), col(cols(1)).cast(ArrayType(FloatType)).as("embedding"))
+      // Dimension fence: a mixed-dimension insert corrupts the index
+      // SILENTLY — cosine against a wrong-length vector yields null/
+      // garbage scores and buildBinarySketch infers dim from an
+      // arbitrary first row — so fail loudly, like searchBinary does
+      // for a wrong-dim query. The expected dim comes from one head()
+      // probe (the already-indexed vectors when non-empty, else the
+      // batch's first row); EVERY row is then enforced inline in the
+      // single write pass via raise_error — no extra pass over a batch
+      // whose upstream may be expensive to recompute.
+      val expectDim: Option[Int] =
+        (if (before > 0L)
+           embeddings(column).select(size(col("embedding"))).head(1)
+         else src0.select(size(col("embedding"))).head(1))
+          .headOption.map(_.getInt(0))
+      val src = expectDim match {
+        case Some(dim) =>
+          require(dim > 0, "insertVectors: zero-length vectors")
+          src0.withColumn("embedding",
+            when(size(col("embedding")) === lit(dim), col("embedding"))
+              .otherwise(raise_error(concat(
+                lit(s"insertVectors: vector dim "), size(col("embedding")),
+                lit(s" does not match the $dim-dim vectors on '$column'"),
+                lit(" (key "), col(KeyCol), lit(")")))))
+        case None => src0
+      }
       val variant = config.model_variant
       val out =
         if (variant == "f32") src
@@ -2056,6 +2081,83 @@ class Collection private[core] (
       queryCol = "query_id", keyCol = KeyCol)
   }
 
+  /** Serving-tier decision sweep: grade every retrieval tier this
+    * collection has built — exact scan, IVF / IVF-PQ probed, binary
+    * Hamming sketch + rerank — on the SAME hash-sampled query set
+    * against the exact top-k gold, measuring what each tier trades:
+    * recall@k / MRR / nDCG (quality), wall seconds per query (latency
+    * through the real serving path, driver loop included — serving IS
+    * per-request), and MB read per query (the I/O an index exists to
+    * save; task `inputMetrics.bytesRead`, the ScaleProbe discipline).
+    *
+    * The late-interaction tier is excluded: its queries are TEXT
+    * (chunk-embedded), not sampled corpus vectors, so it has no
+    * apples-to-apples gold here — `searchLate`'s lifecycle gate (q128)
+    * covers it. Gold is ONE bounded-state exactTopKMulti pass, pinned
+    * with localCheckpoint so per-tier metric jobs never recompute it.
+    */
+  def tierSweep(column: String, k: Int = 10, nProbe: Int = 2,
+                nQueries: Int = 32, fetchK: Int = 0): Seq[TierStats] = {
+    import spark.implicits._
+    Identifiers.validate(column)
+    require(k >= 1 && nQueries >= 1, s"need k, nQueries >= 1; got $k, $nQueries")
+    val emb = embeddings(column)
+    val queries = emb
+      .orderBy(md5(col(KeyCol).cast("string")), col(KeyCol)).limit(nQueries)
+      .select(col(KeyCol), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)) // bounded: nQueries
+    require(queries.nonEmpty, s"vector index for '$column' is empty")
+    val gold = graft.search.Ann.exactTopKMulti(emb, queries, KeyCol,
+        "embedding", k)
+      .select(col("src").as("query_id"), col("nbr").as(KeyCol))
+      .localCheckpoint(true)
+    val io = new org.apache.spark.scheduler.SparkListener {
+      val read = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) read.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(io)
+    def drain(): Unit = org.apache.spark.graftops.ListenerBridge
+      .waitUntilListenerEmpty(spark.sparkContext)
+    def measure(tier: String)(mk: Array[Float] => DataFrame): TierStats = {
+      drain(); val r0 = io.read.get(); val t0 = System.nanoTime()
+      val pages = queries.toSeq.flatMap { case (qid, qv) =>
+        val hits = mk(qv)
+          .select(col(KeyCol).cast(LongType), col("score").cast("double"))
+          .collect() // bounded: k rows per query
+        hits.sortBy(h => (-h.getDouble(1), h.getLong(0))).zipWithIndex
+          .map { case (h, i) => (qid, h.getLong(0), (i + 1).toLong) }
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain(); val bytes = io.read.get() - r0
+      val m = graft.operators.Eval.retrievalMetrics(
+          pages.toDF("query_id", KeyCol, "rank"), gold, k,
+          queryCol = "query_id", keyCol = KeyCol)
+        .agg(avg("recall"), avg("mrr"), avg("ndcg")).head()
+      TierStats(tier, m.getDouble(0), m.getDouble(1), m.getDouble(2),
+        sec / queries.length, bytes.toDouble / 1024 / 1024 / queries.length)
+    }
+    try {
+      val rows = Seq.newBuilder[TierStats]
+      rows += measure("exact")(qv => graft.search.Search.topK(emb, qv, k))
+      if (hasAnnIndex(column)) {
+        recoverSwap(annListsDir(column))
+        recoverFileSwap(annListsDir(column))
+        val name = if (annPqM(column) > 0) "ivf-pq" else "ivf"
+        rows += measure(s"$name(nProbe=$nProbe)")(qv =>
+          annPage(column, qv, k, nProbe, None, fetchK))
+      }
+      if (hasBinarySketch(column)) {
+        recoverFileSwap(binarySketchDir(column))
+        rows += measure("binary+rerank")(qv => binaryPage(column, qv, k, fetchK))
+      }
+      rows.result()
+    } finally spark.sparkContext.removeSparkListener(io)
+  }
+
   /** Fold vectors the ANN index has not seen (keys above the stored
     * lists' max key) into it — O(new rows): assign against the STORED
     * centroids and append; centroids are never retrained here (the
@@ -2626,6 +2728,16 @@ class Collection private[core] (
     if (!hasBinarySketch(column)) return search(column, query, limit, embedder)
     recoverFileSwap(binarySketchDir(column))
     val qv = embedder.embedOne(query)
+    fetchHits(binaryPage(column, qv, limit, fetchK), column)
+  }
+
+  /** [[searchBinary]]'s vector-level core: Hamming stage-1 window over
+    * the sign sketch, exact cosine rerank on the candidates — the hits
+    * page `(KeyCol, score)` before the content fetch. Callers must have
+    * run `recoverFileSwap(binarySketchDir(column))`.
+    */
+  private[graft] def binaryPage(column: String, qv: Array[Float],
+                                limit: Int, fetchK: Int = 0): DataFrame = {
     val dim = readBinaryDim(column)
     require(qv.length == dim,
       s"query embeds to ${qv.length} dims but the sketch stores $dim")
@@ -2637,9 +2749,7 @@ class Collection private[core] (
       .groupBy(col(KeyCol)).agg(min(col("__h")).as("__h"))
       .orderBy(col("__h"), col(KeyCol)).limit(window)
       .select(col(KeyCol)).localCheckpoint(true)
-    val hits = graft.search.Search.topK(
-      scopedTo(embeddings(column), cand), qv, limit)
-    fetchHits(hits, column)
+    graft.search.Search.topK(scopedTo(embeddings(column), cand), qv, limit)
   }
 
   // --- delete (right-to-be-forgotten) ------------------------------------
@@ -3371,6 +3481,11 @@ class Collection private[core] (
   * (collection_actor.rs:21-28): alphanumeric + underscore only. We build
   * `Column`s rather than SQL strings, but keep the validation for parity.
   */
+/** One row of [[Collection.tierSweep]]'s serving-tier comparison. */
+final case class TierStats(tier: String, recall: Double, mrr: Double,
+                           ndcg: Double, secPerQuery: Double,
+                           mbReadPerQuery: Double)
+
 object Identifiers {
   /** Suffixes reserved for on-disk operational artifacts (staged swaps,
     * compaction journals, import stages). An identifier ending with one

@@ -26,6 +26,13 @@ object Eval {
 
   private val Ln2 = 0.6931471805599453 // ln(2), exact literal both engines
 
+  /** Upper bound on paired queries the bootstrap resampler accepts —
+    * its stable-order rank is an unpartitioned window, safe only on
+    * eval-set-sized inputs. 100k queries x 200 resamples is still a
+    * 20M-row draw grid (fine); beyond that the caller should sample.
+    */
+  val MaxBootstrapQueries: Long = 100000L
+
   /** Paired bootstrap significance test (Sakai, SIGIR 2006 evaluation
     * practice): is system A's per-query metric really better than
     * system B's, or is the mean delta luck of the query draw? Takes the
@@ -72,15 +79,24 @@ object Eval {
       .join(metricsB.select(col(queryCol),
         col(metricCol).cast("double").as("__b")), Seq(queryCol))
       .select(col(queryCol), (col("__a") - col("__b")).as("delta"))
+    val n = deltas.count()
+    require(n >= 1, "no paired queries to resample")
+    // LOUD row-bound guard (the ngramJaccardPairs precedent): the rank
+    // below is an unpartitioned window — fine for eval sets (hundreds
+    // to thousands of queries), a silent single-task stall if someone
+    // feeds it a corpus-sized "query set". Refuse instead of degrading.
+    require(n <= MaxBootstrapQueries,
+      s"bootstrap resampling ranks the paired-delta table in ONE task; " +
+      s"got $n paired queries (cap $MaxBootstrapQueries). This operator " +
+      s"is for eval sets, not corpora — sample the query set down first.")
     // rank deltas by query id so draw -> query is a stable total order;
-    // the delta table is eval-set-sized, collect/sort stays tiny but we
-    // keep it distributed anyway: a rank join, not a collect
+    // the delta table is eval-set-sized (guarded above), so the
+    // unpartitioned rank runs on a bounded input — a rank join, not a
+    // collect, but never a corpus-scale window
     val ranked = deltas
       .withColumn("__r", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col(queryCol)))
         .cast("long"))
-    val n = ranked.count()
-    require(n >= 1, "no paired queries to resample")
     val draws = ranked.sparkSession.range(1, nBoot + 1)
       .select(col("id").as("b"),
         explode(sequence(lit(1L), lit(n))).as("i"))

@@ -634,11 +634,15 @@ object PipelineQueries {
       val pc = graft.functions.Bpe.pairCounts(
         graft.functions.Bpe.withSymbols(
           graft.functions.Bpe.wordFreqs(documents(s, d), "text")))
-      // 20-row page: the unpartitioned window is the rrfFuse precedent
-      pc.withColumn("rank", row_number().over(
+      // orderBy+limit -> TakeOrderedAndProject (the Bpe.learn
+      // discipline, functions/Bpe.scala:90): the pair-count table is
+      // vocab-sized (millions of rows at corpus scale), so an
+      // unpartitioned window over it would single-task; rank is derived
+      // AFTER the 20-row cut, where the window input is a bounded page.
+      pc.orderBy(col("cnt").desc, col("sym_a"), col("sym_b")).limit(20)
+        .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("sym_a"), col("sym_b")))
           .cast("long"))
-        .filter(col("rank") <= 20)
         .select(col("sym_a"), col("sym_b"), col("cnt"), col("rank"))
         .orderBy(col("rank"))
     }),

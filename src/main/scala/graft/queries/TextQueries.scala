@@ -1405,7 +1405,8 @@ object TextQueries {
          |       i -> substr(tok, CAST(i AS INT), 3))
          |     ELSE [] END) AS tg FROM v),
          | cand AS (SELECT DISTINCT tok FROM g
-         |   WHERE tg IN ('par', 'art', 'rtk')),
+         |   WHERE tg IN ('par', 'art', 'rtk')
+         |   UNION SELECT tok FROM v WHERE len(tok) < 3),
          | m AS (SELECT v.tok, CAST(levenshtein(v.tok, 'partk') AS INT) AS dist,
          |   v.df FROM v JOIN cand USING (tok))
          |SELECT tok, dist, df FROM m WHERE dist <= 3

@@ -56,6 +56,20 @@ object Fuzzy {
     * `(tok, dist, df)` ordered by (edit distance, token). `maxDist`
     * drops hopeless candidates before the page cut so a dense trigram
     * neighborhood cannot crowd out nothing-shares-a-trigram truth.
+    *
+    * RECALL CONTRACT: the trigram gate is a candidate PRUNE, not an
+    * exact filter. Recall is guaranteed when the match shares at least
+    * one trigram with the query — always true when
+    * `3 * dist < len(tok) - 2` (each edit destroys at most 3 trigrams)
+    * — so long tokens at small distances are never missed, but a
+    * 3-char token one substitution away ("cat" vs "bat") can share no
+    * trigram and fall through the gate. Vocab tokens SHORTER than 3
+    * chars produce no trigrams at all; those are unioned back in below
+    * (the short-token set is tiny, so the Levenshtein rerank on it is
+    * free), which makes recall exact for all sub-trigram vocab. The
+    * residual miss window is exactly: tok length in [3, 3*dist+2] with
+    * zero shared trigrams — accepted in exchange for never running
+    * Levenshtein over the full vocabulary.
     */
   def vocabMatch(vocabDf: DataFrame, term: String, k: Int,
                  maxDist: Int = 3): DataFrame = {
@@ -63,13 +77,17 @@ object Fuzzy {
     val grams = trigramsOf(t)
     require(grams.nonEmpty,
       s"fuzzy match needs a term of >= 3 chars, got '$term'")
-    val cand = vocabDf
+    val gated = vocabDf
       .join(
         vocabDf.select(col("tok"), explode(trigrams(col("tok"))).as("tg"))
           .filter(col("tg").isin(grams: _*))
           .select(col("tok")),
         Seq("tok"), "left_semi")
-    cand.select(col("tok"), levenshtein(col("tok"), lit(t)).as("dist"),
+    // trigram-less vocab (len < 3) would NEVER pass the gate no matter
+    // how close it is — union it back in; Levenshtein then adjudicates
+    val short = vocabDf.filter(length(col("tok")) < 3)
+    gated.unionByName(short)
+      .select(col("tok"), levenshtein(col("tok"), lit(t)).as("dist"),
         col("df"))
       .filter(col("dist") <= maxDist)
       .orderBy(col("dist"), col("tok"))

@@ -753,9 +753,13 @@ object Keyword {
   // --- snippets ------------------------------------------------------------
 
   /** 1-based position of the EARLIEST occurrence of any query term in
-    * `text` (terms compared lowercase; `Int.MaxValue` when none occur —
-    * callers join this onto a matched page, where at least one term is
-    * always present as a token and therefore as a substring).
+    * `text` (terms compared lowercase; `Int.MaxValue` when none occur).
+    * The "a matched page always contains a term" assumption holds only
+    * for LITERAL-TOKEN analyzers (whitespace/stopworded), where a
+    * matched token is by construction a substring of the raw text;
+    * under a normalizing analyzer (BPE pieces, stemming) a page can
+    * match on tokens that never appear verbatim, and callers see the
+    * sentinel — [[snippet]] falls back to the text head in that case.
     * Row-local `locate`/`least` — whole-stage codegen, no UDF.
     */
   def matchPos(text: Column, terms: Seq[String]): Column = {
@@ -772,10 +776,18 @@ object Keyword {
     * standard search-results excerpt, computed where the rows already
     * are — row-local string ops on the k-row hits page after the
     * broadcast content join, so snippets cost nothing at corpus scale.
+    * When NO term occurs verbatim ([[matchPos]]'s sentinel — possible
+    * under a normalizing analyzer), the excerpt falls back to the text
+    * head rather than an empty string.
     */
   def snippet(text: Column, terms: Seq[String],
-              before: Int = 30, width: Int = 80): Column =
-    text.substr(greatest(lit(1), matchPos(text, terms) - before), lit(width))
+              before: Int = 30, width: Int = 80): Column = {
+    val pos = matchPos(text, terms)
+    text.substr(
+      when(pos === Int.MaxValue, lit(1))
+        .otherwise(greatest(lit(1), pos - before)),
+      lit(width))
+  }
 
   // --- reciprocal-rank fusion --------------------------------------------
 

@@ -305,4 +305,26 @@ class AnnIndexSpec extends SparkSpec {
     val c2 = mkCollection("ann10", n = 10)
     intercept[IllegalArgumentException] { c2.annRecallReport("text") }
   }
+
+  test("tierSweep: one row per built tier, exact is perfect, probed <= exact") {
+    val c = mkCollection("sweep1", n = 60)
+    // only the exact tier exists before any index builds
+    val exactOnly = c.tierSweep("text", k = 5, nQueries = 8)
+    assert(exactOnly.map(_.tier) == Seq("exact"), exactOnly.map(_.tier))
+    c.buildAnnIndex("text", nLists = 4, sampleN = 100)
+    c.buildBinarySketch("text")
+    val rows = c.tierSweep("text", k = 5, nProbe = 2, nQueries = 8)
+    assert(rows.map(_.tier) == Seq("exact", "ivf(nProbe=2)", "binary+rerank"),
+      rows.map(_.tier))
+    val byTier = rows.map(r => r.tier -> r).toMap
+    // exact IS the gold: perfect metrics by construction
+    assert(byTier("exact").recall == 1.0 && byTier("exact").ndcg == 1.0)
+    // approximate tiers can only lose recall vs the gold
+    assert(rows.forall(r => r.recall <= 1.0 && r.recall > 0.0), rows)
+    assert(rows.forall(r => r.secPerQuery > 0.0), "wall time must be measured")
+    // exhaustive probing recovers exact recall through the probed path
+    val exhaustive = c.tierSweep("text", k = 5, nProbe = 4, nQueries = 8)
+    assert(exhaustive.find(_.tier.startsWith("ivf")).get.recall == 1.0,
+      exhaustive)
+  }
 }

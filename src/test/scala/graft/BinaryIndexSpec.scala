@@ -190,6 +190,38 @@ class BinaryIndexSpec extends SparkSpec {
     assert(row.getAs[String]("fp") == "somefingerprint")
   }
 
+  test("insertVectors: dimension fence fails loudly on mismatched vectors") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "ins_dim"))
+    c.importDf(Seq((1L, "a"), (2L, "b")).toDF("_key", "text"))
+    c.insertVectors("text",
+      Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("_key", "embedding"))
+    // non-empty index: a 3-dim insert must refuse, not silently corrupt
+    val e = intercept[Throwable] {
+      c.insertVectors("text",
+        Seq((2L, Array(1f, 0f, 0f))).toDF("_key", "embedding"))
+    }
+    assert(messages(e).contains("does not match"), messages(e))
+    assert(c.indexedCount("text") == 1L, "failed insert must commit nothing")
+    // empty index: a mixed-dimension batch is refused against its own head
+    val cat2 = new Catalog(spark, tmpRoot())
+    val c2 = cat2.create(CollectionConfig(name = "ins_dim2"))
+    c2.importDf(Seq((1L, "a"), (2L, "b")).toDF("_key", "text"))
+    val e2 = intercept[Throwable] {
+      c2.insertVectors("text",
+        Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f, 0f)))
+          .toDF("_key", "embedding"))
+    }
+    assert(messages(e2).contains("does not match"), messages(e2))
+    // and the healed catalog still accepts a clean retry
+    assert(c2.insertVectors("text",
+      Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+        .toDF("_key", "embedding")) == 2L)
+  }
+
   test("identifier guard: a column named *_bin is rejected at creation") {
     val cat = new Catalog(spark, tmpRoot())
     val e = intercept[IllegalArgumentException] {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 import graft.operators.Eval
 
 /** Hand-computed fixtures for the retrieval-quality harness — the
@@ -88,6 +89,17 @@ class EvalSpec extends SparkSpec {
     assert(r.getLong(0) === 20L)
     assert(math.abs(r.getDouble(1) - 0.4) < 1e-9)
     assert(r.getDouble(2) === 0.0, "every resample's mean delta is 0.4 > 0")
+  }
+
+  test("paired bootstrap: loud refusal beyond the eval-set cap") {
+    // the resampler's stable-order rank is an unpartitioned window —
+    // an oversized "eval set" must refuse, not silently single-task
+    val big = spark.range(0, Eval.MaxBootstrapQueries + 1)
+      .select(col("id").as("query_id"), lit(0.5).as("recall"))
+    val e = intercept[IllegalArgumentException] {
+      Eval.pairedBootstrap(big, big, "recall", nBoot = 2).head()
+    }
+    assert(e.getMessage.contains("cap"), e.getMessage)
   }
 
   test("paired bootstrap: identical systems are maximally insignificant") {

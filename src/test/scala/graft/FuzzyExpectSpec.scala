@@ -47,6 +47,13 @@ class FuzzyExpectSpec extends SparkSpec {
     assert(page3 == Seq(("spark", 1), ("partition", 7)), s"got $page3")
     // sub-3-char terms are a loud error
     intercept[IllegalArgumentException] { Fuzzy.fuzzyTerms(docs, "ab", 5) }
+    // trigram-less VOCAB (len < 3) is unioned past the gate: 'so' has
+    // no trigrams yet sits at dist 1 from 'sor' — before the union it
+    // was unreachable no matter how close
+    val docs2 = Seq((1L, "so sort spark")).toDF("doc_id", "text")
+    val page4 = Fuzzy.fuzzyTerms(docs2, "sor", k = 5, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(page4 == Seq(("so", 1), ("sort", 1)), s"got $page4")
   }
 
   test("vocabFromPostings == corpus vocab (df parity over unique postings)") {

@@ -826,8 +826,10 @@ class KeywordSpec extends SparkSpec {
     // doc 2: match at 1, window clamps to the string head
     assert(byId(2L)._1 == 1)
     assert(byId(2L)._2 == "hash at the ")
-    // doc 3: sentinel position, empty snippet (start beyond the string)
+    // doc 3: sentinel position (no term occurs verbatim — the
+    // normalizing-analyzer case); the snippet falls back to the text
+    // HEAD instead of an empty excerpt
     assert(byId(3L)._1 == Int.MaxValue)
-    assert(byId(3L)._2 == "")
+    assert(byId(3L)._2 == "nothing rele")
   }
 }

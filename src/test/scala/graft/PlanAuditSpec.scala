@@ -110,6 +110,17 @@ class PlanAuditSpec extends SparkSpec {
       s"a 40-row candidate page must never sort-merge:\n$p")
   }
 
+  test("q143 ranks the vocab-sized pair table via TakeOrdered, not a global window") {
+    val p = planOf(SparkEntry.queries("q143_bpe_round1")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the 20-merge cut must be TakeOrdered's k-per-partition bound:\n$p")
+    // any Window in the plan must sit ABOVE the 20-row limit (parent
+    // prints first in the tree) — never over the raw pair-count table
+    val w = p.indexOf("Window")
+    assert(w == -1 || w < p.indexOf("TakeOrderedAndProject"),
+      s"a window below the limit ranks the full pair table in one task:\n$p")
+  }
+
   test("snippets are row-local on the hits page (no post-join shuffle)") {
     val p = planOf(SparkEntry.queries("q161_snippets")(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
