@@ -142,7 +142,7 @@ object Cli {
           case "ann" =>
             val pqM = flags.getOrElse("pq-m", "0").toInt
             c.buildAnnIndex(column,
-              nLists = flags.getOrElse("n-lists", "16").toInt, pqM = pqM)
+              nLists = flags.getOrElse("n-lists", "0").toInt, pqM = pqM) // 0 = sqrt-rule auto
             println(s"built ANN (${if (pqM > 0) s"IVF-PQ m=$pqM" else "IVF"}) " +
               s"index on '$column'")
           case "keyword" =>

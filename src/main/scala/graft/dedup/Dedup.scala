@@ -66,6 +66,65 @@ object Dedup {
   }
 
   /** MinHash signature of a text (k 64-bit min-hashes over word shingles). */
+  /** Line-level exact dedup — repeated-passage removal at line
+    * granularity (the C4/RefinedWeb/MassiveText cleaning step; Lee et
+    * al. 2022 measure exactly this class of repetition hurting LMs): a
+    * line that occurs verbatim anywhere else in the corpus survives
+    * only at its FIRST occurrence in `(key, position)` order; later
+    * occurrences drop, and each document's text is reassembled from its
+    * surviving lines. Boilerplate (cookie banners, nav text, license
+    * blocks) dies corpus-wide while unique content stays — the
+    * intra-document complement of [[dedupExact]]'s whole-document pass.
+    *
+    * Lines shorter than `minLen` chars are kept in place
+    * unconditionally (deduping blank/short lines would eat legitimate
+    * structure — separators, list bullets).
+    *
+    * Scale shape: one posexplode (corpus-linear in lines), one
+    * `groupBy(md5(line))` with a lexicographic `min(struct(key, pos))`
+    * — map-side partial, the [[dedupExact]] keep-first discipline — one
+    * equi-join back on `(fp, key, pos)`, and one per-document
+    * reassembly (`sort_array(collect_list)` over that document's OWN
+    * lines, bounded by document size — never a corpus window). A
+    * mega-duplicated line is one hot fingerprint GROUP (count+min, no
+    * collected bucket), so boilerplate skew cannot OOM an executor.
+    *
+    * Returns `(keyCol, clean_text, n_kept, n_dropped)` — one row per
+    * input document (a fully-boilerplate doc comes back with an empty
+    * `clean_text`, not a missing row: the caller decides whether empty
+    * survivors get filtered, the operator never loses keys).
+    */
+  def lineDedup(df: DataFrame, textCol: String, keyCol: String,
+                minLen: Int = 1): DataFrame = {
+    val lines = df
+      .select(col(keyCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__fp", md5(col("line")))
+    val dedupable = length(col("line")) >= minLen
+    val first = lines.filter(dedupable)
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(keyCol), col("pos"))).as("__first"))
+      .select(col("__fp"), col("__first").getField(keyCol).as(keyCol),
+        col("__first").getField("pos").as("pos"))
+    val survivors = lines.filter(dedupable)
+      .join(first, Seq("__fp", keyCol, "pos"), "left_semi")
+      .unionByName(lines.filter(!dedupable))
+    val total = lines.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val reassembled = survivors
+      .groupBy(col(keyCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    total
+      .join(reassembled, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   def minhashSignature(text: String, p: MinHashParams): Array[Long] = {
     val shingles = shingleSet(text, p.shingleSize).map(StableHash.fnv64)
     Array.tabulate(p.numHashes) { i =>

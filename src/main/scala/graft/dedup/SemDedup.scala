@@ -95,6 +95,31 @@ object SemDedup {
     semanticDupsAssigned(assign(embDf, keyCol, embCol, k),
       keyCol, embCol, "cluster_id", threshold)
 
+  /** The cluster count that keeps per-cluster pair work BOUNDED as the
+    * corpus grows: `k = ceil(n / targetPerCluster)` (floored at
+    * `minK`). SemDeDup is O(n²/k); a FIXED k makes it quadratic again —
+    * measured: the 16-cluster q124 query ran 15.3x slower on a 10x
+    * corpus (round-9 ScaleBench) because average cluster size grew 10x
+    * and pairs 100x. Scaling k with n holds per-cluster size (and so
+    * per-cluster pairs) constant — total work becomes linear in n, the
+    * paper's own regime (50k clusters over LAION).
+    */
+  def autoK(n: Long, targetPerCluster: Int = 64, minK: Int = 16): Int = {
+    require(targetPerCluster >= 1 && minK >= 1,
+      s"need targetPerCluster, minK >= 1; got $targetPerCluster, $minK")
+    math.max(minK, math.ceil(n.toDouble / targetPerCluster).toInt)
+  }
+
+  /** [[semanticDups]] with the cluster count derived from the corpus
+    * (one count job + [[autoK]]) — the call sites that grow should use
+    * this so k scales with n instead of freezing at fixture size.
+    */
+  def semanticDupsAuto(embDf: DataFrame, keyCol: String, embCol: String,
+                       threshold: Double, targetPerCluster: Int = 64,
+                       minK: Int = 16): DataFrame =
+    semanticDups(embDf, keyCol, embCol,
+      autoK(embDf.count(), targetPerCluster, minK), threshold)
+
   /** [[semanticDups]] over an EXTERNALLY-assigned clustering — trained
     * IVF centroids ([[graft.search.Ann.ivfAssign]]), a persistent ANN
     * index's stored lists, or any other partition of the key space.
@@ -108,9 +133,22 @@ object SemDedup {
     */
   def semanticDupsAssigned(assigned: DataFrame, keyCol: String,
                            embCol: String, clusterCol: String,
-                           threshold: Double): DataFrame = {
+                           threshold: Double,
+                           maxClusterSize: Int = 100000): DataFrame = {
     val asg = assigned
       .select(col(keyCol), col(clusterCol).as("cluster_id")).distinct()
+    // LOUD skew guard (the ngramJaccardPairs discipline): per-cluster
+    // pair work is size², so one mega-cluster quietly turns the whole
+    // operator quadratic. The check is a slim (key, cluster) aggregate
+    // — two longs per row, map-side combined — refusing with the fix
+    // (raise k / retrain centroids) instead of stalling an executor.
+    val worst = asg.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__s")).agg(max(col("__s"))).head()
+    if (!worst.isNullAt(0))
+      require(worst.getLong(0) <= maxClusterSize,
+        s"semanticDups: largest cluster has ${worst.getLong(0)} keys " +
+        s"(cap $maxClusterSize) — pair generation is size² per cluster; " +
+        s"raise the cluster count (autoK) or retrain centroids")
     val cand = asg.as("a").join(asg.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col(s"a.$keyCol") < col(s"b.$keyCol"))

@@ -141,6 +141,33 @@ object TextFunctions {
         PiiPhoneHyphen, "<PHONE>"),
       PiiPhoneDot, "$1<PHONE>$3")
 
+  /** HTML → text for tag-bearing web corpora: `script`/`style` elements
+    * drop WITH their content (the one place tag-stripping alone leaks
+    * non-prose), remaining tags become spaces, the six entities real
+    * corpora actually contain unescape (`&amp;` LAST so `&amp;lt;`
+    * correctly yields `&lt;`, never a double-unescape to `<`), and
+    * whitespace collapses. Row-local codegen'd regexp chain, no UDF —
+    * and deliberately RE2-compatible (no backreferences: script and
+    * style get separate patterns), so the exact cleaning is
+    * re-derivable in any engine. A full HTML parser is a document-
+    * format concern (the sources/Pdf precedent); this is the corpus-
+    * cleaning step.
+    */
+  val HtmlScript = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStyle = "(?is)<style[^>]*>.*?</style>"
+  val HtmlTag = "(?s)<[^>]+>"
+
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(
+      regexp_replace(regexp_replace(text, HtmlScript, " "), HtmlStyle, " "),
+      HtmlTag, " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Word n-gram shingles as an array column (pure Catalyst: slice over a
     * generated index sequence — no UDF, no explode).
     */

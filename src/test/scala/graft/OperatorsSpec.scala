@@ -1082,6 +1082,49 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(4) == "clean text with no pii at all")
   }
 
+  test("stripHtml: tags, script/style content, entity order, whitespace collapse") {
+    val df = Seq(
+      "<p>hello <b>world</b></p>",
+      "pre<script type=\"x\">var a = '<b>not text</b>';</script>post",
+      "s<style>p { color: red }</style>e",
+      "a &amp;lt; b &lt;x&gt; &quot;q&quot; &#39;s &nbsp;c &amp; d",
+      "<div\nclass='m'>multi\nline</div>",
+      "plain text stays").toDF("text")
+      .select(TextFunctions.stripHtml(col("text")).as("s"))
+    val got = df.as[String].collect().toSeq
+    assert(got(0) == "hello world")
+    // script CONTENT dies with the element, not just its tags
+    assert(got(1) == "pre post")
+    assert(got(2) == "s e")
+    // &amp;lt; unescapes to the literal text '&lt;' (amp LAST), never '<'
+    assert(got(3) == "a &lt; b <x> \"q\" 's c & d")
+    assert(got(4) == "multi line")
+    assert(got(5) == "plain text stays")
+  }
+
+  test("lineDedup: keep-first across docs, minLen passthrough, full-doc fold, no lost keys") {
+    val docs = Seq(
+      (1L, "boiler\nunique one\nboiler2"),
+      (2L, "unique two\n\nboiler"),       // blank line: sub-minLen, kept
+      (3L, "boiler\nboiler2"),            // every line a repeat -> empty
+      (4L, "boiler\nboiler\nunique four") // intra-doc repeat also dedups
+    ).toDF("id", "text")
+    val got = Dedup.lineDedup(docs, "text", "id")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      // doc 1 is the first (key, pos) owner of both boilerplate lines
+      (1L, "boiler\nunique one\nboiler2", 3L, 0L),
+      (2L, "unique two\n", 2L, 1L),
+      (3L, "", 0L, 2L),
+      (4L, "unique four", 1L, 2L)), got)
+    // minLen raised: 6-char 'boiler' lines fall under it and all survive
+    val loose = Dedup.lineDedup(docs, "text", "id", minLen = 7)
+      .orderBy(col("id")).collect().map(_.getLong(3)).toSeq
+    assert(loose == Seq(0L, 0L, 1L, 0L), loose) // only 'boiler2' still dedups
+  }
+
   test("PII scrub edge cases: dotted digit runs, octet ranges, sentence-end phones") {
     val df = Seq(
       "host 192.168.100.1234 up",  // longer dotted run: neither phone nor IP fires
