@@ -309,6 +309,34 @@ object Backup {
     }.toDF("path", "status").orderBy("path")
   }
 
+  /** Snapshot diff: what changed between two committed generations —
+    * one row per path that was added, removed, or changed (md5 or
+    * length differs), with both sides' lengths. Pure manifest
+    * comparison: O(files) driver metadata, ZERO data reads, any pair of
+    * retained generations (manifests are complete, so no chain
+    * walking). The audit answer to "what did last night's pipeline run
+    * actually touch?" — and, because the COW journal never overwrites a
+    * parquet part in place, `changed` rows indicate either journal
+    * swaps (expected after compaction) or out-of-band tampering.
+    */
+  def diff(spark: SparkSession, destRoot: String,
+           genFrom: Int, genTo: Int): DataFrame = {
+    import spark.implicits._
+    val a = manifest(spark, destRoot, resolveGen(spark, destRoot, genFrom))
+      .entries.map(e => e.path -> e).toMap
+    val b = manifest(spark, destRoot, resolveGen(spark, destRoot, genTo))
+      .entries.map(e => e.path -> e).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.map(p =>
+        (p, "added", None: Option[Long], Some(b(p).length))) ++
+      (a.keySet -- b.keySet).toSeq.map(p =>
+        (p, "removed", Some(a(p).length), None: Option[Long])) ++
+      (a.keySet & b.keySet).toSeq
+        .filter(p => a(p).md5 != b(p).md5 || a(p).length != b(p).length)
+        .map(p => (p, "changed", Some(a(p).length), Some(b(p).length)))
+    rows.toDF("path", "status", "bytes_from", "bytes_to").orderBy("path")
+  }
+
   /** Drop old chains: keep the most recent `keepChains` FULL generations
     * and everything after them, delete every older generation directory.
     * Deleting whole chains (never an interior generation) is what keeps

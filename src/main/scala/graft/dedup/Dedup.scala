@@ -109,6 +109,53 @@ object Dedup {
     val survivors = lines.filter(dedupable)
       .join(first, Seq("__fp", keyCol, "pos"), "left_semi")
       .unionByName(lines.filter(!dedupable))
+    reassembleLines(lines, survivors, keyCol)
+  }
+
+  /** Line-FREQUENCY boilerplate removal (the RefinedWeb/CCNet rule next
+    * to [[lineDedup]]'s C4 keep-first): every occurrence of a line that
+    * appears in MORE than `maxDocs` distinct documents is dropped —
+    * including the first. Keep-first preserves one copy of genuine
+    * content that happens to repeat; the frequency rule targets
+    * boilerplate (nav bars, cookie banners, footers), where the right
+    * number of surviving copies is zero. Lines shorter than `minLen`
+    * pass through untouched (blank separators are structure, not
+    * boilerplate). Plan: one posexplode, a partial-agg'd distinct-doc
+    * count per line hash (16-byte keys, uniform — no skew), an anti-join
+    * of the over-threshold hash set, per-doc reassembly. No window, no
+    * all-pairs; the over-threshold set is corpus-boilerplate-sized and
+    * usually broadcastable, but the anti-join stays a plain join so a
+    * pathological corpus (everything boilerplate) spills instead of
+    * OOMing the driver.
+    */
+  def lineFrequencyFilter(df: DataFrame, textCol: String, keyCol: String,
+                          maxDocs: Int, minLen: Int = 1): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val lines = df
+      .select(col(keyCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__fp", md5(col("line")))
+    val filterable = length(col("line")) >= minLen
+    val boiler = lines.filter(filterable)
+      .groupBy(col("__fp"))
+      .agg(countDistinct(col(keyCol)).as("__df"))
+      .filter(col("__df") > maxDocs)
+      .select(col("__fp"))
+    val survivors = lines.filter(filterable)
+      .join(boiler, Seq("__fp"), "left_anti")
+      .unionByName(lines.filter(!filterable))
+    reassembleLines(lines, survivors, keyCol)
+  }
+
+  /** Shared tail of the line-granular cleaners: rebuild each doc from
+    * its surviving (pos, line) rows in original order and report
+    * kept/dropped counts; docs whose every line died come back as empty
+    * strings (the caller decides whether empties then drop). The fold is
+    * per-doc `sort_array(collect_list)` — bounded by a single document's
+    * line count, never corpus-scale state.
+    */
+  private def reassembleLines(lines: DataFrame, survivors: DataFrame,
+                              keyCol: String): DataFrame = {
     val total = lines.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
     val reassembled = survivors
       .groupBy(col(keyCol))
@@ -448,8 +495,24 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, textCol: String, keyCol: String,
                       maxHamming: Int = 3, seed: Long = 42L,
+                      maxBucket: Int = 100000): DataFrame =
+    hammingNearDups(
+      df.select(col(keyCol), simhashUdf(seed)(col(textCol)).as("simhash")),
+      keyCol, "simhash", maxHamming, maxBucket)
+
+  /** Near-dup pairs over any precomputed 64-bit sketch column (SimHash,
+    * image perceptual hash, binary sign sketch word): 16-bit block
+    * equality generates candidates (pigeonhole-EXACT for Hamming <=
+    * 3 — a pair within distance 3 differs in at most 3 of 4 blocks, so
+    * at least one block matches), `bit_count(xor)` verifies. The shared
+    * tail of every Hamming-sketch dedup family member.
+    */
+  def hammingNearDups(sketches: DataFrame, keyCol: String,
+                      sketchCol: String, maxHamming: Int = 3,
                       maxBucket: Int = 100000): DataFrame = {
-    val sim = df.select(col(keyCol), simhashUdf(seed)(col(textCol)).as("simhash"))
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole is exact only for maxHamming <= 3, got $maxHamming")
+    val sim = sketches.select(col(keyCol), col(sketchCol).as("simhash"))
     val blocks = sim.select(col(keyCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -92,6 +92,64 @@ object Multimodal {
         case None => hashFeatures(bytes, dim)
       }
 
+    /** 64-bit perceptual hash (aHash): decode, area-average down to an
+      * 8x8 luminance grid, threshold each cell at the grid mean —
+      * bit `y*8+x` set iff cell (x, y) is at least as bright as the
+      * mean. Near-identical images (re-encodes, small pixel edits,
+      * light resizes) land within a few bits of each other, so image
+      * near-dup dedup is Hamming distance on longs — the SimHash
+      * machinery verbatim ([[graft.dedup.Dedup.hammingNearDups]]).
+      * Undecodable payloads fall back to the sign bits of the same
+      * deterministic hash stub [[hashFeatures]] uses, so the operator
+      * is total over arbitrary binary columns and byte-identical blobs
+      * still collide exactly.
+      */
+    def imageHash(bytes: Array[Byte]): Long =
+      decodeImage(bytes) match {
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          // area-average pooling onto the 8x8 grid (integer cell
+          // boundaries; every source pixel contributes to exactly one
+          // cell) — deterministic, no Graphics2D interpolation involved
+          val sums = new Array[Double](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val gy = math.min(7, y * 8 / h)
+            var x = 0
+            while (x < w) {
+              val gx = math.min(7, x * 8 / w)
+              val rgb = img.getRGB(x, y)
+              val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              sums(gy * 8 + gx) += lum
+              counts(gy * 8 + gx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cells = Array.tabulate(64)(i =>
+            if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+          val mean = cells.sum / 64.0
+          var bits = 0L
+          var i = 0
+          while (i < 64) {
+            if (cells(i) >= mean) bits |= (1L << i)
+            i += 1
+          }
+          bits
+        case None =>
+          val v = hashFeatures(bytes, 64)
+          var bits = 0L
+          var i = 0
+          while (i < 64) {
+            if (v(i) >= 0f) bits |= (1L << i)
+            i += 1
+          }
+          bits
+      }
+
     /** Fallback: hash byte windows into a fixed-dim unit-norm vector. */
     private[multimodal] def hashFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
       val v = new Array[Float](dim)
@@ -345,6 +403,76 @@ object Multimodal {
     * BIGINT arithmetic), while the payload still exercises the full
     * WAV container + PCM decode path.
     */
+  /** Deterministic REAL-PNG fixture for the image near-dup gate. Each
+    * document renders an 8x8 grayscale PNG through the JDK encoder:
+    * every row carries its GROUP's 8-bit pattern (group = doc_id %
+    * groups; pattern = the group-th byte with exactly 4 bits set, in
+    * ascending numeric order — 32 bright pixels at 220, 32 dark at 30),
+    * plus ONE per-document perturbed bright pixel (210). The perturbation
+    * makes every PNG's BYTES unique — no exact-dup shortcut can produce
+    * the pairs — while the decoded 8x8 aHash collapses each group to a
+    * single 64-bit code (210 and 220 both sit above the ~125 mean).
+    * Distinct 4-of-8 row patterns differ in >= 2 bits per row, so
+    * cross-group Hamming >= 16 and every 16-bit block separates the
+    * groups (no degenerate candidate buckets). Expected near-dup pairs
+    * are therefore exactly the within-group pairs — SQL-derivable from
+    * doc_id alone, which is what lets a REAL decode path carry a full
+    * DuckDB oracle.
+    */
+  object SyntheticImage {
+    val Size = 8
+
+    /** The 70 bytes with exactly 4 bits set, ascending; index g is
+      * group g's per-row pattern.
+      */
+    private val Patterns: Array[Int] =
+      (0 until 256).filter(java.lang.Integer.bitCount(_) == 4).toArray
+
+    def png(docId: Long, groups: Int = 50): Array[Byte] = {
+      require(groups >= 1 && groups <= Patterns.length,
+        s"groups must be in 1..${Patterns.length}, got $groups")
+      val g = (docId % groups).toInt
+      val pat = Patterns(g)
+      val img = new java.awt.image.BufferedImage(
+        Size, Size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < Size) {
+        var x = 0
+        while (x < Size) {
+          val v = if (((pat >> x) & 1) == 1) 220 else 30
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      // per-doc perturbation: the first bright pixel of a doc-chosen row
+      val row = ((docId / groups) % Size).toInt
+      val firstBright = (0 until Size).find(x => ((pat >> x) & 1) == 1).get
+      img.setRGB(firstBright, row, (210 << 16) | (210 << 8) | 210)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Image near-duplicate pairs: perceptual hash per payload
+    * ([[Codec.imageHash]] — real decode, hash-stub fallback), then the
+    * SimHash block-pigeonhole candidate join + `bit_count(xor)` verify
+    * ([[graft.dedup.Dedup.hammingNearDups]]). Returns
+    * `(key_a, key_b, hamming)`, key_a < key_b. Scale shape: the hash is
+    * a row-local map (one decode per payload, no shuffle), candidates
+    * are an equi-join on 16-bit block values — never an all-pairs
+    * product; output is quadratic only in true near-dup cluster sizes,
+    * which is the answer's own size.
+    */
+  def imageNearDups(df: DataFrame, keyCol: String, contentCol: String,
+                    maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    val hashUdf = udf((b: Array[Byte]) => Codec.imageHash(b))
+    graft.dedup.Dedup.hammingNearDups(
+      df.select(col(keyCol), hashUdf(col(contentCol)).as("__ph")),
+      keyCol, "__ph", maxHamming, maxBucket)
+  }
+
   object SyntheticAudio {
     val SampleRate = 16000
 

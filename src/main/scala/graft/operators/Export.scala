@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Deterministic training-shard export — the last step of a data
   * pipeline: write the final corpus as fixed-size shards in a
@@ -92,5 +93,138 @@ object Export {
         .withColumn("split", lit(name))
         .select("split", "shard", "n_rows", "pos_min", "pos_max", "checksum")
     }.reduce(_ unionByName _)
+  }
+
+  /** WebDataset-style tar shards — the standard container for
+    * petabyte-scale multimodal (image/audio/video + text) training
+    * corpora: each shard is ONE POSIX ustar archive of
+    * `<pos>.<ext>` members, all of a sample's members adjacent under a
+    * shared zero-padded basename, so a loader streams samples
+    * sequentially with no index and shards ship/cache as single
+    * objects. `members` maps columns to member extensions, e.g.
+    * `Seq("content" -> "jpg", "caption" -> "txt")`; binary columns
+    * write raw, string columns write UTF-8.
+    *
+    * Same determinism contract as [[writeShards]]: membership and
+    * in-shard order come from the salted-md5 shuffle, headers pin
+    * mtime/uid/gid to 0, so re-running the export byte-reproduces
+    * every archive. The tar encoding is the PUBLIC ustar layout
+    * (512-byte header, checksum-over-spaces, data padded to 512, two
+    * zero end blocks), written by each shard's OWN task through the
+    * Hadoop filesystem — one distributed pass, no driver fan-out, any
+    * Hadoop-compatible target (local, HDFS, S3A).
+    *
+    * Returns `(shard, n_rows, pos_min, pos_max, checksum, tar_bytes)`.
+    * `tar_bytes` is exactly derivable from member sizes
+    * (`Σ (512 + ceil(len/512)·512) + 1024`), so an external engine can
+    * verify the archives' sizes without untarring them — the
+    * manifest-is-not-trust-me property extended to the container.
+    */
+  def writeWebDataset(df: DataFrame, keyCol: String, outDir: String,
+                      rowsPerShard: Int, members: Seq[(String, String)],
+                      salt: String = ""): DataFrame = {
+    require(members.nonEmpty, "need at least one member column")
+    require(members.map(_._2).distinct.size == members.size,
+      "member extensions must be unique within a sample")
+    val spark = df.sparkSession
+    val (rows, manifest) = shardPlan(df, keyCol, rowsPerShard, salt)
+    val memberCols = members.map { case (c, _) =>
+      df.schema(c).dataType match {
+        case BinaryType => col(c)
+        case StringType => encode(col(c), "UTF-8").as(c)
+        case other => sys.error(
+          s"member column '$c' must be binary or string, got $other")
+      }
+    }
+    val exts = members.map(_._2)
+    val sconf = new org.apache.spark.graftops.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val out = outDir
+    val report = rows
+      .select((col("shard") +: col("pos") +: memberCols): _*)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .rdd.mapPartitions { it =>
+        val conf = sconf.value
+        var cur = -1L
+        var os: java.io.OutputStream = null
+        var nRows = 0L
+        var nBytes = 0L
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        def close(): Unit = if (os != null) {
+          os.write(new Array[Byte](1024)) // two zero end blocks
+          nBytes += 1024
+          os.close(); os = null
+          done += ((cur, nRows, nBytes))
+        }
+        def open(shard: Long): Unit = {
+          close()
+          val p = new org.apache.hadoop.fs.Path(
+            f"$out/shard-$shard%06d.tar")
+          os = p.getFileSystem(conf).create(p, true)
+          cur = shard; nRows = 0L; nBytes = 0L
+        }
+        it.foreach { r =>
+          val shard = r.getLong(0)
+          if (shard != cur || os == null) open(shard)
+          val base = f"${r.getLong(1)}%012d"
+          var m = 0
+          while (m < exts.length) {
+            val payload = r.get(2 + m) match {
+              case null => Array.emptyByteArray
+              case b: Array[Byte] => b
+            }
+            nBytes += Tar.writeEntry(os, s"$base.${exts(m)}", payload)
+            m += 1
+          }
+          nRows += 1
+        }
+        close()
+        done.iterator
+      }.collect() // bounded: one row per shard
+    val reportDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        report.map { case (s, n, b) => Row(s, n, b) }.toSeq, 1),
+      StructType(Seq(StructField("shard", LongType, nullable = false),
+        StructField("n_rows_written", LongType, nullable = false),
+        StructField("tar_bytes", LongType, nullable = false))))
+    manifest.join(reportDf, Seq("shard"))
+      .select(col("shard"), col("n_rows"), col("pos_min"), col("pos_max"),
+        col("checksum"), col("tar_bytes"))
+      .orderBy(col("shard"))
+  }
+
+  /** Minimal POSIX ustar encoder (public, fixed format — the JDK ships
+    * zip but not tar). Deterministic: mode 0644, uid/gid/mtime 0, no
+    * user/group names.
+    */
+  private[operators] object Tar {
+    /** Writes one member; returns bytes emitted (512 header + padded data). */
+    def writeEntry(os: java.io.OutputStream, name: String,
+                   data: Array[Byte]): Long = {
+      val nameB = name.getBytes("UTF-8")
+      require(nameB.length <= 100, s"tar member name too long: $name")
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII")
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      System.arraycopy(nameB, 0, h, 0, nameB.length)
+      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+      put(124, f"${data.length}%011o")
+      put(136, "00000000000")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
+      h(156) = '0' // regular file
+      put(257, "ustar"); put(263, "00")
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += (h(i) & 0xFF); i += 1 }
+      put(148, f"$sum%06o"); h(154) = 0; h(155) = ' '
+      os.write(h)
+      os.write(data)
+      val pad = (512 - data.length % 512) % 512
+      if (pad > 0) os.write(new Array[Byte](pad))
+      512L + data.length + pad
+    }
   }
 }

@@ -323,6 +323,22 @@ object PipelineQueries {
           documents(s, d).select(col("doc_id"), col("lang")), "doc_id", 64)
         ._2.orderBy(col("shard"))),
 
+    // WebDataset export lifecycle gate (the q120/q164 family): REAL tar
+    // shards written to a temp dir every run — binary payload + text
+    // caption per sample in deterministic order — and the graded report
+    // binds membership (checksum) AND the container itself (tar_bytes =
+    // Σ 512-padded member sizes + end blocks, re-derived in SQL), so a
+    // header, padding, ordering, or member-size defect fails the hash.
+    "q177_webdataset" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wds").toString
+      val docs = documents(s, d).select(col("doc_id"),
+        encode(substring(col("text"), 1, 100), "UTF-8").as("content"),
+        concat(lit("caption for doc "), col("doc_id")).as("caption"))
+      graft.operators.Export.writeWebDataset(docs, "doc_id", tmp,
+        rowsPerShard = 64,
+        members = Seq("content" -> "bin", "caption" -> "txt"))
+    }),
+
     // Sequence packing (concat-and-chunk): documents concatenate in the
     // deterministic shuffle order and the token stream cuts every 128
     // tokens; the graded manifest binds membership AND order per
@@ -1115,6 +1131,25 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  min(pos) AS pos_min, max(pos) AS pos_max,
         |  CAST(sum(doc_id * (pos % 64 + 1)) AS BIGINT) AS checksum
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // q119's manifest + the ustar size law: each member costs a 512-byte
+    // header plus data padded to 512; each archive ends with two zero
+    // blocks
+    "q177_webdataset" ->
+      """WITH p AS (SELECT doc_id,
+        |   octet_length(encode(substr(text, 1, 100))) AS clen,
+        |   octet_length(encode('caption for doc ' || doc_id)) AS caplen,
+        |   CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |     AS BIGINT) AS pos
+        |  FROM documents)
+        |SELECT CAST(pos // 64 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(pos) AS pos_min, max(pos) AS pos_max,
+        |  CAST(sum(doc_id * (pos % 64 + 1)) AS BIGINT) AS checksum,
+        |  CAST(sum(512 + (clen + 511) // 512 * 512
+        |         + 512 + (caplen + 511) // 512 * 512) + 1024 AS BIGINT)
+        |    AS tar_bytes
         |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // tokenization parity with TextFunctions.tokenCount (trim + \s+

@@ -565,6 +565,93 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Line-FREQUENCY boilerplate removal (RefinedWeb's rule next to
+    // q170's C4 keep-first): a line in more than maxDocs distinct docs
+    // dies EVERYWHERE, including its first occurrence. Plants one
+    // corpus-wide boilerplate line (df ~ 2n/3 — always dies), one
+    // semi-rare line at doc_id % 250 == 0 (df = 2 at the 500-doc gate SFs
+    // — survives; df = 20 at sf0.1 — dies: the SF ladder exercises BOTH
+    // branches of the threshold), unique content lines and a blank separator
+    // (passes through under minLen). Plan: posexplode + partial-agg'd
+    // distinct-doc count on 16-byte line hashes + anti-join + per-doc
+    // reassembly — no window.
+    "q173_line_freq_filter" -> ((s, d) => {
+      val boiler = "cookie consent required to view this page"
+      val semiRare = "mirror of the archived snapshot"
+      val dirty = documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(250)) === 0,
+          concat_ws("\n", lit(boiler), substring(col("text"), 1, 80),
+            lit(semiRare)))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          concat_ws("\n", lit(boiler), substring(col("text"), 1, 80)))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat_ws("\n", substring(col("text"), 1, 80), lit(""),
+            lit(boiler)))
+        .otherwise(concat_ws("\n", substring(col("text"), 1, 80),
+          substring(col("text"), 81, 60)))
+        .as("dirty"))
+      Dedup.lineFrequencyFilter(dirty, "dirty", "doc_id", maxDocs = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // More-like-this: top-10 neighbors of an already-indexed document
+    // (query-by-example) — seed vector fetched by key, ranked through
+    // topK's bounded-state plan, seed excluded after ranking so the page
+    // is still k deep. The oracle re-derives the whole page from the
+    // seed's stored vector.
+    "q172_more_like_this" -> ((s, d) =>
+      Search.moreLikeThis(embeddings(s, d), seedKey = 7L, k = 10,
+          keyColName = "vec_id")
+        .withColumn("score", round(col("score"), 6))),
+
+    // Query-time synonym expansion: the dictionary maps join->merge and
+    // hash->key (plus entries for terms NOT in the query, which must not
+    // leak in); the expanded OR-query reuses the q109 BM25 machinery
+    // unchanged. The oracle re-derives the expansion from the same
+    // planted dictionary in SQL, so a lookup defect (case drift, missed
+    // dedup, leaked non-query entry) breaks the page hash.
+    "q174_synonym_search" -> ((s, d) => {
+      import s.implicits._
+      val dict = Seq(
+        ("join", "merge"), ("hash", "key"),
+        ("scan", "filter"), ("slow", "crawl")).toDF("term", "synonym")
+      val terms = Keyword.expandSynonyms(Bm25Terms, dict)
+      Keyword.bm25TopK(documents(s, d), terms, k = 10)
+        .select(col("key").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // Corpus reporting through the bounded-state grouped top-k: the 3
+    // most frequent bigrams per language. The naive form is a window
+    // over the full (lang, bigram) count table — one task per language
+    // holding that language's whole vocabulary; TopKPerGroup caps
+    // executor state at O(k) per (group, partition) and shuffles only
+    // survivors.
+    "q175_top_ngrams" -> ((s, d) => {
+      val bi = documents(s, d).select(col("lang"),
+          explode(TextFunctions.wordShinglesUdf(lower(col("text")), 2))
+            .as("bigram"))
+        .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      graft.operators.TopKPerGroup.topK(bi, Seq("lang"), "cnt", k = 3,
+          tieCols = Seq("bigram"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // Image near-dup dedup through a REAL decode path: every doc renders
+    // a real 8x8 PNG (JDK encoder) whose BYTES are unique per doc but
+    // whose decoded aHash collapses to one 64-bit code per group of 50
+    // (SyntheticImage's contract) — so the expected pairs are exactly
+    // the within-group pairs, SQL-derivable from doc_id alone, and any
+    // defect in PNG decode, area pooling, mean threshold, bit packing,
+    // or the pigeonhole Hamming join breaks the hash match.
+    "q176_image_neardups" -> ((s, d) => {
+      val pngUdf = udf((id: Long) =>
+        graft.multimodal.Multimodal.SyntheticImage.png(id))
+      val imgs = documents(s, d)
+        .select(col("doc_id"), pngUdf(col("doc_id")).as("content"))
+      graft.multimodal.Multimodal.imageNearDups(imgs, "doc_id", "content")
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     // Weighted min-max-normalized hybrid (the rank-free fusion next to
     // q110's RRF): each 20-row page rescales to [0,1], fuses as
     // 0.7*keyword + 0.3*dense, absent entries contribute 0. Preserves
@@ -1464,6 +1551,105 @@ object TextQueries {
         |   '\s+', ' ', 'g')) AS clean
         | FROM dirty)
         |SELECT doc_id, clean FROM c ORDER BY doc_id""".stripMargin,
+
+    // planting + the frequency rule re-derived: per-line distinct-doc
+    // count, df > 3 dies everywhere, sub-minLen lines pass through
+    "q173_line_freq_filter" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  CASE
+        |   WHEN doc_id % 250 = 0
+        |    THEN 'cookie consent required to view this page' || chr(10)
+        |      || substr(text, 1, 80) || chr(10)
+        |      || 'mirror of the archived snapshot'
+        |   WHEN doc_id % 3 = 0
+        |    THEN 'cookie consent required to view this page' || chr(10)
+        |      || substr(text, 1, 80)
+        |   WHEN doc_id % 3 = 1
+        |    THEN substr(text, 1, 80) || chr(10) || chr(10)
+        |      || 'cookie consent required to view this page'
+        |   ELSE substr(text, 1, 80) || chr(10) || substr(text, 81, 60)
+        |  END AS d
+        | FROM documents),
+        | ls AS (SELECT doc_id, string_split(d, chr(10)) AS l FROM dirty),
+        | lu AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+        |     i -> {'pos': i - 1, 'line': l[CAST(i AS BIGINT)]})) AS u
+        |   FROM ls),
+        | ln AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.line AS line
+        |   FROM lu),
+        | fdf AS (SELECT line, count(DISTINCT doc_id) AS df FROM ln
+        |   WHERE length(line) >= 1 GROUP BY 1),
+        | kept AS (
+        |  SELECT doc_id, pos, line FROM ln
+        |   WHERE length(line) >= 1
+        |     AND line IN (SELECT line FROM fdf WHERE df <= 3)
+        |  UNION ALL
+        |  SELECT doc_id, pos, line FROM ln WHERE length(line) < 1),
+        | tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ln
+        |   GROUP BY 1),
+        | agg AS (SELECT doc_id,
+        |   string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |   CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q_topk_cosine's max-per-key ranking from the STORED seed vector,
+    // seed excluded, k survivors rounded
+    "q172_more_like_this" ->
+      """WITH s AS (
+        | SELECT vec_id, max(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7))) AS raw
+        | FROM embeddings GROUP BY vec_id),
+        |top AS (SELECT vec_id, raw FROM s WHERE vec_id <> 7
+        |  ORDER BY raw DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(raw, 6) AS score FROM top
+        | ORDER BY raw DESC, vec_id""".stripMargin,
+
+    // the expansion re-derived from the same planted dictionary (query
+    // terms + synonyms of query terms, distinct), then the q109 BM25
+    // chain over the expanded IN-set
+    "q174_synonym_search" ->
+      s"""WITH syn(term, synonym) AS (VALUES
+         |   ('join', 'merge'), ('hash', 'key'),
+         |   ('scan', 'filter'), ('slow', 'crawl')),
+         | expq AS (SELECT DISTINCT t FROM (
+         |   SELECT unnest(['vector', 'hash', 'join']) AS t
+         |   UNION ALL
+         |   SELECT synonym FROM syn
+         |    WHERE term IN ('vector', 'hash', 'join')) u),
+         | ${bm25CteOver("SELECT t FROM expq")},
+         | top AS (SELECT doc_id, score FROM bm25agg
+         |   ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 6) AS score FROM top
+         | ORDER BY score DESC, doc_id""".stripMargin,
+
+    // the grouped top-k against the naive window form — the oracle IS
+    // the window the operator replaces, exact on the fixture
+    "q175_top_ngrams" ->
+      s"""WITH t AS (SELECT lang,
+         |   list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | b AS (SELECT lang,
+         |   toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS bigram
+         |   FROM (SELECT lang, unnest(range(1, len(toks))) AS i, toks FROM t)),
+         | c AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS cnt
+         |   FROM b GROUP BY 1, 2),
+         | r AS (SELECT lang, bigram, cnt,
+         |   CAST(row_number() OVER (PARTITION BY lang
+         |     ORDER BY cnt DESC, bigram) AS INT) AS "rank" FROM c)
+         |SELECT lang, bigram, cnt, "rank" FROM r WHERE "rank" <= 3
+         |ORDER BY lang, "rank"""".stripMargin,
+
+    // the fixture's contract: within-group pairs at Hamming 0 — the
+    // REAL decode work happens Spark-side; the oracle pins its answer
+    "q176_image_neardups" ->
+      """SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+        |ORDER BY key_a, key_b""".stripMargin,
 
     // min-max normalization + weighted sum re-derived per page; the
     // per-key fold orders by list index like the Spark aggregate

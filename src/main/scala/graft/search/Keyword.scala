@@ -166,6 +166,31 @@ object Keyword {
       after, mustNot)
   }
 
+  /** Query-time synonym expansion: the query's terms plus every synonym
+    * the dictionary maps them to, deduplicated and sorted (deterministic
+    * page order downstream). The dictionary is a `(term, synonym)`
+    * DataFrame — a maintained table, not code — and the lookup filters it
+    * to the query's handful of terms BEFORE the bounded collect, so the
+    * driver sees only `query terms x synonyms-per-term` rows no matter
+    * how large the dictionary grows (on a stored dictionary the isin
+    * filter pushes to the scan). Expansion is OR-semantics (the expanded
+    * list feeds [[bm25TopK]] unchanged): a synonym hit scores with its
+    * own term statistics, the df-weighting already discounting synonyms
+    * that turn out to be ubiquitous.
+    */
+  def expandSynonyms(queryTerms: Seq[String], dict: DataFrame,
+                     termCol: String = "term",
+                     synCol: String = "synonym"): Seq[String] = {
+    val qs = queryTerms.map(_.toLowerCase).distinct
+    require(qs.nonEmpty, "expandSynonyms: empty query")
+    val syns = dict
+      .filter(lower(col(termCol)).isin(qs: _*))
+      .select(lower(col(synCol)).as("s"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq
+    (qs ++ syns).distinct.sorted
+  }
+
   /** Exact-phrase occurrences `(key, pos)` — one row per start position
     * of the consecutive token sequence `phrase` (the quoted-query
     * operator; also the precise half of decontamination checks, where

@@ -190,4 +190,34 @@ object Search {
       .select(col(contentCol).as("content"), col(KeyCol).as("key"), col("score"))
       .orderBy(desc("score"), col("key"))
   }
+
+  /** More-like-this: the k nearest neighbors of an ALREADY-INDEXED
+    * document — the "related items" page every vector store serves
+    * (query-by-example; the reference's search surface with a stored
+    * vector in place of query text). The seed's vector is fetched by a
+    * key-pruned one-row lookup (footer min/max range scan on a
+    * key-clustered layout — never a full read), the ranking pass is
+    * [[topK]]'s O(cap)-state plan over the corpus, and the seed itself
+    * is excluded AFTER ranking (fetch k+1, drop the seed, cut to k) so
+    * a corpus that does not contain the seed still yields k rows.
+    * If the seed key holds SEVERAL vectors (chunked docs) the query
+    * vector is an unspecified one of them (`limit 1`); chunk-granular
+    * related-items is [[graft.core.Collection.searchLate]]'s job —
+    * callers who need a specific chunk pass its key.
+    */
+  def moreLikeThis(embeddings: DataFrame, seedKey: Long, k: Int,
+                   keyColName: String = KeyCol,
+                   embColName: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seedRows = embeddings
+      .filter(col(keyColName) === seedKey && col(embColName).isNotNull)
+      .select(col(embColName).cast("array<float>"))
+      .limit(1).collect()
+    require(seedRows.nonEmpty, s"moreLikeThis: seed key $seedKey has no vector")
+    val seed = seedRows.head.getSeq[Float](0).toArray
+    topK(embeddings, seed, k + 1, keyColName, embColName)
+      .filter(col(keyColName) =!= seedKey)
+      .orderBy(desc("score"), col(keyColName))
+      .limit(k)
+  }
 }

@@ -50,7 +50,9 @@ object ScaleBench {
     "q142_winnowing", "q144_winnow_pairs",
     "q147_quality_classifier",
     "q124_semdedup",
-    "q_ivf_topk", "q71_pq", "q_topk_cosine")
+    "q_ivf_topk", "q71_pq", "q_topk_cosine",
+    "q170_line_dedup", "q173_line_freq_filter", "q175_top_ngrams",
+    "q172_more_like_this")
 
   /** Scale-path operators whose fixture queries are deliberately exact
     * verification twins: timed here through the distributed path.

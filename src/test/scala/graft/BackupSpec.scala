@@ -90,6 +90,33 @@ class BackupSpec extends SparkSpec {
     assert(old == before && old.size == 60)
   }
 
+  test("diff reports added/removed/changed between any two generations") {
+    val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
+    val c = mkCollection(cat, "src_diff")
+    val dest = tmpRoot("graft_bak_dest")
+    c.backup(dest)
+    // a range delete rewrites the touched data file (new part name =>
+    // added+removed), updates journal/meta
+    assert(c.deleteKeys(11L to 20L) == 10L)
+    c.backup(dest)
+
+    val d = Backup.diff(spark, dest, 1, 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(d.nonEmpty)
+    val byStatus = d.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStatus.getOrElse("added", 0) > 0, s"expected added rows in $byStatus")
+    assert(byStatus.getOrElse("removed", 0) > 0, s"expected removed rows in $byStatus")
+    assert(byStatus.keySet.subsetOf(Set("added", "removed", "changed")))
+    // direction flips added <-> removed
+    val rev = Backup.diff(spark, dest, 2, 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rev == d.map { case (p, s) =>
+      (p, s match { case "added" => "removed"; case "removed" => "added"
+                    case other => other }) }.toSet)
+    // self-diff is empty
+    assert(Backup.diff(spark, dest, 2, 2).count() == 0)
+  }
+
   test("verify reports per-file integrity; corruption is caught at restore too") {
     val cat = new Catalog(spark, tmpRoot("graft_bak_cat"))
     val c = mkCollection(cat, "src3")

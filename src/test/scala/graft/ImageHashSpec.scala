@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{Codec, SyntheticImage}
+
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grayPng(size: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until size; x <- 0 until size) {
+      val v = lum(x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash of the synthetic fixture is the replicated row pattern") {
+    // group 0's pattern = smallest byte with 4 bits set = 0x0F
+    val h = Codec.imageHash(SyntheticImage.png(0L))
+    val expected = (0 until 8).map(r => 0x0FL << (r * 8)).reduce(_ | _)
+    assert(h == expected)
+  }
+
+  test("per-doc perturbation changes bytes but not the hash") {
+    val a = SyntheticImage.png(7L)
+    val b = SyntheticImage.png(57L) // same group (7 % 50), different row
+    assert(!java.util.Arrays.equals(a, b))
+    assert(Codec.imageHash(a) == Codec.imageHash(b))
+    // different groups land far apart (>= 2 bits per row)
+    val c = SyntheticImage.png(8L)
+    assert(java.lang.Long.bitCount(Codec.imageHash(a) ^ Codec.imageHash(c)) >= 16)
+  }
+
+  test("area pooling: a 2x upscale of the same pattern hashes identically") {
+    val pat = 0x33 // 4 bits set
+    def lum8(x: Int, y: Int) = if (((pat >> x) & 1) == 1) 220 else 30
+    val small = grayPng(8, lum8)
+    val big = grayPng(16, (x, y) => lum8(x / 2, y / 2))
+    assert(Codec.imageHash(small) == Codec.imageHash(big))
+  }
+
+  test("one pixel crossing the mean moves the hash by exactly one bit") {
+    val pat = 0x55
+    def lum(x: Int, y: Int) = if (((pat >> x) & 1) == 1) 220 else 30
+    val base = grayPng(8, lum)
+    val flipped = grayPng(8, (x, y) =>
+      if (x == 0 && y == 0) 30 else lum(x, y)) // bright -> dark at bit 0
+    val d = java.lang.Long.bitCount(
+      Codec.imageHash(base) ^ Codec.imageHash(flipped))
+    assert(d == 1)
+  }
+
+  test("undecodable payloads get the deterministic fallback hash") {
+    val a = Codec.imageHash("not an image".getBytes)
+    val b = Codec.imageHash("not an image".getBytes)
+    val c = Codec.imageHash("other bytes!".getBytes)
+    assert(a == b && a != c)
+  }
+
+  test("imageNearDups finds exactly the within-group pairs") {
+    // 3 groups x 3 docs (ids 0..8 with groups = 3): pairs are the 3
+    // within-group combinations per group
+    val df = (0L until 9L).map(id => (id, SyntheticImage.png(id, groups = 3)))
+      .toDF("doc_id", "content")
+    val pairs = Multimodal.imageNearDups(df, "doc_id", "content")
+      .select("key_a", "key_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      g <- 0 until 3
+      a <- 0 until 3; b <- (a + 1) until 3
+    } yield ((g + 3L * a), (g + 3L * b), 0L))
+      .map { case (x, y, h) => (math.min(x, y), math.max(x, y), h) }.toSet
+    assert(pairs == want)
+    // a near (not identical) image pairs within tolerance: flip one
+    // pixel across the mean -> Hamming 1 <= 3
+    val pat = 0x0F
+    def lum(x: Int, y: Int) = if (((pat >> x) & 1) == 1) 220 else 30
+    val near = Seq(
+      (1L, grayPng(8, lum)),
+      (2L, grayPng(8, (x, y) => if (x == 3 && y == 7) 30 else lum(x, y))))
+      .toDF("doc_id", "content")
+    val np = Multimodal.imageNearDups(near, "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(np.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("hammingNearDups refuses distances the pigeonhole cannot cover") {
+    val df = Seq((1L, 0L)).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.hammingNearDups(df, "k", "s", maxHamming = 4)
+    }
+  }
+}
