@@ -248,8 +248,29 @@ object Cli {
           s"'${c.config.name}' has no data"); return }
         val salt = flags.getOrElse("salt", "")
         val format = flags.getOrElse("format", "parquet")
-        if (format != "parquet" && format != "jsonl")
-          fail(s"--format must be parquet|jsonl, got '$format'")
+        if (format != "parquet" && format != "jsonl" && format != "webdataset")
+          fail(s"--format must be parquet|jsonl|webdataset, got '$format'")
+        if (format == "webdataset") {
+          // tar shards: --members col:ext,col:ext (binary cols raw,
+          // string cols UTF-8); split trees are an export-then-split
+          // concern, so --split is rejected here
+          if (flags.contains("split"))
+            fail("--split is not supported with --format webdataset")
+          val members = req(flags, "members").split(",").toSeq.map { m =>
+            m.split(":") match {
+              case Array(c, e) if c.trim.nonEmpty && e.trim.nonEmpty =>
+                c.trim -> e.trim
+              case _ => fail(s"--members entries are col:ext, got '$m'")
+            }
+          }
+          val rep = graft.operators.Export.writeWebDataset(
+            c.df, graft.core.Keys.KeyCol, dest, shardRows, members, salt)
+            .collect()
+          println(s"exported ${rep.map(_.getAs[Long]("n_rows")).sum} sample(s) " +
+            s"in ${rep.length} tar shard(s) / " +
+            s"${rep.map(_.getAs[Long]("tar_bytes")).sum} bytes to $dest")
+          return
+        }
         val cols = flags.get("columns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
@@ -364,6 +385,24 @@ object Cli {
         val dropped = graft.core.Backup.prune(s, dest, keep)
         println(if (dropped.isEmpty) "nothing to prune"
                 else s"dropped generation(s) ${dropped.mkString(", ")}")
+      case "diff-backups" =>
+        // what changed between two generations — manifest metadata only
+        val dest = req(flags, "dest")
+        val from = intFlag("from", req(flags, "from"))
+        val to = intFlag("to", req(flags, "to"))
+        val d = graft.core.Backup.diff(s, dest, from, to)
+        if (d.isEmpty) println(s"generations $from and $to are identical")
+        else d.show(200, truncate = false)
+      case "similar" =>
+        // related items by stored vector — no embedder needed at serving
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse(
+            fail("collection has no index columns; pass --column")))
+        val key = flags.get("key").map(_.toLong)
+          .getOrElse(fail("--key is required"))
+        val limit = intFlag("limit", flags.getOrElse("limit", "10"))
+        c.moreLikeThis(column, key, limit).show(limit, truncate = false)
       case "status" =>
         // consistency report per structure: missing/stale/orphaned rows
         // + ANN centroid drift (current/build assignment distance; >> 1
@@ -666,8 +705,10 @@ object Cli {
       |            on embedding cosine >= threshold, not shared terms)
       |  export   --collection C --dest DIR [--shard-rows n] [--salt s]
       |           [--columns a,b] [--split train:90,val:5,test:5]
-      |           [--format parquet|jsonl]  # jsonl = interchange shards
-      |            that round-trip through `index`/ImportJsonl
+      |           [--format parquet|jsonl|webdataset]  # jsonl = interchange
+      |            shards that round-trip through `index`/ImportJsonl;
+      |            webdataset = tar shards (--members col:ext,col:ext —
+      |            binary cols raw, string cols UTF-8; no --split)
       |           # deterministic training shards, one file per shard +
       |           # audit manifest (re-runs reproduce identical membership
       |           # and order); --split writes per-split trees under
@@ -690,6 +731,11 @@ object Cli {
       |            a backup generation (default latest) as collection C
       |  verify-backup --dest DIR [--generation n]  # re-digest stored files
       |  prune-backups --dest DIR [--keep-chains n]  # drop old full chains
+      |  diff-backups --dest DIR --from a --to b  # files added/removed/
+      |            changed between two generations (manifest-only)
+      |  similar  --collection C --key K [--column col] [--limit n]
+      |            # related items by the STORED vector of key K —
+      |            query-by-example, no embedder loaded at serving
       |  search   --collection C --query Q [--column col] [--limit n]
       |           [--mode vector|keyword|hybrid|ann|late] [--n-probe p]
       |           [--require-all]  # keyword mode: AND semantics

@@ -980,6 +980,22 @@ class Collection private[core] (
     }
   }
 
+  /** Related-items page (the query-by-example sibling of [[search]]):
+    * the `limit` nearest already-indexed keys to `key`, content-
+    * hydrated through the same fetch envelope. The seed's stored vector
+    * IS the query — no embedder at serving time, so this runs on a box
+    * with no model loaded. On a chunked (multi-vector) index the seed
+    * vector is an unspecified chunk of the key
+    * ([[graft.search.Search.moreLikeThis]]); use [[searchLate]] for
+    * chunk-granular matching.
+    */
+  def moreLikeThis(column: String, key: Long, limit: Int): DataFrame = {
+    graft.search.Search.validateLimit(limit)
+    fetchHits(
+      graft.search.Search.moreLikeThis(embeddings(column), key, limit),
+      column)
+  }
+
   /** [[search]] restricted to rows matching `predicate` (a Column over
     * the collection's schema — e.g. `col("lang") === "en"`). The
     * predicate filters the COLLECTION scan (pushed to parquet where
