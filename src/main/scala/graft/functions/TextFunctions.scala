@@ -157,6 +157,27 @@ object TextFunctions {
   val HtmlStyle = "(?is)<style[^>]*>.*?</style>"
   val HtmlTag = "(?s)<[^>]+>"
 
+  /** Canonical text normalization for web corpora: Unicode NFC (the
+    * one-true-composition pass — 'e' + COMBINING ACUTE and precomposed
+    * U+00E9 must hash/dedup/tokenize identically or every downstream
+    * operator silently splits them), control characters stripped (C0
+    * minus tab/newline, plus DEL — PDF and scraped text carry these),
+    * whitespace collapsed, trimmed. NFC itself is a JDK `Normalizer`
+    * UDF (no Catalyst equivalent; row-local, stream-safe); the strips
+    * are codegen'd regexp chains, and the whole pipeline is
+    * re-derivable in any engine with an NFC function (DuckDB:
+    * `nfc_normalize`), which is what the q179 oracle does.
+    */
+  def normalizeText(text: Column): Column = {
+    val nfc = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    trim(regexp_replace(
+      regexp_replace(nfc(text), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+  }
+
   def stripHtml(text: Column): Column = {
     val noTags = regexp_replace(
       regexp_replace(regexp_replace(text, HtmlScript, " "), HtmlStyle, " "),

@@ -473,6 +473,46 @@ object Multimodal {
       keyCol, "__ph", maxHamming, maxBucket)
   }
 
+  /** Video near-duplicate pairs: sample `nFrames` frames per video
+    * through the real container walk ([[Codec.sampleFrames]] —
+    * RIFF/AVI), perceptual-hash each frame ([[Codec.imageHash]]:
+    * real decode for encoded frames, the deterministic byte-hash
+    * fallback for raw/unknown codecs), and pair videos whose SAME
+    * frame slot matches within `maxHamming` on at least `minMatches`
+    * of the sampled slots — re-encodes and single-frame edits match,
+    * different footage does not. (key, slot) packs into one long so
+    * the Hamming machinery ([[graft.dedup.Dedup.hammingNearDups]])
+    * runs once over all slots; slot-aligned comparison means a video
+    * can never match another's different scene. Scale shape: frame
+    * decode is a row-local explode (nFrames rows/video), candidates
+    * are the block equi-join, and the final filter is a partial-agg'd
+    * count over candidate pairs — no all-pairs product anywhere.
+    * Returns `(key_a, key_b, n_frames_matched)`, key_a < key_b.
+    */
+  def videoNearDups(df: DataFrame, keyCol: String, contentCol: String,
+                    nFrames: Int = 4, minMatches: Int = 3,
+                    maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    require(nFrames >= 1 && nFrames <= 16,
+      s"nFrames must be in 1..16 (4-bit slot packing), got $nFrames")
+    require(minMatches >= 1 && minMatches <= nFrames,
+      s"minMatches must be in 1..$nFrames, got $minMatches")
+    val frames = sampleFrames(df, keyCol, contentCol, nFrames)
+    val hashUdf = udf((b: Array[Byte]) => Codec.imageHash(b))
+    val packed = frames.select(
+      (shiftleft(col(keyCol).cast("long"), 4) + col("frame_idx")).as("pk"),
+      hashUdf(col("frame")).as("fh"))
+    graft.dedup.Dedup.hammingNearDups(packed, "pk", "fh", maxHamming, maxBucket)
+      .filter(col("key_a").bitwiseAND(lit(15L)) ===
+        col("key_b").bitwiseAND(lit(15L)))
+      .select(shiftright(col("key_a"), 4).as("va"),
+        shiftright(col("key_b"), 4).as("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minMatches)
+      .select(col("va").as("key_a"), col("vb").as("key_b"),
+        col("n_frames_matched"))
+  }
+
   object SyntheticAudio {
     val SampleRate = 16000
 
@@ -564,6 +604,27 @@ object Multimodal {
 
     def avi(id: Long): Array[Byte] =
       AviWriter.build((0 until nFrames(id)).map(frame(id, _)), 64, 48)
+
+    /** Near-duplicate fixture for the video dedup gate: the GROUP's
+      * base video (group = docId % groups) with ONE byte of ONE frame
+      * low-bit-flipped per document — every AVI's bytes are unique, but
+      * the fallback frame hash moves by at most 2 bits for a 1-byte
+      * change (the byte leaves one of the 64 bins and enters another;
+      * a bit flips only where a bin crosses zero), so same-slot frames
+      * across a group stay within Hamming 2 <= 3 and at most one
+      * sampled slot per PAIR can exceed it (both docs perturbing the
+      * same slot compound to <= 4) — minMatches = 3 of 4 therefore
+      * pairs every within-group combination, which is what lets the
+      * q178 oracle derive the answer from doc_id alone.
+      */
+    def nearAvi(docId: Long, groups: Int = 25): Array[Byte] = {
+      val g = docId % groups
+      val frames = (0 until nFrames(g)).map(frame(g, _).clone).toArray
+      val fj = ((docId / groups) % nFrames(g)).toInt
+      val bi = ((docId % 37) % frames(fj).length).toInt
+      frames(fj)(bi) = (frames(fj)(bi) ^ 1).toByte
+      AviWriter.build(frames.toSeq, 64, 48)
+    }
   }
 
   /** Resize operator over image rows (real bilinear rescale for decodable

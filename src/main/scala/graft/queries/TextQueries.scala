@@ -652,6 +652,50 @@ object TextQueries {
         .orderBy(col("key_a"), col("key_b"))
     }),
 
+    // Video near-dup dedup through the REAL RIFF/AVI container walk:
+    // every doc gets its group's base video with one byte of one frame
+    // flipped (unique bytes per doc; SyntheticVideo.nearAvi's scaladoc
+    // derives why >= 3 of 4 sampled slots always stay within Hamming
+    // 3), so the expected pairs are exactly the within-group pairs.
+    // A defect in the container walk, frame sampling, per-frame
+    // hashing, slot alignment, or the match-count threshold breaks it.
+    "q178_video_neardups" -> ((s, d) => {
+      val aviUdf = udf((id: Long) =>
+        graft.multimodal.Multimodal.SyntheticVideo.nearAvi(id))
+      val vids = documents(s, d)
+        .select(col("doc_id"), aviUdf(col("doc_id")).as("content"))
+      graft.multimodal.Multimodal
+        .videoNearDups(vids, "doc_id", "content", nFrames = 4, minMatches = 3)
+        .select(col("key_a"), col("key_b"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
+    // Unicode canonicalization: NFC composition (combining acute/ring/
+    // diaeresis planted decomposed — they must compose or downstream
+    // dedup/tokenization silently splits equal strings), C0-control
+    // stripping, whitespace collapse. n_chars is part of the gate: a
+    // missed composition leaves the combining mark as its own character
+    // and shifts the count.
+    "q179_normalize" -> ((s, d) => {
+      val dirty = documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("caf" + "e\u0301" + " du parc "),
+            substring(col("text"), 1, 40)))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("tab\there bell\u0007gone del\u007Fgone "),
+            substring(col("text"), 1, 40)))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("A\u030Angstro\u0308m  double  spaced "),
+            substring(col("text"), 1, 40)))
+        .otherwise(concat(lit("   padded   "),
+          substring(col("text"), 1, 40), lit("   ")))
+        .as("dirty"))
+      dirty.select(col("doc_id"),
+          TextFunctions.normalizeText(col("dirty")).as("clean"))
+        .withColumn("n_chars", length(col("clean")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted min-max-normalized hybrid (the rank-free fusion next to
     // q110's RRF): each 20-row page rescales to [0,1], fuses as
     // 0.7*keyword + 0.3*dense, absent entries contribute 0. Preserves
@@ -1641,6 +1685,39 @@ object TextQueries {
          |     ORDER BY cnt DESC, bigram) AS INT) AS "rank" FROM c)
          |SELECT lang, bigram, cnt, "rank" FROM r WHERE "rank" <= 3
          |ORDER BY lang, "rank"""".stripMargin,
+
+    // planting + the exact normalization chain re-derived: NFC, C0
+    // strip, whitespace collapse — Java Normalizer and DuckDB
+    // nfc_normalize both implement Unicode canonical composition
+    "q179_normalize" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |   WHEN 0 THEN 'caf' || 'e' || chr(769) || ' du parc '
+        |     || substr(text, 1, 40)
+        |   WHEN 1 THEN 'tab' || chr(9) || 'here bell' || chr(7)
+        |     || 'gone del' || chr(127) || 'gone ' || substr(text, 1, 40)
+        |   WHEN 2 THEN 'A' || chr(778) || 'ngstro' || chr(776)
+        |     || 'm  double  spaced ' || substr(text, 1, 40)
+        |   ELSE '   padded   ' || substr(text, 1, 40) || '   '
+        |  END AS d
+        | FROM documents),
+        | c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(d),
+        |   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |   '\s+', ' ', 'g')) AS clean
+        | FROM dirty)
+        |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the fixture's contract: within-group pairs (the Hamming budget
+    // argument lives in SyntheticVideo.nearAvi) — decode work is
+    // Spark-side, the oracle pins the answer
+    "q178_video_neardups" ->
+      """SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id
+        |ORDER BY key_a, key_b""".stripMargin,
 
     // the fixture's contract: within-group pairs at Hamming 0 — the
     // REAL decode work happens Spark-side; the oracle pins its answer

@@ -96,4 +96,48 @@ class ImageHashSpec extends SparkSpec {
       graft.dedup.Dedup.hammingNearDups(df, "k", "s", maxHamming = 4)
     }
   }
+
+  test("a one-byte frame edit moves the fallback hash by at most 2 bits") {
+    import Multimodal.SyntheticVideo
+    val base = SyntheticVideo.frame(3L, 0)
+    val edited = base.clone
+    edited(10) = (edited(10) ^ 1).toByte
+    val d = java.lang.Long.bitCount(
+      Codec.imageHash(base) ^ Codec.imageHash(edited))
+    assert(d <= 2, s"expected <= 2 bit movement, got $d")
+  }
+
+  test("videoNearDups pairs same-footage edits, not different footage") {
+    import Multimodal.SyntheticVideo
+    // 2 groups x 3 docs (groups = 2): ids {0,2,4} share base video 0,
+    // {1,3,5} share base video 1, each with a different 1-byte edit
+    val df = (0L until 6L).map(id => (id, SyntheticVideo.nearAvi(id, groups = 2)))
+      .toDF("doc_id", "content")
+    val pairs = Multimodal
+      .videoNearDups(df, "doc_id", "content", nFrames = 4, minMatches = 3)
+      .select("key_a", "key_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L), (0L, 4L), (2L, 4L),
+      (1L, 3L), (1L, 5L), (3L, 5L)))
+    // parameter guards
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDups(df, "doc_id", "content", nFrames = 17)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDups(df, "doc_id", "content", minMatches = 5)
+    }
+  }
+
+  test("normalizeText: NFC composition, control strip, space collapse") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "caf" + "e\u0301" + "  bell\u0007gone\tdel\u007Fgone  "),
+      (2L, "A\u030Angstro\u0308m"),
+      (3L, "  plain  ")).toDF("id", "t")
+    val out = df.select(col("id"), TextFunctions.normalizeText(col("t")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "caf\u00e9 bellgone delgone")
+    assert(out(2L) == "\u00c5ngstr\u00f6m" && out(2L).length == 8)
+    assert(out(3L) == "plain")
+  }
 }

@@ -143,4 +143,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Partial") || p.contains("partial"),
       s"the battery must combine map-side:\n$p")
   }
+
+  test("grouped top-k windows only over the bounded survivor set") {
+    val p = planOf(SparkEntry.queries("q175_top_ngrams")(spark, sf0001))
+    // the stage-1 bounded cut is a typed mapPartitions; the (safe,
+    // survivor-bounded) rank window must sit ABOVE it, never directly
+    // on the full count table
+    val wIdx = p.indexOf("Window")
+    val mIdx = p.indexOf("MapPartitions")
+    assert(wIdx >= 0 && mIdx >= 0 && wIdx < mIdx, // plans print top-down
+      s"rank window must consume the mapPartitions survivor set:\n$p")
+  }
+
+  test("line-frequency filter plans no window anywhere") {
+    val p = planOf(SparkEntry.queries("q173_line_freq_filter")(spark, sf0001))
+    assert(!p.contains("Window"), s"line ops are window-free:\n$p")
+  }
+
+  test("image near-dup pairs come from an equi-join, never a product") {
+    val p = planOf(SparkEntry.queries("q176_image_neardups")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must be block-bucket equi-join generated:\n$p")
+  }
+
+  test("normalization is a row-local projection (no shuffle beyond the sort)") {
+    val p = planOf(SparkEntry.queries("q179_normalize")(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"normalizeText must not shuffle:\n$p")
+  }
 }
