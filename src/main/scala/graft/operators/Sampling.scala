@@ -135,12 +135,18 @@ object Sampling {
     // against `over` and silently exempt it from the cap
     val isOver = col(groupCol) <=> col("__g")
     val pass = df.join(broadcast(over), isOver, "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    val trimmed = df.join(broadcast(over), isOver, "left_semi")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
+    // over-cap groups rank through the bounded-state grouped top-k (a
+    // plain window here would sort a HOT group's entire row set — 10^9
+    // rows of one domain — in a single task; TopKPerGroup keeps O(n)
+    // state per group per partition and shuffles survivors only). The
+    // md5 hex order is ASCII, so the stage-1 JVM cut and the stage-2
+    // Spark rank agree exactly (TopKPerGroup's string caveat).
+    val trimmed = TopKPerGroup.topK(
+        df.join(broadcast(over), isOver, "left_semi")
+          .withColumn("__h", md5(col(keyCol).cast("string"))),
+        Seq(groupCol), "__h", n, tieCols = Seq(keyCol), asc = true,
+        rankCol = "__rn")
+      .drop("__rn", "__h")
     pass.unionByName(trimmed)
   }
 

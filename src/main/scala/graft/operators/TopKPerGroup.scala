@@ -33,9 +33,15 @@ import org.apache.spark.sql.types._
   * but the spec grades a duplicate-heavy fixture against the naive
   * window form.
   *
-  * Supported column types for `orderCol`: any numeric (compared as
-  * double). `tieCols`: string, numeric, boolean, date, timestamp —
-  * anything whose JVM value is `Comparable` — and must be non-null.
+  * Supported column types for `orderCol` and `tieCols`: numeric,
+  * string, boolean, date, timestamp — anything whose JVM value is
+  * `Comparable`. Null order values rank last in either direction; tie
+  * values must be non-null. CAVEAT for strings: the stage-1 cut
+  * compares with JVM `String.compareTo` (UTF-16 code units) while the
+  * stage-2 window uses Spark's UTF-8 binary ordering — identical for
+  * ASCII (hex digests, identifiers), divergent for some non-BMP text;
+  * keep string order columns ASCII or the cut can disagree with the
+  * final rank.
   */
 object TopKPerGroup {
 
@@ -51,17 +57,21 @@ object TopKPerGroup {
     val gIdx = groupCols.map(schema.fieldIndex)
     val oIdx = schema.fieldIndex(orderCol)
     val tIdx = tieCols.map(schema.fieldIndex)
-    val sign = if (asc) 1.0 else -1.0
-    require(schema(oIdx).dataType.isInstanceOf[NumericType],
-      s"orderCol '$orderCol' must be numeric, got ${schema(oIdx).dataType}")
+    val sign = if (asc) 1 else -1
+    require(schema(oIdx).dataType match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType => true
+      case _ => false
+    }, s"orderCol '$orderCol' must be orderable (numeric/string/bool/" +
+      s"date/timestamp), got ${schema(oIdx).dataType}")
 
-    def orderVal(r: Row): Double = r.get(oIdx) match {
-      case null => Double.MaxValue // nulls last in either direction
-      case n: java.lang.Number => sign * n.doubleValue
-      case x => sys.error(s"non-numeric order value $x")
-    }
     def cmp(a: Row, b: Row): Int = {
-      val c0 = java.lang.Double.compare(orderVal(a), orderVal(b))
+      val (oa, ob) = (a.get(oIdx), b.get(oIdx))
+      val c0 =
+        if (oa == null && ob == null) 0
+        else if (oa == null) 1 // nulls last in either direction
+        else if (ob == null) -1
+        else sign * oa.asInstanceOf[Comparable[Any]].compareTo(ob)
       if (c0 != 0) return c0
       var i = 0
       while (i < tIdx.length) {
