@@ -1008,9 +1008,12 @@ object Keyword {
   /** Diversified results: the top `kPerFacet` matches WITHIN each value
     * of `facetCol` — "best 2 per language", the grouped page every
     * search UI's diversity knob needs. Ranks the FULL match set (term-
-    * pruned postings, the [[facets]] discipline), windowed per facet —
-    * the shuffle carries match-set rows hashed by facet, never the
-    * corpus. Returns `(facet, key, score, rank)`.
+    * pruned postings, the [[facets]] discipline) through the
+    * bounded-state grouped top-k
+    * ([[graft.operators.TopKPerGroup]] — a plain per-facet window
+    * would sort a HOT facet's entire match set in one task); the
+    * shuffle carries only per-partition survivors, never the match
+    * set. Returns `(facet, key, score, rank)`.
     */
   def facetTopK(docs: DataFrame, queryTerms: Seq[String], facetCol: String,
                 kPerFacet: Int, idCol: String = "doc_id",
@@ -1019,12 +1022,11 @@ object Keyword {
     require(kPerFacet >= 1, s"kPerFacet must be >= 1, got $kPerFacet")
     val scores = bm25Scores(docs, queryTerms, idCol, textCol,
       analyzer = analyzer)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("facet")).orderBy(desc("score"), col("key"))
-    docs.select(col(idCol).as("key"), col(facetCol).as("facet"))
+    val joined = docs.select(col(idCol).as("key"), col(facetCol).as("facet"))
       .join(scores, Seq("key"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= kPerFacet)
+    graft.operators.TopKPerGroup.topK(joined, Seq("facet"), "score",
+        kPerFacet, tieCols = Seq("key"))
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("facet"), col("key"), col("score"), col("rank"))
       .orderBy(col("facet"), col("rank"))
   }
