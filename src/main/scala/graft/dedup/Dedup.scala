@@ -535,6 +535,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental form of [[hammingNearDups]] — the nightly-batch /
+    * stream-trigger shape: each BATCH row is checked against the stored
+    * corpus sketches AND the rest of its batch without ever re-pairing
+    * corpus x corpus. Returns `(key, match_key, hamming)` — one row per
+    * (batch row, near neighbor) with keys distinct; batch-batch matches
+    * appear in both directions (each batch row reports its own
+    * neighbors), corpus rows only ever appear as `match_key`. Cost is
+    * O(batch blocks x matching corpus blocks) — an equi-join on 16-bit
+    * block values that spills rather than collecting buckets, the
+    * documented trade for the uncapped side ([[embeddingNearDups]]'s
+    * join-form note). Callers persist `(key, sketch)` beside the data
+    * (the dedup-band-index discipline) and append the batch's sketches
+    * after the check.
+    */
+  def hammingNearDupsAgainst(corpus: DataFrame, batch: DataFrame,
+                             keyCol: String, sketchCol: String,
+                             maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole is exact only for maxHamming <= 3, got $maxHamming")
+    def blocksOf(df: DataFrame) = df
+      .select(col(keyCol).as("k"), col(sketchCol).as("h"))
+      .select(col("k"), col("h"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("h"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("block", "block_val")))
+    val bb = blocksOf(batch)
+    val all = blocksOf(corpus).unionByName(bb)
+    bb.as("b").join(all.as("c"),
+        col("b.block") === col("c.block") &&
+        col("b.block_val") === col("c.block_val") &&
+        col("b.k") =!= col("c.k"))
+      .select(col("b.k").as("key"), col("c.k").as("match_key"),
+        bitCountCol(col("b.h").bitwiseXOR(col("c.h"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** `bit_count` as a Column (codegen'd). */
+  private def bitCountCol(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.bit_count(c).cast("long")
+
   // ---- decontamination -------------------------------------------------
 
   /** Benchmark decontamination: find corpus documents containing any of

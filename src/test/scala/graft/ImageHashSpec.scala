@@ -97,6 +97,28 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
+  test("incremental hamming check: batch vs stored + within-batch, never corpus x corpus") {
+    val h0 = 0x0F0F0F0F0F0F0F0FL
+    val corpus = Seq((1L, h0), (2L, ~h0)).toDF("k", "h")
+    val batch = Seq(
+      (10L, h0 ^ 1L), // 1 bit from stored h0
+      (11L, 0x1234567890ABCDEFL), // far from everything
+      (12L, h0)) // exact stored dup + 1 bit from batch-mate 10
+      .toDF("k", "h")
+    val got = graft.dedup.Dedup
+      .hammingNearDupsAgainst(corpus, batch, "k", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (10L, 1L, 1L), (10L, 12L, 1L),
+      (12L, 1L, 0L), (12L, 10L, 1L)))
+    // corpus rows never initiate a row; guard on the pigeonhole bound
+    assert(!got.exists { case (k, _, _) => k == 1L || k == 2L })
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.hammingNearDupsAgainst(corpus, batch, "k", "h",
+        maxHamming = 4)
+    }
+  }
+
   test("a one-byte frame edit moves the fallback hash by at most 2 bits") {
     import Multimodal.SyntheticVideo
     val base = SyntheticVideo.frame(3L, 0)
