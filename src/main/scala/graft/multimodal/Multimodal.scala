@@ -311,6 +311,49 @@ object Multimodal {
       * replicable in SQL — the same determinism contract the dedup hashes
       * keep.
       */
+    /** 64-bit audio fingerprint: the DECODED sample stream splits into
+      * 64 contiguous windows (floor boundaries — window of sample i is
+      * `i*64/n`), bit w set iff window w's absolute-amplitude sum is at
+      * least the per-window mean (`sumAbs(w) * 64 >= totalAbs`) — a
+      * coarse loudness envelope, robust to re-encodes and sample-level
+      * edits, integer-exact so any engine re-derives it from the
+      * generator formula (the q54 oracle discipline). Undecodable
+      * payloads fall back to [[hashFeatures]] sign bits like
+      * [[imageHash]]. Near-dup audio is then Hamming distance through
+      * [[graft.dedup.Dedup.hammingNearDups]].
+      */
+    def audioHash(bytes: Array[Byte]): Long =
+      decodeAudio(bytes) match {
+        case Some(a) if a.samples.nonEmpty =>
+          val v = a.samples
+          val n = v.length
+          val sums = new Array[Long](64)
+          var i = 0
+          var total = 0L
+          while (i < n) {
+            val a0 = math.abs(v(i).toLong)
+            sums((i.toLong * 64 / n).toInt) += a0
+            total += a0
+            i += 1
+          }
+          var bits = 0L
+          var w = 0
+          while (w < 64) {
+            if (sums(w) * 64 >= total) bits |= (1L << w)
+            w += 1
+          }
+          bits
+        case _ =>
+          val v = hashFeatures(bytes, 64)
+          var bits = 0L
+          var i = 0
+          while (i < 64) {
+            if (v(i) >= 0f) bits |= (1L << i)
+            i += 1
+          }
+          bits
+      }
+
     final case class AudioFeatures(
         nSamples: Long, sampleRateHz: Double, rms: Double, zcr: Double,
         peak: Double, bandEnergy: Array[Double])
@@ -455,6 +498,20 @@ object Multimodal {
     }
   }
 
+  /** Audio near-duplicate pairs: [[Codec.audioHash]]'s loudness-envelope
+    * fingerprint per payload (REAL container + PCM decode; byte-hash
+    * fallback for unrecognized bytes), then the shared Hamming candidate
+    * join — re-encodes and sample-level edits match, different audio
+    * does not. Same scale shape as [[imageNearDups]].
+    */
+  def audioNearDups(df: DataFrame, keyCol: String, contentCol: String,
+                    maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    val hashUdf = udf((b: Array[Byte]) => Codec.audioHash(b))
+    graft.dedup.Dedup.hammingNearDups(
+      df.select(col(keyCol), hashUdf(col(contentCol)).as("__ah")),
+      keyCol, "__ah", maxHamming, maxBucket)
+  }
+
   /** Image near-duplicate pairs: perceptual hash per payload
     * ([[Codec.imageHash]] — real decode, hash-stub fallback), then the
     * SimHash block-pigeonhole candidate join + `bit_count(xor)` verify
@@ -527,6 +584,24 @@ object Multimodal {
 
     /** 16-bit mono PCM WAV of [[samples]]. */
     def wav(docId: Long): Array[Byte] = pcmToWav(samples(docId), SampleRate, 1)
+
+    /** Near-duplicate fixture for the audio dedup gate: the GROUP's base
+      * waveform (group = docId % groups) with ONE sample's low bit
+      * flipped per document — unique WAV bytes per doc, while the
+      * loudness-envelope hash moves by at most a couple of bits (the
+      * |amplitude| shift is ±1 within one of 64 windows whose sums are
+      * ~10^5). The planting is integer-exact, so whether any window sits
+      * on the threshold boundary is a FIXED property of the generator —
+      * the gate rehearsal proves the within-group budget empirically and
+      * it can never drift.
+      */
+    def nearWav(docId: Long, groups: Int = 20): Array[Byte] = {
+      val g = docId % groups
+      val v = samples(g)
+      val p = ((docId / groups) % v.length).toInt
+      v(p) = v(p) ^ 1
+      pcmToWav(v, SampleRate, 1)
+    }
 
     /** Render 16-bit interleaved samples as WAV via `AudioSystem.write`. */
     def pcmToWav(pcm: Array[Int], sampleRate: Int, channels: Int): Array[Byte] = {

@@ -652,6 +652,21 @@ object TextQueries {
         .orderBy(col("key_a"), col("key_b"))
     }),
 
+    // Audio near-dup dedup through the REAL WAV+PCM decode: every doc
+    // gets its group's base waveform with one sample's low bit flipped
+    // (unique bytes per doc; the loudness-envelope hash collapses the
+    // group — SyntheticAudio.nearWav). Expected pairs = within-group,
+    // so decode/envelope/threshold/join defects all break the hash.
+    "q180_audio_neardups" -> ((s, d) => {
+      val wavUdf = udf((id: Long) =>
+        graft.multimodal.Multimodal.SyntheticAudio.nearWav(id))
+      val auds = documents(s, d)
+        .select(col("doc_id"), wavUdf(col("doc_id")).as("content"))
+      graft.multimodal.Multimodal.audioNearDups(auds, "doc_id", "content")
+        .select(col("key_a"), col("key_b"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     // Video near-dup dedup through the REAL RIFF/AVI container walk:
     // every doc gets its group's base video with one byte of one frame
     // flipped (unique bytes per doc; SyntheticVideo.nearAvi's scaladoc
@@ -1709,6 +1724,14 @@ object TextQueries {
         | FROM dirty)
         |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the fixture's contract: within-group pairs — the decode/envelope
+    // work is Spark-side, the oracle pins the answer
+    "q180_audio_neardups" ->
+      """SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id
+        |ORDER BY key_a, key_b""".stripMargin,
 
     // the fixture's contract: within-group pairs (the Hamming budget
     // argument lives in SyntheticVideo.nearAvi) — decode work is

@@ -150,6 +150,30 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
+  test("audioHash: sample-level edits stay near, different audio lands far") {
+    import Multimodal.SyntheticAudio
+    val base = Codec.audioHash(SyntheticAudio.wav(5L))
+    val edit = Codec.audioHash(SyntheticAudio.nearWav(25L, groups = 20))
+    assert(java.lang.Long.bitCount(base ^ edit) <= 3,
+      "a one-sample low-bit flip must stay within the Hamming budget")
+    val other = Codec.audioHash(SyntheticAudio.wav(6L))
+    assert(java.lang.Long.bitCount(base ^ other) > 3,
+      "different waveforms must not collide")
+    // fallback path is deterministic and byte-sensitive
+    assert(Codec.audioHash("zzz".getBytes) == Codec.audioHash("zzz".getBytes))
+  }
+
+  test("audioNearDups pairs same-waveform edits only") {
+    import Multimodal.SyntheticAudio
+    val df = (0L until 6L).map(id => (id, SyntheticAudio.nearWav(id, groups = 2)))
+      .toDF("doc_id", "content")
+    val pairs = Multimodal.audioNearDups(df, "doc_id", "content")
+      .select("key_a", "key_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L), (0L, 4L), (2L, 4L),
+      (1L, 3L), (1L, 5L), (3L, 5L)))
+  }
+
   test("normalizeText: NFC composition, control strip, space collapse") {
     import graft.functions.TextFunctions
     val df = Seq(
