@@ -350,4 +350,31 @@ class PropertySpec extends SparkSpec {
       got == want && pads == wantPads
     }, n = 12)
   }
+
+  test("property: grouped top-k equals the sequential sort model on random multisets") {
+    val rowsGen: Gen[List[(Int, Long, Long)]] = for {
+      m <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(m, for {
+        g <- Gen.choose(0, 4)
+        v <- Gen.choose(0L, 6L) // heavy value collisions
+        k <- Gen.choose(0L, 500L)
+      } yield (g, v, k))
+    } yield rows.distinctBy(_._3) // unique tie-break key
+    check("topKPerGroup", Prop.forAll(rowsGen) { rows =>
+      if (rows.isEmpty) true
+      else {
+        val k = 3
+        val got = graft.operators.TopKPerGroup
+          .topK(rows.toDF("g", "v", "key").repartition(4),
+            Seq("g"), "v", k, tieCols = Seq("key"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).toSet
+        val want = rows.groupBy(_._1).flatMap { case (g, xs) =>
+          xs.sortBy { case (_, v, key) => (-v, key) }.take(k).zipWithIndex
+            .map { case ((_, v, key), i) => (g, v, key, i + 1) }
+        }.toSet
+        got == want
+      }
+    }, n = 15)
+  }
 }
