@@ -167,6 +167,56 @@ object Streams {
         round(col("jaccard"), 6).as("jaccard"), col(tsCol))
   }
 
+  /** Streaming MEDIA near-dup screen: incoming binary payloads hash
+    * row-locally ([[graft.multimodal.Multimodal.Codec.imageHash]] /
+    * `audioHash` by `kind`) and candidate-join the STATIC corpus sketch
+    * table on 16-bit block values. Completely STATELESS — no watermark,
+    * no state store: per-pair uniqueness does not need dropDuplicates
+    * because a row survives only when its block is the EARLIEST
+    * matching block, a predicate recomputable from the two sketches
+    * alone (a pair matching on 3 blocks emits from exactly one of
+    * them). Per-trigger cost is O(batch blocks x matching corpus
+    * blocks); corpus growth folds in by the restart-with-refreshed-
+    * sketches pattern ([[nearDedupStream]]'s scaladoc). Emits
+    * `(corpus_key, new_key, hamming)`.
+    */
+  def mediaDedupStream(newMedia: DataFrame, corpusSketches: DataFrame,
+                       keyCol: String, contentCol: String,
+                       kind: String = "image",
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole is exact only for maxHamming <= 3, got $maxHamming")
+    import graft.multimodal.Multimodal.Codec
+    val hashUdf = kind match {
+      case "image" => udf((b: Array[Byte]) => Codec.imageHash(b))
+      case "audio" => udf((b: Array[Byte]) => Codec.audioHash(b))
+      case other => sys.error(s"kind must be image|audio, got '$other'")
+    }
+    def blockVal(c: org.apache.spark.sql.Column, i: Int) =
+      shiftright(c, i * 16).bitwiseAND(lit(0xFFFFL))
+    val cBlocks = corpusSketches
+      .select(col(keyCol).as("corpus_key"), col("sketch").as("ch"))
+      .select(col("corpus_key"), col("ch"),
+        posexplode(array((0 until 4).map(i => blockVal(col("ch"), i)): _*))
+          .as(Seq("block", "block_val")))
+      .localCheckpoint(true)
+    val nBlocks = newMedia
+      .select(col(keyCol).as("new_key"), hashUdf(col(contentCol)).as("nh"))
+      .select(col("new_key"), col("nh"),
+        posexplode(array((0 until 4).map(i => blockVal(col("nh"), i)): _*))
+          .as(Seq("block", "block_val")))
+    val earlierMatch = (0 until 4).map(i =>
+        blockVal(col("nh"), i) === blockVal(col("ch"), i) &&
+          col("block") > lit(i))
+      .reduce(_ || _)
+    nBlocks.join(cBlocks, Seq("block", "block_val")) // stream-static
+      .filter(!earlierMatch && col("new_key") =!= col("corpus_key"))
+      .withColumn("hamming",
+        bit_count(col("nh").bitwiseXOR(col("ch"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("corpus_key"), col("new_key"), col("hamming"))
+  }
+
   /** Continuous dup-GROUP maintenance: folds a streaming near-dup PAIR
     * source (e.g. [[nearDedupStream]]'s output, or any stream with two
     * key columns) into a standing `(node, comp)` label table, one

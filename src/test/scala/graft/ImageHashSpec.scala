@@ -174,6 +174,34 @@ class ImageHashSpec extends SparkSpec {
       (1L, 3L), (1L, 5L), (3L, 5L)))
   }
 
+  test("mediaDedupStream: stateless stream-static screen, pairs emitted once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // corpus: one sketch per group (ids 0, 1 with groups = 2)
+    val corpus = Seq(0L, 1L)
+      .map(id => (id, Codec.imageHash(SyntheticImage.png(id, groups = 2))))
+      .toDF("doc_id", "sketch")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val stream = mem.toDF().toDF("doc_id", "content")
+    val out = graft.streaming.Streams.mediaDedupStream(
+      stream, corpus, "doc_id", "content", kind = "image")
+    val q = out.writeStream.format("memory").queryName("media_dedup_out")
+      .outputMode("append").start()
+    // two triggers: ids 10/11 match groups 0/1 at Hamming 0; 12 matches 0
+    mem.addData((10L, SyntheticImage.png(10L, groups = 2)),
+      (11L, SyntheticImage.png(11L, groups = 2)))
+    q.processAllAvailable()
+    mem.addData((12L, SyntheticImage.png(12L, groups = 2)))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "the media screen must be completely stateless")
+    q.stop()
+    val got = spark.table("media_dedup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly once per pair despite 4 matching blocks each
+    assert(got.sorted.toSeq == Seq((0L, 10L, 0L), (0L, 12L, 0L), (1L, 11L, 0L)))
+  }
+
   test("normalizeText: NFC composition, control strip, space collapse") {
     import graft.functions.TextFunctions
     val df = Seq(
