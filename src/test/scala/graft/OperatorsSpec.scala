@@ -687,6 +687,47 @@ class AnnSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/sorted").filter(pred).count() == 21)
   }
 
+  test("z-ordered layout prunes on BOTH columns where a single sort cannot") {
+    import spark.implicits._
+    import graft.operators.Layout
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    // a 100x100 grid: x and y independent, 10k rows
+    val grid = (0 until 10000).map(i => (i.toLong, (i % 100).toLong, (i / 100).toLong))
+      .toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZOrdered(grid, s"$base/z", Seq("x", "y"), nFiles = 16,
+      bitsPerCol = 8)
+    Layout.writeRangeSorted(grid, s"$base/xsorted", "x", nFiles = 16)
+    // a predicate on y alone: the x-sorted layout scatters y across
+    // every row group and reads ~everything; the z-ordered layout keeps
+    // y clustered too and skips most groups
+    val pred = col("y").between(10, 15)
+    val zRead = scanRows(spark.read.parquet(s"$base/z").filter(pred))
+    val xRead = scanRows(spark.read.parquet(s"$base/xsorted").filter(pred))
+    assert(xRead >= 9000, s"x-sorted layout should read ~all rows for a y box, got $xRead")
+    assert(zRead <= xRead / 2,
+      s"z-ordered layout must skip most row groups on y, got $zRead vs $xRead")
+    // identical results from both layouts
+    assert(spark.read.parquet(s"$base/z").filter(pred).count() == 600)
+    assert(spark.read.parquet(s"$base/xsorted").filter(pred).count() == 600)
+    // a 2-D box on the z layout prunes even harder than the y box
+    val box = col("x").between(20, 29) && col("y").between(10, 15)
+    val zBox = scanRows(spark.read.parquet(s"$base/z").filter(box))
+    assert(zBox <= zRead, s"2-D box must not read more than its y slice: $zBox vs $zRead")
+    assert(spark.read.parquet(s"$base/z").filter(box).count() == 60)
+    // guards
+    intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(grid, s"$base/bad", Seq("x"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(grid, s"$base/bad", Seq("x", "y"), 4, bitsPerCol = 40)
+    }
+  }
+
   test("IVF/PQ training sample is content-blind on a key-sorted corpus") {
     import spark.implicits._
     // adversarial import order: keys correlate with content — keys
