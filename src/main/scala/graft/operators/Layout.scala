@@ -50,6 +50,13 @@ object Layout {
     *
     * Numeric columns only; nulls cluster into the lowest bucket.
     * `bitsPerCol * zCols.size` must fit a long (<= 63).
+    *
+    * Deliberately NOT offered on collections: the COW journal plans
+    * upsert/delete rewrites from `_key` footer ranges, and re-
+    * clustering by other columns would make every small correction
+    * rewrite the table (the exact leak ScaleProbe caught in compact()
+    * once). Z-order the EXPORTED analytical copies, not the mutable
+    * store.
     */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     nFiles: Int, bitsPerCol: Int = 12): Unit = {

@@ -24,7 +24,14 @@ import org.apache.spark.sql.types._
   *    large the original group was.
   *
   * Total shuffle: <= groups x k x partitions survivor rows, vs. the
-  * window form's full input. Rows pass through intact (any schema);
+  * window form's full input. State honesty: stage-1 memory is O(k x
+  * DISTINCT GROUPS SEEN BY THE PARTITION) — tight when groups are few
+  * (domains, languages, facet values) or the input is already
+  * clustered by group; for group cardinality approaching the row count
+  * with scattered input, `repartition(group)` first (the shuffle then
+  * matches the window form's, but the per-task full sort is still
+  * replaced by an O(rows log k) heap that cannot spill-sort a hot
+  * group). Rows pass through intact (any schema);
   * ordering is `orderCol` descending (`asc = true` flips it), ties broken
   * ascending by `tieCols` — ties MUST be broken fully for the stage-1
   * compaction cut to be exact (a boundary tie dropped under an
