@@ -180,6 +180,30 @@ final class HttpApi(catalog: Catalog, registry: ModelRegistry, port: Int,
             s""","next":[${rows.last.getDouble(2)},${rows.last.getLong(1)}]"""
           else ""
         (200, ok(secs(), s"""{"results":$results$next}"""))
+      case ("GET", s"/collections/$name/similar/$keyStr")
+          if !name.contains("/") && !keyStr.contains("/") =>
+        // related items by the STORED vector of an indexed key —
+        // query-by-example without an embedder call; same result
+        // envelope as search, no cursor (pages are k-deep by contract)
+        graft.core.Identifiers.validate(name)
+        if (!catalog.exists(name)) throw new NoSuchElementException(s"collection $name not found")
+        val coll = catalog.load(name)
+        val key = try keyStr.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"key must be an integer, got '$keyStr'")
+        }
+        val q = ex.getRequestURI.getQuery
+        val params = Option(q).getOrElse("").split("&").filter(_.contains("="))
+          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val limit = params.get("limit").map(_.toInt).getOrElse(10)
+        val column = params.getOrElse("column",
+          coll.config.index_columns.headOption.getOrElse(
+            throw new IllegalArgumentException("collection has no index columns")))
+        val rows = coll.moreLikeThis(column, key, limit).collect()
+        val results = rows.map { r =>
+          s"""{"content":${js(r.getString(0))},"key":${r.getLong(1)},"score":${r.getDouble(2)}}"""
+        }.mkString("[", ",", "]")
+        (200, ok(secs(), s"""{"results":$results}"""))
       case ("GET", s"/collections/$name/status") if !name.contains("/") =>
         // operational health over HTTP: per-index-column consistency
         // counters (+ ANN centroid drift) and the ordered maintenance

@@ -135,6 +135,15 @@ class HttpApiSpec extends SparkSpec {
       assert(mc == 400 && mb.contains("column_name"), mb)
       val (nc, _) = get(port, "/collections/nope")
       assert(nc == 404)
+
+      // related items by stored vector: seed excluded, page returned
+      val (rc, rb) = get(port, "/collections/docs/similar/1?limit=2")
+      assert(rc == 200 && rb.contains("\"results\""), rb)
+      assert(!rb.contains("\"key\":1,") && rb.contains("\"key\":"), rb)
+      val (ric, rib) = get(port, "/collections/docs/similar/abc")
+      assert(ric == 400 && rib.contains("integer"), rib)
+      val (rnc, rnb) = get(port, "/collections/docs/similar/999")
+      assert(rnc == 400 && rnb.contains("no vector"), rnb)
     } finally api.stop()
   }
 
