@@ -519,6 +519,48 @@ object Cli {
           println(s"erased $n row(s) matching '$predicate' " +
             s"(${c.count()} rows remain)")
         }
+      case "coverage" =>
+        // tokenizer-coverage report: OOV rate of the collection's text
+        // against the top-N corpus vocabulary, optionally per --by group
+        import org.apache.spark.sql.functions.{col, lit}
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val topN = flags.getOrElse("vocab-size", "1000").toInt
+        if (topN < 1) fail("--vocab-size must be >= 1")
+        val docs = c.df
+        val vocab = graft.functions.Bpe.wordFreqs(docs, column)
+          .orderBy(col("freq").desc, col("word")).limit(topN)
+        val (grouped, gcol) = flags.get("by") match {
+          case Some(g) => (docs, g)
+          case None => (docs.withColumn("__corpus", lit("(all)")), "__corpus")
+        }
+        graft.functions.Bpe.coverage(grouped, column, gcol, vocab)
+          .orderBy(col(gcol)).show(100, truncate = false)
+      case "mask-spans" =>
+        // cross-document repeated n-gram span masking -> cleaned corpus
+        // written to --dest. A transform-export, NOT an in-place
+        // rewrite: rewriting indexed text would have to rebuild every
+        // index family, so the cleaned corpus is a new dataset the user
+        // re-indexes explicitly (the same lifecycle discipline as
+        // export).
+        import org.apache.spark.sql.functions.{col, sum => fsum}
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val n = flags.getOrElse("ngram", "5").toInt
+        val maxDocs = flags.getOrElse("max-docs", "3").toInt
+        val dest = req(flags, "dest")
+        graft.dedup.Dedup.ngramSpanMask(
+            c.df.select(col(graft.core.Keys.KeyCol), col(column)),
+            column, graft.core.Keys.KeyCol, n, maxDocs)
+          .write.mode("overwrite").parquet(dest)
+        val st = s.read.parquet(dest)
+          .agg(fsum(col("n_dropped")).as("dropped"),
+            fsum((col("n_dropped") > 0).cast("long")).as("docs_hit"))
+          .head()
+        println(s"masked ${st.getLong(0)} word(s) across " +
+          s"${st.getLong(1)} doc(s) -> $dest (n=$n, maxDocs=$maxDocs)")
       case "search" =>
         val c = catalog.load(req(flags, "collection"))
         val column = flags.getOrElse("column",
@@ -695,6 +737,13 @@ object Cli {
       |            # quality-gated erase over the analyze columns, e.g.
       |            # --where "dup3_frac > 0.5 OR n_tokens < 3"; plans
       |            # (counts) without --apply, erases everywhere with it
+      |  coverage --collection C [--column col] [--vocab-size n] [--by col]
+      |            # tokenizer-coverage report: token totals + OOV rate
+      |            # against the top-n corpus vocabulary, per --by group
+      |  mask-spans --collection C --dest dir [--column col] [--ngram n]
+      |            [--max-docs t]  # cross-doc repeated n-gram span
+      |            # masking (boilerplate passages); writes the cleaned
+      |            # corpus to --dest (re-index explicitly, like export)
       |  save-queries --collection C <file>  # register percolation queries
       |            (first two columns = query_id, query; merge by id)
       |  delete-queries --collection C --ids 1,2,3  # unregister saved queries

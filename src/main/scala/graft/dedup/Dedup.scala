@@ -172,6 +172,129 @@ object Dedup {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Cross-document repeated n-gram SPAN masking — boilerplate-passage
+    * removal at WORD granularity, the finer-grained sibling of
+    * [[lineFrequencyFilter]] for corpora whose boilerplate is not
+    * line-structured (inline license sentences, navigation phrases,
+    * templated disclaimers spliced mid-paragraph). Every word position
+    * covered by ANY occurrence of a word n-gram that appears in more
+    * than `maxDocs` distinct documents is masked out; each document is
+    * reassembled from its surviving words (single-space separated —
+    * whitespace is normalized by the tokenization, the q179/"normalized
+    * text" discipline). Overlapping hot n-grams merge naturally: a
+    * 9-word boilerplate sentence is covered by its five interior
+    * 5-grams, so the whole sentence dies while the unique words
+    * adjacent to the splice survive (their boundary n-grams mix
+    * document-specific words and are not corpus-frequent).
+    *
+    * Scale shape: one n-gram explode (corpus-linear — `size - n + 1`
+    * rows per doc, built from ONE split via array slicing, no w-times
+    * blowup), a partial-agg'd distinct-doc count on 16-byte gram
+    * hashes, a semi-join of the over-threshold gram set back onto the
+    * occurrence rows (hot-gram postings only), a bounded n-times
+    * position expansion of those hits, and a per-doc reassembly
+    * (`sort_array(collect_list)` over that document's OWN words). No
+    * window, no all-pairs; a mega-hot gram is one count GROUP, never a
+    * collected bucket.
+    *
+    * Returns `(keyCol, clean_text, n_kept, n_dropped)` — one row per
+    * input document (a fully-boilerplate doc comes back with empty
+    * `clean_text`; a zero-word doc with `0, 0`).
+    */
+  /** Positioned word n-grams `(keyCol, start, __fp)` over the
+    * single-space tokenization shared by [[ngramSpanMask]] and
+    * [[ngramNovelty]] — one split per row, grams via array slicing (no
+    * w-times explode blowup), 16-byte md5 identities. `words` must be
+    * the `(keyCol, __words)` frame produced by the caller's split.
+    */
+  private def wordNgrams(words: DataFrame, keyCol: String, n: Int): DataFrame =
+    words.select(col(keyCol),
+      explode(when(size(col("__words")) >= n,
+        transform(sequence(lit(0), size(col("__words")) - n),
+          i => struct(i.as("start"),
+            array_join(slice(col("__words"), i + 1, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<start:int,gram:string>>")))
+        .as("g"))
+      .select(col(keyCol), col("g.start").as("start"),
+        md5(col("g.gram")).as("__fp"))
+
+  /** The `(keyCol, __words)` split both word-granular cleaners share. */
+  private def wordsOf(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol),
+      filter(split(col(textCol), " "), w => w =!= "").as("__words"))
+
+  def ngramSpanMask(df: DataFrame, textCol: String, keyCol: String,
+                    n: Int, maxDocs: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val words = wordsOf(df, textCol, keyCol)
+    val grams = wordNgrams(words, keyCol, n)
+    val hot = grams.groupBy(col("__fp"))
+      .agg(countDistinct(col(keyCol)).as("__df"))
+      .filter(col("__df") > maxDocs)
+      .select(col("__fp"))
+    val masked = grams.join(hot, Seq("__fp"), "left_semi")
+      .select(col(keyCol),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val wordRows = words.select(col(keyCol),
+      posexplode(col("__words")).as(Seq("pos", "word")))
+    val survivors = wordRows.join(masked, Seq(keyCol, "pos"), "left_anti")
+    val total = words.select(col(keyCol),
+      size(col("__words")).cast("long").as("__n"))
+    val reassembled = survivors
+      .groupBy(col(keyCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    total
+      .join(reassembled, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Per-document n-gram NOVELTY — the fraction of a document's
+    * distinct word n-grams whose corpus-wide FIRST occurrence (minimum
+    * key) is this document. A curriculum/selection signal: late
+    * near-copies score ~0, genuinely new material ~1, and ordering a
+    * training mix by decreasing novelty is the cheap data-scheduling
+    * heuristic that needs no model in the loop (the dedup-adjacent
+    * complement of DSIR's distribution matching — novelty measures
+    * WITHIN-corpus redundancy against ingestion order).
+    *
+    * Returns `(keyCol, n_grams, n_novel, novelty)` — one row per
+    * document with at least one n-gram (novelty = n_novel / n_grams,
+    * rounded to 6); documents shorter than `n` words have no grams and
+    * no row.
+    *
+    * Scale shape: one gram pass ([[wordNgrams]]), a distinct on
+    * `(key, fp)`, a partial-agg'd `min(key)` per 16-byte fp, one
+    * fp-keyed equi-join back, one per-doc aggregate. No window (a
+    * first-occurrence window over the corpus would single-task on hot
+    * grams); the min-owner join is the [[lineDedup]] keep-first
+    * discipline at gram granularity.
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, keyCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = wordNgrams(wordsOf(df, textCol, keyCol), keyCol, n)
+      .select(col(keyCol), col("__fp")).distinct()
+    val owner = grams.groupBy(col("__fp"))
+      .agg(min(col(keyCol)).as("__owner"))
+    grams.join(owner, Seq("__fp"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__owner") === col(keyCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(keyCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams"), 6).as("novelty"))
+  }
+
   def minhashSignature(text: String, p: MinHashParams): Array[Long] = {
     val shingles = shingleSet(text, p.shingleSize).map(StableHash.fnv64)
     Array.tabulate(p.numHashes) { i =>

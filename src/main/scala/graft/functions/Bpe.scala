@@ -41,6 +41,44 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** Tokenizer-coverage report: per `groupCol` value, how well a stored
+    * vocabulary covers the corpus at word granularity — total tokens,
+    * out-of-vocabulary tokens, OOV rate, and distinct OOV types. This is
+    * the fertility/coverage health check run before committing to a
+    * tokenizer for a training run: a source whose OOV rate spikes is
+    * either a language the vocab wasn't trained on or a corpus-drift
+    * signal (new jargon, encoding damage).
+    *
+    * `vocab` is any DataFrame with a `word` column (e.g. the stored
+    * tokenizer artifact's vocab table, or [[wordFreqs]] top-N).
+    * Tokenization matches [[wordFreqs]] (lowercased whitespace words),
+    * so `coverage(df, c, g, wordFreqs(df, c))` is total coverage by
+    * construction.
+    *
+    * Scale shape: one corpus-linear explode, one broadcast hash join
+    * against the vocab (vocabularies are ≤ a few hundred thousand rows
+    * — always the broadcast side), one partial-agg'd groupBy on
+    * `groupCol`. No window, no shuffle beyond the per-group aggregate.
+    */
+  def coverage(df: DataFrame, textCol: String, groupCol: String,
+               vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(groupCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val v = vocab.select(col("word")).distinct()
+      .withColumn("__in_vocab", lit(1))
+    toks.join(broadcast(v), Seq("word"), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("__in_vocab").isNull, col("word")))
+          .as("n_oov_types"))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"),
+        col("n_oov_types"))
+  }
+
   /** Attach the initial symbol decomposition (single characters). */
   def withSymbols(wordFreqs: DataFrame): DataFrame =
     wordFreqs.withColumn("syms",

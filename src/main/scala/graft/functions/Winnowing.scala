@@ -165,4 +165,38 @@ object Winnowing {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** ASYMMETRIC overlap — [[sharedFingerprintPairs]] plus per-document
+    * fingerprint-set sizes and a containment score
+    * `shared / min(|fp(a)|, |fp(b)|)`: how much of the SMALLER
+    * document's fingerprint set lies in the overlap. Jaccard-family
+    * symmetric scores miss exactly this case — a short document quoted
+    * wholesale inside a long one has tiny Jaccard but containment ~1 —
+    * and quote/excerpt inclusion is the dominant duplication mode
+    * between long-form web text and the short eval items or press
+    * snippets embedded in it. Returns
+    * `(key_a, key_b, shared, n_a, n_b, containment)` with containment
+    * rounded to 6 decimals.
+    *
+    * Scale shape: the pair join is [[sharedFingerprintPairs]]'
+    * capped-postings bucket join; the size table is one doc-keyed
+    * aggregate joined twice on the pair keys (pair-count-sized inputs,
+    * never corpus x corpus).
+    */
+  def containmentPairs(fps: DataFrame, keyCol: String,
+                       minShared: Int = 2,
+                       maxPostings: Int = 1000): DataFrame = {
+    val pairs = sharedFingerprintPairs(fps, keyCol, minShared, maxPostings)
+    val sizes = fps.select(col(keyCol), col("fp")).distinct()
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_fp"))
+    pairs
+      .join(sizes.select(col(keyCol).as("key_a"), col("n_fp").as("n_a")),
+        Seq("key_a"))
+      .join(sizes.select(col(keyCol).as("key_b"), col("n_fp").as("n_b")),
+        Seq("key_b"))
+      .select(col("key_a"), col("key_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        round(col("shared") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+  }
 }

@@ -196,7 +196,19 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // Behavior-sequence assembly: each gap-delimited session rendered
+    // as its ordered event_type chain (the "training on interaction
+    // logs" step — next-event prediction corpora, funnel mining). Same
+    // single user-partitioned sort as q17; the rendering fold is
+    // bounded by ONE session's events, never corpus state. Ties on ts
+    // order by event_id so the chain is deterministic.
+    "q183_event_sequences" -> ((s, d) =>
+      Streams.sessionSequences(events(s, d), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          date_format(col("session_start"), TsFmt).as("session_start"),
+          col("n_events"), col("seq_text")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,6 +329,28 @@ object EventQueries {
         |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY 1, 2) o
         | ON e.user_id = o.user_id AND e.ts <= o.o_orderdate
-        | ORDER BY e.event_id""".stripMargin
+        | ORDER BY e.event_id""".stripMargin,
+
+    // the q17 session chain re-derived, plus the ordered event_type
+    // rendering per session
+    "q183_event_sequences" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        | flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        | numbered AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS seq_text
+        | FROM numbered GROUP BY user_id, session_seq
+        | ORDER BY user_id, session_seq""".stripMargin
   )
 }

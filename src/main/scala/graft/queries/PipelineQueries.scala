@@ -871,6 +871,67 @@ object PipelineQueries {
         Rule("min_chars", min(col("n_chars")).cast("double"), ">=", 1.0),
         Rule("max_chars", max(col("n_chars")).cast("double"), "<=", 100000.0)
       )).orderBy(col("check"))
+    }),
+
+    // Embedding-column sanity screen: every vector flagged by where its
+    // L2 norm sits against the corpus distribution (mean +/- 2 sigma on
+    // 6dp-rounded values, so a boundary row cannot flip on summation-
+    // order noise). One partial-agg'd stats pass + a broadcast 1-row
+    // crossJoin — the cheap pre-index-build check that catches
+    // degenerate (empty-input) and unnormalized (mixed-model) vectors
+    // BEFORE they surface as silent ranking drift.
+    "q184_norm_outliers" -> ((s, d) =>
+      graft.operators.EmbeddingStats.normOutliers(
+          embeddings(s, d), "vec_id", "embedding", sigma = 2.0)
+        .orderBy(col("vec_id"))),
+
+    // ASYMMETRIC overlap — containment, the score Jaccard-family dedup
+    // misses: a short doc quoted wholesale inside a long one has tiny
+    // Jaccard but containment ~1. Plants doc B's 150-char head inside
+    // doc A for doc_id % 50 == 0 (a self-join — cross-doc quoting can't
+    // be planted row-locally); the winnowing guarantee surfaces every
+    // such pair, and containment = shared / min(|fp|) reported per
+    // pair. minShared 12 < the ~30 fps a 150-char verbatim span
+    // selects, > the vocabulary-noise floor.
+    "q185_containment" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("__nxt"))
+      val dirty = docs.join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(50)) === 0 && col("__nxt").isNotNull,
+            concat(substring(col("text"), 1, 120), lit(" "),
+              substring(col("__nxt"), 1, 150)))
+          .otherwise(col("text")).as("text"))
+      graft.functions.Winnowing.containmentPairs(
+          graft.functions.Winnowing.fingerprints(dirty, "doc_id", "text",
+            k = 8, w = 8),
+          "doc_id", minShared = 12, maxPostings = 100)
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
+    // Cross-source contamination MATRIX: q144's winnowed overlap pairs
+    // rolled up to (source, source) cells — the corpus-governance view
+    // ("which feeds duplicate each other") that decides dedup order and
+    // mixture weights. The rollup adds one broadcast-sized source map
+    // join and a 20x20-bounded aggregate on top of the pair join — no
+    // new shuffle shape.
+    "q186_source_overlap" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val pairs = graft.functions.Winnowing.sharedFingerprintPairs(
+        graft.functions.Winnowing.fingerprints(docs, "doc_id", "text",
+          k = 8, w = 8),
+        "doc_id", minShared = 20, maxPostings = 100)
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("key_a"), col("source").as("__sa")),
+          Seq("key_a"))
+        .join(src.select(col("doc_id").as("key_b"), col("source").as("__sb")),
+          Seq("key_b"))
+        .groupBy(least(col("__sa"), col("__sb")).as("src_lo"),
+          greatest(col("__sa"), col("__sb")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("shared")).as("total_shared"))
+        .orderBy(col("src_lo"), col("src_hi"))
     })
   )
 
@@ -1745,7 +1806,70 @@ object PipelineQueries {
          |FROM sh JOIN sp sa ON sh.key_a = sa.doc_id
          |  JOIN sp sb ON sh.key_b = sb.doc_id
          |WHERE sa.split <> sb.split
-         |ORDER BY key_a, key_b""".stripMargin
+         |ORDER BY key_a, key_b""".stripMargin,
+
+    // the identical f64 norm fold (sequential, rounded 6) + 6dp-rounded
+    // moment stats; comparisons run on the rounded values both sides
+    "q184_norm_outliers" ->
+      """WITH n AS (SELECT vec_id,
+        |   round(sqrt(list_sum(list_transform(
+        |     CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
+        |  FROM embeddings),
+        | st AS (SELECT round(avg(norm), 6) AS mu,
+        |   round(stddev_samp(norm), 6) AS sd FROM n)
+        |SELECT vec_id, norm,
+        |  CASE WHEN norm < mu - 2.0 * sd THEN 'low'
+        |       WHEN norm > mu + 2.0 * sd THEN 'high'
+        |       ELSE 'ok' END AS flag
+        |FROM n, st ORDER BY vec_id""".stripMargin,
+
+    // quote planting (self-join), winnowing selection over the dirty
+    // text, capped-postings pair join, containment = shared / min(|fp|)
+    "q185_containment" ->
+      s"""${winnowSelCte(8, 8, "dirty",
+            """dirty AS (SELECT a.doc_id,
+              |   CASE WHEN a.doc_id % 50 = 0 AND b.doc_id IS NOT NULL
+              |    THEN substr(a.text, 1, 120) || ' ' || substr(b.text, 1, 150)
+              |    ELSE a.text END AS text
+              |   FROM documents a LEFT JOIN documents b
+              |     ON b.doc_id = a.doc_id + 1), """.stripMargin)},
+         | fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE rn = 1),
+         | kept AS (SELECT fp FROM fps GROUP BY fp
+         |   HAVING count(*) > 1 AND count(*) <= 100),
+         | pairs AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b, a.fp
+         |   FROM fps a JOIN fps b USING (fp) JOIN kept USING (fp)
+         |   WHERE a.doc_id < b.doc_id),
+         | sh AS (SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS shared
+         |   FROM pairs GROUP BY 1, 2 HAVING count(*) >= 12),
+         | sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+         |   FROM fps GROUP BY 1)
+         |SELECT sh.key_a, sh.key_b, sh.shared,
+         |  sa.n_fp AS n_a, sb.n_fp AS n_b,
+         |  round(CAST(sh.shared AS DOUBLE)
+         |    / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS containment
+         |FROM sh JOIN sz sa ON sh.key_a = sa.doc_id
+         |  JOIN sz sb ON sh.key_b = sb.doc_id
+         |ORDER BY key_a, key_b""".stripMargin,
+
+    // q144's pair chain rolled up to unordered source cells
+    "q186_source_overlap" ->
+      s"""$WinnowSel,
+         | fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE rn = 1),
+         | kept AS (SELECT fp FROM fps GROUP BY fp
+         |   HAVING count(*) > 1 AND count(*) <= 100),
+         | pairs AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b, a.fp
+         |   FROM fps a JOIN fps b USING (fp) JOIN kept USING (fp)
+         |   WHERE a.doc_id < b.doc_id),
+         | sh AS (SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS shared
+         |   FROM pairs GROUP BY 1, 2 HAVING count(*) >= 20),
+         | lab AS (SELECT sh.key_a, sh.key_b, sh.shared,
+         |   least(da.source, db.source) AS src_lo,
+         |   greatest(da.source, db.source) AS src_hi
+         |  FROM sh JOIN documents da ON sh.key_a = da.doc_id
+         |   JOIN documents db ON sh.key_b = db.doc_id)
+         |SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(shared) AS BIGINT) AS total_shared
+         |FROM lab GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin
   )
 
   /** Winnowing selection CTE chain, parameterized on (k, w): char
@@ -1754,10 +1878,11 @@ object PipelineQueries {
     * window min hash with rightmost-position tie-break. `$Hex8` runs on
     * the gram md5 aliased `hx`, matching `Winnowing.gramHash`.
     */
-  private def winnowSelCte(k: Int, w: Int): String =
-    s"""WITH n AS (SELECT doc_id,
+  private def winnowSelCte(k: Int, w: Int, src: String = "documents",
+                           pre: String = ""): String =
+    s"""WITH ${pre}n AS (SELECT doc_id,
        |   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-       |   FROM documents),
+       |   FROM $src),
        | g0 AS (SELECT doc_id, norm,
        |   CAST(length(norm) - ${k - 1} AS BIGINT) AS ng
        |   FROM n WHERE length(norm) >= $k),

@@ -1098,7 +1098,70 @@ object TextQueries {
         .orderBy(desc("__raw"), col("vec_id")).limit(10)
         .select(col("vec_id"), round(col("__t"), 6).as("trunc_score"),
           round(col("__raw"), 6).as("score"))
-    })
+    }),
+
+    // Cross-document repeated n-gram SPAN masking — boilerplate-passage
+    // removal at WORD granularity, where the line-level rules (q170/
+    // q173) can't see: inline license sentences spliced mid-paragraph.
+    // Word 5-grams in > 3 distinct docs mask every position they cover.
+    // Plants a 9-word license sentence mid-doc for doc_id % 3 == 0
+    // (its five interior 5-grams are corpus-hot, so the whole sentence
+    // dies; the splice-boundary grams mix doc-unique words and are NOT
+    // hot, so the neighbors survive — the span-boundary test) and a
+    // 6-word phrase at doc_id % 250 == 0 (df 2 at the 500-doc SFs —
+    // survives; df 20 at sf0.1 — dies: the ladder exercises both
+    // threshold branches, the q173 discipline). The oracle re-derives
+    // planting, gram df, position cover, and reassembly.
+    "q181_span_mask" -> ((s, d) => {
+      val boiler =
+        "this content is provided under the standard license terms"
+      val rare = "mirrored from the archive of record"
+      val dirty = documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(250)) === 0,
+          concat_ws(" ", lit(boiler), substring(col("text"), 1, 80),
+            lit(rare)))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          concat_ws(" ", substring(col("text"), 1, 40), lit(boiler),
+            substring(col("text"), 41, 40)))
+        .otherwise(substring(col("text"), 1, 80))
+        .as("dirty"))
+      Dedup.ngramSpanMask(dirty, "dirty", "doc_id", n = 5, maxDocs = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer-coverage report: per-source OOV rate against the top-20
+    // corpus vocabulary — the fertility/coverage health check run
+    // before committing a tokenizer to a training run. Vocab derivation
+    // is orderBy+limit (TakeOrderedAndProject — the Bpe.learn
+    // discipline, never a window over the vocab-sized count table);
+    // coverage is one corpus-linear explode + broadcast vocab join +
+    // per-source partial agg.
+    "q182_tokenizer_coverage" -> ((s, d) => {
+      val vocab = graft.functions.Bpe.wordFreqs(documents(s, d), "text")
+        .orderBy(col("freq").desc, col("word")).limit(20)
+      graft.functions.Bpe.coverage(documents(s, d), "text", "source", vocab)
+        .orderBy(col("source"))
+    }),
+
+    // Source-drift governance: per-source unigram KL against the whole
+    // corpus (add-1 smoothed over the corpus vocabulary — absent words
+    // still contribute). Two corpus-linear count aggregates; everything
+    // after is VOCAB-sized broadcast work. The oracle re-derives the
+    // identical smoothed f64 terms, so a smoothing or support defect
+    // (dropping absent words, wrong total) breaks the hash.
+    "q187_vocab_drift" -> ((s, d) =>
+      graft.functions.TextStats.vocabDrift(documents(s, d), "text", "source")
+        .orderBy(col("source"))),
+
+    // Per-document n-gram novelty: the fraction of a doc's distinct
+    // word 3-grams first seen (min doc_id) in that doc — the
+    // curriculum/selection signal that scores late near-copies ~0 and
+    // new material ~1. First-occurrence via a partial-agg'd min per
+    // gram hash + equi-join back (the lineDedup keep-first discipline
+    // at gram granularity), never a corpus window.
+    "q188_ngram_novelty" -> ((s, d) =>
+      Dedup.ngramNovelty(documents(s, d), "text", "doc_id", n = 3)
+        .orderBy(col("doc_id")))
   )
 
 
@@ -2146,7 +2209,114 @@ object TextQueries {
         |  FROM e JOIN cand c USING (vec_id), q
         |  ORDER BY raw DESC, c.vec_id LIMIT 10)
         |SELECT vec_id, round(traw, 6) AS trunc_score, round(raw, 6) AS score
-        | FROM top ORDER BY raw DESC, vec_id""".stripMargin
+        | FROM top ORDER BY raw DESC, vec_id""".stripMargin,
+
+    // planting + gram-df + span-cover + reassembly re-derived: word
+    // 5-grams in > 3 distinct docs mask positions [start, start+4];
+    // survivors rejoin on single spaces
+    "q181_span_mask" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 250 = 0
+        |   THEN 'this content is provided under the standard license terms'
+        |     || ' ' || substr(text, 1, 80) || ' '
+        |     || 'mirrored from the archive of record'
+        |  WHEN doc_id % 3 = 0
+        |   THEN substr(text, 1, 40) || ' '
+        |     || 'this content is provided under the standard license terms'
+        |     || ' ' || substr(text, 41, 40)
+        |  ELSE substr(text, 1, 80) END AS d
+        | FROM documents),
+        | w AS (SELECT doc_id,
+        |   list_filter(string_split(d, ' '), x -> x <> '') AS toks
+        |   FROM dirty),
+        | wp AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |   toks[CAST(i AS INT)] AS word
+        |   FROM (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+        |         FROM w)),
+        | ng AS (SELECT doc_id, CAST(i - 1 AS INT) AS nstart,
+        |   array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+        |     AS gram
+        |   FROM (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
+        |         FROM w WHERE len(toks) >= 5)),
+        | hot AS (SELECT gram FROM (SELECT gram,
+        |     count(DISTINCT doc_id) AS df FROM ng GROUP BY 1)
+        |   WHERE df > 3),
+        | mk AS (SELECT DISTINCT doc_id, nstart + CAST(o AS INT) AS pos
+        |   FROM (SELECT doc_id, nstart, unnest(range(0, 5)) AS o FROM ng
+        |         WHERE gram IN (SELECT gram FROM hot))),
+        | kept AS (SELECT wp.doc_id, wp.pos, wp.word FROM wp
+        |   WHERE NOT EXISTS (SELECT 1 FROM mk
+        |     WHERE mk.doc_id = wp.doc_id AND mk.pos = wp.pos)),
+        | tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nw FROM w),
+        | agg AS (SELECT doc_id,
+        |   string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        |   CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.nw - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the top-20 vocab re-derived (count DESC, word), then per-source
+    // token totals, OOV counts/rate and distinct OOV types
+    "q182_tokenizer_coverage" ->
+      s"""WITH w AS (SELECT source, unnest($Toks) AS word FROM documents),
+         | wt AS (SELECT source, word FROM w WHERE word <> ''),
+         | wf AS (SELECT word, count(*) AS freq FROM wt GROUP BY 1),
+         | vocab AS (SELECT word FROM wf ORDER BY freq DESC, word LIMIT 20),
+         | j AS (SELECT source, word,
+         |   (word IN (SELECT word FROM vocab)) AS iv FROM wt)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS oov_rate,
+         |  CAST(count(DISTINCT CASE WHEN iv THEN NULL ELSE word END)
+         |    AS BIGINT) AS n_oov_types
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // the identical smoothed KL: corpus counts, group counts, the full
+    // groups x vocab support with absent words at 0, same f64 terms
+    "q187_vocab_drift" ->
+      s"""WITH w AS (SELECT source, unnest($Toks) AS word FROM documents),
+         | wt AS (SELECT source, word FROM w WHERE word <> ''),
+         | c AS (SELECT word, CAST(count(*) AS BIGINT) AS cn FROM wt
+         |   GROUP BY 1),
+         | t AS (SELECT CAST(sum(cn) AS BIGINT) AS ct,
+         |   CAST(count(*) AS BIGINT) AS v FROM c),
+         | g AS (SELECT source, word, CAST(count(*) AS BIGINT) AS gn
+         |   FROM wt GROUP BY 1, 2),
+         | gt AS (SELECT source, CAST(count(*) AS BIGINT) AS gtot FROM wt
+         |   GROUP BY 1),
+         | sup AS (SELECT gt.source, gt.gtot, c.word, c.cn,
+         |   coalesce(g.gn, 0) AS gn
+         |   FROM gt CROSS JOIN c
+         |   LEFT JOIN g ON g.source = gt.source AND g.word = c.word),
+         | terms AS (SELECT source, gtot,
+         |   (gn + 1.0) / (gtot + (SELECT v FROM t)) AS ps,
+         |   (cn + 1.0) / ((SELECT ct FROM t) + (SELECT v FROM t)) AS pc
+         |   FROM sup)
+         |SELECT source, CAST(max(gtot) AS BIGINT) AS n_tokens,
+         |  round(sum(ps * ln(ps / pc)), 6) AS kl
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // distinct doc 3-grams, min-doc_id owner, per-doc novel fraction
+    "q188_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id,
+        |   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |   FROM documents),
+        | ng AS (SELECT DISTINCT doc_id,
+        |   array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+        |     AS gram
+        |   FROM (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks
+        |         FROM w WHERE len(toks) >= 3)),
+        | own AS (SELECT gram, min(doc_id) AS owner FROM ng GROUP BY 1)
+        |SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN own.owner = ng.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN own.owner = ng.doc_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM ng JOIN own USING (gram)
+        |GROUP BY ng.doc_id ORDER BY ng.doc_id""".stripMargin
   )
 
   /** SQL for packed sign word `w` of the 64-dim vector `v` (32 bits per

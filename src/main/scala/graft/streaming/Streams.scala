@@ -64,6 +64,39 @@ object Streams {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Per-session event SEQUENCES — the behavior-sequence assembly step
+    * for training on interaction logs (next-event prediction, SFT over
+    * user journeys, funnel mining): each gap-delimited session rendered
+    * as its ordered `event_type` chain plus bounds and counts. The
+    * session assignment is [[sessionizeBatch]]'s lag/cumsum
+    * reformulation (same single user-partitioned sort — per-user
+    * windows are bounded by one user's history, never corpus-wide); the
+    * rendering is a per-session `sort_array(collect_list)` fold,
+    * bounded by ONE session's event count. Ties on `ts` order by
+    * `event_id` so the rendered chain is deterministic.
+    */
+  def sessionSequences(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        array_join(transform(
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), " -> ").as("seq_text"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   // ---- streaming forms ------------------------------------------------
 
   /** Streaming exact deduplication: drop rows whose normalized-text

@@ -322,6 +322,62 @@ object Drive {
         s"rows; media dedup: $ip image + $ap audio pairs")
     }
 
+    println("=== 12. span masking, coverage, norm screen, sequences, containment ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // boilerplate-span masking: a planted hot sentence dies, the doc
+      // set is preserved, and a clean corpus is a no-op
+      val dirty = coll.df.select(col("_key"),
+        concat_ws(" ", lit("standard legal disclaimer applies to this text"),
+          col("text")).as("text"))
+      val masked = graft.dedup.Dedup.ngramSpanMask(dirty, "text", "_key",
+        n = 5, maxDocs = 3)
+      require(masked.count() == coll.count(), "span mask must not lose keys")
+      require(masked.agg(min(col("n_dropped"))).head().getLong(0) >= 7,
+        "the planted 7-word disclaimer must die everywhere")
+      // tokenizer coverage: full-corpus vocab -> zero OOV by construction
+      val wf = graft.functions.Bpe.wordFreqs(coll.df, "text")
+      val cov = graft.functions.Bpe.coverage(
+        coll.df.withColumn("__g", lit("all")), "text", "__g", wf)
+        .head()
+      require(cov.getAs[Long]("n_oov") == 0L,
+        "own-corpus vocab must cover every token")
+      // norm screen: planting one huge vector flags exactly it as high
+      val k0 = coll.df.agg(min(col("_key"))).head().getLong(0)
+      val vecs = coll.df.select(col("_key"),
+        when(col("_key") === k0,
+          transform(sequence(lit(1), lit(8)), _ => lit(25.0)))
+          .otherwise(transform(sequence(lit(1), lit(8)),
+            i => (hash(col("_key"), i) % 100).cast("double") / 100.0))
+          .as("v"))
+      val flagged = graft.operators.EmbeddingStats
+        .normOutliers(vecs, "_key", "v")
+        .filter(col("flag") === "high").collect()
+      require(flagged.length == 1 && flagged.head.getLong(0) == k0,
+        s"the planted huge vector must be the one high flag: ${flagged.toSeq}")
+      // behavior sequences over the events fixture: every event lands in
+      // exactly one rendered session chain
+      val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      val seqs = graft.streaming.Streams.sessionSequences(ev, 30)
+      require(seqs.agg(sum(col("n_events"))).head().getLong(0) == ev.count(),
+        "session sequences must partition the event log")
+      // containment: an excerpt doc pairs with its source at high score
+      val src = coll.df.select(col("_key"), col("text")).limit(1)
+        .withColumn("_key", lit(900000L))
+      val excerpt = src.select(lit(900001L).as("_key"),
+        substring(col("text"), 1, 60).as("text"))
+      val cd = src.unionByName(excerpt)
+      val cp = graft.functions.Winnowing.containmentPairs(
+        graft.functions.Winnowing.fingerprints(cd, "_key", "text",
+          k = 8, w = 4), "_key", minShared = 2)
+        .collect()
+      require(cp.length == 1 && cp.head.getDouble(5) >= 0.5,
+        s"excerpt must pair with its source: ${cp.toSeq}")
+      println(s"span mask, coverage, norm screen, sequences (${seqs.count()} " +
+        s"sessions), containment ${cp.head.getDouble(5)} — all verified")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }

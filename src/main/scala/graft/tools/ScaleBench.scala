@@ -52,7 +52,9 @@ object ScaleBench {
     "q124_semdedup",
     "q_ivf_topk", "q71_pq", "q_topk_cosine",
     "q170_line_dedup", "q173_line_freq_filter", "q175_top_ngrams",
-    "q172_more_like_this")
+    "q172_more_like_this",
+    "q181_span_mask", "q183_event_sequences", "q184_norm_outliers",
+    "q186_source_overlap", "q188_ngram_novelty")
 
   /** Scale-path operators whose fixture queries are deliberately exact
     * verification twins: timed here through the distributed path.
@@ -101,6 +103,10 @@ object ScaleBench {
       offsetKeys(Tables.part(spark, base), Seq("p_partkey"), i))
     writeCopies(spark, out, "supplier", factor)(i =>
       offsetKeys(Tables.supplier(spark, base), Seq("s_suppkey"), i))
+    // events: 10x USERS (offset user_id), not 10x-deeper histories —
+    // per-user session state must stay constant as the corpus grows
+    writeCopies(spark, out, "events", factor)(i =>
+      offsetKeys(Tables.events(spark, base), Seq("event_id", "user_id"), i))
     // fixed dimensions: identical at every scale (the TPC-H contract)
     Seq("nation", "region").foreach { t =>
       Tables.table(spark, base, t).write.mode("overwrite")

@@ -172,4 +172,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
       s"normalizeText must not shuffle:\n$p")
   }
+
+  test("n-gram span masking plans no window and no product") {
+    val p = planOf(SparkEntry.queries("q181_span_mask")(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"span mask must stay window-free (per-doc folds are aggregates):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"hot-gram mask must be equi-join generated:\n$p")
+  }
+
+  test("tokenizer coverage joins the vocab by broadcast and ranks it via TakeOrdered") {
+    val p = planOf(SparkEntry.queries("q182_tokenizer_coverage")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must be the broadcast side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N vocab must be TakeOrdered, not a global sort/window:\n$p")
+    assert(!p.contains("Window"), s"coverage is window-free:\n$p")
+  }
+
+  test("norm outlier screen is one stats pass broadcast into a row-local flagger") {
+    val p = planOf(SparkEntry.queries("q184_norm_outliers")(spark, sf0001))
+    assert(!p.contains("Window"), s"no window in the norm screen:\n$p")
+    // the 1-row stats frame joins by broadcast nested loop (a scalar
+    // crossJoin), never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"stats frame must broadcast:\n$p")
+  }
 }
