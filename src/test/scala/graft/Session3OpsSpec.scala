@@ -150,6 +150,66 @@ class Session3OpsSpec extends SparkSpec {
     assert(got.head._3 == got(1)._3)
   }
 
+  test("property: ngramSpanMask and ngramNovelty equal the sequential model on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocabWords = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpusGen: Gen[List[String]] = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 9)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocabWords))
+      } yield ws.mkString(" "))
+    } yield docs
+    // sequential reference: grams with positions, df over distinct
+    // docs, mark covered positions, reassemble; novelty by min-owner
+    def model(texts: List[String], n: Int, maxDocs: Int)
+      : (Seq[(Long, String, Long, Long)], Seq[(Long, Long, Long)]) = {
+      val words = texts.map(_.split(" ").filter(_.nonEmpty).toVector)
+      val grams = words.zipWithIndex.flatMap { case (ws, id) =>
+        if (ws.length < n) Nil
+        else (0 to ws.length - n).map(i =>
+          (id.toLong, i, ws.slice(i, i + n).mkString(" ")))
+      }
+      val df = grams.groupBy(_._3).map { case (g, occ) =>
+        g -> occ.map(_._1).distinct.size }
+      val hot = df.filter(_._2 > maxDocs).keySet
+      val maskRows = words.zipWithIndex.map { case (ws, id) =>
+        val dead = grams.filter(g => g._1 == id && hot(g._3))
+          .flatMap(g => g._2 until g._2 + n).toSet
+        val kept = ws.zipWithIndex.filterNot(w => dead(w._2)).map(_._1)
+        (id.toLong, kept.mkString(" "), kept.size.toLong,
+          (ws.size - kept.size).toLong)
+      }
+      val owner = grams.groupBy(_._3).map { case (g, occ) =>
+        g -> occ.map(_._1).min }
+      val novRows = words.zipWithIndex.flatMap { case (ws, id) =>
+        val mine = grams.filter(_._1 == id).map(_._3).distinct
+        if (mine.isEmpty) None
+        else Some((id.toLong, mine.size.toLong,
+          mine.count(g => owner(g) == id).toLong))
+      }
+      (maskRows, novRows)
+    }
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val (em, en) = model(texts, n = 2, maxDocs = 1)
+      val gm = Dedup.ngramSpanMask(df, "text", "id", n = 2, maxDocs = 1)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val gn = Dedup.ngramNovelty(df, "text", "id", n = 2)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      gm == em && gn == en
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+      .withWorkers(1), prop)
+    assert(res.passed, s"span/novelty property failed: ${res.status}")
+  }
+
   test("containmentPairs: a quoted excerpt scores containment ~1 where Jaccard is small") {
     val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).trim
     val short = "gamma delta epsilon zeta eta"          // verbatim inside long
