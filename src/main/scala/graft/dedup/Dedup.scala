@@ -295,6 +295,48 @@ object Dedup {
         round(col("n_novel") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** Distinct word n-gram fingerprints `(keyCol, fp)` — the persistable
+    * complement of [[ngramNovelty]]: store these once for the corpus,
+    * then score incoming batches with [[ngramNoveltyAgainst]] without
+    * re-reading the corpus.
+    */
+  def ngramFingerprints(df: DataFrame, textCol: String, keyCol: String,
+                        n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    wordNgrams(wordsOf(df, textCol, keyCol), keyCol, n)
+      .select(col(keyCol), col("__fp").as("fp")).distinct()
+  }
+
+  /** Incremental novelty — [[ngramNovelty]]'s batch-vs-store form (the
+    * [[hammingNearDupsAgainst]] pattern): each batch document scored by
+    * the fraction of its distinct n-grams that are new against BOTH the
+    * stored corpus fingerprints (`storedFps`, one `fp` column — produce
+    * with [[ngramFingerprints]]) and earlier batch documents (min-key
+    * owner within the batch), so intra-batch copies score 0 exactly as
+    * they would have in a full recompute. Cost is O(batch grams): one
+    * anti-join against the store (fp-keyed equi-join) + the batch-local
+    * owner join — never a corpus re-read.
+    */
+  def ngramNoveltyAgainst(batch: DataFrame, textCol: String, keyCol: String,
+                          n: Int, storedFps: DataFrame): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = wordNgrams(wordsOf(batch, textCol, keyCol), keyCol, n)
+      .select(col(keyCol), col("__fp")).distinct()
+    val fresh = grams.join(
+      storedFps.select(col("fp").as("__fp")).distinct(), Seq("__fp"),
+      "left_anti")
+    val owner = fresh.groupBy(col("__fp"))
+      .agg(min(col(keyCol)).as("__owner"))
+    val novelCounts = fresh.join(owner, Seq("__fp"))
+      .filter(col("__owner") === col(keyCol))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_novel"))
+    grams.groupBy(col(keyCol)).agg(count(lit(1)).as("n_grams"))
+      .join(novelCounts, Seq(keyCol), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .select(col(keyCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams"), 6).as("novelty"))
+  }
+
   def minhashSignature(text: String, p: MinHashParams): Array[Long] = {
     val shingles = shingleSet(text, p.shingleSize).map(StableHash.fnv64)
     Array.tabulate(p.numHashes) { i =>

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge table — graph centrality for corpus curation.
+  * The canonical use next to the dedup stack: rank documents by their
+  * position in the near-dup/link/citation graph and keep the most
+  * central member of each duplicate cluster (a principled alternative
+  * to [[graft.dedup]]'s keep-first and keep-best-quality policies), or
+  * weight sources by how much the rest of the corpus points at them.
+  *
+  * Standard damped power iteration with uniform teleport:
+  * `r'(v) = (1-d)/N + d * (sum over in-neighbors u of r(u)/outDeg(u)
+  * + danglingMass/N)` — dangling nodes (no out-edges) redistribute
+  * their mass uniformly, so total rank mass stays 1 per iteration.
+  *
+  * Scale shape per iteration: one equi-join of the edge table with the
+  * rank vector on `src` (both partitioned by the join key — the
+  * classic PageRank shuffle), one partial-agg'd sum per `dst`, one
+  * broadcast scalar for the dangling mass. Ranks are
+  * `localCheckpoint`ed per round (the [[graft.dedup.ConnectedComponents]]
+  * discipline) so the plan does not grow with the iteration count.
+  * Fixed iteration count, not convergence-tested: deterministic cost
+  * and a deterministic, engine-checkable result.
+  */
+object PageRank {
+
+  /** Run `iters` damped iterations over `edges` (columns `src`, `dst`;
+    * self-loops dropped, parallel edges collapsed) with the node set
+    * `nodes` (one column, the node id — pass the full corpus key set so
+    * isolated documents still receive teleport rank). Returns
+    * `(node, rank)` with rank rounded to 6 decimals.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val nodeCol = nodes.columns.head
+    val nodeDf = nodes.select(col(nodeCol).as("node")).distinct()
+    val n = nodeDf.count()
+    require(n > 0, "empty node set")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__od"))
+      .localCheckpoint(eager = false)
+    var ranks = nodeDf.withColumn("rank", lit(1.0) / lit(n.toDouble))
+    for (_ <- 1 to iters) {
+      // mass parked on dangling nodes this round (a 1-row broadcast)
+      val dangling = ranks.join(outDeg.select(col("src").as("node")),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contrib = e
+        .join(outDeg, Seq("src"))
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("__od")).as("__c"))
+      ranks = nodeDf
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n.toDouble) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") / lit(n.toDouble))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+}

@@ -63,6 +63,23 @@ object Sampling {
   def weighted(df: DataFrame, keyCol: String, prob: Column): DataFrame =
     df.filter(hashFraction(col(keyCol)) < prob)
 
+  /** Recency-biased sampling: keep each row with probability
+    * `0.5 ^ (age / halfLifeDays)` — the freshness knob of a periodically
+    * retrained pipeline (a 30-day-old event at half-life 7 survives at
+    * ~5%, yesterday's at ~90%). `asOfEpoch` anchors "now" EXPLICITLY:
+    * a wall-clock anchor would make the kept set irreproducible, and
+    * reproducibility is the whole point of hash sampling. Same shape as
+    * [[weighted]] (pure function of key + timestamp, map-side filter,
+    * no shuffle); rows with `ts > asOf` are clamped to probability 1.
+    */
+  def timeDecay(df: DataFrame, keyCol: String, tsCol: String,
+                halfLifeDays: Double, asOfEpoch: Double): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be > 0, got $halfLifeDays")
+    val ageDays = (lit(asOfEpoch) - col(tsCol).cast("double")) / lit(86400.0)
+    weighted(df, keyCol,
+      least(lit(1.0), pow(lit(0.5), ageDays / lit(halfLifeDays))))
+  }
+
   /** Temperature-flattened mixture sampling — the multilingual-corpus
     * reweighting step ("don't let English drown the tail languages"):
     * after sampling, group g's expected share is proportional to

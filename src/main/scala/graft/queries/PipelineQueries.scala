@@ -932,6 +932,36 @@ object PipelineQueries {
           greatest(col("__sa"), col("__sb")).as("src_hi"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("shared")).as("total_shared"))
         .orderBy(col("src_lo"), col("src_hi"))
+    }),
+
+    // Recency-biased sampling: keep probability 0.5^(age/halfLife)
+    // anchored at an EXPLICIT asOf (2024-02-01; the fixture spans
+    // January 2024, so survival rates run ~0.04 at day 1 to ~0.82 at
+    // day 30). Same md5-fraction determinism as q80 — pure function of
+    // (event_id, ts), map-side filter, engine-checkable.
+    "q189_time_decay_sample" -> ((s, d) =>
+      Sampling.timeDecay(
+          events(s, d).select(col("event_id"), col("ts"), col("user_id")),
+          "event_id", "ts", halfLifeDays = 7.0, asOfEpoch = 1706745600.0)
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))),
+
+    // Graph centrality for corpus curation: 5 damped PageRank
+    // iterations over a planted ring+chord graph on the doc_id set
+    // (deterministic in-degree spread, no dangling nodes — the
+    // operator's dangling redistribution is spec-gated separately).
+    // Per iteration: one src-keyed equi-join + one partial-agg'd sum
+    // per dst; ranks localCheckpoint per round so the plan stays flat.
+    // The oracle unrolls the same five iterations in SQL.
+    "q190_pagerank" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val cnt = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 1, lit(cnt)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(cnt)).as("dst")))
+      graft.operators.PageRank.pageRank(edges, docs, iters = 5)
+        .orderBy(col("node"))
     })
   )
 
@@ -1869,7 +1899,44 @@ object PipelineQueries {
          |   JOIN documents db ON sh.key_b = db.doc_id)
          |SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs,
          |  CAST(sum(shared) AS BIGINT) AS total_shared
-         |FROM lab GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin
+         |FROM lab GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+
+    // the q80 md5-fraction filter with the decay probability re-derived
+    // from the same explicit asOf anchor
+    "q189_time_decay_sample" ->
+      s"""WITH h AS (SELECT event_id, user_id, epoch(ts) AS es,
+         |   md5(CAST(event_id AS VARCHAR)) AS hx FROM events),
+         | f AS (SELECT event_id, user_id, es,
+         |   CAST($Hex8 AS DOUBLE) / 4294967296.0 AS frac FROM h)
+         |SELECT event_id, user_id FROM f
+         |WHERE frac < least(1.0,
+         |  pow(0.5, ((1706745600.0 - es) / 86400.0) / 7.0))
+         |ORDER BY event_id""".stripMargin,
+
+    // the same ring+chord planting and five unrolled damped iterations
+    "q190_pagerank" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         | e0 AS (SELECT doc_id AS src,
+         |     (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+         |   UNION ALL
+         |   SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+         |   FROM documents),
+         | e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         | deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e
+         |   GROUP BY 1),
+         | r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS rank
+         |   FROM documents),
+         |${(1 to 5).map(k =>
+            s""" r$k AS (SELECT d.doc_id AS node,
+               |   (1.0 - 0.85) / (SELECT n FROM nn)
+               |     + 0.85 * coalesce(c.s, 0.0) AS rank
+               |   FROM documents d LEFT JOIN (
+               |     SELECT e.dst AS node, sum(r.rank / deg.od) AS s
+               |     FROM e JOIN deg USING (src)
+               |       JOIN r${k - 1} r ON r.node = e.src
+               |     GROUP BY 1) c ON c.node = d.doc_id)""").mkString(",\n")}
+         |SELECT node, round(rank, 6) AS "rank" FROM r5
+         |ORDER BY node""".stripMargin
   )
 
   /** Winnowing selection CTE chain, parameterized on (k, w): char

@@ -210,6 +210,70 @@ class Session3OpsSpec extends SparkSpec {
     assert(res.passed, s"span/novelty property failed: ${res.status}")
   }
 
+  test("pageRank: matches the driver model, including dangling-mass redistribution") {
+    // 0 -> 1, 0 -> 2, 1 -> 2; node 2 DANGLES; node 3 is isolated
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val iters = 4; val d = 0.85
+    val got = graft.operators.PageRank.pageRank(edges, nodes, iters, d)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // driver model
+    val out = Map(0L -> Seq(1L, 2L), 1L -> Seq(2L))
+    var ranks = Seq(0L, 1L, 2L, 3L).map(_ -> 0.25).toMap
+    for (_ <- 1 to iters) {
+      val dm = ranks.filter(kv => !out.contains(kv._1)).values.sum
+      ranks = ranks.keys.map { v =>
+        val c = out.toSeq.flatMap { case (u, ds) =>
+          if (ds.contains(v)) Some(ranks(u) / ds.size) else None }.sum
+        v -> ((1.0 - d) / 4 + d * (c + dm / 4))
+      }.toMap
+    }
+    val model = ranks.toSeq.sortBy(_._1).map { case (k, v) =>
+      (k, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got == model, s"got=$got model=$model")
+    // mass conservation: ranks sum to ~1
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("ngramNoveltyAgainst: store suppresses known grams, intra-batch copies score 0") {
+    val corpus = Seq((1L, "a b c d")).toDF("id", "text")
+    val store = Dedup.ngramFingerprints(corpus, "text", "id", n = 2)
+      .select(col("fp"))
+    val batch = Seq(
+      (10L, "a b c"),    // both grams stored -> 0.0
+      (11L, "x y z"),    // both new, first owner -> 1.0
+      (12L, "x y z"),    // intra-batch copy -> 0.0
+      (13L, "c d x y")   // 'c d' stored, 'd x' new-owned, 'x y' owned by 11
+    ).toDF("id", "text")
+    val got = Dedup.ngramNoveltyAgainst(batch, "text", "id", n = 2, store)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (10L, 2L, 0L, 0.0), (11L, 2L, 2L, 1.0), (12L, 2L, 0L, 0.0),
+      (13L, 3L, 1L, 0.333333)), got)
+  }
+
+  test("timeDecay: deterministic, recency-monotone in half-life, clamps future rows") {
+    val ev = (1L to 400L).map(i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-01-${(i % 28 + 1)}%02d 12:00:00")))
+      .toDF("event_id", "ts")
+    val asOf = 1706745600.0 // 2024-02-01 00:00:00 UTC
+    def kept(hl: Double): Set[Long] =
+      graft.operators.Sampling.timeDecay(ev, "event_id", "ts", hl, asOf)
+        .collect().map(_.getLong(0)).toSet
+    val k7 = kept(7.0)
+    assert(k7 == kept(7.0), "must be reproducible")
+    // longer half-life keeps a superset: p is monotone in halfLife
+    assert(k7.subsetOf(kept(21.0)))
+    // future rows clamp to probability 1 (always kept)
+    val future = Seq((999L,
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))).toDF("event_id", "ts")
+    assert(graft.operators.Sampling
+      .timeDecay(future, "event_id", "ts", 7.0, asOf).count() == 1L)
+  }
+
   test("containmentPairs: a quoted excerpt scores containment ~1 where Jaccard is small") {
     val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).trim
     val short = "gamma delta epsilon zeta eta"          // verbatim inside long
