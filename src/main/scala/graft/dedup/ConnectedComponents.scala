@@ -239,6 +239,39 @@ object ConnectedComponents {
     * comp-keyed aggregates) is proportional to the dup set, not the
     * corpus.
     */
+  /** Centrality-aware survivor selection — the third survivor policy
+    * next to keep-first ([[dropDuplicates]]) and keep-best-score
+    * ([[dropDuplicatesBy]]): each dup component keeps its most CENTRAL
+    * member under PageRank over the (undirected) dup-pair graph, ties
+    * broken by minimum key. The intuition: in a near-dup cluster built
+    * from quote/overlap pairs, the member most connected to the rest is
+    * the original the others derive from, while quality scores can
+    * prefer a late augmented copy. Returns `(comp_id, survivor,
+    * n_docs)` like [[survivorsBy]].
+    *
+    * Cost is proportional to the DUP SET, not the corpus: the label
+    * table and the rank iterations both run over pair-graph nodes only
+    * ([[graft.operators.PageRank]]'s per-iteration join shape).
+    */
+  def survivorsByCentrality(pairs: DataFrame,
+                            aCol: String = "key_a", bCol: String = "key_b",
+                            iters: Int = 5, damping: Double = 0.85,
+                            maxIter: Int = 20): DataFrame = {
+    val lab = labels(pairs, aCol, bCol, maxIter)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val pr = graft.operators.PageRank.pageRank(
+      edges, lab.select(col("node")), iters, damping)
+    val members = lab.join(pr, Seq("node"))
+    val best = members.groupBy(col("comp")).agg(max(col("rank")).as("__best"))
+    members.join(best, Seq("comp"))
+      .filter(col("rank") <=> col("__best"))
+      .groupBy(col("comp")).agg(min(col("node")).as("survivor"))
+      .join(lab.groupBy(col("comp")).agg(count(lit(1)).as("n_docs")),
+        Seq("comp"))
+      .select(col("comp").as("comp_id"), col("survivor"), col("n_docs"))
+  }
+
   def dropDuplicatesBy(corpus: DataFrame, keyCol: String, pairs: DataFrame,
                        score: org.apache.spark.sql.Column,
                        aCol: String = "key_a", bCol: String = "key_b",

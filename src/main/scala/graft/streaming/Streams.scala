@@ -481,4 +481,41 @@ object Streams {
     newDocs.withColumn("shared", sharedUdf(col(textCol)))
       .filter(col("shared") >= minShared)
   }
+
+  /** Streaming novelty gate — keep only incoming documents whose
+    * distinct word n-grams are at least `minNovelty` new against the
+    * STORED corpus fingerprints (`fp` values from
+    * [[graft.dedup.Dedup.ngramFingerprints]], pinned at query start —
+    * restart to refresh, the [[nearDedupStream]] contract). Completely
+    * STATELESS: the store is a broadcast set and the score is a
+    * row-local fold, so the stream plans zero state operators and one
+    * document's admission never depends on another in-flight document.
+    * That independence is the one semantic divergence from the batch
+    * twin [[graft.dedup.Dedup.ngramNoveltyAgainst]] (which also assigns
+    * intra-batch first-owners); on a batch with no intra-batch repeats
+    * the two agree exactly (spec'd). Documents shorter than `n` words
+    * have no grams to judge and pass with novelty 1.0.
+    */
+  def noveltyScreenStream(newDocs: DataFrame, storedFps: Set[String],
+                          textCol: String, n: Int,
+                          minNovelty: Double = 0.5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val bc = newDocs.sparkSession.sparkContext.broadcast(storedFps)
+    val novUdf = udf { (text: String) =>
+      val ws = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+      if (ws.length < n) 1.0
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val grams = ws.sliding(n).map(_.mkString(" ")).toSet
+        val novel = grams.count { g =>
+          val hex = md.digest(g.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          !bc.value.contains(hex)
+        }
+        novel.toDouble / grams.size
+      }
+    }
+    newDocs.withColumn("novelty", novUdf(col(textCol)))
+      .filter(col("novelty") >= minNovelty)
+  }
 }

@@ -274,6 +274,50 @@ class Session3OpsSpec extends SparkSpec {
       .timeDecay(future, "event_id", "ts", 7.0, asOf).count() == 1L)
   }
 
+  test("noveltyScreenStream: stateless, agrees with the batch twin on repeat-free batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "a b c d e")).toDF("id", "text")
+    val store = graft.dedup.Dedup.ngramFingerprints(corpus, "text", "id", n = 2)
+      .select("fp").collect().map(_.getString(0)).toSet
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.Streams.noveltyScreenStream(
+      mem.toDF().toDF("id", "text"), store, "text", n = 2, minNovelty = 0.5)
+    val q = out.writeStream.format("memory").queryName("novelty_out")
+      .outputMode("append").start()
+    mem.addData((10L, "a b c d e"),   // all stored -> 0.0, dropped
+      (11L, "x y z w"),               // all new -> 1.0, kept
+      (12L, "c d x"),                 // 1 of 2 new -> 0.5, kept
+      (13L, "q"))                     // sub-n -> passes at 1.0
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "the novelty screen must be completely stateless")
+    q.stop()
+    val got = spark.table("novelty_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(got == Seq((11L, 1.0), (12L, 0.5), (13L, 1.0)), got)
+    // batch-twin agreement on the gram-bearing, repeat-free rows
+    val batch = Seq((10L, "a b c d e"), (11L, "x y z w"), (12L, "c d x"))
+      .toDF("id", "text")
+    val storeDf = graft.dedup.Dedup.ngramFingerprints(corpus, "text", "id", 2)
+      .select("fp")
+    val twin = graft.dedup.Dedup
+      .ngramNoveltyAgainst(batch, "text", "id", n = 2, storeDf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(twin == Seq((10L, 0.0), (11L, 1.0), (12L, 0.5)), twin)
+  }
+
+  test("survivorsByCentrality: the hub of each dup component wins, ties to min key") {
+    // component A: star centered at 3 (pairs 3-7, 3-8, 3-9);
+    // component B: a single pair (20, 21) — symmetric, min key wins
+    val pairs = Seq((3L, 7L), (3L, 8L), (3L, 9L), (20L, 21L))
+      .toDF("key_a", "key_b")
+    val got = graft.dedup.ConnectedComponents.survivorsByCentrality(pairs)
+      .orderBy(col("comp_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 3L, 4L), (20L, 20L, 2L)), got)
+  }
+
   test("containmentPairs: a quoted excerpt scores containment ~1 where Jaccard is small") {
     val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).trim
     val short = "gamma delta epsilon zeta eta"          // verbatim inside long
