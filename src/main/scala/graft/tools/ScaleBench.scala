@@ -54,7 +54,8 @@ object ScaleBench {
     "q170_line_dedup", "q173_line_freq_filter", "q175_top_ngrams",
     "q172_more_like_this",
     "q181_span_mask", "q183_event_sequences", "q184_norm_outliers",
-    "q186_source_overlap", "q188_ngram_novelty")
+    "q186_source_overlap", "q188_ngram_novelty",
+    "q189_time_decay_sample", "q190_pagerank")
 
   /** Scale-path operators whose fixture queries are deliberately exact
     * verification twins: timed here through the distributed path.
