@@ -88,10 +88,14 @@ object ScaleBench {
     }
     writeCopies(spark, out, "embeddings", factor) { i =>
       val d = offsetKeys(Tables.embeddings(spark, base), Seq("vec_id"), i)
-      if (i == 0) d
+      // rotate by i mod dim — factors above the 64-dim width wrap
+      // (copies 64 apart share vectors, harmless for timing runs; a
+      // plain `64 - i` slice length goes NEGATIVE past factor 64)
+      val r = i % 64
+      if (r == 0) d
       else d.withColumn("embedding",
-        concat(slice(col("embedding"), i + 1, 64 - i),
-          slice(col("embedding"), 1, i)).cast("array<float>"))
+        concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r)).cast("array<float>"))
     }
     writeCopies(spark, out, "lineitem", factor)(i =>
       offsetKeys(Tables.lineitem(spark, base),
@@ -157,8 +161,15 @@ object ScaleBench {
         println(s"| $name | - | - | - | ERROR ${e.getClass.getSimpleName}: " +
           s"${Option(e.getMessage).getOrElse("").take(90)} |")
       }
-    Subset.foreach(name => row(name, d => SparkEntry.queries(name)(spark, d)))
-    extras(spark).foreach { case (name, fn) => row(name, fn) }
+    // SPARK_GRAFT_SCALE_ONLY=q62,q109 — comma-separated name prefixes
+    // for focused runs (e.g. the 100x three-point checkpoint, where the
+    // full subset would run for hours); filters the extras too
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(n: String): Boolean = only.forall(_.exists(n.startsWith))
+    Subset.filter(wanted)
+      .foreach(name => row(name, d => SparkEntry.queries(name)(spark, d)))
+    extras(spark).collect { case (name, fn) if wanted(name) => row(name, fn) }
     spark.stop()
   }
 }
