@@ -962,6 +962,21 @@ object PipelineQueries {
           pmod(col("doc_id") * 7 + 3, lit(cnt)).as("dst")))
       graft.operators.PageRank.pageRank(edges, docs, iters = 5)
         .orderBy(col("node"))
+    }),
+
+    // Centrality survivor policy end-to-end: planted 5-node stars
+    // (hub = every 10th doc, leaves hub+1..hub+4) run through labels +
+    // PageRank + per-component argmax; the star contract pins the
+    // answer (the hub is both min label and max rank), so a defect in
+    // the label fixpoint, the rank iteration, or the tie-broken argmax
+    // all break the hash (the q180 fixture-contract discipline).
+    "q191_centrality_survivors" -> ((s, d) => {
+      val hubs = documents(s, d).select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+      val pairs = hubs.select(col("doc_id").as("key_a"),
+        explode(sequence(col("doc_id") + 1, col("doc_id") + 4)).as("key_b"))
+      ConnectedComponents.survivorsByCentrality(pairs)
+        .orderBy(col("comp_id"))
     })
   )
 
@@ -1936,7 +1951,14 @@ object PipelineQueries {
                |       JOIN r${k - 1} r ON r.node = e.src
                |     GROUP BY 1) c ON c.node = d.doc_id)""").mkString(",\n")}
          |SELECT node, round(rank, 6) AS "rank" FROM r5
-         |ORDER BY node""".stripMargin
+         |ORDER BY node""".stripMargin,
+
+    // the star contract: hub = component label = centrality survivor
+    "q191_centrality_survivors" ->
+      """SELECT doc_id AS comp_id, doc_id AS survivor,
+        |  CAST(5 AS BIGINT) AS n_docs
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY comp_id""".stripMargin
   )
 
   /** Winnowing selection CTE chain, parameterized on (k, w): char
