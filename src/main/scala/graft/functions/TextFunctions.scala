@@ -97,6 +97,41 @@ object TextFunctions {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Fraction of non-whitespace characters in a Unicode character
+    * class (a Java regex class like `\p{IsHan}` or `[0-9]`) — the
+    * script/digit profiling primitive behind [[scriptProfile]]. Counts
+    * by removal (`n - length(remove-class)`), row-local codegen'd
+    * regexp work, 0.0 on whitespace-only/empty text. BMP-safe: the
+    * count is UTF-16 code units, which equals codepoints for every
+    * script class profiled here (supplementary-plane text would need a
+    * codepoint-true counter).
+    */
+  def charClassFrac(text: Column, cls: String): Column = {
+    val t = regexp_replace(text, "\\s", "")
+    val n = length(t)
+    when(n === 0, lit(0.0))
+      .otherwise((n - length(regexp_replace(t, cls, ""))) / n)
+  }
+
+  /** Per-document script/digit profile — the multilingual routing and
+    * numeric-junk screen: `(n_chars, latin_frac, han_frac, cyr_frac,
+    * digit_frac)` over non-whitespace characters, fractions rounded to
+    * 6. A document whose declared `lang` disagrees with its dominant
+    * script is mislabeled or encoding-damaged; a document that is
+    * mostly digits is a table/serial dump, not prose — both are
+    * filter-stage signals cheaper than any model. Pure row-local
+    * projection, no shuffle.
+    */
+  def scriptProfile(text: Column): Seq[Column] = {
+    val t = regexp_replace(text, "\\s", "")
+    Seq(
+      length(t).cast("long").as("n_chars"),
+      round(charClassFrac(text, "\\p{IsLatin}"), 6).as("latin_frac"),
+      round(charClassFrac(text, "\\p{IsHan}"), 6).as("han_frac"),
+      round(charClassFrac(text, "\\p{IsCyrillic}"), 6).as("cyr_frac"),
+      round(charClassFrac(text, "[0-9]"), 6).as("digit_frac"))
+  }
+
   /** Exact-dup fingerprint: md5 of the normalized text (md5 produces the
     * same hex in Spark and DuckDB, so this is oracle-checkable).
     */

@@ -1161,7 +1161,29 @@ object TextQueries {
     // at gram granularity), never a corpus window.
     "q188_ngram_novelty" -> ((s, d) =>
       Dedup.ngramNovelty(documents(s, d), "text", "doc_id", n = 3)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Script/digit profiling (multilingual routing + numeric-junk
+    // screen): Han, Cyrillic and digit runs planted by doc_id % 4 over
+    // the ASCII fixture (the q179 unicode-planting discipline); the
+    // oracle re-derives planting AND the removal-count fractions with
+    // RE2 script classes, so a class-pattern or denominator defect
+    // breaks the hash. Row-local regexp projection, no shuffle.
+    "q192_script_profile" -> ((s, d) => {
+      val dirty = documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("数据处理引擎 "),
+            substring(col("text"), 1, 40)))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("обработка "),
+            substring(col("text"), 1, 40), lit(" 2024 12")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(substring(col("text"), 1, 40), lit(" 314159")))
+        .otherwise(substring(col("text"), 1, 60))
+        .as("t"))
+      dirty.select(col("doc_id") +: TextFunctions.scriptProfile(col("t")): _*)
+        .orderBy(col("doc_id"))
+    })
   )
 
 
@@ -2316,7 +2338,35 @@ object TextQueries {
         |  round(CAST(sum(CASE WHEN own.owner = ng.doc_id THEN 1 ELSE 0 END)
         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
         |FROM ng JOIN own USING (gram)
-        |GROUP BY ng.doc_id ORDER BY ng.doc_id""".stripMargin
+        |GROUP BY ng.doc_id ORDER BY ng.doc_id""".stripMargin,
+
+    // planting + removal-count fractions with RE2 script classes
+    "q192_script_profile" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |   WHEN 0 THEN '数据处理引擎 ' || substr(text, 1, 40)
+        |   WHEN 1 THEN 'обработка ' || substr(text, 1, 40) || ' 2024 12'
+        |   WHEN 2 THEN substr(text, 1, 40) || ' 314159'
+        |   ELSE substr(text, 1, 60)
+        |  END AS t
+        | FROM documents),
+        | c AS (SELECT doc_id, regexp_replace(t, '\s', '', 'g') AS s
+        |   FROM dirty),
+        | n AS (SELECT doc_id, s, length(s) AS n FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |    (n - length(regexp_replace(s, '\p{Latin}', '', 'g'))) / n END, 6)
+        |    AS latin_frac,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |    (n - length(regexp_replace(s, '\p{Han}', '', 'g'))) / n END, 6)
+        |    AS han_frac,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |    (n - length(regexp_replace(s, '\p{Cyrillic}', '', 'g'))) / n END, 6)
+        |    AS cyr_frac,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |    (n - length(regexp_replace(s, '[0-9]', '', 'g'))) / n END, 6)
+        |    AS digit_frac
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 
   /** SQL for packed sign word `w` of the 64-dim vector `v` (32 bits per

@@ -318,6 +318,23 @@ class Session3OpsSpec extends SparkSpec {
     assert(got == Seq((3L, 3L, 4L), (20L, 20L, 2L)), got)
   }
 
+  test("scriptProfile: mixed-script fractions, digit runs, empty-text guard") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "ab 数据 12"),   // 2 latin, 2 han, 2 digit of 6 non-ws
+      (2L, "   "),           // whitespace-only -> all 0.0
+      (3L, "привет")         // all cyrillic
+    ).toDF("id", "t")
+    val got = docs.select(col("id") +: TextFunctions.scriptProfile(col("t")): _*)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 0.333333, 0.333333, 0.0, 0.333333),
+      (2L, 0L, 0.0, 0.0, 0.0, 0.0),
+      (3L, 6L, 0.0, 0.0, 1.0, 0.0)), got)
+  }
+
   test("containmentPairs: a quoted excerpt scores containment ~1 where Jaccard is small") {
     val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).trim
     val short = "gamma delta epsilon zeta eta"          // verbatim inside long
