@@ -191,6 +191,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"coverage is window-free:\n$p")
   }
 
+  test("time-decay sampling is a map-side filter (no shuffle before the sort)") {
+    val p = planOf(SparkEntry.queries("q189_time_decay_sample")(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"decay sampling must not hash-shuffle:\n$p")
+    assert(!p.contains("Window"), s"no window in the decay filter:\n$p")
+  }
+
+  test("script profiling is a row-local projection (no shuffle beyond the sort)") {
+    val p = planOf(SparkEntry.queries("q192_script_profile")(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"scriptProfile must not shuffle:\n$p")
+  }
+
   test("norm outlier screen is one stats pass broadcast into a row-local flagger") {
     val p = planOf(SparkEntry.queries("q184_norm_outliers")(spark, sf0001))
     assert(!p.contains("Window"), s"no window in the norm screen:\n$p")
