@@ -537,6 +537,31 @@ object Cli {
         }
         graft.functions.Bpe.coverage(grouped, column, gcol, vocab)
           .orderBy(col(gcol)).show(100, truncate = false)
+      case "script-profile" =>
+        // dominant-script histogram over the collection — the quick
+        // multilingual-routing / encoding-damage / numeric-junk triage
+        import org.apache.spark.sql.functions.{avg, col, count, greatest,
+          lit, round => rnd, when}
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val prof = c.df.select(col(graft.core.Keys.KeyCol) +:
+          graft.functions.TextFunctions.scriptProfile(col(column)): _*)
+        prof
+          .withColumn("script",
+            when(col("n_chars") === 0, "empty")
+              .when(col("digit_frac") > 0.5, "numeric")
+              .when(col("han_frac") >= greatest(col("latin_frac"),
+                col("cyr_frac")), "han")
+              .when(col("cyr_frac") > col("latin_frac"), "cyrillic")
+              .when(col("latin_frac") > 0, "latin")
+              .otherwise("other"))
+          .groupBy(col("script"))
+          .agg(count(lit(1)).as("n_docs"),
+            rnd(avg(col("digit_frac")), 4).as("avg_digit_frac"),
+            rnd(avg(col("n_chars")), 1).as("avg_chars"))
+          .orderBy(col("script"))
+          .show(20, truncate = false)
       case "mask-spans" =>
         // cross-document repeated n-gram span masking -> cleaned corpus
         // written to --dest. A transform-export, NOT an in-place
@@ -737,6 +762,9 @@ object Cli {
       |            # quality-gated erase over the analyze columns, e.g.
       |            # --where "dup3_frac > 0.5 OR n_tokens < 3"; plans
       |            # (counts) without --apply, erases everywhere with it
+      |  script-profile --collection C [--column col]  # dominant-script
+      |            # histogram (latin/han/cyrillic/numeric/empty) with
+      |            # digit-fraction averages — encoding/junk triage
       |  coverage --collection C [--column col] [--vocab-size n] [--by col]
       |            # tokenizer-coverage report: token totals + OOV rate
       |            # against the top-n corpus vocabulary, per --by group
