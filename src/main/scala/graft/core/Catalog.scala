@@ -1629,6 +1629,110 @@ class Collection private[core] (
     } finally writeLock.unlock()
   }
 
+  // --- persistent novelty store ------------------------------------------
+  //
+  // "Seen word n-grams" memory for the novelty family
+  // ([[graft.dedup.Dedup.ngramNovelty]] / `ngramNoveltyAgainst` /
+  // [[graft.streaming.Streams.noveltyScreenStream]]). DELIBERATELY
+  // append-only — [[deleteKeys]] does NOT erase grams: novelty asks "has
+  // this corpus EVER seen this content", and re-ingesting deleted
+  // boilerplate must not come back looking novel. That retention choice
+  // is what keeps the store a LOG rather than a sixth index family
+  // needing repair/compact parity; the trade (a deleted doc's grams
+  // still suppress novelty) errs conservative for an admission gate.
+
+  def noveltyStoreDir(column: String): String =
+    s"$dir/${config.index_dir}/${column}_nv"
+
+  private def hasNoveltyStore(column: String): Boolean = {
+    recoverSwap(noveltyStoreDir(column))
+    fs.exists(new Path(s"${noveltyStoreDir(column)}/params"))
+  }
+
+  private def noveltyN(column: String): Int =
+    spark.read.parquet(s"${noveltyStoreDir(column)}/params")
+      .head().getAs[Int]("n")
+
+  /** Build (or staged-swap REBUILD) the gram store: distinct
+    * `(key, fp)` over the column's word n-grams, key-clustered;
+    * `params` (the gram width) written LAST so a half-written fresh
+    * build reads as "no store" (the dedup-index commit discipline).
+    */
+  def buildNoveltyStore(column: String, n: Int = 3, nFiles: Int = 0): Unit = {
+    Identifiers.validate(column)
+    require(n >= 1, s"n must be >= 1, got $n")
+    writeLock.lock()
+    try {
+      val target = noveltyStoreDir(column)
+      recoverSwap(target)
+      def build(where: String): Unit = {
+        val files = if (nFiles > 0) nFiles
+                    else math.max(1, spark.sparkContext.defaultParallelism / 4)
+        graft.dedup.Dedup.ngramFingerprints(
+            df.select(col(KeyCol), col(column)), column, KeyCol, n)
+          .repartitionByRange(files, col(KeyCol))
+          .sortWithinPartitions(KeyCol)
+          .write.mode("overwrite").parquet(s"$where/grams")
+        import spark.implicits._
+        Seq(n).toDF("n").write.mode("overwrite").parquet(s"$where/params")
+      }
+      if (!fs.exists(new Path(target))) build(target)
+      else writeAndSwap(target) { tmp =>
+        build(tmp)
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      }
+    } finally writeLock.unlock()
+  }
+
+  /** Fold newly ingested rows' grams into the store (max-key watermark,
+    * the [[refreshDedupIndex]] discipline; in-place text rewrites stay
+    * in the store too, per the append-only retention contract above).
+    * Returns the number of documents folded; bootstraps a missing
+    * store with the default width.
+    */
+  def refreshNoveltyStore(column: String): Long = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      val target = noveltyStoreDir(column)
+      recoverSwap(target)
+      if (!hasNoveltyStore(column)) {
+        buildNoveltyStore(column)
+        return count()
+      }
+      val watermark = spark.read.parquet(s"$target/grams")
+        .agg(max(col(KeyCol))).head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r => r.getLong(0)
+        }
+      val pending = df.filter(col(KeyCol) > watermark)
+        .select(col(KeyCol), col(column))
+      val nPending = pending.count()
+      if (nPending == 0) return 0L
+      graft.dedup.Dedup.ngramFingerprints(pending, column, KeyCol,
+          noveltyN(column))
+        .write.mode("append").parquet(s"$target/grams")
+      nPending
+    } finally writeLock.unlock()
+  }
+
+  /** Score an incoming batch against the stored grams —
+    * [[graft.dedup.Dedup.ngramNoveltyAgainst]] with the store's width:
+    * `(keyCol, n_grams, n_novel, novelty)`, O(batch grams), the corpus
+    * never re-read. For the streaming form collect the store's `fp`
+    * column into [[graft.streaming.Streams.noveltyScreenStream]].
+    */
+  def noveltyCheck(column: String, batch: DataFrame, textCol: String,
+                   keyCol: String): DataFrame = {
+    Identifiers.validate(column)
+    require(hasNoveltyStore(column),
+      s"no novelty store for '$column' — run buildNoveltyStore first")
+    graft.dedup.Dedup.ngramNoveltyAgainst(batch, textCol, keyCol,
+      noveltyN(column),
+      spark.read.parquet(s"${noveltyStoreDir(column)}/grams")
+        .select(col("fp")))
+  }
+
   /** Streaming twin of [[refreshDedupIndex]]: watch the data directory
     * and fold newly appended rows' MinHash bands into the persistent
     * dedup index continuously, so [[checkDuplicates]] always sees the

@@ -335,6 +335,38 @@ class Session3OpsSpec extends SparkSpec {
       (3L, 6L, 0.0, 0.0, 1.0, 0.0)), got)
   }
 
+  test("novelty store: build, watermark refresh, check; retention survives delete") {
+    import graft.core.{Catalog, CollectionConfig}
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_nv").toString)
+    val c = cat.create(CollectionConfig(name = "nv"))
+    c.importDf(Seq("alpha beta gamma delta", "epsilon zeta eta theta")
+      .toDF("text"))
+    c.buildNoveltyStore("text", n = 2)
+    // a verbatim copy scores 0, new content 1
+    val batch1 = Seq((100L, "alpha beta gamma delta"), (101L, "new words only here"))
+      .toDF("id", "text")
+    val r1 = c.noveltyCheck("text", batch1, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r1 == Map(100L -> 0.0, 101L -> 1.0), r1)
+    // append a doc, refresh folds ONLY it (watermark), then its copy scores 0
+    c.appendDf(Seq("iota kappa lambda mu").toDF("text"))
+    assert(c.refreshNoveltyStore("text") == 1L)
+    assert(c.refreshNoveltyStore("text") == 0L) // idempotent at the watermark
+    val r2 = c.noveltyCheck("text",
+        Seq((200L, "iota kappa lambda mu")).toDF("id", "text"), "text", "id")
+      .head().getDouble(3)
+    assert(r2 == 0.0, s"refreshed grams must suppress novelty: $r2")
+    // retention: deleting the doc does NOT forget its grams
+    val victim = c.df.orderBy(col("_key").desc).select(col("_key"))
+      .head().getLong(0)
+    assert(c.deleteKeys(Seq(victim)) == 1L)
+    val r3 = c.noveltyCheck("text",
+        Seq((201L, "iota kappa lambda mu")).toDF("id", "text"), "text", "id")
+      .head().getDouble(3)
+    assert(r3 == 0.0, "the store is append-only by contract")
+  }
+
   test("containmentPairs: a quoted excerpt scores containment ~1 where Jaccard is small") {
     val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).trim
     val short = "gamma delta epsilon zeta eta"          // verbatim inside long
