@@ -171,8 +171,12 @@ object Cli {
               iters = flags.getOrElse("iters", "3").toInt)
             println(s"trained quality classifier on '$column' " +
               s"($nPos positive-labeled rows)")
+          case "novelty" =>
+            val n = flags.getOrElse("ngram", "3").toInt
+            c.buildNoveltyStore(column, n = n)
+            println(s"built novelty gram store on '$column' (n=$n)")
           case other =>
-            fail(s"--type must be ann|keyword|dedup|binary|tokenizer|classifier, got '$other'")
+            fail(s"--type must be ann|keyword|dedup|binary|tokenizer|classifier|novelty, got '$other'")
         }
       case "repair" =>
         // unscoped full reconcile (fsck): re-fingerprint the corpus and
@@ -537,6 +541,25 @@ object Cli {
         }
         graft.functions.Bpe.coverage(grouped, column, gcol, vocab)
           .orderBy(col(gcol)).show(100, truncate = false)
+      case "novelty-check" =>
+        // score an incoming parquet batch against the stored gram log:
+        // per-row novelty in [0,1] (0 = seen verbatim, 1 = all new)
+        import org.apache.spark.sql.functions.{avg, col, round => rnd}
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val file = positional.headOption.getOrElse(fail("novelty-check needs a parquet file"))
+        val batch = s.read.parquet(file)
+        val keyCol = flags.getOrElse("key-column", batch.columns.head)
+        val scored = c.noveltyCheck(column, batch, column, keyCol)
+        flags.get("dest") match {
+          case Some(dest) =>
+            scored.write.mode("overwrite").parquet(dest)
+            println(s"wrote novelty scores to $dest")
+          case None =>
+            scored.agg(rnd(avg(col("novelty")), 4).as("avg_novelty")).show()
+            scored.orderBy(col("novelty")).show(10, truncate = false)
+        }
       case "script-profile" =>
         // dominant-script histogram over the collection — the quick
         // multilingual-routing / encoding-damage / numeric-junk triage
@@ -742,7 +765,7 @@ object Cli {
       |  delete   --collection C --keys 1,2,3   # erase rows from the
       |            collection AND every index (vector/keyword/dedup/ANN)
       |  build-index --collection C [--column col]
-      |           [--type ann|keyword|dedup|tokenizer|classifier]
+      |           [--type ann|keyword|dedup|tokenizer|classifier|novelty]
       |           [--n-lists n] [--pq-m m] [--analyzer ws|wp|stop:w1,w2,...]
       |           [--merges n] [--min-count c] [--positive-where "<sql>"]
       |           [--dim n] [--iters n]
@@ -762,6 +785,9 @@ object Cli {
       |            # quality-gated erase over the analyze columns, e.g.
       |            # --where "dup3_frac > 0.5 OR n_tokens < 3"; plans
       |            # (counts) without --apply, erases everywhere with it
+      |  novelty-check --collection C [--column col] [--key-column k]
+      |           [--dest dir] <file.parquet>  # score a batch against the
+      |           # stored gram log (build-index --type novelty first)
       |  script-profile --collection C [--column col]  # dominant-script
       |            # histogram (latin/han/cyrillic/numeric/empty) with
       |            # digit-fraction averages — encoding/junk triage
