@@ -147,6 +147,19 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // Clustering-quality profile of the SAME trained IVF partition:
+    // per-list member count + mean simplified silhouette (centroid
+    // form), accumulated in fixed point. Oracle: Verify-time dynamic
+    // twin against the re-trained centroid literals — first-wins
+    // argmin assignment, dimension-sequential distances, identical
+    // micro-unit rounding.
+    "q198_cluster_profile" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val centers = graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8)
+      graft.search.Ann.clusterProfile(e, "embedding", centers)
+        .orderBy(col("list_id"))
+    }),
+
     // K1 approximate, memory-scale: product-quantization top-10 by ADC
     // distance — the scan reads m=8-byte codes, never float vectors.
     // Oracle: Verify-time dynamic twin with codebook + query-table
@@ -354,8 +367,46 @@ object SparkEntry {
       val cb = graft.search.Ann.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
       pqRerankOracle(cb, graft.search.Ann.pqDistTable(queryVec(s, sfDir), cb),
         fetchK = 40, k = 10)
+    } ++ attempt("q198_cluster_profile") {
+      clusterProfileOracle(
+        graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8))
+    } ++ attempt("q199_multiclass") {
+      graft.queries.PipelineQueries.multiclassOracle(
+        graft.operators.Classifier.trainMulticlass(
+          documents(s, sfDir).select(col("doc_id"), col("text"),
+            col("source")),
+          "doc_id", "text", "source", dim = 32, iters = 2), dim = 32)
     }
   }
+
+  /** q198's twin: the [[ivfAssignCtes]] assignment (first-wins argmin
+    * over dimension-sequential squared L2) plus the simplified
+    * silhouette — a = sqrt(own distance), b = sqrt(least OTHER
+    * distance), s = (b-a)/greatest(a,b) — rounded to integer
+    * micro-units per row and mean'd from the exact sum, matching
+    * `Ann.clusterProfile`'s fixed-point accumulation bit for bit.
+    */
+  private def clusterProfileOracle(centers: Array[Array[Double]]): String = {
+    val k = centers.length
+    def ownD = (0 until k)
+      .map(i => s"WHEN a.list_id = $i THEN d.d$i").mkString("CASE ", " ", " END")
+    def otherD = (0 until k).map { i =>
+      val rest = (0 until k).filter(_ != i).map(j => s"d.d$j").mkString(", ")
+      s"WHEN a.list_id = $i THEN least($rest)"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH ${ivfAssignCtes(centers)},
+       |sil AS (SELECT a.list_id, sqrt($ownD) AS da, sqrt($otherD) AS db
+       |  FROM a JOIN d USING (vec_id)),
+       |m AS (SELECT list_id,
+       |   CAST(round((CASE WHEN greatest(da, db) = 0.0 THEN 0.0
+       |     ELSE (db - da) / greatest(da, db) END) * 1000000.0) AS BIGINT)
+       |     AS mm
+       |  FROM sil)
+       |SELECT list_id, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(mm) AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_sil
+       |FROM m GROUP BY 1 ORDER BY list_id""".stripMargin
+  }
+
 
   /** Shared ADC CTE block (`e`, `d`, `a`): per-row subspace distances
     * against codebook literals and the CASE-matched query-table ADC sum.

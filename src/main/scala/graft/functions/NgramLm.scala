@@ -83,4 +83,53 @@ object NgramLm {
       .select(col(keyCol),
         round(coalesce(-col("sumc") / col("n"), lit(0.0)), 6).as("xent2"))
   }
+
+  /** CCNet-style perplexity banding (Wenzek et al. 2019 §4.3): each
+    * document lands in a `head` / `middle` / `tail` quality band
+    * RELATIVE TO ITS OWN GROUP (language, usually) so a hard language
+    * never loses its whole corpus to one global threshold. CCNet cuts at
+    * per-language perplexity quantiles; computing exact quantiles
+    * distributed means a per-group rank — a corpus-sized sort — so the
+    * band cuts here are the mean and mean+stddev of the group's
+    * cross-entropy instead: one aggregation pass, map-side combined, no
+    * window, and the thresholds converge to fixed population statistics
+    * as the corpus grows (quantiles of a unimodal score and mean/sigma
+    * cuts band the same tails).
+    *
+    * Engine-checkable determinism: the banding input is the ROUNDED
+    * xent2 (6 dp — exactly what [[bigramCrossEntropy]] emits, so both
+    * engines band the identical doubles), scaled to integer micro-units
+    * and summed as DECIMAL(38,0) — exact under any row order at any
+    * scale (the q62 label-sum precedent). Mean and sigma then derive
+    * from exact integers through one shared IEEE expression tree.
+    *
+    * Output: (keyCol, groupCol, xent2, band) with band in
+    * {'head', 'middle', 'tail'}: head = xent strictly below the group
+    * mean, middle = at most one sigma above (inclusive, so a
+    * single-doc or score-flat group — xent == mean, sigma == 0 — is
+    * 'middle', not 'tail'), tail = beyond.
+    */
+  def perplexityBands(docs: DataFrame, keyCol: String, textCol: String,
+                      groupCol: String, addK: Double = 1.0): DataFrame = {
+    val xent = bigramCrossEntropy(docs, keyCol, textCol, addK)
+    val scored = docs.select(col(keyCol), col(groupCol))
+      .join(xent, Seq(keyCol))
+      .withColumn("__m", round(col("xent2") * 1e6).cast("long"))
+    val stats = scored.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__m").cast("decimal(38,0)")).as("__s1"),
+      // __m * __m stays in long range (xent2 < ~40 -> micro < 4e7,
+      // squared < 1.6e15); the SUM is where overflow lives -> decimal
+      sum((col("__m") * col("__m")).cast("decimal(38,0)")).as("__s2"))
+    val n = col("__n").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val mean = s1 / n
+    val sd = sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0)))
+    scored.join(broadcast(stats), Seq(groupCol))
+      .select(col(keyCol), col(groupCol), col("xent2"),
+        when(col("__m").cast("double") < mean, "head")
+          .when(col("__m").cast("double") <= mean + sd, "middle")
+          .otherwise("tail").as("band"))
+  }
 }

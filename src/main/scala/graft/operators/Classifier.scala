@@ -154,6 +154,73 @@ object Classifier {
   def scoreUdf(w: Array[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => scalarScore(text, w))
 
+  /** One-vs-rest MULTICLASS training: one [[train]] run per class label
+    * against the shared hashed-feature table (hashed once,
+    * localCheckpointed — the per-class cost is the GD iterations, not
+    * the featurization). Class order is the sorted distinct label set,
+    * so the returned (label, weights) sequence — and through it every
+    * downstream tie-break — is deterministic. The collect is bounded by
+    * label cardinality (a domain/language taxonomy, not a corpus).
+    */
+  def trainMulticlass(docs: DataFrame, keyCol: String, textCol: String,
+                      labelCol: String, dim: Int = 32, iters: Int = 2,
+                      lr: Double = 1e-5): Seq[(String, Array[Double])] = {
+    val feats = hashedFeatures(docs, keyCol, textCol, dim).localCheckpoint()
+    val classes = docs.select(col(labelCol).cast("string").as("c"))
+      .filter(col("c").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(classes.length >= 2,
+      s"multiclass needs >= 2 labels, got ${classes.length}")
+    classes.map { cls =>
+      val labels = docs.select(col(keyCol),
+        when(col(labelCol).cast("string") === cls, 1.0)
+          .otherwise(0.0).as("y"))
+      cls -> train(feats, labels, keyCol, dim, iters, lr)
+    }
+  }
+
+  /** All per-class margins in ONE aggregation pass: the accumulator is
+    * an array of `models.size` doubles and each sorted-j fold step adds
+    * `w_ℓ[j]·x` to every class's slot — so class ℓ's accumulation
+    * sequence is IDENTICAL to a [[margins]] call with w_ℓ alone
+    * (bit-equal margins, spec'd), but the feature table shuffles once
+    * instead of once per class.
+    */
+  def marginsMulticlass(feats: DataFrame, models: Seq[(String, Array[Double])],
+                        keyCol: String): DataFrame = {
+    val wMat = array(models.map { case (_, w) =>
+      array(w.toIndexedSeq.map(lit): _*) }: _*)
+    feats.groupBy(col(keyCol)).agg(
+      aggregate(
+        sort_array(collect_list(struct(col("j"), col("x")))),
+        array_repeat(lit(0.0), models.length),
+        (acc, s) => zip_with(acc,
+          transform(wMat, wl =>
+            element_at(wl, s.getField("j").cast("int") + 1)
+              * s.getField("x").cast("double")),
+          (a, b) => a + b)).as("margins"))
+  }
+
+  /** Serve a one-vs-rest model set: predicted label = argmax margin,
+    * ties broken toward the SMALLEST class index (array_position finds
+    * the first occurrence; class order is the sorted label set from
+    * [[trainMulticlass]]) — first-wins on both engines. Output:
+    * (keyCol, pred, margin DOUBLE rounded 6).
+    */
+  def classifyMulticlass(docs: DataFrame, keyCol: String, textCol: String,
+                         models: Seq[(String, Array[Double])]): DataFrame = {
+    require(models.nonEmpty, "need at least one trained class")
+    val dim = models.head._2.length - 1
+    val labArr = array(models.map(m => lit(m._1)): _*)
+    marginsMulticlass(hashedFeatures(docs, keyCol, textCol, dim), models,
+        keyCol)
+      .select(col(keyCol),
+        element_at(labArr,
+          array_position(col("margins"), array_max(col("margins")))
+            .cast("int")).as("pred"),
+        round(array_max(col("margins")), 6).as("margin"))
+  }
+
   /** Train-and-score in one call: hash features once, fit, score every
     * input row. `docs` must carry `(keyCol, textCol, labelCol)` with the
     * label 0.0/1.0. Output `(keyCol, label BIGINT, score DOUBLE

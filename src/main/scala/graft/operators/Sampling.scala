@@ -202,6 +202,40 @@ object Sampling {
       .drop("__bucket")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate GROUPS move
+    * atomically into one split, so a test document never has a near-twin
+    * in train (the contamination mode q153's split-leakage audit
+    * DETECTS; this PREVENTS it at split time — Lee et al. 2022,
+    * arXiv:2107.06499 §6 measure exactly this train-test dup leakage).
+    * `pairs` is any near-dup edge list (MinHash-LSH, SimHash, SemDeDup
+    * — pair-source-agnostic like [[graft.dedup.ConnectedComponents
+    * .dropDuplicates]]); rows in no pair are their own singleton group.
+    *
+    * Scale shape: the component labeling is the pointer-jumped min-label
+    * fixpoint (O(log diameter) rounds over the EDGE list, never the
+    * corpus); the split itself is [[hashSplit]] on the GROUP label — a
+    * map-side md5-threshold filter after one left join of corpus to
+    * labels. Determinism: group label = min doc key of the component,
+    * split = md5 bucket of that label — append-stable (new members of an
+    * existing group inherit its split as long as they don't lower the
+    * min key) and engine-checkable end to end.
+    *
+    * Output: the input columns plus `group` (the component label) and
+    * `split`.
+    */
+  def groupAwareSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
+                      aCol: String, bCol: String,
+                      splits: Seq[(String, Int)]): DataFrame = {
+    val lab = graft.dedup.ConnectedComponents.labels(pairs, aCol, bCol)
+      .select(col("node"), col("comp"))
+    val grouped = df
+      .join(lab, df(keyCol) === lab("node"), "left")
+      .drop("node")
+      .withColumn("group", coalesce(col("comp"), col(keyCol)))
+      .drop("comp")
+    hashSplit(grouped, "group", splits)
+  }
+
   /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
     * deterministic weighted sample WITHOUT replacement of exactly
     * `n` rows, with the unbiased subset-sum estimator the scheme was

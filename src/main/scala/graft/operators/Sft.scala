@@ -68,4 +68,45 @@ object Sft {
           col("loss_start"), col("loss_end"))
     side(chosenCol, "chosen").unionByName(side(rejectedCol, "rejected"))
   }
+
+  /** Preference-pair MINING: from a scored candidate pool (N sampled
+    * responses per prompt, each with a reward/judge score) pick the
+    * per-prompt (chosen, rejected) = (best, worst) pair when the score
+    * gap clears `minMargin` — the best-vs-worst construction RLHF/DPO
+    * datasets are built from (Ouyang et al. 2022 collect pairwise
+    * rankings; best-vs-worst is the max-signal pair). Prompts with one
+    * candidate, or whose pool is score-flat (best == worst candidate
+    * after tie-breaks), or whose margin is under the floor, emit
+    * nothing — a near-tie pair is label noise, not training signal.
+    *
+    * Scale shape: ONE hash aggregation. Both extremes are struct
+    * min/max aggregates (map-side partial combine, constant state per
+    * prompt) — no window, no per-prompt sort, no candidate list held
+    * anywhere. Ties break deterministically toward the smaller
+    * candidate id on both sides (chosen maximizes (score, -id), so the
+    * smallest id among top-scored wins; rejected minimizes (score, id)).
+    *
+    * `candCol` must be numeric (ids); null scores are dropped before
+    * mining. Output: (promptCol, chosen_id, rejected_id,
+    * margin DOUBLE rounded 6) — margin is chosen minus rejected score.
+    */
+  def minePreferencePairs(df: DataFrame, promptCol: String, candCol: String,
+                          scoreCol: String,
+                          minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0.0, s"minMargin must be >= 0, got $minMargin")
+    val scored = df.filter(col(scoreCol).isNotNull)
+      .select(col(promptCol), col(candCol).cast("long").as("__c"),
+        col(scoreCol).cast("double").as("__s"))
+    scored.groupBy(col(promptCol))
+      .agg(
+        max(struct(col("__s").as("s"), (-col("__c")).as("nk"),
+          col("__c").as("k"))).as("__best"),
+        min(struct(col("__s").as("s"), col("__c").as("k"))).as("__worst"))
+      .select(col(promptCol),
+        col("__best.k").as("chosen_id"),
+        col("__worst.k").as("rejected_id"),
+        round(col("__best.s") - col("__worst.s"), 6).as("margin"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("margin") >= minMargin)
+  }
 }

@@ -208,7 +208,20 @@ object EventQueries {
       Streams.sessionSequences(events(s, d), gapMinutes = 30)
         .select(col("user_id"), col("session_seq"),
           date_format(col("session_start"), TsFmt).as("session_start"),
-          col("n_events"), col("seq_text")))
+          col("n_events"), col("seq_text"))),
+
+    // Preference-pair mining (RLHF/DPO construction): events as the
+    // scored candidate pool — user_id the prompt, event_id the
+    // candidate, value the reward — the per-prompt best-vs-worst pair
+    // kept when the gap clears the margin floor. ONE hash aggregation
+    // (struct min/max extremes, map-side combined), no window; the
+    // oracle re-derives both extremes with rank-1 windows and must
+    // agree on every tie-break.
+    "q194_pref_pairs" -> ((s, d) =>
+      graft.operators.Sft.minePreferencePairs(
+          events(s, d).select(col("user_id"), col("event_id"), col("value")),
+          "user_id", "event_id", "value", minMargin = 1.0)
+        .orderBy(col("user_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -351,6 +364,29 @@ object EventQueries {
         | CAST(count(*) AS BIGINT) AS n_events,
         | string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS seq_text
         | FROM numbered GROUP BY user_id, session_seq
-        | ORDER BY user_id, session_seq""".stripMargin
+        | ORDER BY user_id, session_seq""".stripMargin,
+
+    // best = rank 1 by (value DESC, event_id), worst = rank 1 by
+    // (value ASC, event_id) — the window twin of the struct extremes;
+    // the margin filter applies to the ROUNDED margin on both sides
+    "q194_pref_pairs" ->
+      """WITH s AS (SELECT user_id, event_id, value FROM events
+        |   WHERE value IS NOT NULL),
+        | r AS (SELECT user_id, event_id, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY value DESC, event_id) AS rb,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY value ASC, event_id) AS rw
+        |  FROM s),
+        | c AS (SELECT user_id, event_id AS chosen_id, value AS cs
+        |   FROM r WHERE rb = 1),
+        | w AS (SELECT user_id, event_id AS rejected_id, value AS ws
+        |   FROM r WHERE rw = 1)
+        |SELECT c.user_id, c.chosen_id, w.rejected_id,
+        |  round(c.cs - w.ws, 6) AS margin
+        |FROM c JOIN w USING (user_id)
+        |WHERE c.chosen_id <> w.rejected_id
+        |  AND round(c.cs - w.ws, 6) >= 1.0
+        |ORDER BY c.user_id""".stripMargin
   )
 }

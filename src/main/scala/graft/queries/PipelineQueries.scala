@@ -977,6 +977,99 @@ object PipelineQueries {
         explode(sequence(col("doc_id") + 1, col("doc_id") + 4)).as("key_b"))
       ConnectedComponents.survivorsByCentrality(pairs)
         .orderBy(col("comp_id"))
+    }),
+
+    // CCNet perplexity banding: head/middle/tail per LANGUAGE, cut at
+    // the group's mean / mean+sigma of the q131 bigram cross-entropy.
+    // One aggregation pass over integer micro-units (exact under any
+    // row order), broadcast stats join, no window — the quantile-free
+    // scale shape of Wenzek et al.'s per-language buckets.
+    "q193_ppl_bands" -> ((s, d) =>
+      graft.functions.NgramLm.perplexityBands(
+          documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))),
+
+    // Conversation-tree flattening: a planted message forest (16-node
+    // binary trees over doc_id: root every 16th id, parent of local L
+    // is (L-1) div 2) flattened to root-to-leaf paths — one equi-join
+    // per tree LEVEL (depth <= 5 here by construction), leaves by
+    // anti-join against the parent set. The oracle walks the same
+    // forest with a recursive CTE.
+    "q195_chat_paths" -> ((s, d) => {
+      val msgs = documents(s, d).select(col("doc_id"),
+        expr("""CASE WHEN doc_id % 16 = 0 THEN CAST(NULL AS BIGINT)
+               |ELSE (doc_id DIV 16) * 16 + ((doc_id % 16 - 1) DIV 2)
+               |END""".stripMargin).as("parent"))
+      graft.operators.Conversations.chatPaths(msgs, "doc_id", "parent",
+          maxDepth = 8)
+        .orderBy(col("leaf_id"))
+    }),
+
+    // Per-source trigram diversity: type-token ratio + fixed-point
+    // Shannon entropy — "does this source repeat itself?" before any
+    // dedup runs. Two hash aggregations, no window, no collected lists.
+    "q196_ngram_diversity" -> ((s, d) =>
+      graft.functions.TextStats.ngramDiversity(
+          documents(s, d).select(col("source"), col("text")),
+          "text", "source", n = 3)
+        .orderBy(col("source"))),
+
+    // CSV interchange round-trip: documents -> RFC-4180 CSV (quoted
+    // embedded newlines, doubled-quote escapes) -> read back with the
+    // inferred schema -> per-lang rollup. The oracle computes the same
+    // rollup from the parquet directly, so any row lost, split, or
+    // mangled by the quoting breaks counts or sums.
+    "q197_csv_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q197").toString
+      graft.sources.Ingest.writeCsv(documents(s, d), s"$tmp/docs_csv")
+      graft.sources.Ingest.readCsv(s, s"$tmp/docs_csv")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy(col("lang"))
+    }),
+
+    // One-vs-rest multiclass source classifier: 5 binary fixed-point GD
+    // fits over ONE shared hashed-feature table, served as a single
+    // argmax pass (array accumulator — the feature table shuffles once,
+    // not once per class). The oracle re-trains at Verify time and
+    // embeds the weights as literals, so training must be
+    // bit-deterministic across two independent runs for the margins —
+    // and every argmax — to hash-match.
+    "q199_multiclass" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"),
+        col("source"))
+      val models = graft.operators.Classifier.trainMulticlass(
+        docs, "doc_id", "text", "source", dim = 32, iters = 2)
+      graft.operators.Classifier.classifyMulticlass(
+          docs, "doc_id", "text", models)
+        .join(docs.select(col("doc_id"), col("source").as("label")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("label"), col("pred"), col("margin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Leakage-safe split: planted near-dup chains (ids 10k..10k+3) must
+    // move into train/val/test ATOMICALLY — the split hashes the
+    // component label, not the row key. The closed-form oracle knows
+    // each chain's min-label (10k) and singleton labels, so a wrong
+    // component, a group straddling splits, or a drifted md5 bucket all
+    // break the (split, n_groups, n_docs) rollup.
+    "q200_group_split" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.filter(pmod(col("doc_id"), lit(10)) < 3)
+        .select(col("doc_id").as("key_a"), (col("doc_id") + 1).as("key_b"))
+        .join(ids.select(col("doc_id").as("key_b")), Seq("key_b"),
+          "left_semi")
+      Sampling.groupAwareSplit(docs, "doc_id", pairs, "key_a", "key_b",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count_distinct(col("group")).as("n_groups"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("split"))
     })
   )
 
@@ -1958,7 +2051,124 @@ object PipelineQueries {
       """SELECT doc_id AS comp_id, doc_id AS survivor,
         |  CAST(5 AS BIGINT) AS n_docs
         |FROM documents WHERE doc_id % 10 = 0
-        |ORDER BY comp_id""".stripMargin
+        |ORDER BY comp_id""".stripMargin,
+
+    // q131's xent chain + mean/sigma banding over integer micro-units:
+    // HUGEINT sums are exact like Spark's DECIMAL(38,0), and the band
+    // thresholds derive from those exact integers through the same IEEE
+    // expression tree (s1/n, sqrt(greatest(s2/n - (s1/n)^2, 0)))
+    "q193_ppl_bands" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |        unnest(toks[2:len(toks)]) AS w2
+         |   FROM t WHERE len(toks) >= 2),
+         | tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+         |   FROM bi GROUP BY 1, 2, 3),
+         | c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+         |   FROM tf GROUP BY 1, 2),
+         | c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         | v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |   FROM (SELECT unnest(toks) AS tok FROM t)),
+         | contrib AS (SELECT tf.doc_id, tf.w1, tf.w2, tf.tf,
+         |     tf.tf * ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+         |       / (CAST(c1.c1 AS DOUBLE) + 1.0 * (SELECT v FROM v))) AS c
+         |   FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+         | agg AS (SELECT doc_id,
+         |     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |       list(c ORDER BY w1, w2)), (x, y) -> x + y) AS sumc,
+         |     CAST(sum(tf) AS BIGINT) AS n
+         |   FROM contrib GROUP BY doc_id),
+         | xe AS (SELECT d.doc_id, d.lang,
+         |     round(coalesce(-a.sumc / a.n, 0.0), 6) AS xent2
+         |   FROM documents d LEFT JOIN agg a USING (doc_id)),
+         | mi AS (SELECT doc_id, lang, xent2,
+         |     CAST(round(xent2 * 1000000.0) AS BIGINT) AS m FROM xe),
+         | st AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+         |     CAST(sum(m) AS DOUBLE) AS s1,
+         |     CAST(sum(m * m) AS DOUBLE) AS s2
+         |   FROM mi GROUP BY 1)
+         |SELECT mi.doc_id, mi.lang, mi.xent2,
+         |  CASE WHEN CAST(mi.m AS DOUBLE) < st.s1 / st.n THEN 'head'
+         |       WHEN CAST(mi.m AS DOUBLE) <= st.s1 / st.n
+         |         + sqrt(greatest(st.s2 / st.n
+         |             - (st.s1 / st.n) * (st.s1 / st.n), 0.0)) THEN 'middle'
+         |       ELSE 'tail' END AS band
+         |FROM mi JOIN st USING (lang)
+         |ORDER BY mi.doc_id""".stripMargin,
+
+    // the same planted 16-node binary forest walked by a recursive CTE;
+    // leaves are ids that parent nothing
+    "q195_chat_paths" ->
+      """WITH RECURSIVE m AS (SELECT doc_id AS id,
+        |   CASE WHEN doc_id % 16 = 0 THEN CAST(NULL AS BIGINT)
+        |        ELSE (doc_id // 16) * 16 + ((doc_id % 16 - 1) // 2)
+        |   END AS parent
+        |  FROM documents),
+        | r AS (SELECT id, CAST(id AS VARCHAR) AS path,
+        |     CAST(1 AS BIGINT) AS depth
+        |   FROM m WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT c.id, r.path || '/' || CAST(c.id AS VARCHAR), r.depth + 1
+        |  FROM m c JOIN r ON c.parent = r.id)
+        |SELECT r.id AS leaf_id, r.depth, r.path
+        |FROM r
+        |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.parent = r.id)
+        |ORDER BY leaf_id""".stripMargin,
+
+    // trigram diversity per source: exact integer gram counts; the
+    // entropy is a fixed-point micro-unit sum (order-free), divisions
+    // and ln through one shared expression tree
+    "q196_ngram_diversity" ->
+      s"""WITH t AS (SELECT source, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | g AS (SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+         |   FROM t WHERE len(toks) >= 3),
+         | c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS c
+         |   FROM g GROUP BY 1, 2),
+         | tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS total,
+         |     CAST(count(*) AS BIGINT) AS dn FROM c GROUP BY 1),
+         | ent AS (SELECT c.source,
+         |     sum(CAST(round(CAST(c.c AS DOUBLE)
+         |       * ln(CAST(c.c AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         |       * 1000000.0) AS BIGINT)) AS e
+         |   FROM c JOIN tot USING (source) GROUP BY 1),
+         | nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |   FROM documents GROUP BY 1)
+         |SELECT nd.source, nd.n_docs,
+         |  coalesce(tot.total, 0) AS total_ngrams,
+         |  coalesce(tot.dn, 0) AS distinct_ngrams,
+         |  round(coalesce(CAST(tot.dn AS DOUBLE) / tot.total, 0.0), 6) AS ttr,
+         |  round(coalesce(-CAST(ent.e AS DOUBLE) / 1000000.0 / tot.total,
+         |    0.0), 6) AS entropy
+         |FROM nd LEFT JOIN tot USING (source) LEFT JOIN ent USING (source)
+         |ORDER BY nd.source""".stripMargin,
+
+    // the round-trip's target rollup, computed from the parquet the CSV
+    // was written from — equality proves no row/field damage in flight
+    "q197_csv_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // chains {10k..10k+3} have closed-form min-label 10k, singletons
+    // label themselves; the split is the house md5 percent bucket of
+    // the label string
+    "q200_group_split" ->
+      s"""WITH g AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 10 <= 3 THEN doc_id - (doc_id % 10)
+         |        ELSE doc_id END AS grp
+         |  FROM documents),
+         | h AS (SELECT doc_id, grp, md5(CAST(grp AS VARCHAR)) AS hx FROM g),
+         | b AS (SELECT doc_id, grp, ($Hex8) % 100 AS bucket FROM h),
+         | sp AS (SELECT doc_id, grp,
+         |   CASE WHEN bucket < 80 THEN 'train'
+         |        WHEN bucket < 90 THEN 'val'
+         |        ELSE 'test' END AS split
+         |  FROM b)
+         |SELECT split, CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
   )
 
   /** Winnowing selection CTE chain, parameterized on (k, w): char
@@ -2027,6 +2237,47 @@ object PipelineQueries {
        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |     list(delta ORDER BY delta)), (a, x) -> a + x)
        |   / CAST(count(*) AS BIGINT) AS mean_delta FROM m)""".stripMargin
+
+  /** q199's twin (called from `SparkEntry.dynamicOracleSql` with the
+    * Verify-time RE-TRAINED one-vs-rest weights): serving-only SQL over
+    * the weight literals — training determinism is what the gate buys,
+    * since two independent `trainMulticlass` runs must produce bit-equal
+    * weights or every margin drifts. Per class, the margin folds
+    * w_ℓ[j]·x in sorted-j order (the q147 fold discipline), and the
+    * argmax is a first-wins CASE chain over exact doubles —
+    * `array_position`'s first-occurrence semantics on the Spark side.
+    */
+  def multiclassOracle(models: Seq[(String, Array[Double])],
+                       dim: Int): String = {
+    def wlit(w: Array[Double]): String =
+      w.mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val margins = models.zipWithIndex.map { case ((_, w), i) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |   list((${wlit(w)})[CAST(f.j + 1 AS INT)] * CAST(f.x AS DOUBLE)
+         |     ORDER BY f.j)),
+         |   (a, b) -> a + b) AS m$i""".stripMargin
+    }.mkString(",\n  ")
+    val mlist = models.indices.map(i => s"m$i").mkString(", ")
+    val pred = models.zipWithIndex
+      .map { case ((lab, _), i) => s"WHEN m$i = greatest($mlist) THEN '$lab'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks
+       |   FROM documents),
+       | tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       | htok AS (SELECT doc_id, md5(tk) AS hx FROM tok),
+       | f0 AS (SELECT doc_id, ($Hex8) % $dim AS j,
+       |   CAST(count(*) AS BIGINT) AS x FROM htok GROUP BY 1, 2),
+       | feats AS (SELECT doc_id, j, x FROM f0
+       |   UNION ALL SELECT doc_id, CAST($dim AS BIGINT) AS j,
+       |     CAST(1 AS BIGINT) AS x FROM documents),
+       | m AS (SELECT f.doc_id,
+       |  $margins
+       |  FROM feats f GROUP BY f.doc_id)
+       |SELECT m.doc_id, d.source AS label, $pred AS pred,
+       |  round(greatest($mlist), 6) AS margin
+       |FROM m JOIN documents d USING (doc_id)
+       |ORDER BY m.doc_id""".stripMargin
+  }
 
   /** q147's twin: `Classifier.trainScore` unrolled iteration-by-iteration.
     * Each iteration is three CTEs — margins (sorted-j `list_reduce` fold,

@@ -219,6 +219,61 @@ object Ann {
     embDf.withColumn("list_id", f(col(embCol)))
   }
 
+  /** Clustering-quality profile of a trained IVF partition: per list,
+    * the member count and the mean simplified silhouette (Rousseeuw
+    * 1987, centroid form: a = distance to own centroid, b = distance to
+    * the nearest OTHER centroid, s = (b-a)/max(a,b) in [-1, 1]). The
+    * operator answer to "is k right, and which lists are mush?": a list
+    * whose mean silhouette hugs 0 overlaps its neighbors (recall there
+    * will need more probes), a clean list sits near 1 — the diagnostic
+    * read next to `eval-recall`'s measured recall when tuning k/nProbe.
+    *
+    * Scale shape: one row-local pass (per-row distances to k centroid
+    * literals — k·dim flops, no shuffle) then one hash aggregation.
+    * The mean accumulates in FIXED POINT (per-row silhouette rounded to
+    * integer micro-units, summed as DECIMAL(38,0)): exact under any row
+    * order — the Classifier-gradient discipline. Distances fold
+    * dimension-sequentially exactly like `nearestCentroid`, so the SQL
+    * twin (strictly-sequential `list_reduce`, first-wins argmin)
+    * reproduces every assignment and value bit for bit.
+    *
+    * Output: (list_id, n, mean_sil DOUBLE rounded 6), one row per
+    * non-empty list. Needs k >= 2 (one cluster has no "nearest other").
+    */
+  def clusterProfile(embDf: DataFrame, embCol: String,
+                     centers: Array[Array[Double]]): DataFrame = {
+    require(centers.length >= 2,
+      s"silhouette needs >= 2 centroids, got ${centers.length}")
+    val f = udf((v: Seq[Float]) => {
+      val x = v.map(_.toDouble).toArray
+      val ds = centers.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < x.length) { val t = x(i) - c(i); d += t * t; i += 1 }
+        d
+      }
+      // first-wins argmin, like nearestCentroid / the SQL CASE chain
+      var own = 0
+      var i = 1
+      while (i < ds.length) { if (ds(i) < ds(own)) own = i; i += 1 }
+      var other = Double.MaxValue
+      i = 0
+      while (i < ds.length) { if (i != own && ds(i) < other) other = ds(i); i += 1 }
+      val a = math.sqrt(ds(own))
+      val b = math.sqrt(other)
+      val m = math.max(a, b)
+      (own, if (m == 0.0) 0.0 else (b - a) / m)
+    })
+    embDf.select(f(col(embCol)).as("__r"))
+      .select(col("__r._1").as("list_id"),
+        round(col("__r._2") * lit(1e6)).cast("long")
+          .cast("decimal(38,0)").as("__m"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__m")).cast("double") / lit(1e6) / count(lit(1)), 6)
+          .as("mean_sil"))
+  }
+
   /** Write a list-partitioned IVF index: `partitionBy(list_id)` gives the
     * probed-list filter the same partition-pruning read path the LSH
     * bucket index has — a query probing p lists reads p directories.

@@ -98,9 +98,46 @@ object Ingest {
     }
   }
 
+  /** RFC-4180 CSV read (DuckDB `read_csv_auto` analog): header row,
+    * inferred schema, quoted fields with doubled-quote escaping, and
+    * `multiLine` so quoted embedded newlines stay one record. multiLine
+    * costs file-level (not block-level) input splits — the documented
+    * trade for correctness on free-text columns; large corpora should
+    * arrive as MANY csv files (the glob expands them), each its own
+    * task, so parallelism comes from file count rather than block
+    * splits.
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("multiLine", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(resolvePath(path))
+
+  /** Write the RFC-4180 twin of [[readCsv]] (header, doubled-quote
+    * escaping) — a directory of part files, one per partition.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .mode("overwrite")
+      .csv(path)
+
   /** S1: import a JSONL file/glob into an empty collection. */
   def importJsonl(c: Collection, path: String): Unit =
     c.importDf(readJsonl(c.spark, path))
+
+  /** S1 (csv flavor): import a CSV file/glob. */
+  def importCsv(c: Collection, path: String): Unit =
+    c.importDf(readCsv(c.spark, path))
+
+  /** S3 (csv flavor): append CSV, schema-aligned, `_key` continues. */
+  def appendCsv(c: Collection, path: String): Unit =
+    c.appendDf(readCsv(c.spark, path))
 
   /** S2: import parquet. */
   def importParquet(c: Collection, path: String): Unit =

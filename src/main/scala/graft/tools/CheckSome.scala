@@ -20,7 +20,12 @@ object CheckSome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val oracles = graft.SparkEntry.oracleSql
+    val static = graft.SparkEntry.oracleSql
+    // dynamic (Verify-time trained) oracles only when a requested name
+    // needs one — training IVF/PQ/classifiers for a q1 rehearsal is waste
+    val oracles =
+      if (names.forall(static.contains)) static
+      else static ++ graft.SparkEntry.dynamicOracleSql(spark, sfDir)
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -212,4 +212,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"stats frame must broadcast:\n$p")
   }
+
+  test("preference-pair mining is ONE partial aggregate, no window") {
+    val cands = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val p = planOf(graft.operators.Sft.minePreferencePairs(
+      cands, "user_id", "event_id", "value"))
+    assert(!p.contains("Window"),
+      s"extremes are struct min/max aggregates, not rank windows:\n$p")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"extremes must combine map-side:\n$p")
+  }
+
+  test("perplexity banding: no window; group stats join by broadcast") {
+    val p = planOf(SparkEntry.queries("q193_ppl_bands")(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"banding by mean/sigma exists to avoid the per-group rank:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group stats (label-cardinality rows) must broadcast:\n$p")
+  }
+
+  test("n-gram diversity: no window, no per-group collected list") {
+    val p = planOf(SparkEntry.queries("q196_ngram_diversity")(spark, sf0001))
+    assert(!p.contains("Window"), s"no window in diversity rollups:\n$p")
+    assert(!p.contains("collect_list"),
+      s"entropy is a fixed-point SUM, never a per-group list fold:\n$p")
+  }
+
+  test("group-aware split: the split itself is a map-side projection (no window, no product)") {
+    val p = planOf(SparkEntry.queries("q200_group_split")(spark, sf0001))
+    assert(!p.contains("Window"), s"no window in the split path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
 }

@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NgramLm, TextStats}
+import graft.operators.{Classifier, Conversations, Sampling, Sft}
+import graft.search.Ann
+import graft.sources.Ingest
+
+/** Round-9 session-4 operators: perplexity banding, preference-pair
+  * mining, conversation-tree flattening, n-gram diversity, CSV
+  * round-trip, IVF cluster profile, multiclass classifier, leakage-safe
+  * group split.
+  */
+class Session4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perplexityBands: score-flat and single-doc groups are 'middle', contrastive groups band") {
+    // g1: two identical docs -> xent equal -> both on the mean, sigma 0
+    // -> middle. g2: single doc -> middle by the same inclusive cut.
+    val docs = Seq(
+      (1L, "a b a b", "g1"),
+      (2L, "a b a b", "g1"),
+      (3L, "z q z q", "g2")
+    ).toDF("id", "text", "grp")
+    val got = NgramLm.perplexityBands(docs, "id", "text", "grp")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(got == Seq((1L, "middle"), (2L, "middle"), (3L, "middle")), got)
+  }
+
+  test("perplexityBands: a clear outlier lands in tail, the in-corpus mass in head") {
+    // Nine repetitive docs share bigrams (low xent); one doc of unique
+    // bigrams scores far higher. mean sits between, sigma is dragged by
+    // the outlier: the nine land below mean (head), the outlier beyond
+    // mean + sigma (tail) for this 9-vs-1 contrast.
+    val low = (1L to 9L).map(i => (i, "the cat sat on the mat", "g"))
+    val hi = Seq((10L, "zx qy wv ut sr qp on ml", "g"))
+    val got = NgramLm.perplexityBands((low ++ hi).toDF("id", "text", "grp"),
+        "id", "text", "grp")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert((1L to 9L).forall(got(_) == "head"), got)
+    assert(got(10L) == "tail", got)
+  }
+
+  test("minePreferencePairs: extremes, tie-breaks, flat pools and margin floor") {
+    val cands = Seq(
+      // p1: tie at the top -> chosen = smaller id; clear worst
+      (1L, 11L, 5.0), (1L, 12L, 5.0), (1L, 13L, 1.0),
+      // p2: single candidate -> no pair
+      (2L, 21L, 3.0),
+      // p3: score-flat pool -> chosen == rejected -> dropped
+      (3L, 31L, 2.0), (3L, 32L, 2.0),
+      // p4: margin 0.5 under the 1.0 floor -> dropped
+      (4L, 41L, 2.5), (4L, 42L, 2.0)
+    ).toDF("prompt", "cand", "score")
+    val got = Sft.minePreferencePairs(cands, "prompt", "cand", "score",
+        minMargin = 1.0)
+      .orderBy(col("prompt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 11L, 13L, 4.0)), got)
+  }
+
+  test("minePreferencePairs: null scores are dropped before mining") {
+    val cands = Seq[(Long, Long, Option[Double])](
+      (1L, 1L, Some(9.0)), (1L, 2L, None), (1L, 3L, Some(1.0))
+    ).toDF("prompt", "cand", "score")
+    val got = Sft.minePreferencePairs(cands, "prompt", "cand", "score")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L)), got)
+  }
+
+  test("chatPaths: forest flattens to root-to-leaf paths; lone root is its own path") {
+    val msgs = Seq[(Long, Option[Long])](
+      (1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(3L)),
+      (10L, None)
+    ).toDF("id", "parent")
+    val got = Conversations.chatPaths(msgs, "id", "parent")
+      .orderBy(col("leaf_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((2L, 2L, "1/2"), (4L, 3L, "1/3/4"),
+      (10L, 1L, "10")), got)
+  }
+
+  test("chatPaths: depth beyond maxDepth fails loudly instead of looping") {
+    val chain = Seq[(Long, Option[Long])](
+      (1L, None), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(3L))
+    ).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      Conversations.chatPaths(chain, "id", "parent", maxDepth = 2).collect()
+    }
+    assert(e.getMessage.contains("maxDepth"), e.getMessage)
+  }
+
+  test("ngramDiversity: exact counts and the fixed-point entropy") {
+    val docs = Seq(
+      ("a", "a b c a b c"), // trigrams: 'a b c' x2, 'b c a', 'c a b'
+      ("b", "x y")          // shorter than n -> zero grams
+    ).toDF("src", "text")
+    val got = TextStats.ngramDiversity(docs, "text", "src", n = 3)
+      .orderBy(col("src")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got.head._1 == "a" && got.head._2 == 1L &&
+      got.head._3 == 4L && got.head._4 == 3L && got.head._5 == 0.75, got)
+    // -(2/4 ln(2/4) + 2 * 1/4 ln(1/4)) = 1.0397205...; the operator's
+    // micro-unit fixed point + round-6 can only sit within 1e-6 of it
+    assert(math.abs(got.head._6 - 1.0397205) < 2e-6, got)
+    assert(got(1) == ("b", 1L, 0L, 0L, 0.0, 0.0), got)
+  }
+
+  test("csv round-trip preserves embedded newlines, quotes, commas, unicode") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csvspec").toString
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "line one\nline two\r\nline three"),
+      (5L, "ünïcødé 中文 🙂")
+    )
+    Ingest.writeCsv(rows.toDF("id", "text"), s"$tmp/t")
+    // inferSchema narrows small ids to INT — normalize for the compare
+    val back = Ingest.readCsv(spark, s"$tmp/t")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1))).toSet
+    assert(back == rows.toSet, back)
+  }
+
+  test("clusterProfile: hand-checkable two-cluster silhouette means") {
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val vecs = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(10f, 0f)), (4L, Array(9f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.clusterProfile(vecs, "embedding", centers)
+      .orderBy(col("list_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // (0,0): a=0, b=10 -> sil 1 -> 1000000; (1,0): a=1, b=9 -> 8/9 ->
+    // round(888888.88) = 888889; mean = 1888889/1e6/2 = 0.9444445 ->
+    // HALF_UP -> 0.944445 (mirrored for the second list)
+    assert(got == Seq((0, 2L, 0.944445), (1, 2L, 0.944445)), got)
+  }
+
+  test("clusterProfile refuses a single centroid") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.clusterProfile(Seq((1L, Array(0f))).toDF("vec_id", "embedding"),
+        "embedding", Array(Array(0.0)))
+    }
+    assert(e.getMessage.contains("2 centroids"), e.getMessage)
+  }
+
+  test("multiclass: recovers separable labels; per-class margins bit-equal the binary fold") {
+    val docs = Seq(
+      (1L, "apple banana apple", "fruit"),
+      (2L, "banana apple banana", "fruit"),
+      (3L, "carrot potato carrot", "veg"),
+      (4L, "potato carrot potato", "veg"),
+      (5L, "apple apple apple", "fruit"),
+      (6L, "potato potato potato", "veg")
+    ).toDF("id", "text", "label")
+    val models = Classifier.trainMulticlass(docs, "id", "text", "label",
+      dim = 16, iters = 3, lr = 0.01)
+    assert(models.map(_._1) == Seq("fruit", "veg"))
+    val pred = Classifier.classifyMulticlass(docs, "id", "text", models)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(1L, 2L, 5L).forall(pred(_) == "fruit"), pred)
+    assert(Seq(3L, 4L, 6L).forall(pred(_) == "veg"), pred)
+    // the array-accumulator fold must be bit-identical per class to a
+    // lone margins() run — same sorted-j sequence, same IEEE adds
+    val feats = Classifier.hashedFeatures(docs, "id", "text", 16)
+    val multi = Classifier.marginsMulticlass(feats, models, "id")
+      .select(col("id"), col("margins")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    models.zipWithIndex.foreach { case ((_, w), i) =>
+      val solo = Classifier.margins(feats, w, "id").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      solo.foreach { case (k, m) => assert(multi(k)(i) == m, s"class $i key $k") }
+    }
+  }
+
+  test("multiclass training is bit-deterministic across independent runs") {
+    val docs = Seq(
+      (1L, "aa bb cc", "x"), (2L, "dd ee ff", "y"), (3L, "aa ee", "x")
+    ).toDF("id", "text", "label")
+    val m1 = Classifier.trainMulticlass(docs, "id", "text", "label", dim = 8)
+    val m2 = Classifier.trainMulticlass(docs, "id", "text", "label", dim = 8)
+    assert(m1.map(_._1) == m2.map(_._1))
+    m1.zip(m2).foreach { case ((_, w1), (_, w2)) =>
+      assert(w1.toSeq == w2.toSeq)
+    }
+  }
+
+  test("groupAwareSplit: components move atomically; singletons split by their own key") {
+    val df = (1L to 8L).toDF("k")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Sampling.groupAwareSplit(df, "k", pairs, "a", "b",
+        Seq("train" -> 50, "test" -> 50))
+      .select(col("k"), col("group"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byKey = got.map(t => t._1 -> (t._2, t._3)).toMap
+    // component labels are the min member key
+    assert(Seq(1L, 2L, 3L).map(byKey(_)._1).distinct == Seq(1L), byKey)
+    assert(Seq(5L, 6L).map(byKey(_)._1).distinct == Seq(5L), byKey)
+    assert(byKey(4L)._1 == 4L && byKey(7L)._1 == 7L && byKey(8L)._1 == 8L)
+    // atomicity: one split per group
+    assert(Seq(1L, 2L, 3L).map(byKey(_)._2).distinct.size == 1, byKey)
+    assert(Seq(5L, 6L).map(byKey(_)._2).distinct.size == 1, byKey)
+    // the split is hashSplit of the LABEL: recompute independently
+    val expected = Sampling.hashSplit(
+        Seq(1L, 4L, 5L, 7L, 8L).toDF("g"), "g",
+        Seq("train" -> 50, "test" -> 50))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey(1L)._2 == expected(1L) && byKey(4L)._2 == expected(4L) &&
+      byKey(5L)._2 == expected(5L) && byKey(7L)._2 == expected(7L) &&
+      byKey(8L)._2 == expected(8L), byKey)
+  }
+}
