@@ -585,6 +585,82 @@ object Cli {
             rnd(avg(col("n_chars")), 1).as("avg_chars"))
           .orderBy(col("script"))
           .show(20, truncate = false)
+      case "diversity" =>
+        // per-group n-gram diversity (TTR + entropy): "does this source
+        // repeat itself?" — the pre-dedup repetitiveness triage
+        import org.apache.spark.sql.functions.{col, lit}
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val n = flags.getOrElse("n", "3").toInt
+        val base = flags.get("by") match {
+          case Some(g) => c.df.withColumn("__grp", col(g).cast("string"))
+          case None    => c.df.withColumn("__grp", lit("all"))
+        }
+        graft.functions.TextStats.ngramDiversity(
+            base.select(col("__grp"), col(column)), column, "__grp", n)
+          .withColumnRenamed("__grp", flags.getOrElse("by", "corpus"))
+          .orderBy(flags.getOrElse("by", "corpus"))
+          .show(50, truncate = false)
+      case "split-safe" =>
+        // leakage-safe train/val/test: minhash near-dup groups move
+        // atomically (a test doc never has a near-twin in train)
+        import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val splits = Seq(
+          "train" -> flags.getOrElse("train", "80").toInt,
+          "val" -> flags.getOrElse("val", "10").toInt,
+          "test" -> flags.getOrElse("test", "10").toInt)
+        val pairs = graft.dedup.Dedup.minhashNearDups(c.df, column,
+          graft.core.Keys.KeyCol, flags.getOrElse("threshold", "0.8").toDouble)
+        val out = graft.operators.Sampling.groupAwareSplit(c.df,
+          graft.core.Keys.KeyCol, pairs, "key_a", "key_b", splits)
+        flags.get("dest") match {
+          case Some(dest) =>
+            out.write.mode("overwrite").partitionBy("split").parquet(dest)
+            println(s"wrote group-atomic splits -> $dest")
+          case None =>
+        }
+        out.groupBy(col("split"))
+          .agg(count_distinct(col("group")).as("n_groups"),
+            count(lit(1)).as("n_docs"))
+          .orderBy(col("split")).show(truncate = false)
+      case "unigram-vocab" =>
+        // SentencePiece-flavored seed vocabulary: top substrings by
+        // compression gain, the unigram-LM tokenizer's starting point
+        import org.apache.spark.sql.functions.col
+        val c = catalog.load(req(flags, "collection"))
+        val column = flags.getOrElse("column",
+          c.config.index_columns.headOption.getOrElse("text"))
+        val vocab = graft.functions.UnigramLm.vocabSelect(
+          graft.functions.UnigramLm.candidates(c.df.select(col(column)),
+            column, flags.getOrElse("max-len", "4").toInt),
+          flags.getOrElse("n", "100").toInt)
+        flags.get("dest") match {
+          case Some(dest) =>
+            vocab.write.mode("overwrite").parquet(dest)
+            println(s"wrote ${flags.getOrElse("n", "100")}-piece vocab -> $dest")
+          case None => vocab.show(20, truncate = false)
+        }
+      case "pref-pairs" =>
+        // RLHF/DPO pair mining from a scored candidate parquet:
+        // per-prompt best-vs-worst above a margin floor
+        val file = positional.headOption
+          .getOrElse(fail("pref-pairs needs a scored-candidates parquet"))
+        val df = s.read.parquet(file)
+        val pairs = graft.operators.Sft.minePreferencePairs(df,
+          flags.getOrElse("prompt-col", "prompt"),
+          flags.getOrElse("cand-col", "cand"),
+          flags.getOrElse("score-col", "score"),
+          flags.getOrElse("min-margin", "0.0").toDouble)
+        flags.get("dest") match {
+          case Some(dest) =>
+            pairs.write.mode("overwrite").parquet(dest)
+            println(s"wrote ${pairs.count()} preference pairs -> $dest")
+          case None => pairs.show(20, truncate = false)
+        }
       case "mask-spans" =>
         // cross-document repeated n-gram span masking -> cleaned corpus
         // written to --dest. A transform-export, NOT an in-place

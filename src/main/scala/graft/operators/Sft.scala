@@ -94,19 +94,59 @@ object Sft {
                           scoreCol: String,
                           minMargin: Double = 0.0): DataFrame = {
     require(minMargin >= 0.0, s"minMargin must be >= 0, got $minMargin")
-    val scored = df.filter(col(scoreCol).isNotNull)
+    pairsFromExtremes(
+      preferenceExtremes(df, promptCol, candCol, scoreCol),
+      promptCol, minMargin)
+  }
+
+  /** The per-prompt extreme state behind [[minePreferencePairs]]:
+    * (promptCol, best_score, best_id, worst_score, worst_id). Constant
+    * per-prompt size, so it doubles as the STORED state of an
+    * incremental pipeline — fold new candidate batches in with
+    * [[mergePreferenceExtremes]] instead of re-scanning the pool (the
+    * incremental-novelty/Hamming discipline applied to RLHF mining).
+    */
+  def preferenceExtremes(df: DataFrame, promptCol: String, candCol: String,
+                         scoreCol: String): DataFrame =
+    df.filter(col(scoreCol).isNotNull)
       .select(col(promptCol), col(candCol).cast("long").as("__c"),
         col(scoreCol).cast("double").as("__s"))
-    scored.groupBy(col(promptCol))
+      .groupBy(col(promptCol))
       .agg(
         max(struct(col("__s").as("s"), (-col("__c")).as("nk"),
           col("__c").as("k"))).as("__best"),
         min(struct(col("__s").as("s"), col("__c").as("k"))).as("__worst"))
       .select(col(promptCol),
-        col("__best.k").as("chosen_id"),
-        col("__worst.k").as("rejected_id"),
-        round(col("__best.s") - col("__worst.s"), 6).as("margin"))
+        col("__best.s").as("best_score"), col("__best.k").as("best_id"),
+        col("__worst.s").as("worst_score"), col("__worst.k").as("worst_id"))
+
+  /** Fold two extreme tables (stored state + a new batch's
+    * [[preferenceExtremes]]) into one: min/max are associative, so any
+    * batch arrival order converges to the whole-pool extremes (spec'd).
+    * Cost is O(prompts touched), never O(candidate pool).
+    */
+  def mergePreferenceExtremes(a: DataFrame, b: DataFrame,
+                              promptCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(promptCol))
+      .agg(
+        max(struct(col("best_score").as("s"), (-col("best_id")).as("nk"),
+          col("best_id").as("k"))).as("__best"),
+        min(struct(col("worst_score").as("s"),
+          col("worst_id").as("k"))).as("__worst"))
+      .select(col(promptCol),
+        col("__best.s").as("best_score"), col("__best.k").as("best_id"),
+        col("__worst.s").as("worst_score"), col("__worst.k").as("worst_id"))
+
+  /** Extremes -> training pairs: the margin filter and the degenerate
+    * (single-candidate / score-flat) drop from [[minePreferencePairs]].
+    */
+  def pairsFromExtremes(ext: DataFrame, promptCol: String,
+                        minMargin: Double = 0.0): DataFrame =
+    ext.select(col(promptCol),
+        col("best_id").as("chosen_id"),
+        col("worst_id").as("rejected_id"),
+        round(col("best_score") - col("worst_score"), 6).as("margin"))
       .filter(col("chosen_id") =!= col("rejected_id") &&
         col("margin") >= minMargin)
-  }
 }

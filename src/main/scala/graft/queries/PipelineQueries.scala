@@ -1070,7 +1070,20 @@ object PipelineQueries {
         .agg(count_distinct(col("group")).as("n_groups"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("split"))
-    })
+    }),
+
+    // Unigram-LM (SentencePiece-flavored) seed vocabulary: word-internal
+    // substrings (2..4 chars) counted corpus-wide, top-20 by compression
+    // gain cnt·(len−1) — candidate extraction is row-local transforms,
+    // selection is TakeOrderedAndProject + rank on the 20-row page (the
+    // q143 BPE discipline, third tokenizer family). Viterbi segmentation
+    // under this vocab is spec-gated (Session4TokenizerSpec).
+    "q202_unigram_vocab" -> ((s, d) =>
+      graft.functions.UnigramLm.vocabSelect(
+          graft.functions.UnigramLm.candidates(
+            documents(s, d).select(col("text")), "text", maxLen = 4),
+          n = 20)
+        .orderBy(col("rank")))
   )
 
   private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -2168,7 +2181,27 @@ object PipelineQueries {
          |  FROM b)
          |SELECT split, CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
          |  CAST(count(*) AS BIGINT) AS n_docs
-         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // the same nested position x length substring extraction, exact
+    // integer counts and gains, the same (score DESC, token) page
+    "q202_unigram_vocab" ->
+      s"""WITH t AS (SELECT list_filter($Toks, x -> x <> '') AS toks FROM documents),
+         | w AS (SELECT unnest(toks) AS w FROM t),
+         | subs AS (SELECT flatten(list_transform(range(1, length(w) + 1),
+         |    i -> list_transform(range(1, least(4, length(w) - i + 1) + 1),
+         |      l -> substr(w, CAST(i AS INT), CAST(l AS INT))))) AS ss
+         |   FROM w),
+         | tok AS (SELECT unnest(ss) AS token FROM subs),
+         | c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+         |   WHERE length(token) >= 2 GROUP BY 1),
+         | page AS (SELECT token, cnt,
+         |   CAST(cnt * (length(token) - 1) AS BIGINT) AS score
+         |  FROM c ORDER BY score DESC, token LIMIT 20)
+         |SELECT token, cnt, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, token) AS BIGINT)
+         |    AS rank
+         |FROM page ORDER BY rank""".stripMargin
   )
 
   /** Winnowing selection CTE chain, parameterized on (k, w): char

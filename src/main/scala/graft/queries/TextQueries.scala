@@ -1029,6 +1029,23 @@ object TextQueries {
         .orderBy(col("src_id"), col("nbr_id"))
     }),
 
+    // Margin-scored bitext mining (LASER/CCMatrix criterion): best
+    // cross-LANGUAGE mate per vector, ranked by sim over the mean of
+    // both sides' kNN-neighborhood averages (margin cancels hubness).
+    // Exact twin with the q117/q126 row guard; mineBitextIvf is the
+    // probed scale path, spec'd exhaustive == exact.
+    "q201_bitext_margin" -> ((s, d) => {
+      val lang = documents(s, d).select(col("doc_id").as("vec_id"),
+        col("lang"))
+      val e = embeddings(s, d).join(lang, Seq("vec_id"))
+      val n = e.limit(10001).count()
+      require(n <= 10000,
+        s"q201_bitext_margin is an all-pairs verification twin (at least $n rows); use Ann.mineBitextIvf at scale")
+      graft.search.Ann.mineBitextExact(e, "vec_id", "embedding", "lang",
+          k = 4, marginThreshold = 1.0)
+        .orderBy(col("src"))
+    }),
+
     // Contrastive triplets: anchor + nearest same-label positive + 2
     // hard negatives per anchor — the InfoNCE data shape (exact twin;
     // contrastiveTripletsIvf is the probed scale path, spec'd
@@ -2160,6 +2177,34 @@ object TextQueries {
         |     ORDER BY sim DESC, nbr_id) AS rn FROM p)
         |SELECT src_id, nbr_id, round(sim, 6) AS sim FROM r WHERE rn <= 3
         | ORDER BY src_id, nbr_id""".stripMargin,
+
+    // cross-lang kNN lists, per-side neighborhood averages summed as
+    // DECIMAL(18,6) over round-6 sims (order-free, the q125 MaxSim
+    // discipline), margin through the same IEEE expression tree
+    "q201_bitext_margin" ->
+      """WITH e AS (SELECT emb.vec_id, emb.embedding, d.lang
+        |   FROM embeddings emb JOIN documents d ON emb.vec_id = d.doc_id),
+        | p AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM e a JOIN e b ON a.lang <> b.lang),
+        | r AS (SELECT src, nbr, sim, row_number() OVER (PARTITION BY src
+        |     ORDER BY sim DESC, nbr) AS rn FROM p),
+        | knn AS (SELECT src, nbr, sim FROM r WHERE rn <= 4),
+        | av AS (SELECT src,
+        |   CAST(sum(CAST(round(sim, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |     / count(*) AS avg_sim
+        |  FROM knn GROUP BY 1),
+        | m AS (SELECT k.src, k.nbr, k.sim,
+        |   k.sim / ((a1.avg_sim + a2.avg_sim) / 2) AS margin
+        |  FROM knn k JOIN av a1 ON k.src = a1.src
+        |   JOIN av a2 ON k.nbr = a2.src),
+        | best AS (SELECT src, nbr, sim, margin,
+        |   row_number() OVER (PARTITION BY src
+        |     ORDER BY margin DESC, nbr) AS rn FROM m)
+        |SELECT src, nbr, round(sim, 6) AS sim, round(margin, 6) AS margin
+        |FROM best WHERE rn = 1 AND margin >= 1.0
+        |ORDER BY src""".stripMargin,
 
     // nearest same-label partner joined against the q126 negatives
     "q140_triplets" ->

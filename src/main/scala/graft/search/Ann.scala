@@ -219,6 +219,72 @@ object Ann {
     embDf.withColumn("list_id", f(col(embCol)))
   }
 
+  /** Margin-scored bitext/cross-group mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 — the LASER/CCMatrix criterion): for each vector,
+    * its best neighbor from a DIFFERENT group (language, source, split),
+    * scored by the MARGIN sim(x,y) / ((avg kNN sim of x + avg kNN sim
+    * of y) / 2) rather than raw cosine — raw-cosine mining keeps hubs
+    * (vectors near everything); the margin denominator cancels hubness,
+    * which is why parallel-corpus mining uses it. Pairs below
+    * `marginThreshold` (1.0 = "no better than its neighborhood
+    * average") are dropped.
+    *
+    * This is the EXACT verification twin (all cross-group pairs —
+    * fixture scale only; callers guard rows like q117/q126);
+    * [[mineBitextIvf]] is the probed scale path, spec'd exhaustive ==
+    * exact. Engine-checkable determinism: the per-side kNN average
+    * sums round-6 sims as DECIMAL(18,6) (order-free exact, the q125
+    * MaxSim discipline), and both rank tie-breaks close on the
+    * neighbor key.
+    *
+    * Output: (src, nbr, sim, margin — rounded 6), at most one row per
+    * src (its best-margin mate above threshold).
+    */
+  def mineBitextExact(embDf: DataFrame, keyCol: String, embCol: String,
+                      groupCol: String, k: Int = 4,
+                      marginThreshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val knn = hardNegativesExact(embDf, keyCol, embCol, groupCol, k)
+    marginRescore(knn, marginThreshold)
+  }
+
+  /** The probed scale path of [[mineBitextExact]]: cross-group kNN
+    * lists from [[hardNegativesIvf]] (O(n · nProbe · avg list), never
+    * n²), then the identical margin rescore. `nProbe = nLists` is
+    * exhaustive and equals the exact twin bit-for-bit (spec'd).
+    */
+  def mineBitextIvf(embDf: DataFrame, keyCol: String, embCol: String,
+                    groupCol: String, k: Int = 4,
+                    marginThreshold: Double = 1.0, nLists: Int = 0,
+                    nProbe: Int = 2): DataFrame =
+    marginRescore(
+      hardNegativesIvf(embDf, keyCol, embCol, groupCol, k, nLists, nProbe),
+      marginThreshold)
+
+  /** Shared margin rescore over a (src, nbr, sim) kNN list table: both
+    * sides' neighborhood averages joined in, margin derived through one
+    * IEEE expression tree, best margin per src kept (rank over the
+    * k-row-per-src page, the grouped-top-k bound).
+    */
+  private def marginRescore(knn: DataFrame,
+                            marginThreshold: Double): DataFrame = {
+    val avg = knn.groupBy(col("src")).agg(
+      (sum(round(col("sim"), 6).cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("avg_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("margin"), col("nbr"))
+    knn
+      .join(avg, Seq("src"))
+      .join(avg.select(col("src").as("nbr"), col("avg_sim").as("avg_nbr")),
+        Seq("nbr"))
+      .withColumn("margin",
+        col("sim") / ((col("avg_sim") + col("avg_nbr")) / 2))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("margin") >= marginThreshold)
+      .select(col("src"), col("nbr"), round(col("sim"), 6).as("sim"),
+        round(col("margin"), 6).as("margin"))
+  }
+
   /** Clustering-quality profile of a trained IVF partition: per list,
     * the member count and the mean simplified silhouette (Rousseeuw
     * 1987, centroid form: a = distance to own centroid, b = distance to

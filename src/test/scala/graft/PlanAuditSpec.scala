@@ -244,4 +244,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window in the split path:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
+
+  test("unigram vocab selection pages via TakeOrdered (rank only on the n-row page)") {
+    val p = planOf(SparkEntry.queries("q202_unigram_vocab")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate selection must be a local-heap top-n, not a global sort:\n$p")
+  }
 }

@@ -190,6 +190,96 @@ class Session4OpsSpec extends SparkSpec {
     }
   }
 
+  test("mineBitextExact: best cross-group mate by margin, hub demoted") {
+    // en e1 aligns with fr f1 (near-identical); f2 is orthogonal noise.
+    val vecs = Seq(
+      (1L, Array(1f, 0f), "en"), (2L, Array(0.9f, 0.4f), "en"),
+      (11L, Array(0.99f, 0.05f), "fr"), (12L, Array(0f, 1f), "fr")
+    ).toDF("vec_id", "embedding", "lang")
+    val got = graft.search.Ann.mineBitextExact(vecs, "vec_id", "embedding",
+        "lang", k = 2, marginThreshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 11L, got)  // e1 <-> f1
+    assert(got(11L) == 1L, got)
+    // every kept pair cleared margin >= 1 by construction
+    assert(got.keySet.subsetOf(Set(1L, 2L, 11L, 12L)), got)
+  }
+
+  test("mineBitextIvf with exhaustive probes equals the exact twin bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1),
+        if (i % 2 == 0) "en" else "de")
+    }.toDF("vec_id", "embedding", "lang")
+    val exact = graft.search.Ann.mineBitextExact(vecs, "vec_id",
+        "embedding", "lang", k = 3, marginThreshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val probed = graft.search.Ann.mineBitextIvf(vecs, "vec_id",
+        "embedding", "lang", k = 3, marginThreshold = 0.0,
+        nLists = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(exact == probed, s"exact=$exact probed=$probed")
+  }
+
+  test("UnigramLm.candidates counts word-internal substrings, chars excluded") {
+    val docs = Seq("ab ab", "abc").toDF("text")
+    val got = graft.functions.UnigramLm.candidates(docs, "text", maxLen = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 3L, "bc" -> 1L, "abc" -> 1L), got)
+  }
+
+  test("UnigramLm.vocabSelect ranks by compression gain with token tie-break") {
+    val cands = Seq(("abc", 5L), ("de", 10L), ("fg", 10L)).toDF("token", "cnt")
+    val got = graft.functions.UnigramLm.vocabSelect(cands, n = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    // gains: de/fg = 10, abc = 10 — three-way score tie broken by token
+    assert(got == Seq(("abc", 10L, 1L), ("de", 10L, 2L)), got)
+  }
+
+  test("UnigramLm.segment: Viterbi picks the max-likelihood split; unknowns fall back per char") {
+    val vocab = Seq(("ab", 6L), ("cd", 2L)).toDF("token", "cnt")
+    val docs = Seq((1L, "abcd abx"), (2L, "")).toDF("id", "text")
+    val got = graft.functions.UnigramLm.segment(docs, "text", vocab)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](r.fieldIndex("pieces")),
+        r.getLong(r.fieldIndex("n_pieces")))).toSeq
+    assert(got == Seq(
+      (1L, Seq("ab", "cd", "ab", "x"), 4L),
+      (2L, Seq.empty[String], 0L)), got)
+  }
+
+  test("UnigramLm.segment pieces always concatenate back to the words") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcd"
+    val words = (1 to 30).map(_ =>
+      (1 to (1 + rnd.nextInt(9))).map(_ => alpha(rnd.nextInt(4))).mkString)
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val vocab = Seq(("ab", 5L), ("cda", 3L), ("dd", 2L)).toDF("token", "cnt")
+    val pieces = graft.functions.UnigramLm.segment(docs, "text", vocab)
+      .select(col("pieces")).head().getSeq[String](0)
+    assert(pieces.mkString == words.mkString, pieces)
+  }
+
+  test("preference extremes fold incrementally to the whole-pool answer") {
+    val all = (1L to 60L).map(i =>
+      (i % 7, i, (i * 37 % 11).toDouble)).toDF("prompt", "cand", "score")
+    val whole = graft.operators.Sft
+      .preferenceExtremes(all, "prompt", "cand", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val batches = (0 until 3).map(b =>
+      graft.operators.Sft.preferenceExtremes(
+        all.filter(col("cand") % 3 === b), "prompt", "cand", "score"))
+    val folded = batches.reduce(
+        graft.operators.Sft.mergePreferenceExtremes(_, _, "prompt"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(folded == whole, s"folded=$folded whole=$whole")
+  }
+
   test("groupAwareSplit: components move atomically; singletons split by their own key") {
     val df = (1L to 8L).toDF("k")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
