@@ -370,6 +370,8 @@ object SparkEntry {
     } ++ attempt("q198_cluster_profile") {
       clusterProfileOracle(
         graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8))
+    } ++ attempt("q203_unigram_doc_lp") {
+      graft.queries.PipelineQueries.unigramScoreOracle(s, sfDir)
     } ++ attempt("q199_multiclass") {
       graft.queries.PipelineQueries.multiclassOracle(
         graft.operators.Classifier.trainMulticlass(

@@ -105,6 +105,75 @@ object UnigramLm {
     out.toSeq
   }
 
+  /** The Viterbi SCORE of one word (best segmentation's total log-prob)
+    * without the backtrace — the value [[viterbiWord]] maximizes. The
+    * recurrence mirrors the SQL twin exactly: dp[k] = max over piece
+    * lengths l of dp[k-l] + lp(piece), with missing multi-char pieces at
+    * the -1e18 sentinel (never wins: the single-char fallback bounds
+    * every dp above -unkLogP·len) — so both engines compute the same
+    * IEEE additions and the same max.
+    */
+  private[graft] def viterbiScore(word: String, lp: Map[String, Double],
+                                  maxLen: Int, unkLogP: Double): Double = {
+    val nn = word.length
+    if (nn == 0) return 0.0
+    val dp = new Array[Double](nn + 1)
+    var k = 1
+    while (k <= nn) {
+      var best = Double.NegativeInfinity
+      var l = 1
+      while (l <= math.min(maxLen, k)) {
+        val piece = word.substring(k - l, k)
+        val v =
+          if (l == 1) lp.getOrElse(piece, unkLogP)
+          else lp.getOrElse(piece, -1e18)
+        val cand = dp(k - l) + v
+        if (cand > best) best = cand
+        l += 1
+      }
+      dp(k) = best
+      k += 1
+    }
+    dp(nn)
+  }
+
+  /** Per-document unigram-LM log-likelihood: each word's Viterbi score
+    * under the vocabulary, rounded to integer micro-units (HALF_UP, the
+    * house fixed-point discipline) and summed — a SUBWORD-level quality
+    * score next to the word-bigram cross-entropy (q131): boilerplate
+    * and in-domain text segment into frequent pieces (high lp), junk
+    * falls through to the unknown-char penalty. Row-local (one UDF over
+    * the broadcast vocab — no shuffle, stream-safe); the fixed-point
+    * sum makes the per-doc total independent of word order arithmetic.
+    *
+    * Output: input columns + (n_words, total_lp = Σ word scores,
+    * rounded 6).
+    */
+  def docScores(docs: DataFrame, textCol: String, vocab: DataFrame,
+                maxLen: Int = 4, unkLogP: Double = -20.0): DataFrame = {
+    val entries = vocab.select(col("token").cast("string"),
+        col("cnt").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)) // bounded: vocab
+    val total = entries.map(_._2).sum.toDouble.max(1.0)
+    val lp = entries.map { case (t, c) => t -> math.log(c / total) }.toMap
+    val f = udf((text: String) => {
+      val words = Option(text).map(_.toLowerCase.trim).getOrElse("")
+        .split("\\s+").filter(_.nonEmpty)
+      val micro = words.map { w =>
+        // HALF_UP like Spark/DuckDB round(), NOT math.round (which is
+        // half-toward-positive-infinity and differs on negative halves)
+        java.math.BigDecimal.valueOf(
+            viterbiScore(w, lp, maxLen, unkLogP) * 1000000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      }.sum
+      (words.length.toLong, micro)
+    })
+    docs.withColumn("__s", f(col(textCol)))
+      .withColumn("n_words", col("__s._1"))
+      .withColumn("total_lp", round(col("__s._2").cast("double") / 1e6, 6))
+      .drop("__s")
+  }
+
   /** Segment every document's words under a trained vocabulary:
     * (input columns, pieces ARRAY<STRING>, n_pieces). `vocab` is a
     * (token, cnt) table (e.g. [[vocabSelect]]'s page) turned into

@@ -1083,8 +1083,84 @@ object PipelineQueries {
           graft.functions.UnigramLm.candidates(
             documents(s, d).select(col("text")), "text", maxLen = 4),
           n = 20)
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // Per-doc unigram-LM log-likelihood under the q202 vocabulary: each
+    // word's VITERBI score (best-segmentation log-prob), micro-unit
+    // fixed point per word, exact integer sum per doc. The oracle is a
+    // Verify-time dynamic twin that UNROLLS the DP to the corpus's max
+    // word length against the re-derived vocab literals — the deepest
+    // engine-parity gate in the tokenizer family: a drift in candidate
+    // counts, vocab selection, log-probs, the DP recurrence, or the
+    // fallback penalty all break the hash.
+    "q203_unigram_doc_lp" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val vocab = graft.functions.UnigramLm.vocabSelect(
+        graft.functions.UnigramLm.candidates(docs, "text", maxLen = 4),
+        n = 20)
+      graft.functions.UnigramLm.docScores(docs, "text", vocab)
+        .select(col("doc_id"), col("n_words"), col("total_lp"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** q203's twin, built by `SparkEntry.dynamicOracleSql` with a live
+    * session: the q202 vocabulary re-derived (exact integer counts ->
+    * log-prob literals via the shortest-round-trip double repr) and the
+    * Viterbi DP unrolled to the corpus's max word length as chained
+    * CTEs — dp_k = greatest over piece lengths of dp_{k-l} + lp(piece),
+    * missing multi-char pieces at the -1e18 sentinel and unknown single
+    * chars at the -20 fallback, exactly `UnigramLm.viterbiScore`'s
+    * recurrence. Word scores round to micro-units (HALF_UP both
+    * engines) and sum exactly per doc.
+    */
+  def unigramScoreOracle(s: SparkSession, sfDir: String): String = {
+    val docs = documents(s, sfDir).select(col("doc_id"), col("text"))
+    val vocab = graft.functions.UnigramLm.vocabSelect(
+        graft.functions.UnigramLm.candidates(docs, "text", maxLen = 4),
+        n = 20)
+      .select(col("token"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)) // bounded: 20-row vocab
+    val total = vocab.map(_._2).sum.toDouble.max(1.0)
+    val maxW = docs
+      .select(explode(array_remove(
+        TextFunctions.tokens(trim(lower(col("text")))), "")).as("w"))
+      .agg(max(length(col("w")))).head().getInt(0)
+    require(maxW >= 1 && maxW <= 48,
+      s"unigram oracle unrolls per char; corpus max word length $maxW out of range")
+    def esc(t: String) = t.replace("'", "''")
+    def lpCase(arg: String): String =
+      vocab.map { case (t, c) =>
+        s"WHEN '${esc(t)}' THEN CAST(${math.log(c / total)} AS DOUBLE)"
+      }.mkString(s"(CASE $arg ", " ", " END)")
+    def arm(k: Int, l: Int): String = {
+      val sub = s"substr(w, ${k - l + 1}, $l)"
+      if (l == 1) s"d${k - 1} + coalesce(${lpCase(sub)}, CAST(-20.0 AS DOUBLE))"
+      else s"d${k - l} + coalesce(${lpCase(sub)}, CAST(-1e18 AS DOUBLE))"
+    }
+    val dpCtes = (1 to maxW).map { k =>
+      val arms = (1 to math.min(4, k)).map(l => arm(k, l))
+      val expr = if (arms.size == 1) arms.head
+                 else arms.mkString("greatest(", ",\n    ", ")")
+      s"dp$k AS (SELECT *, $expr AS d$k FROM dp${k - 1})"
+    }.mkString(",\n ")
+    val pick = (1 to maxW).map(k => s"WHEN $k THEN d$k")
+      .mkString("CASE length(w) ", " ", s" ELSE d$maxW END")
+    s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+       | dp0 AS (SELECT doc_id, unnest(toks) AS w, CAST(0.0 AS DOUBLE) AS d0
+       |   FROM t),
+       | $dpCtes,
+       | sc AS (SELECT doc_id, $pick AS score FROM dp$maxW),
+       | m AS (SELECT doc_id,
+       |   CAST(round(score * 1000000.0) AS BIGINT) AS mm FROM sc),
+       | ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |   CAST(sum(mm) AS BIGINT) AS s FROM m GROUP BY 1)
+       |SELECT d.doc_id, coalesce(ag.n_words, 0) AS n_words,
+       |  round(coalesce(CAST(ag.s AS DOUBLE), 0.0) / 1000000.0, 6)
+       |    AS total_lp
+       |FROM documents d LEFT JOIN ag USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
 

@@ -378,6 +378,79 @@ object Drive {
         s"sessions), containment ${cp.head.getDouble(5)} — all verified")
     }
 
+    println("=== 13. csv source, chat paths, pref pairs, bands, safe split, unigram ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      // CSV round-trip through a second collection: import the engine's
+      // own RFC-4180 write, counts and char sums must survive
+      val csvDir = s"$root/csv_out"
+      graft.sources.Ingest.writeCsv(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), csvDir)
+      val c13 = cat.create(CollectionConfig(name = "csvdocs",
+        index_columns = Seq("text")))
+      // importCsv routes through the same collection import as jsonl
+      graft.sources.Ingest.importCsv(c13,
+        s"$csvDir/*.csv")
+      val wantChars = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .agg(sum(col("n_chars"))).head().getLong(0)
+      val gotChars = c13.df.agg(sum(col("n_chars"))).head().getLong(0)
+      require(c13.count() == 500 && gotChars == wantChars,
+        s"csv round-trip drifted: n=${c13.count()} chars=$gotChars/$wantChars")
+      // conversation forest -> every leaf path, roots intact
+      val msgs = c13.df.select(col("_key").as("id"),
+        expr("CASE WHEN _key % 16 = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE (_key DIV 16) * 16 + ((_key % 16 - 1) DIV 2) END").as("parent"))
+      val paths = graft.operators.Conversations.chatPaths(msgs, "id", "parent")
+      require(paths.count() > 0 &&
+        paths.agg(max(col("depth"))).head().getLong(0) <= 5,
+        "planted 16-node forest flattens to depth <= 5")
+      // preference mining: whole-pool pairs == pairs from folded extremes
+      val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val whole = graft.operators.Sft.minePreferencePairs(
+        ev, "user_id", "event_id", "value", minMargin = 1.0)
+      val folded = graft.operators.Sft.pairsFromExtremes(
+        (0 until 3).map(b => graft.operators.Sft.preferenceExtremes(
+            ev.filter(col("event_id") % 3 === b), "user_id", "event_id",
+            "value"))
+          .reduce(graft.operators.Sft.mergePreferenceExtremes(_, _, "user_id")),
+        "user_id", minMargin = 1.0)
+      require(whole.collect().toSet == folded.collect().toSet,
+        "incremental extremes must mine the same pairs as the whole pool")
+      // perplexity bands partition the corpus per language
+      val bands = graft.functions.NgramLm.perplexityBands(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", "lang")
+      require(bands.count() == 500 &&
+        bands.select(col("band")).distinct().count() >= 2,
+        "bands must cover the corpus and actually separate")
+      // leakage-safe split: minhash groups stay atomic
+      val splitDf = graft.operators.Sampling.groupAwareSplit(
+        c13.df.select(col("_key"), col("text")), "_key",
+        graft.dedup.Dedup.minhashNearDups(c13.df, "text", "_key", 0.8),
+        "key_a", "key_b", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val straddles = splitDf.groupBy(col("group"))
+        .agg(count_distinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+      require(straddles == 0, s"$straddles groups straddle splits")
+      // unigram tokenizer: vocab -> segment -> pieces rebuild the words
+      val vocab = graft.functions.UnigramLm.vocabSelect(
+        graft.functions.UnigramLm.candidates(c13.df.select(col("text")),
+          "text", maxLen = 4), n = 50)
+      val seg = graft.functions.UnigramLm.segment(
+        c13.df.select(col("_key"), col("text")).limit(50), "text", vocab)
+      val bad = seg.withColumn("joined", concat_ws("", col("pieces")))
+        .withColumn("want",
+          concat_ws("", array_remove(split(trim(lower(col("text"))), "\\s+"), "")))
+        .filter(col("joined") =!= col("want")).count()
+      require(bad == 0, s"$bad docs fail the pieces-concat roundtrip")
+      println(s"csv=${c13.count()} rows, paths=${paths.count()}, " +
+        s"pref pairs=${whole.count()} (fold==whole), bands ok, " +
+        s"split atomic, unigram roundtrip ok")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }

@@ -55,7 +55,10 @@ object ScaleBench {
     "q172_more_like_this",
     "q181_span_mask", "q183_event_sequences", "q184_norm_outliers",
     "q186_source_overlap", "q188_ngram_novelty",
-    "q189_time_decay_sample", "q190_pagerank")
+    "q189_time_decay_sample", "q190_pagerank",
+    "q193_ppl_bands", "q194_pref_pairs", "q195_chat_paths",
+    "q196_ngram_diversity", "q199_multiclass", "q200_group_split",
+    "q202_unigram_vocab", "q203_unigram_doc_lp")
 
   /** Scale-path operators whose fixture queries are deliberately exact
     * verification twins: timed here through the distributed path.
@@ -66,7 +69,14 @@ object ScaleBench {
         "vec_id", "embedding", k = 10)),
     "hardNegativesIvf(k=3)" -> ((d: String) =>
       graft.search.Ann.hardNegativesIvf(Tables.embeddings(spark, d),
-        "vec_id", "embedding", "label", k = 3)))
+        "vec_id", "embedding", "label", k = 3)),
+    // q201's scale path (the exact twin is row-bound-guarded)
+    "mineBitextIvf(k=4)" -> ((d: String) =>
+      graft.search.Ann.mineBitextIvf(
+        Tables.embeddings(spark, d).join(
+          Tables.documents(spark, d)
+            .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id")),
+        "vec_id", "embedding", "lang", k = 4)))
 
   private def offsetKeys(df: DataFrame, keyCols: Seq[String], i: Int): DataFrame =
     keyCols.foldLeft(df)((d, k) =>

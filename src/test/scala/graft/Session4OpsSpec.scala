@@ -263,6 +263,38 @@ class Session4OpsSpec extends SparkSpec {
     assert(pieces.mkString == words.mkString, pieces)
   }
 
+  test("UnigramLm.docScores: per-word Viterbi scores, fixed-point doc sum") {
+    // vocab ab:6, cd:2, total 8: lp(ab)=ln(.75), lp(cd)=ln(.25)
+    val vocab = Seq(("ab", 6L), ("cd", 2L)).toDF("token", "cnt")
+    val docs = Seq((1L, "abcd abx"), (2L, "")).toDF("id", "text")
+    val got = graft.functions.UnigramLm.docScores(docs, "text", vocab)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("n_words")),
+        r.getDouble(r.fieldIndex("total_lp")))).toSeq
+    def mic(x: Double) = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val abcd = mic(math.log(0.75) + math.log(0.25)) // [ab][cd]
+    val abx = mic(math.log(0.75) - 20.0)            // [ab][x-unk]
+    val expected = BigDecimal((abcd + abx).toDouble / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 2L, expected), (2L, 0L, 0.0)), got)
+  }
+
+  test("viterbiScore equals the score of viterbiWord's segmentation") {
+    val rnd = new scala.util.Random(23)
+    val lp = Map("ab" -> math.log(0.4), "bcd" -> math.log(0.2),
+      "dd" -> math.log(0.1))
+    (1 to 50).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(10)))
+        .map(_ => "abcd"(rnd.nextInt(4))).mkString
+      val pieces = graft.functions.UnigramLm.viterbiWord(w, lp, 4, -20.0)
+      val segScore = pieces.map(p =>
+        if (p.length == 1) lp.getOrElse(p, -20.0) else lp(p)).sum
+      val direct = graft.functions.UnigramLm.viterbiScore(w, lp, 4, -20.0)
+      assert(math.abs(segScore - direct) < 1e-9, s"$w: $pieces $segScore $direct")
+    }
+  }
+
   test("preference extremes fold incrementally to the whole-pool answer") {
     val all = (1L to 60L).map(i =>
       (i % 7, i, (i * 37 % 11).toDouble)).toDF("prompt", "cand", "score")
