@@ -12,7 +12,8 @@ class DriverContractSpec extends org.scalatest.funsuite.AnyFunSuite {
     // local failure instead. Keep the dynamic list in sync with
     // SparkEntry.dynamicOracleSql's attempt() names.
     val dynamic = Set("q_ivf_topk", "q71_pq", "q84_pq_rerank",
-      "q130_semdedup_ivf", "q148_ann_recall")
+      "q130_semdedup_ivf", "q148_ann_recall",
+      "q198_cluster_profile", "q199_multiclass", "q203_unigram_doc_lp")
     val unchecked = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- dynamic
     assert(unchecked.isEmpty,
