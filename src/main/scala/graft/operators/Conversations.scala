@@ -71,4 +71,57 @@ object Conversations {
       .join(parents, col("__id") === col("__pid"), "left_anti")
       .select(col("__id").as("leaf_id"), col("depth"), col("path"))
   }
+
+  /** Flatten a message forest directly to SFT-ready examples: one row
+    * per LEAF with the rendered ANCESTOR context (root..parent texts
+    * joined by `sep`) as the prompt and the leaf's own text as the
+    * response — the OASST-style "every branch becomes its own training
+    * sequence" assembly, ready for [[Sft.renderPairs]]' loss-span
+    * template. Same level-at-a-time BFS as [[chatPaths]] (one equi-join
+    * per tree depth, localCheckpoint per level); context strings grow
+    * with depth × message length, the price of a linearized example.
+    *
+    * Output: (leaf_id, depth, context, response). A root with no
+    * children is a single-turn example with an empty context.
+    */
+  def chatExamples(msgs: DataFrame, idCol: String, parentCol: String,
+                   textCol: String, sep: String = "\n",
+                   maxDepth: Int = 32): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val nodes = msgs
+      .select(col(idCol).cast("long").as("__id"),
+        col(parentCol).cast("long").as("__parent"),
+        coalesce(col(textCol).cast("string"), lit("")).as("__text"))
+      .localCheckpoint(true)
+    val children = nodes.filter(col("__parent").isNotNull)
+    val parents = children.select(col("__parent").as("__pid")).distinct()
+
+    var frontier = nodes.filter(col("__parent").isNull)
+      .select(col("__id"), col("__text"), lit("").as("ctx"),
+        lit(1L).as("depth"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var depth = 1L
+    while (!frontier.isEmpty) {
+      if (depth > maxDepth)
+        throw new IllegalStateException(
+          s"chatExamples: depth exceeds maxDepth=$maxDepth — cycle in the " +
+            "parent pointers, or raise maxDepth for genuinely deep threads")
+      depth += 1
+      frontier = children
+        .join(frontier.select(col("__id").as("__parent"),
+          col("__text").as("__ptext"), col("ctx")), Seq("__parent"))
+        .select(col("__id"), col("__text"),
+          when(col("ctx") === "", col("__ptext"))
+            .otherwise(concat(col("ctx"), lit(sep), col("__ptext")))
+            .as("ctx"),
+          lit(depth).as("depth"))
+        .localCheckpoint(true)
+      if (!frontier.isEmpty) levels += frontier
+    }
+    levels.reduce(_ unionByName _)
+      .join(parents, col("__id") === col("__pid"), "left_anti")
+      .select(col("__id").as("leaf_id"), col("depth"),
+        col("ctx").as("context"), col("__text").as("response"))
+  }
 }

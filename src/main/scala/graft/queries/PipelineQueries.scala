@@ -1101,6 +1101,27 @@ object PipelineQueries {
       graft.functions.UnigramLm.docScores(docs, "text", vocab)
         .select(col("doc_id"), col("n_words"), col("total_lp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Conversation forest -> SFT examples END TO END: the q195 planted
+    // trees flattened with ancestor-context accumulation, every leaf
+    // rendered through the loss-span template (context as the prompt,
+    // leaf text as the response). The oracle re-walks the forest with a
+    // context-carrying recursive CTE and re-derives the span arithmetic
+    // — tree walk, context order, template, and offsets all in one hash.
+    "q204_chat_sft" -> ((s, d) => {
+      val msgs = documents(s, d).select(col("doc_id"),
+        expr("""CASE WHEN doc_id % 16 = 0 THEN CAST(NULL AS BIGINT)
+               |ELSE (doc_id DIV 16) * 16 + ((doc_id % 16 - 1) DIV 2)
+               |END""".stripMargin).as("parent"),
+        substring(coalesce(col("text"), lit("")), 1, 40).as("txt"))
+      val ex = graft.operators.Conversations.chatExamples(
+        msgs, "doc_id", "parent", "txt", maxDepth = 8)
+      graft.operators.Sft.renderPairs(ex, "leaf_id", "context", "response")
+        .join(ex.select(col("leaf_id"), col("depth")), Seq("leaf_id"))
+        .select(col("leaf_id"), col("depth"), col("text"),
+          col("loss_start"), col("loss_end"))
+        .orderBy(col("leaf_id"))
     })
   )
 
@@ -2277,7 +2298,36 @@ object PipelineQueries {
          |SELECT token, cnt, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, token) AS BIGINT)
          |    AS rank
-         |FROM page ORDER BY rank""".stripMargin
+         |FROM page ORDER BY rank""".stripMargin,
+
+    // the q195 forest re-walked with a context-carrying recursive CTE,
+    // then the Sft template + 1-based inclusive span arithmetic
+    "q204_chat_sft" ->
+      """WITH RECURSIVE m AS (SELECT doc_id AS id,
+        |   CASE WHEN doc_id % 16 = 0 THEN CAST(NULL AS BIGINT)
+        |        ELSE (doc_id // 16) * 16 + ((doc_id % 16 - 1) // 2)
+        |   END AS parent,
+        |   substr(coalesce(text, ''), 1, 40) AS txt
+        |  FROM documents),
+        | r AS (SELECT id, txt, CAST('' AS VARCHAR) AS ctx,
+        |     CAST(1 AS BIGINT) AS depth
+        |   FROM m WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT c.id, c.txt,
+        |   CASE WHEN r.ctx = '' THEN r.txt
+        |        ELSE r.ctx || chr(10) || r.txt END,
+        |   r.depth + 1
+        |  FROM m c JOIN r ON c.parent = r.id),
+        | leaf AS (SELECT r.id, r.txt, r.ctx, r.depth FROM r
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.parent = r.id)),
+        | ren AS (SELECT id AS leaf_id, depth,
+        |   '<|user|>' || chr(10) || ctx || chr(10) || '<|assistant|>'
+        |     || chr(10) AS prefix,
+        |   txt FROM leaf)
+        |SELECT leaf_id, depth, prefix || txt || '<|end|>' AS text,
+        |  CAST(length(prefix) + 1 AS BIGINT) AS loss_start,
+        |  CAST(length(prefix) + length(txt) AS BIGINT) AS loss_end
+        |FROM ren ORDER BY leaf_id""".stripMargin
   )
 
   /** Winnowing selection CTE chain, parameterized on (k, w): char

@@ -83,6 +83,21 @@ class Session4OpsSpec extends SparkSpec {
       (10L, 1L, "10")), got)
   }
 
+  test("chatExamples: ancestor contexts accumulate in order, roots get empty context") {
+    val msgs = Seq[(Long, Option[Long], String)](
+      (1L, None, "hello"), (2L, Some(1L), "hi there"),
+      (3L, Some(2L), "how are you"), (10L, None, "lonely root")
+    ).toDF("id", "parent", "text")
+    val got = graft.operators.Conversations.chatExamples(
+        msgs, "id", "parent", "text", sep = "\n")
+      .orderBy(col("leaf_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (3L, 3L, "hello\nhi there", "how are you"),
+      (10L, 1L, "", "lonely root")), got)
+  }
+
   test("chatPaths: depth beyond maxDepth fails loudly instead of looping") {
     val chain = Seq[(Long, Option[Long])](
       (1L, None), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(3L))
