@@ -160,6 +160,22 @@ object SparkEntry {
         .orderBy(col("list_id"))
     }),
 
+    // Cluster-balanced subset selection: cap each trained IVF list at a
+    // fixed budget (md5-ranked, the capPerGroup determinism) so a
+    // training subsample preserves embedding-space DIVERSITY instead of
+    // letting the dominant clusters swamp it — the cluster-balanced
+    // data-selection shape. Oracle: dynamic twin over the re-trained
+    // centroid literals + the same md5 rank.
+    "q205_cluster_balanced" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val centers = graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8)
+      graft.operators.Sampling.capPerGroup(
+          graft.search.Ann.ivfAssign(e, "embedding", centers)
+            .select(col("vec_id"), col("list_id")),
+          "list_id", "vec_id", n = 40)
+        .orderBy(col("vec_id"))
+    }),
+
     // K1 approximate, memory-scale: product-quantization top-10 by ADC
     // distance — the scan reads m=8-byte codes, never float vectors.
     // Oracle: Verify-time dynamic twin with codebook + query-table
@@ -370,6 +386,9 @@ object SparkEntry {
     } ++ attempt("q198_cluster_profile") {
       clusterProfileOracle(
         graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8))
+    } ++ attempt("q205_cluster_balanced") {
+      clusterBalancedOracle(
+        graft.search.Ann.ivfTrain(e, "vec_id", "embedding", k = 8), cap = 40)
     } ++ attempt("q203_unigram_doc_lp") {
       graft.queries.PipelineQueries.unigramScoreOracle(s, sfDir)
     } ++ attempt("q199_multiclass") {
@@ -380,6 +399,21 @@ object SparkEntry {
           "doc_id", "text", "source", dim = 32, iters = 2), dim = 32)
     }
   }
+
+  /** q205's twin: the [[ivfAssignCtes]] assignment plus capPerGroup's
+    * exact selection — per list, the `cap` rows with the smallest
+    * (md5-hex-of-key, key) pair; under-cap lists pass whole, which the
+    * rank filter already expresses.
+    */
+  private def clusterBalancedOracle(centers: Array[Array[Double]],
+                                    cap: Int): String =
+    s"""WITH ${ivfAssignCtes(centers)},
+       |r AS (SELECT vec_id, list_id, row_number() OVER (
+       |   PARTITION BY list_id
+       |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM a)
+       |SELECT vec_id, list_id FROM r WHERE rn <= $cap
+       |ORDER BY vec_id""".stripMargin
 
   /** q198's twin: the [[ivfAssignCtes]] assignment (first-wins argmin
     * over dimension-sequential squared L2) plus the simplified

@@ -105,6 +105,10 @@ object Sft {
     * incremental pipeline — fold new candidate batches in with
     * [[mergePreferenceExtremes]] instead of re-scanning the pool (the
     * incremental-novelty/Hamming discipline applied to RLHF mining).
+    * The aggregation is also STREAMING-safe as-is (min/max structs are
+    * native streaming state): call this on a streaming frame and read
+    * the running extremes in Update/Complete mode — stream == batch is
+    * spec'd in Session4OpsSpec.
     */
   def preferenceExtremes(df: DataFrame, promptCol: String, candCol: String,
                          scoreCol: String): DataFrame =

@@ -310,6 +310,32 @@ class Session4OpsSpec extends SparkSpec {
     }
   }
 
+  test("preference extremes run natively on a stream: stream == batch") {
+    // the extremes aggregation is min/max structs — streaming-safe state
+    // by construction (O(1) per prompt); Complete mode exposes it
+    val rows = (1L to 40L).map(i => (i % 5, i, (i * 31 % 13).toDouble))
+    val batch = graft.operators.Sft.preferenceExtremes(
+        rows.toDF("prompt", "cand", "score"), "prompt", "cand", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = graft.operators.Sft.preferenceExtremes(
+      mem.toDF().toDF("prompt", "cand", "score"), "prompt", "cand", "score")
+    val q = out.writeStream.format("memory").queryName("pref_ext")
+      .outputMode("complete").start()
+    mem.addData(rows.take(20))
+    q.processAllAvailable()
+    mem.addData(rows.drop(20))
+    q.processAllAvailable()
+    val streamed = spark.table("pref_ext").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("preference extremes fold incrementally to the whole-pool answer") {
     val all = (1L to 60L).map(i =>
       (i % 7, i, (i * 37 % 11).toDouble)).toDF("prompt", "cand", "score")
