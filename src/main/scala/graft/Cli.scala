@@ -775,12 +775,15 @@ object Cli {
       if (lower.endsWith(".jsonl") || lower.endsWith(".json")) "json"
       else if (lower.endsWith(".pdf")) "pdf"
       else if (lower.endsWith(".csv")) "csv"
+      else if (lower.endsWith(".orc")) "orc"
       else "parquet"
     (kind, append) match {
       case ("json", false)    => Ingest.importJsonl(c, path)
       case ("json", true)     => Ingest.appendJsonl(c, path)
       case ("csv", false)     => Ingest.importCsv(c, path)
       case ("csv", true)      => Ingest.appendCsv(c, path)
+      case ("orc", false)     => Ingest.importOrc(c, path)
+      case ("orc", true)      => Ingest.appendOrc(c, path)
       case ("pdf", false)     => graft.sources.Pdf.importPdf(c, path)
       case ("pdf", true)      => graft.sources.Pdf.appendPdf(c, path)
       case (_, false) => Ingest.importParquet(c, path)

@@ -1103,6 +1103,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ORC interchange round-trip (the q197 CSV discipline on the other
+    // columnar container): documents -> ORC -> read back -> per-SOURCE
+    // rollup; the oracle computes the same rollup from the parquet, so
+    // any type or row damage in the ORC path breaks the hash.
+    "q206_orc_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q206").toString
+      graft.sources.Ingest.writeOrc(documents(s, d), s"$tmp/docs_orc")
+      graft.sources.Ingest.readOrc(s, s"$tmp/docs_orc")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
     // Conversation forest -> SFT examples END TO END: the q195 planted
     // trees flattened with ancestor-context accumulation, every leaf
     // rendered through the loss-span template (context as the prompt,
@@ -2299,6 +2315,14 @@ object PipelineQueries {
          |  CAST(row_number() OVER (ORDER BY score DESC, token) AS BIGINT)
          |    AS rank
          |FROM page ORDER BY rank""".stripMargin,
+
+    // the round-trip's target rollup straight from the parquet
+    "q206_orc_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     // the q195 forest re-walked with a context-carrying recursive CTE,
     // then the Sft template + 1-based inclusive span arithmetic

@@ -127,9 +127,28 @@ object Ingest {
       .mode("overwrite")
       .csv(path)
 
+  /** ORC read — the other columnar interchange format Hadoop shops
+    * standardize on; Spark's reader is native (predicate pushdown,
+    * column pruning, block-level splits — the parquet story, different
+    * container).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(resolvePath(path))
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** S1: import a JSONL file/glob into an empty collection. */
   def importJsonl(c: Collection, path: String): Unit =
     c.importDf(readJsonl(c.spark, path))
+
+  /** S1 (orc flavor): import an ORC file/glob. */
+  def importOrc(c: Collection, path: String): Unit =
+    c.importDf(readOrc(c.spark, path))
+
+  /** S3 (orc flavor): append ORC, schema-aligned, `_key` continues. */
+  def appendOrc(c: Collection, path: String): Unit =
+    c.appendDf(readOrc(c.spark, path))
 
   /** S1 (csv flavor): import a CSV file/glob. */
   def importCsv(c: Collection, path: String): Unit =

@@ -377,4 +377,75 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 15)
   }
+
+  test("minePreferencePairs equals the brute-force extremes model on random pools") {
+    val poolGen = for {
+      m <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(m, for {
+        p <- Gen.choose(0L, 6L)
+        c <- Gen.choose(0L, 200L)
+        s <- Gen.choose(0, 8).map(_.toDouble) // heavy score ties
+      } yield (p, c, s))
+    } yield rows.distinctBy(t => (t._1, t._2))
+    check("prefPairs", Prop.forAll(poolGen) { rows =>
+      val got = graft.operators.Sft.minePreferencePairs(
+          rows.toDF("p", "c", "s").repartition(4), "p", "c", "s",
+          minMargin = 2.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (p, xs) =>
+        val chosen = xs.minBy { case (_, c, s) => (-s, c) }
+        val worst = xs.minBy { case (_, c, s) => (s, c) }
+        val margin = BigDecimal(chosen._3 - worst._3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (chosen._2 != worst._2 && margin >= 2.0)
+          Some((p, chosen._2, worst._2, margin))
+        else None
+      }.toSet
+      got == want
+    }, n = 15)
+  }
+
+  test("groupAwareSplit labels equal union-find; splits never straddle a component") {
+    val gen = for {
+      nk <- Gen.choose(1, 60)
+      ne <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(ne, for {
+        a <- Gen.choose(1L, nk.toLong)
+        b <- Gen.choose(1L, nk.toLong)
+      } yield (a, b))
+    } yield (nk.toLong, edges.filter(e => e._1 != e._2))
+    check("groupSplit", Prop.forAll(gen) { case (nk, edges) =>
+      val df = (1L to nk).toDF("k")
+      val out = graft.operators.Sampling.groupAwareSplit(df, "k",
+          edges.toDF("a", "b"), "a", "b",
+          Seq("train" -> 70, "test" -> 30))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val uf = unionFind(edges)
+      val labelsOk = out.forall { case (k, g, _) =>
+        g == uf.getOrElse(k, k) }
+      val atomic = out.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1)
+      labelsOk && atomic && out.length == nk
+    }, n = 15)
+  }
+
+  test("viterbiScore is the true maximum over ALL segmentations of short words") {
+    val lp = Map("ab" -> math.log(0.3), "bc" -> math.log(0.2),
+      "abc" -> math.log(0.15), "cc" -> math.log(0.1), "ca" -> math.log(0.05))
+    val unk = -20.0
+    def allScores(w: String): Seq[Double] =
+      if (w.isEmpty) Seq(0.0)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val piece = w.substring(0, l)
+        val v: Option[Double] =
+          if (l == 1) Some(lp.getOrElse(piece, unk)) else lp.get(piece)
+        v.toSeq.flatMap(x => allScores(w.substring(l)).map(_ + x))
+      }
+    val wordGen = Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    check("viterbiOptimal", Prop.forAll(wordGen) { w =>
+      val direct = graft.functions.UnigramLm.viterbiScore(w, lp, 4, unk)
+      math.abs(direct - allScores(w).max) < 1e-9
+    }, n = 40)
+  }
 }
