@@ -1103,6 +1103,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // RLHF data assembly END TO END: the q194 mined extremes rendered
+    // as DPO training rows — two rows per kept prompt (chosen/rejected
+    // through the identical template) with 1-based inclusive loss
+    // spans. Mining (q194) and rendering (q157) are gated separately;
+    // this hashes their COMPOSITION, so a drift in either's contract
+    // breaks the pipeline gate too.
+    "q207_dpo_assembly" -> ((s, d) => {
+      val pairs = graft.operators.Sft.minePreferencePairs(
+        events(s, d).select(col("user_id"), col("event_id"), col("value")),
+        "user_id", "event_id", "value", minMargin = 1.0)
+      val texted = pairs
+        .withColumn("prompt",
+          concat(lit("prompt "), col("user_id").cast("string")))
+        .withColumn("chosen",
+          concat(lit("resp "), col("chosen_id").cast("string")))
+        .withColumn("rejected",
+          concat(lit("resp "), col("rejected_id").cast("string")))
+      graft.operators.Sft.renderPreferencePairs(texted, "user_id",
+          "prompt", "chosen", "rejected")
+        .orderBy(col("user_id"), col("side"))
+    }),
+
+    // CCNet band keep-policy rollup: per (lang, band) doc counts plus
+    // the keep decision (head+middle in, tail out) — the table a
+    // mixture owner signs off on before the filter runs. Composes the
+    // q193 banding; the oracle shares its CTE chain (BandCtes) so the
+    // two cannot drift.
+    "q208_band_policy" -> ((s, d) =>
+      graft.functions.NgramLm.perplexityBands(
+          documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+          "doc_id", "text", "lang")
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("kept", col("band") =!= "tail")
+        .orderBy(col("lang"), col("band"))),
+
     // ORC interchange round-trip (the q197 CSV discipline on the other
     // columnar container): documents -> ORC -> read back -> per-SOURCE
     // rollup; the oracle computes the same rollup from the parquet, so
@@ -1209,6 +1245,50 @@ object PipelineQueries {
       |   list_transform(range(1, 9),
       |     i -> CAST(strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1 AS BIGINT))),
       |   (a, b) -> a * 16 + b)""".stripMargin
+
+  /** Shared per-language perplexity-banding CTE chain (ends in
+    * `banded(doc_id, lang, xent2, band)`): the q131 bigram-xent chain,
+    * micro-unit group stats, and the head/middle/tail cuts — used by
+    * q193 (per-doc bands) and q208 (the band keep-policy rollup) so the
+    * two oracles cannot drift apart.
+    */
+  private lazy val BandCtes: String =
+    s"""t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
+       | bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+       |        unnest(toks[2:len(toks)]) AS w2
+       |   FROM t WHERE len(toks) >= 2),
+       | tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+       |   FROM bi GROUP BY 1, 2, 3),
+       | c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+       |   FROM tf GROUP BY 1, 2),
+       | c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       | v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |   FROM (SELECT unnest(toks) AS tok FROM t)),
+       | contrib AS (SELECT tf.doc_id, tf.w1, tf.w2, tf.tf,
+       |     tf.tf * ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+       |       / (CAST(c1.c1 AS DOUBLE) + 1.0 * (SELECT v FROM v))) AS c
+       |   FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+       | agg AS (SELECT doc_id,
+       |     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |       list(c ORDER BY w1, w2)), (x, y) -> x + y) AS sumc,
+       |     CAST(sum(tf) AS BIGINT) AS n
+       |   FROM contrib GROUP BY doc_id),
+       | xe AS (SELECT d.doc_id, d.lang,
+       |     round(coalesce(-a.sumc / a.n, 0.0), 6) AS xent2
+       |   FROM documents d LEFT JOIN agg a USING (doc_id)),
+       | mi AS (SELECT doc_id, lang, xent2,
+       |     CAST(round(xent2 * 1000000.0) AS BIGINT) AS m FROM xe),
+       | st AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+       |     CAST(sum(m) AS DOUBLE) AS s1,
+       |     CAST(sum(m * m) AS DOUBLE) AS s2
+       |   FROM mi GROUP BY 1),
+       | banded AS (SELECT mi.doc_id, mi.lang, mi.xent2,
+       |  CASE WHEN CAST(mi.m AS DOUBLE) < st.s1 / st.n THEN 'head'
+       |       WHEN CAST(mi.m AS DOUBLE) <= st.s1 / st.n
+       |         + sqrt(greatest(st.s2 / st.n
+       |             - (st.s1 / st.n) * (st.s1 / st.n), 0.0)) THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |  FROM mi JOIN st USING (lang))""".stripMargin
 
   /** Exact-pair dedup-apply oracle (recursive-CTE components over the
     * exact Jaccard >= 0.8 edge list, per-lang kept/dropped counts) —
@@ -2179,48 +2259,14 @@ object PipelineQueries {
         |FROM documents WHERE doc_id % 10 = 0
         |ORDER BY comp_id""".stripMargin,
 
-    // q131's xent chain + mean/sigma banding over integer micro-units:
-    // HUGEINT sums are exact like Spark's DECIMAL(38,0), and the band
-    // thresholds derive from those exact integers through the same IEEE
-    // expression tree (s1/n, sqrt(greatest(s2/n - (s1/n)^2, 0)))
+    // q131's xent chain + mean/sigma banding over integer micro-units
+    // (the shared BandCtes below): HUGEINT sums are exact like Spark's
+    // DECIMAL(38,0), and the band thresholds derive from those exact
+    // integers through the same IEEE expression tree
     "q193_ppl_bands" ->
-      s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks FROM documents),
-         | bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
-         |        unnest(toks[2:len(toks)]) AS w2
-         |   FROM t WHERE len(toks) >= 2),
-         | tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
-         |   FROM bi GROUP BY 1, 2, 3),
-         | c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
-         |   FROM tf GROUP BY 1, 2),
-         | c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-         | v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-         |   FROM (SELECT unnest(toks) AS tok FROM t)),
-         | contrib AS (SELECT tf.doc_id, tf.w1, tf.w2, tf.tf,
-         |     tf.tf * ln((CAST(c2.c2 AS DOUBLE) + 1.0)
-         |       / (CAST(c1.c1 AS DOUBLE) + 1.0 * (SELECT v FROM v))) AS c
-         |   FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
-         | agg AS (SELECT doc_id,
-         |     list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |       list(c ORDER BY w1, w2)), (x, y) -> x + y) AS sumc,
-         |     CAST(sum(tf) AS BIGINT) AS n
-         |   FROM contrib GROUP BY doc_id),
-         | xe AS (SELECT d.doc_id, d.lang,
-         |     round(coalesce(-a.sumc / a.n, 0.0), 6) AS xent2
-         |   FROM documents d LEFT JOIN agg a USING (doc_id)),
-         | mi AS (SELECT doc_id, lang, xent2,
-         |     CAST(round(xent2 * 1000000.0) AS BIGINT) AS m FROM xe),
-         | st AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
-         |     CAST(sum(m) AS DOUBLE) AS s1,
-         |     CAST(sum(m * m) AS DOUBLE) AS s2
-         |   FROM mi GROUP BY 1)
-         |SELECT mi.doc_id, mi.lang, mi.xent2,
-         |  CASE WHEN CAST(mi.m AS DOUBLE) < st.s1 / st.n THEN 'head'
-         |       WHEN CAST(mi.m AS DOUBLE) <= st.s1 / st.n
-         |         + sqrt(greatest(st.s2 / st.n
-         |             - (st.s1 / st.n) * (st.s1 / st.n), 0.0)) THEN 'middle'
-         |       ELSE 'tail' END AS band
-         |FROM mi JOIN st USING (lang)
-         |ORDER BY mi.doc_id""".stripMargin,
+      s"""WITH $BandCtes
+         |SELECT doc_id, lang, xent2, band FROM banded
+         |ORDER BY doc_id""".stripMargin,
 
     // the same planted 16-node binary forest walked by a recursive CTE;
     // leaves are ids that parent nothing
@@ -2315,6 +2361,46 @@ object PipelineQueries {
          |  CAST(row_number() OVER (ORDER BY score DESC, token) AS BIGINT)
          |    AS rank
          |FROM page ORDER BY rank""".stripMargin,
+
+    // q194's window extremes + the Sft template per side, spans by
+    // length arithmetic (the q204 discipline applied to DPO rows)
+    "q207_dpo_assembly" ->
+      """WITH s AS (SELECT user_id, event_id, value FROM events
+        |   WHERE value IS NOT NULL),
+        | r AS (SELECT user_id, event_id, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY value DESC, event_id) AS rb,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY value ASC, event_id) AS rw
+        |  FROM s),
+        | c AS (SELECT user_id, event_id AS chosen_id, value AS cs
+        |   FROM r WHERE rb = 1),
+        | w AS (SELECT user_id, event_id AS rejected_id, value AS ws
+        |   FROM r WHERE rw = 1),
+        | pairs AS (SELECT c.user_id, c.chosen_id, w.rejected_id
+        |  FROM c JOIN w USING (user_id)
+        |  WHERE c.chosen_id <> w.rejected_id
+        |    AND round(c.cs - w.ws, 6) >= 1.0),
+        | sides AS (
+        |  SELECT user_id, 'chosen' AS side,
+        |    'resp ' || chosen_id AS resp FROM pairs
+        |  UNION ALL
+        |  SELECT user_id, 'rejected', 'resp ' || rejected_id FROM pairs),
+        | ren AS (SELECT user_id, side,
+        |   '<|user|>' || chr(10) || 'prompt ' || user_id || chr(10)
+        |     || '<|assistant|>' || chr(10) AS prefix,
+        |   resp FROM sides)
+        |SELECT user_id, side, prefix || resp || '<|end|>' AS text,
+        |  CAST(length(prefix) + 1 AS BIGINT) AS loss_start,
+        |  CAST(length(prefix) + length(resp) AS BIGINT) AS loss_end
+        |FROM ren ORDER BY user_id, side""".stripMargin,
+
+    // the shared banding chain rolled up to the keep table
+    "q208_band_policy" ->
+      s"""WITH $BandCtes
+         |SELECT lang, band, CAST(count(*) AS BIGINT) AS n_docs,
+         |  band <> 'tail' AS kept
+         |FROM banded GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
 
     // the round-trip's target rollup straight from the parquet
     "q206_orc_roundtrip" ->
