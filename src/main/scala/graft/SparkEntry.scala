@@ -397,6 +397,12 @@ object SparkEntry {
           documents(s, sfDir).select(col("doc_id"), col("text"),
             col("source")),
           "doc_id", "text", "source", dim = 32, iters = 2), dim = 32)
+    } ++ attempt("q209_multiclass_confusion") {
+      graft.queries.PipelineQueries.multiclassConfusionOracle(
+        graft.operators.Classifier.trainMulticlass(
+          documents(s, sfDir).select(col("doc_id"), col("text"),
+            col("source")),
+          "doc_id", "text", "source", dim = 32, iters = 2), dim = 32)
     }
   }
 

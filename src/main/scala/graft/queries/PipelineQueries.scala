@@ -1103,6 +1103,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The multiclass confusion matrix: (label, pred, n) over the q199
+    // classifier — the eval artifact a classifier owner reads before
+    // trusting clean-by-prediction. Same re-trained dynamic oracle,
+    // rolled up (shared CTE builder, so q199 and q209 cannot drift).
+    "q209_multiclass_confusion" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"),
+        col("source"))
+      val models = graft.operators.Classifier.trainMulticlass(
+        docs, "doc_id", "text", "source", dim = 32, iters = 2)
+      graft.operators.Classifier.classifyMulticlass(
+          docs, "doc_id", "text", models)
+        .join(docs.select(col("doc_id"), col("source").as("label")),
+          Seq("doc_id"))
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
     // RLHF data assembly END TO END: the q194 mined extremes rendered
     // as DPO training rows — two rows per kept prompt (chosen/rejected
     // through the identical template) with 1-based inclusive loss
@@ -2518,6 +2536,29 @@ object PipelineQueries {
     */
   def multiclassOracle(models: Seq[(String, Array[Double])],
                        dim: Int): String = {
+    val (margins, pred, mlist) = multiclassParts(models)
+    s"""WITH ${multiclassCtes(margins, pred, mlist, dim)}
+       |SELECT doc_id, label, pred, margin FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q209's twin: the same serving CTEs rolled up to the confusion
+    * matrix — (label, pred, n) over the re-trained weight literals.
+    */
+  def multiclassConfusionOracle(models: Seq[(String, Array[Double])],
+                                dim: Int): String = {
+    val (margins, pred, mlist) = multiclassParts(models)
+    s"""WITH ${multiclassCtes(margins, pred, mlist, dim)}
+       |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+       |FROM scored GROUP BY 1, 2
+       |ORDER BY label, pred""".stripMargin
+  }
+
+  /** The per-class margin expressions, first-wins argmax CASE, and
+    * margin list shared by the two multiclass oracles.
+    */
+  private def multiclassParts(models: Seq[(String, Array[Double])])
+      : (String, String, String) = {
     def wlit(w: Array[Double]): String =
       w.mkString("CAST([", ", ", "] AS DOUBLE[])")
     val margins = models.zipWithIndex.map { case ((_, w), i) =>
@@ -2530,7 +2571,15 @@ object PipelineQueries {
     val pred = models.zipWithIndex
       .map { case ((lab, _), i) => s"WHEN m$i = greatest($mlist) THEN '$lab'" }
       .mkString("CASE ", " ", " END")
-    s"""WITH t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks
+    (margins, pred, mlist)
+  }
+
+  /** Hashed features + margins + argmax, ending in
+    * `scored(doc_id, label, pred, margin)`.
+    */
+  private def multiclassCtes(margins: String, pred: String, mlist: String,
+                             dim: Int): String =
+    s"""t AS (SELECT doc_id, list_filter($Toks, x -> x <> '') AS toks
        |   FROM documents),
        | tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
        | htok AS (SELECT doc_id, md5(tk) AS hx FROM tok),
@@ -2541,12 +2590,10 @@ object PipelineQueries {
        |     CAST(1 AS BIGINT) AS x FROM documents),
        | m AS (SELECT f.doc_id,
        |  $margins
-       |  FROM feats f GROUP BY f.doc_id)
-       |SELECT m.doc_id, d.source AS label, $pred AS pred,
-       |  round(greatest($mlist), 6) AS margin
-       |FROM m JOIN documents d USING (doc_id)
-       |ORDER BY m.doc_id""".stripMargin
-  }
+       |  FROM feats f GROUP BY f.doc_id),
+       | scored AS (SELECT m.doc_id, d.source AS label, $pred AS pred,
+       |   round(greatest($mlist), 6) AS margin
+       |  FROM m JOIN documents d USING (doc_id))""".stripMargin
 
   /** q147's twin: `Classifier.trainScore` unrolled iteration-by-iteration.
     * Each iteration is three CTEs — margins (sorted-j `list_reduce` fold,

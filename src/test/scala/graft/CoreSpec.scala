@@ -14,7 +14,7 @@ class DriverContractSpec extends org.scalatest.funsuite.AnyFunSuite {
     val dynamic = Set("q_ivf_topk", "q71_pq", "q84_pq_rerank",
       "q130_semdedup_ivf", "q148_ann_recall",
       "q198_cluster_profile", "q199_multiclass", "q203_unigram_doc_lp",
-      "q205_cluster_balanced")
+      "q205_cluster_balanced", "q209_multiclass_confusion")
     val unchecked = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- dynamic
     assert(unchecked.isEmpty,
