@@ -89,6 +89,64 @@ final class HashingEmbedder(val dim: Int = 384, seed: Int = 42) extends Embedder
   }
 }
 
+/** Pluggable embedder backend factory — the drop-in seam for a REAL
+  * encoder (the reference's ONNX / Gemini backends,
+  * encoder_onnx.rs:56-338, gemini_embedder.rs:78-141, are excluded here
+  * only by the zero-egress build). A provider jar on the classpath
+  * implements this trait with a no-arg constructor; the registry loads
+  * it by class name via [[EmbedderProvider.load]] — no compile-time
+  * dependency from graft on the backend, so shipping a real ONNX
+  * provider later requires zero changes to this library.
+  *
+  * Contract: `create` must return a deterministic, `Serializable`
+  * [[Embedder]] (it is shipped to executors); the provider itself runs
+  * driver-side only.
+  */
+trait EmbedderProvider {
+  def create(modelId: String, variant: String): Embedder
+}
+
+object EmbedderProvider {
+
+  /** Reflection-load a provider by class name and build an embedder
+    * through it. Fails loudly (class missing, wrong type, no no-arg
+    * constructor, or a non-positive dim) rather than falling back —
+    * a user who configured a backend must not silently get the hashing
+    * stand-in.
+    */
+  def load(className: String, modelId: String,
+           variant: String = "f32"): Embedder = {
+    val cls =
+      try Class.forName(className)
+      catch { case _: ClassNotFoundException =>
+        throw new IllegalArgumentException(
+          s"embedder provider class '$className' not on the classpath")
+      }
+    require(classOf[EmbedderProvider].isAssignableFrom(cls),
+      s"'$className' does not implement graft.embed.EmbedderProvider")
+    val provider =
+      try cls.getDeclaredConstructor().newInstance()
+        .asInstanceOf[EmbedderProvider]
+      catch { case _: NoSuchMethodException =>
+        throw new IllegalArgumentException(
+          s"provider '$className' needs a public no-arg constructor")
+      }
+    val e = provider.create(modelId, variant)
+    require(e != null && e.dim > 0,
+      s"provider '$className' returned an invalid embedder for " +
+        s"'$modelId' ($variant)")
+    e
+  }
+
+  /** The configured provider class, if any: the `GRAFT_EMBEDDER_PROVIDER`
+    * environment variable (or the `graft.embedder.provider` system
+    * property, which wins — the test/tooling override idiom).
+    */
+  def configured: Option[String] =
+    sys.props.get("graft.embedder.provider")
+      .orElse(sys.env.get("GRAFT_EMBEDDER_PROVIDER"))
+}
+
 /** Model registry (E5): `(name, variant) -> Embedder`, replacing the
   * reference's `ModelManagerActor` id table (model_actor.rs:33-130). The
   * registry lives on the driver; individual embedders are serialized into
@@ -99,10 +157,16 @@ final class ModelRegistry {
 
   /** Register (idempotent) and return the embedder for a model spec. The
     * default model mirrors the reference default `hf://mys/minilm` f32 at
-    * MiniLM's 384 dims (collection_utils.rs:39-41).
+    * MiniLM's 384 dims (collection_utils.rs:39-41). When an
+    * [[EmbedderProvider]] is configured, it takes precedence over the
+    * built-in hashing stand-in — a real backend drops in by classpath +
+    * one env var, exactly the reference's pluggable-encoder contract.
     */
   def load(name: String, variant: String = "f32"): Embedder =
-    models.getOrElseUpdate((name, variant), defaultFor(name, variant))
+    models.getOrElseUpdate((name, variant),
+      EmbedderProvider.configured
+        .map(cls => EmbedderProvider.load(cls, name, variant))
+        .getOrElse(defaultFor(name, variant)))
 
   def register(name: String, variant: String, e: Embedder): Unit =
     models.put((name, variant), e)

@@ -107,7 +107,10 @@ object NgramLm {
     * {'head', 'middle', 'tail'}: head = xent strictly below the group
     * mean, middle = at most one sigma above (inclusive, so a
     * single-doc or score-flat group — xent == mean, sigma == 0 — is
-    * 'middle', not 'tail'), tail = beyond.
+    * 'middle', not 'tail'), tail = beyond. A NULL group value is a
+    * group of its own (the stats join is null-safe `<=>`): unattributed
+    * documents band against each other instead of silently vanishing
+    * from the output, the way a plain equi-join would drop them.
     */
   def perplexityBands(docs: DataFrame, keyCol: String, textCol: String,
                       groupCol: String, addK: Double = 1.0): DataFrame = {
@@ -126,7 +129,10 @@ object NgramLm {
     val s2 = col("__s2").cast("double")
     val mean = s1 / n
     val sd = sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0)))
-    scored.join(broadcast(stats), Seq(groupCol))
+    // null-safe on the group: NULL <=> NULL matches, so unattributed
+    // docs keep their own band group rather than dropping from the join
+    scored.join(broadcast(stats.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"))
       .select(col(keyCol), col(groupCol), col("xent2"),
         when(col("__m").cast("double") < mean, "head")
           .when(col("__m").cast("double") <= mean + sd, "middle")

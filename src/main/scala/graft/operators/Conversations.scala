@@ -24,9 +24,29 @@ import org.apache.spark.sql.functions._
   *
   * Cycles (or depth beyond `maxDepth`) fail loudly instead of looping:
   * a parent pointer that never reaches a root is data corruption the
-  * pipeline owner must see, not a row to drop.
+  * pipeline owner must see, not a row to drop. Two distinct failure
+  * shapes are both caught: a root-REACHABLE chain deeper than
+  * `maxDepth` trips the depth check inside the loop, and a subtree the
+  * BFS never reaches at all (a cycle among non-roots, or a parent id
+  * absent from the dataset) — which would otherwise terminate the loop
+  * silently — trips the reachability audit after it (every level is
+  * localCheckpointed, so the per-level counts are local re-scans, not
+  * recomputation).
   */
 object Conversations {
+
+  /** Fail loudly when the BFS did not visit every message: `reached` is
+    * the sum of level sizes, `total` the input row count. A shortfall
+    * means messages whose parent chain never reaches a root — a cycle
+    * among non-root messages, or a parent id missing from the dataset.
+    */
+  private def auditReachability(op: String, total: Long, reached: Long): Unit =
+    if (reached != total)
+      throw new IllegalStateException(
+        s"$op: ${total - reached} of $total messages are unreachable from " +
+          "the roots — a cycle in the parent pointers, or parent ids " +
+          "absent from the dataset; repair the forest instead of " +
+          "silently dropping these subtrees")
 
   /** Flatten a message forest to root-to-leaf paths.
     *
@@ -67,6 +87,7 @@ object Conversations {
         .localCheckpoint(true)
       if (!frontier.isEmpty) levels += frontier
     }
+    auditReachability("chatPaths", edges.count(), levels.map(_.count()).sum)
     levels.reduce(_ unionByName _)
       .join(parents, col("__id") === col("__pid"), "left_anti")
       .select(col("__id").as("leaf_id"), col("depth"), col("path"))
@@ -119,6 +140,7 @@ object Conversations {
         .localCheckpoint(true)
       if (!frontier.isEmpty) levels += frontier
     }
+    auditReachability("chatExamples", nodes.count(), levels.map(_.count()).sum)
     levels.reduce(_ unionByName _)
       .join(parents, col("__id") === col("__pid"), "left_anti")
       .select(col("__id").as("leaf_id"), col("depth"),

@@ -2343,7 +2343,12 @@ object PipelineQueries {
 
     // chains {10k..10k+3} have closed-form min-label 10k, singletons
     // label themselves; the split is the house md5 percent bucket of
-    // the label string
+    // the label string. PINNED ASSUMPTION: this closed form equals the
+    // Spark side's connected-components min-label only because the
+    // fixture doc_id space is contiguous from 0 (every planted chain's
+    // base id 10k exists); a sparse or 1-based id space would need the
+    // oracle re-derived with a recursive CTE over the planted edge list
+    // semi-joined to the ids that actually exist.
     "q200_group_split" ->
       s"""WITH g AS (SELECT doc_id,
          |   CASE WHEN doc_id % 10 <= 3 THEN doc_id - (doc_id % 10)

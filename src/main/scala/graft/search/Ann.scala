@@ -310,8 +310,15 @@ object Ann {
                      centers: Array[Array[Double]]): DataFrame = {
     require(centers.length >= 2,
       s"silhouette needs >= 2 centroids, got ${centers.length}")
+    val cdim = centers.head.length
+    require(centers.forall(_.length == cdim),
+      s"centroids must share one dimensionality; got lengths " +
+        centers.map(_.length).distinct.mkString(", "))
     val f = udf((v: Seq[Float]) => {
       val x = v.map(_.toDouble).toArray
+      require(x.length == cdim,
+        s"embedding dim ${x.length} != centroid dim $cdim — profile " +
+          "with centroids trained on this embedding column")
       val ds = centers.map { c =>
         var d = 0.0
         var i = 0
@@ -499,6 +506,80 @@ object Ann {
       keyCol, embCol, k, nProbe, excludeSelf = false)
   }
 
+  // ---- candidate-budget guard -------------------------------------------
+  //
+  // Every probed operator's cost is the CANDIDATE count: sum over lists of
+  // (queries probing the list) x (members of the list). Mis-sized lists
+  // (nLists too small for the corpus) or pathological skew (one list holds
+  // half the vectors) turn that quadratic, and the failure mode at scale
+  // is an executor melting hours into the join — not an error message.
+  // The guard estimates the exact candidate volume from two O(nLists)
+  // histograms and REFUSES loudly when it exceeds the budget, the
+  // ngramJaccardPairs maxPostings precedent applied to the IVF family.
+
+  /** Candidate budget for probed joins (rows scored, summed over lists).
+    * Default 1e11 is sized for a single node: ~64-dim cosine at 1e11
+    * candidates is ~10^13 flops — hours on 32 cores, the melt line. A
+    * real cluster raises it via GRAFT_KNN_CANDIDATE_BUDGET (the work
+    * parallelizes embarrassingly across probes).
+    */
+  private[graft] def candidateBudget: Long =
+    sys.props.get("graft.knn.candidate.budget")
+      .orElse(sys.env.get("GRAFT_KNN_CANDIDATE_BUDGET")).map(_.toLong)
+      .getOrElse(100000000000L)
+
+  /** Corpora below this row count cannot exceed any sane budget even
+    * fully degenerate (n^2 <= 1e10 at 1e5 rows), so the guard skips its
+    * estimation pass — fixture queries pay nothing.
+    */
+  private val GuardMinRows = 100000L
+
+  /** Exact expected candidate count of a probed join: per-list probe
+    * count x member count, summed (decimal — the products overflow
+    * long at corpus scale). Public so scale tooling can REPORT the
+    * number the guard acts on.
+    */
+  def estimateCandidates(probing: DataFrame, assigned: DataFrame): BigDecimal =
+    estimateFromHistogram(probing,
+      assigned.groupBy(col("list_id")).agg(count(lit(1)).as("__m")))
+
+  private def estimateFromHistogram(probing: DataFrame,
+                                    members: DataFrame): BigDecimal = {
+    val p = probing.groupBy(col("list_id")).agg(count(lit(1)).as("__p"))
+    val r = p.join(members, Seq("list_id"))
+      .agg(sum((col("__p") * col("__m")).cast("decimal(38,0)")))
+      .head()
+    if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
+  }
+
+  /** Refuse a probed join whose candidate volume exceeds the budget.
+    * The member histogram rides one linear pass (and its sum IS the
+    * corpus row count, so the small-corpus skip costs nothing extra);
+    * the probe-side pass only runs above [[GuardMinRows]] — fixture
+    * queries pay one tiny aggregation, scale runs pay linear insurance
+    * against a quadratic join.
+    */
+  private def guardCandidates(op: String, probing: => DataFrame,
+                              assigned: DataFrame): Unit = {
+    val members = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true) // nLists rows — pinned for the two reads
+    val nRows = members.agg(sum(col("__m"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (nRows <= GuardMinRows) return
+    val budget = candidateBudget
+    val est = estimateFromHistogram(probing, members)
+    if (est > BigDecimal(budget))
+      throw new IllegalStateException(
+        s"$op: estimated probed-candidate volume $est exceeds the " +
+          s"budget $budget — the list sizing is wrong for this corpus " +
+          "(raise nLists toward sqrt(n), lower nProbe, or raise " +
+          "GRAFT_KNN_CANDIDATE_BUDGET on a cluster that can absorb it); " +
+          "refusing before the join melts an executor")
+  }
+
   private[graft] def knnProbedBetween(queries: DataFrame, assigned: DataFrame,
                                        centers: Array[Array[Double]],
                                        keyCol: String, embCol: String,
@@ -513,6 +594,8 @@ object Ann {
     val cos = graft.functions.VectorFunctions.cosine(col("__q"), col("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
+    guardCandidates(if (excludeSelf) "knnJoin" else "searchBatch",
+      probing.select(col("list_id")), cand.select(col("list_id")))
     probing.join(cand, Seq("list_id"))
       .filter(if (excludeSelf) col("src") =!= col("nbr") else lit(true))
       .select(col("src"), col("nbr"), cos.as("sim"))
@@ -647,6 +730,8 @@ object Ann {
     val cos = graft.functions.VectorFunctions.cosine(col("__q"), col("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
+    guardCandidates("hardNegativesIvf",
+      probing.select(col("list_id")), cand.select(col("list_id")))
     probing.join(cand, Seq("list_id"))
       .filter(col("__lq") =!= col("__lc"))
       .select(col("src"), col("nbr"), cos.as("sim"))
@@ -707,6 +792,8 @@ object Ann {
     val cos = graft.functions.VectorFunctions.cosine(col("__q"), col("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("pos_sim"), col("pos"))
+    guardCandidates("contrastiveTripletsIvf",
+      probing.select(col("list_id")), cand.select(col("list_id")))
     val positives = probing.join(cand, Seq("list_id"))
       .filter(col("__lq") === col("__lc") && col("src") =!= col("nbr"))
       .select(col("src"), col("nbr").as("pos"), cos.as("pos_sim"))

@@ -327,4 +327,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(exhaustive.find(_.tier.startsWith("ivf")).get.recall == 1.0,
       exhaustive)
   }
+
+  test("candidate-budget guard: exact estimate; oversized probed join refuses loudly") {
+    // the estimator is the per-list probe x member histogram product
+    val probing = Seq(0, 0, 1).toDF("list_id")
+    val assigned = Seq(0, 0, 0, 1).toDF("list_id")
+    assert(Ann.estimateCandidates(probing, assigned) == BigDecimal(7))
+    // a >100k corpus jammed into 2 lists (~5e9 candidates) against a
+    // 1e6 budget must refuse BEFORE the join, naming the numbers — the
+    // mis-sized-nLists failure shape the sqrt rule exists to prevent
+    val n = 100001
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      array((col("id") % 97).cast("float"), (col("id") % 89).cast("float"))
+        .as("embedding"))
+    System.setProperty("graft.knn.candidate.budget", "1000000")
+    try {
+      val e = intercept[IllegalStateException] {
+        Ann.knnJoinIvf(vecs, "vec_id", "embedding", k = 1,
+          nLists = 2, nProbe = 1).count()
+      }
+      assert(e.getMessage.contains("candidate volume") &&
+        e.getMessage.contains("1000000"), e.getMessage)
+    } finally System.clearProperty("graft.knn.candidate.budget")
+    // under the default budget the same corpus passes the guard (the
+    // join itself is not run — building the frame is the guarded step)
+    Ann.knnJoinIvf(vecs.limit(1000), "vec_id", "embedding", k = 1,
+      nLists = 2, nProbe = 1)
+  }
 }

@@ -108,6 +108,39 @@ class Session4OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxDepth"), e.getMessage)
   }
 
+  test("chatPaths/chatExamples: unreachable subtrees fail loudly, not silently drop") {
+    // 2's parent (99) is absent from the dataset; 3/4 form a two-cycle.
+    // Neither is reachable from root 1, so the BFS loop alone would end
+    // cleanly and drop them — the reachability audit must throw instead.
+    val broken = Seq[(Long, Option[Long])](
+      (1L, None), (2L, Some(99L)), (3L, Some(4L)), (4L, Some(3L))
+    ).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      Conversations.chatPaths(broken, "id", "parent")
+    }
+    assert(e.getMessage.contains("3 of 4") &&
+      e.getMessage.contains("unreachable"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      graft.operators.Conversations.chatExamples(
+        broken.withColumn("text", lit("t")), "id", "parent", "text")
+    }
+    assert(e2.getMessage.contains("unreachable"), e2.getMessage)
+  }
+
+  test("perplexityBands: NULL group is its own band group, not a dropped row") {
+    // two identical null-group docs -> xent equal -> sigma 0 -> both
+    // 'middle' within the null group; the plain equi-join would have
+    // returned zero rows for them
+    val docs = Seq[(Long, String, Option[String])](
+      (1L, "a b a b", None), (2L, "a b a b", None), (3L, "a b a b", Some("g"))
+    ).toDF("id", "text", "grp")
+    val got = NgramLm.perplexityBands(docs, "id", "text", "grp")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(3))).toSeq
+    assert(got == Seq((1L, None, "middle"), (2L, None, "middle"),
+      (3L, Some("g"), "middle")), got)
+  }
+
   test("ngramDiversity: exact counts and the fixed-point entropy") {
     val docs = Seq(
       ("a", "a b c a b c"), // trigrams: 'a b c' x2, 'b c a', 'c a b'
@@ -162,6 +195,26 @@ class Session4OpsSpec extends SparkSpec {
         "embedding", Array(Array(0.0)))
     }
     assert(e.getMessage.contains("2 centroids"), e.getMessage)
+  }
+
+  test("clusterProfile refuses mismatched centroid/embedding dimensions") {
+    // ragged centroids fail up front
+    val e = intercept[IllegalArgumentException] {
+      Ann.clusterProfile(
+        Seq((1L, Array(0f, 0f))).toDF("vec_id", "embedding"),
+        "embedding", Array(Array(0.0, 0.0), Array(1.0)))
+    }
+    assert(e.getMessage.contains("dimensionality"), e.getMessage)
+    // centroids shorter than the embeddings fail with a clear message
+    // instead of an ArrayIndexOutOfBounds inside the UDF
+    val e2 = intercept[Exception] {
+      Ann.clusterProfile(
+        Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "embedding", Array(Array(0.0, 0.0), Array(1.0, 1.0))).collect()
+    }
+    val msg = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("centroid dim"), msg)
   }
 
   test("multiclass: recovers separable labels; per-class margins bit-equal the binary fold") {
