@@ -847,8 +847,135 @@ object RelationalQueries {
           |                     FROM g56_supplier s2
           |                     WHERE s2.s_nationkey = s.s_nationkey)
           |ORDER BY n.n_name, s.s_name""".stripMargin)
+    }),
+
+    // TPC-H Q9 (product-type profit): the heaviest join tree in the
+    // suite — fact x part x supplier x nation x partsupp x orders.
+    // Dims broadcast; the derived partsupp is corpus-keyed here so it
+    // equi-joins on (partkey, suppkey) — at 100 TB partsupp is the
+    // bucketed dimension co-partitioned with lineitem on l_partkey,
+    // and the orders join rides the l_orderkey shuffle AQE plans.
+    // Profit terms are micro-unit fixed point (the q190 discipline):
+    // both engines compute the identical f64 expression tree per row,
+    // round once to integers, and the sum is order-free DECIMAL.
+    "q210_tpch_q9" -> ((s, d) => {
+      val widgetParts = part(s, d).filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"))
+      val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val ord = orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      lineitem(s, d)
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(partsupp(s, d),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("micro",
+          round(((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            - (col("ps_supplycost") * col("l_quantity"))) * 10000.0)
+            .cast("long"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(
+          r2(sum(col("micro").cast("decimal(38,0)")).cast("double") / 10000.0)
+            .as("sum_profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), desc("o_year"))
+    }),
+
+    // TPC-H Q11 (important stock): partsupp value for one nation's
+    // suppliers vs a global-total threshold — the classic
+    // aggregate-vs-scalar-total shape. The scalar total broadcasts
+    // through a crossJoin (one row); per-part values are exact 2dp
+    // fixed point so the threshold compare is engine-identical.
+    // NATION_3 is the one nation with suppliers at EVERY sf (sf0.001
+    // ships only 10 suppliers over nations {3,8,12,13,15,18-21,24}).
+    "q211_tpch_q11" -> ((s, d) => {
+      val natSup = supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val pv = partsupp(s, d)
+        .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("cmicro",
+          round(col("ps_supplycost") * col("ps_availqty") * 100.0)
+            .cast("long"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("cmicro").cast("decimal(38,0)")).as("vmicro"))
+      val tot = pv.agg(sum(col("vmicro")).as("t"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("vmicro").cast("double") > lit(0.001) * col("t").cast("double"))
+        .select(col("ps_partkey"),
+          r2(col("vmicro").cast("double") / 100.0).as("value"))
+        .orderBy(desc("value"), col("ps_partkey"))
+    }),
+
+    // TPC-H Q12 (shipmode lateness): the ship/commit/receipt date
+    // columns the synthetic lineitem omits are derived as pure key
+    // arithmetic (deterministic, oracle re-derivable); filters reduce
+    // the fact to a few hundred rows BEFORE the orders join, which AQE
+    // then broadcasts. Counts only — no float discipline needed.
+    "q212_tpch_q12" -> ((s, d) => {
+      val modes = array(lit("MAIL"), lit("SHIP"), lit("AIR"), lit("TRUCK"),
+        lit("RAIL"), lit("REG AIR"), lit("FOB"))
+      val li = lineitem(s, d).select(col("l_orderkey"),
+        element_at(modes,
+          ((col("l_orderkey") * 7 + col("l_linenumber") * 13) % 7)
+            .cast("int") + 1).as("l_shipmode"),
+        to_date(col("l_shipdate")).as("sd"),
+        date_add(to_date(col("l_shipdate")),
+          ((col("l_orderkey") * 3 + col("l_linenumber") * 17) % 61 - 30)
+            .cast("int")).as("cd"),
+        date_add(to_date(col("l_shipdate")),
+          ((col("l_orderkey") * 11 + col("l_linenumber") * 5) % 30 + 1)
+            .cast("int")).as("rd"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("cd") < col("rd") && col("sd") < col("cd") &&
+          col("rd") >= lit("1997-01-01") && col("rd") < lit("1998-01-01"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_shipmode"))
+        .agg(
+          sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).cast("long").as("low_line_count"))
+        .orderBy(col("l_shipmode"))
     })
   )
+
+  /** Derived partsupp — the one TPC-H table the synthetic schema omits:
+    * exactly the DISTINCT (l_partkey, l_suppkey) pairs lineitem carries
+    * (the real TPC-H invariant runs the other way — every lineitem pair
+    * exists in partsupp — so the derived table satisfies it by
+    * construction), with availqty/supplycost as pure integer arithmetic
+    * of the keys. Both engines re-derive the identical table: integer
+    * `%`, then a /100 that lands on exact 2-decimal doubles.
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 7 + col("ps_suppkey") * 13) % 9999 + 1)
+      .withColumn("ps_supplycost",
+        ((col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 100000)
+          .cast("double") / 100.0 + 1.0)
+
+  /** The oracle's partsupp twin — one CTE string shared by the Q9/Q11
+    * oracles so the two can never drift from each other (they drift
+    * from [[partsupp]] only if someone edits one side; the hash gate
+    * catches that immediately).
+    */
+  private val PartsuppCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    (l_partkey * 7 + l_suppkey * 13) % 9999 + 1 AS ps_availqty,
+      |    CAST((l_partkey * 31 + l_suppkey * 17) % 100000 AS DOUBLE)
+      |      / 100.0 + 1.0 AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -1272,6 +1399,73 @@ object RelationalQueries {
         |WHERE s.s_acctbal = (SELECT min(s2.s_acctbal)
         |                     FROM supplier s2
         |                     WHERE s2.s_nationkey = s.s_nationkey)
-        |ORDER BY n.n_name, s.s_name""".stripMargin
+        |ORDER BY n.n_name, s.s_name""".stripMargin,
+
+    // the same derived-partsupp CTE + the identical per-row f64
+    // expression tree, micro-unit rounded before the (order-free) sum
+    "q210_tpch_q9" ->
+      s"""WITH $PartsuppCte,
+         | amt AS (SELECT n_name AS nation,
+         |   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |   CAST(round(((l_extendedprice * (1 - l_discount))
+         |     - (ps_supplycost * l_quantity)) * 10000.0) AS BIGINT) AS micro
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  WHERE p_name LIKE '%widget%')
+         |SELECT nation, o_year,
+         |  round(CAST(sum(CAST(micro AS HUGEINT)) AS DOUBLE) / 10000.0, 2)
+         |    AS sum_profit,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM amt GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q211_tpch_q11" ->
+      s"""WITH $PartsuppCte,
+         | v AS (SELECT ps_partkey,
+         |   CAST(round(ps_supplycost * ps_availqty * 100.0) AS BIGINT)
+         |     AS cmicro
+         |  FROM partsupp
+         |  JOIN supplier ON s_suppkey = ps_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'),
+         | pv AS (SELECT ps_partkey,
+         |   CAST(sum(CAST(cmicro AS HUGEINT)) AS BIGINT) AS vmicro
+         |  FROM v GROUP BY 1),
+         | tot AS (SELECT CAST(sum(CAST(vmicro AS HUGEINT)) AS BIGINT) AS t
+         |  FROM pv)
+         |SELECT ps_partkey, round(CAST(vmicro AS DOUBLE) / 100.0, 2) AS value
+         |FROM pv, tot
+         |WHERE CAST(vmicro AS DOUBLE) > 0.001 * CAST(t AS DOUBLE)
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    // ship/commit/receipt derived by the same key arithmetic as the
+    // Spark side; date + integer is day addition in DuckDB
+    "q212_tpch_q12" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    ['MAIL','SHIP','AIR','TRUCK','RAIL','REG AIR','FOB']
+        |      [CAST((l_orderkey * 7 + l_linenumber * 13) % 7 AS INT) + 1]
+        |      AS l_shipmode,
+        |    CAST(l_shipdate AS DATE) AS sd,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey * 3 + l_linenumber * 17) % 61 - 30 AS INT)
+        |      AS cd,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey * 11 + l_linenumber * 5) % 30 + 1 AS INT)
+        |      AS rd
+        |  FROM lineitem)
+        |SELECT l_shipmode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM li JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipmode IN ('MAIL','SHIP')
+        |  AND cd < rd AND sd < cd
+        |  AND rd >= DATE '1997-01-01' AND rd < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
