@@ -11,6 +11,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Deliberate heavies: queries whose cost is a GATE by design, not a
+    * plan smell — so suite-total growth stays interpretable as more
+    * gates land (the two multiclass queries train the same model twice
+    * on purpose: bit-equal independent trainings ARE the determinism
+    * check). The summary line carries their subtotal as `gate_sec`;
+    * subtract it to compare suite totals across rounds on equal terms.
+    */
+  private val DeliberateHeavies: Map[String, String] = Map(
+    "q199_multiclass" -> "train",            // 5x one-vs-rest GD fits
+    "q209_multiclass_confusion" -> "train",  // independent re-train gate
+    "q201_bitext_margin" -> "verify-twin",   // row-bound-guarded exact twin
+    "q178_video_neardups" -> "decode",       // real per-frame RIFF decode
+    "q176_image_neardups" -> "decode",       // real per-pixel BMP decode
+    "q180_audio_neardups" -> "decode")       // real WAV sample decode
+
   /** 1-minute load average from /proc/loadavg (-1 when unreadable). */
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
@@ -113,6 +128,11 @@ object Bench {
     def fmt(v: Double, dp: Int): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
+    // deliberate-heavy subtotal (train/verify/decode gates): lets any
+    // reader split "the suite got slower" from "more gates landed"
+    val gateSec = results.collect {
+      case (k, v, _) if DeliberateHeavies.contains(k) => v
+    }.sum
     // sentinel AFTER the timed runs: a competing process that appeared
     // mid-bench shows up in at least one of the two readings
     val loadEnd = load1()
@@ -134,7 +154,13 @@ object Bench {
       val tv = if (dp < 0) total.toString else fmt(total, dp)
       val sfv = if (dp < 0) sfDir else new java.io.File(sfDir).getName
       val sentinel = s""","load1":[${fmt(loadStart, 2)},${fmt(loadEnd, 2)}],"other_jvms":[$jvmsStart,$jvmsEnd]"""
-      s"""{"metric":"total","value":$tv,"unit":"sec","runs":$runs,"queries":$qs$failsPart,"sf":"$sfv"$sentinel}"""
+      // full-precision lines also carry the per-query gate tags
+      val gates = if (dp >= 0) "" else ","+"\"gates\":" + DeliberateHeavies
+        .filter { case (k, _) => results.exists(_._1 == k) }
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$tv,"unit":"sec","runs":$runs,"gate_sec":${fmt(gateSec, 3)},"queries":$qs$failsPart,"sf":"$sfv"$sentinel$gates}"""
     }
     val full = render(short = false, dp = -1)
     // prefer full names at reduced precision over abbreviated names: the
@@ -162,7 +188,8 @@ object Bench {
     }
     val summary =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$runs,""" +
-      s""""n_queries":${results.size},"failures":${failsShort.mkString("{", ",", "}")},""" +
+      s""""n_queries":${results.size},"gate_sec":${fmt(gateSec, 3)},""" +
+      s""""failures":${failsShort.mkString("{", ",", "}")},""" +
       s""""sf":"${new java.io.File(sfDir).getName}",""" +
       s""""load1":[${fmt(loadStart, 2)},${fmt(loadEnd, 2)}],"other_jvms":[$jvmsStart,$jvmsEnd]}"""
     println(summary)
