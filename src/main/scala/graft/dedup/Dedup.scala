@@ -793,6 +793,18 @@ object Dedup {
     * point run the exact twin (`q29_cosine_pairs`) on a sample instead.
     * The exact twin is always the ground truth for grading.
     */
+  /** `bits = 0` sizes the LSH tables to the corpus: bucket count 2^bits
+    * grows with n so EXPECTED OCCUPANCY stays constant (~32 vectors),
+    * keeping candidate pairs linear in n — a FIXED bit width turns the
+    * within-bucket pair join quadratic exactly like a fixed IVF list
+    * count (measured: bits=6 at 10x data ran 12.9x — bucket occupancy
+    * grew 10x, pairs 100x). The fixture queries pin an explicit width
+    * so their oracles stay closed-form; scale callers take the auto.
+    */
+  def autoBits(n: Long): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+
   def embeddingNearDups(embDf: DataFrame, keyCol: String, embCol: String,
                         threshold: Double, bits: Int = 4, tables: Int = 8,
                         seed: Long = 42L): DataFrame = {
@@ -808,8 +820,9 @@ object Dedup {
           org.apache.spark.sql.types.StructField("cosine",
             org.apache.spark.sql.types.DoubleType))))
     val dim = embDf.select(size(col(embCol))).head().getInt(0)
+    val nBits = if (bits > 0) bits else autoBits(embDf.count())
     val allPlanes = (0 until tables).map(t =>
-      graft.search.Ann.hyperplanes(dim, bits, seed + 1000L * t))
+      graft.search.Ann.hyperplanes(dim, nBits, seed + 1000L * t))
     val bucketUdf = udf { (v: Seq[Float]) =>
       val arr = v.toArray
       allPlanes.zipWithIndex.map { case (planes, t) =>

@@ -347,8 +347,14 @@ object TextQueries {
     // is exercised in VideoSpec with ImageIO payloads.
     "q61_video_frames" -> ((s, d) => {
       val aviUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticVideo.avi(id))
-      val media = documents(s, d).select(
-        col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("content"))
+      // decode parallelism must come from the PLAN, not the input split
+      // count: the fixture corpus is one small parquet file = one split,
+      // which would serialize the synth+decode UDF on a single thread
+      // (measured 19x at 10x data before this). Repartitioning the
+      // 8-byte id projection is free; the heavy work lands after it.
+      val media = documents(s, d).select(col("doc_id").as("media_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content", aviUdf(col("media_id")))
       val sampled = graft.multimodal.Multimodal.sampleFrames(
         media, "media_id", "content", nFrames = 4)
       val checksum = udf((b: Array[Byte]) => {
@@ -403,8 +409,10 @@ object TextQueries {
 
     "q54_audio_features" -> ((s, d) => {
       val wavUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticAudio.wav(id))
-      val media = documents(s, d).select(
-        col("doc_id").as("media_id"), wavUdf(col("doc_id")).as("content"))
+      // plan-driven decode parallelism (see q61's note)
+      val media = documents(s, d).select(col("doc_id").as("media_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content", wavUdf(col("media_id")))
       graft.multimodal.Multimodal.extractAudioFeatures(media, "media_id", "content")
         .filter(col("decoded"))
         .select(col("media_id"), col("n_samples"),
@@ -646,8 +654,10 @@ object TextQueries {
     "q176_image_neardups" -> ((s, d) => {
       val pngUdf = udf((id: Long) =>
         graft.multimodal.Multimodal.SyntheticImage.png(id))
-      val imgs = documents(s, d)
-        .select(col("doc_id"), pngUdf(col("doc_id")).as("content"))
+      // plan-driven decode parallelism (see q61's note)
+      val imgs = documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content", pngUdf(col("doc_id")))
       graft.multimodal.Multimodal.imageNearDups(imgs, "doc_id", "content")
         .orderBy(col("key_a"), col("key_b"))
     }),
@@ -660,8 +670,10 @@ object TextQueries {
     "q180_audio_neardups" -> ((s, d) => {
       val wavUdf = udf((id: Long) =>
         graft.multimodal.Multimodal.SyntheticAudio.nearWav(id))
-      val auds = documents(s, d)
-        .select(col("doc_id"), wavUdf(col("doc_id")).as("content"))
+      // plan-driven decode parallelism (see q61's note)
+      val auds = documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content", wavUdf(col("doc_id")))
       graft.multimodal.Multimodal.audioNearDups(auds, "doc_id", "content")
         .select(col("key_a"), col("key_b"))
         .orderBy(col("key_a"), col("key_b"))
@@ -677,8 +689,10 @@ object TextQueries {
     "q178_video_neardups" -> ((s, d) => {
       val aviUdf = udf((id: Long) =>
         graft.multimodal.Multimodal.SyntheticVideo.nearAvi(id))
-      val vids = documents(s, d)
-        .select(col("doc_id"), aviUdf(col("doc_id")).as("content"))
+      // plan-driven decode parallelism (see q61's note)
+      val vids = documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content", aviUdf(col("doc_id")))
       graft.multimodal.Multimodal
         .videoNearDups(vids, "doc_id", "content", nFrames = 4, minMatches = 3)
         .select(col("key_a"), col("key_b"))

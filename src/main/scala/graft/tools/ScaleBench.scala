@@ -76,7 +76,13 @@ object ScaleBench {
         Tables.embeddings(spark, d).join(
           Tables.documents(spark, d)
             .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id")),
-        "vec_id", "embedding", "lang", k = 4)))
+        "vec_id", "embedding", "lang", k = 4)),
+    // q30's scale path: corpus-sized LSH bit width (bits=0 auto) keeps
+    // bucket occupancy constant where the fixture's pinned bits=6 goes
+    // quadratic (12.9x measured at 10x before autoBits)
+    "embeddingNearDups(bits=auto)" -> ((d: String) =>
+      graft.dedup.Dedup.embeddingNearDups(Tables.embeddings(spark, d),
+        "vec_id", "embedding", threshold = 0.5, bits = 0)))
 
   private def offsetKeys(df: DataFrame, keyCols: Seq[String], i: Int): DataFrame =
     keyCols.foldLeft(df)((d, k) =>

@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, CollectionConfig}
+import graft.embed.HashingEmbedder
+
+/** Round-10 verdict item 7: sustained-load soak for the streaming index
+  * folds. The five index-family streams (embed -> vector index, ANN
+  * lists, dedup bands, keyword postings, binary sketch) are spec'd on
+  * closed inputs; this drives them through `--batches` (default 500)
+  * live micro-batches with interleaved compact / repair / delete
+  * maintenance and asserts the two properties a long-running ingest
+  * needs:
+  *
+  *  1. BOUNDED STATE — on-disk file counts return under a fixed bound
+  *     after each periodic compaction (per-batch appends grow files
+  *     linearly by design; compaction must fold them), and the
+  *     Structured Streaming checkpoints stay KB-sized (the folds are
+  *     stateless by construction — the watermark lives in the DATA, so
+  *     there is no state store to grow).
+  *  2. FLAT LATENCY — the median per-batch wall of the LAST decile of
+  *     batches stays within 2x the median of the second decile (the
+  *     first is JVM warmup); a fold whose cost grows with corpus size
+  *     instead of batch size fails here.
+  *
+  * Prints a summary table for SCALE.md and exits nonzero on violation.
+  *
+  * Usage: runMain graft.tools.Soak [batches] [rowsPerBatch]
+  */
+object Soak {
+
+  private def filesUnder(dir: String): Int = {
+    val f = new java.io.File(dir)
+    if (!f.exists()) 0
+    else {
+      val (dirs, files) = f.listFiles().partition(_.isDirectory)
+      files.count(_.getName.endsWith(".parquet")) + dirs.map(d => filesUnder(d.getPath)).sum
+    }
+  }
+
+  private def bytesUnder(dir: String): Long = {
+    val f = new java.io.File(dir)
+    if (!f.exists()) 0L
+    else f.listFiles().map(x => if (x.isDirectory) bytesUnder(x.getPath) else x.length).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val batches = args.headOption.map(_.toInt).getOrElse(500)
+    val rowsPerBatch = args.lift(1).map(_.toInt).getOrElse(4)
+    val compactEvery = 50
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val emb = new HashingEmbedder(dim = 32)
+    val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val cat = new Catalog(spark, root)
+    val c = cat.create(CollectionConfig(name = "soak"))
+    val words = Seq("alpha", "beta", "gamma", "delta", "orbit", "quark",
+      "lumen", "fjord", "crane", "maple", "zephyr", "basalt")
+    def mkRows(batch: Int): Seq[String] =
+      (0 until rowsPerBatch).map { r =>
+        val i = math.floorMod(batch * rowsPerBatch + r, Int.MaxValue)
+        s"${words(i % 12)} ${words((i * 5) % 12)} ${words((i * 7) % 12)} " +
+          s"soak document $i batch $batch"
+      }
+    c.importDf(mkRows(-1).toDF("text")) // seed corpus so bootstraps build
+    require(c.embedColumn("text", emb) == rowsPerBatch.toLong)
+
+    val queries = Seq(
+      "embed" -> c.embedColumnStream("text", emb, s"$root/_embckpt"),
+      "keyword" -> c.keywordIndexStream("text", s"$root/_kwckpt"),
+      "dedup" -> c.dedupIndexStream("text", s"$root/_ddckpt"),
+      "ann" -> c.annIndexStream("text", s"$root/_annckpt", nLists = 4),
+      "binary" -> c.binarySketchStream("text", s"$root/_binckpt"))
+    val lat = new Array[Double](batches)
+    val fileHighs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var deleted = 0L
+    try {
+      var b = 0
+      while (b < batches) {
+        val t0 = System.nanoTime()
+        c.appendDf(mkRows(b).toDF("text"))
+        queries.foreach(_._2.processAllAvailable())
+        lat(b) = (System.nanoTime() - t0) / 1e9
+        if ((b + 1) % compactEvery == 0) {
+          // interleaved maintenance: delete a streamed-in key, compact
+          // every family, then scoped repairs must find nothing broken
+          val delKey = (b.toLong - 3) * rowsPerBatch + rowsPerBatch + 2
+          deleted += c.deleteKeys(Seq(delKey))
+          c.compact()
+          c.compactIndex("text")
+          c.compactAnnIndex("text")
+          c.compactKeywordIndex("text")
+          c.compactBinarySketch("text")
+          val repaired = c.repairAnnIndex("text") + c.repairDedupIndex("text") +
+            c.repairKeywordIndex("text") + c.repairBinarySketch("text")
+          require(repaired >= 0L)
+          val dataFiles = filesUnder(c.dataDir)
+          val annFiles = filesUnder(c.annIndexDir("text"))
+          val kwFiles = filesUnder(c.keywordIndexDir("text"))
+          fileHighs += ((b + 1, dataFiles, annFiles))
+          // bounded state: compaction must fold the per-batch appends
+          // back under a constant bound, independent of batch count
+          require(dataFiles <= 64 && annFiles <= 96 && kwFiles <= 96,
+            s"state unbounded at batch ${b + 1}: data=$dataFiles " +
+              s"ann=$annFiles kw=$kwFiles")
+        }
+        b += 1
+      }
+    } finally queries.foreach(_._2.stop())
+
+    // checkpoints stay KB-sized: the folds keep no state-store state
+    val ckptKb = Seq("_embckpt", "_kwckpt", "_ddckpt", "_annckpt", "_binckpt")
+      .map(d => bytesUnder(s"$root/$d") / 1024)
+    require(ckptKb.forall(_ < 4096),
+      s"checkpoint grew past 4 MB: ${ckptKb.mkString(", ")} KB")
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val decile = math.max(1, batches / 10)
+    val early = median(lat.slice(decile, 2 * decile).toSeq)   // post-warmup
+    val late = median(lat.takeRight(decile).toSeq)
+    println(s"| batches | rows/batch | early-decile median s | last-decile median s | ratio | deleted | ckpt KB (max) |")
+    println(f"| $batches | $rowsPerBatch | $early%.2f | $late%.2f | ${late / early}%.2f | $deleted | ${ckptKb.max} |")
+    fileHighs.takeRight(3).foreach { case (bb, df, af) =>
+      println(s"|   post-compact files @batch $bb | data=$df ann=$af | | | | | |")
+    }
+    require(late <= early * 2.0,
+      f"per-batch latency drifted: early $early%.2f s -> late $late%.2f s")
+    // final consistency: every surviving key embedded + indexed exactly once
+    val nRows = c.df.count()
+    val nVecs = c.indexedCount("text")
+    require(nRows == nVecs, s"rows $nRows != indexed $nVecs after soak")
+    println(s"# SOAK OK: $batches batches, $nRows rows, latency flat, state bounded")
+    spark.stop()
+  }
+}

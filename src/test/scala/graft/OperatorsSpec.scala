@@ -628,6 +628,16 @@ class DedupSpec extends SparkSpec {
       .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // OR-amplified LSH at cosine>=0.9 should reach full recall on 500 rows
     assert(lsh == exact, s"missed ${exact -- lsh}, extra ${lsh -- exact}")
+    // auto bit sizing keeps expected bucket occupancy ~constant: the
+    // corpus-sized table count that keeps candidate pairs linear
+    assert(Dedup.autoBits(100) == 4, "floor")
+    assert(Dedup.autoBits(1024 * 32) == 10)
+    assert(Dedup.autoBits(2000000) == 16)
+    assert(Dedup.autoBits(Long.MaxValue) == 24, "ceiling")
+    // bits = 0 routes through the auto path and still finds the pairs
+    val auto = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.9, bits = 0)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == exact, s"auto-bits missed ${exact -- auto}")
   }
 
   test("exact jaccard pairs refuse oversized input; capped form stays open") {
