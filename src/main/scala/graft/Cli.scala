@@ -355,6 +355,8 @@ object Cli {
                 println(s"$action($column): ${c.compactAnnIndex(column)} file(s)")
               case "compactKeywordIndex" =>
                 c.compactKeywordIndex(column); println(s"$action($column): folded")
+              case "compactDedupIndex" =>
+                println(s"$action($column): ${c.compactDedupIndex(column)} file(s)")
               case other => fail(s"unknown planned action '$other'")
             }
           }

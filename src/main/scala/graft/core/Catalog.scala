@@ -2605,7 +2605,53 @@ class Collection private[core] (
       writeAndSwap(annListsDir(column)) { tmp =>
         annClustered(lists, nFiles).write.mode("overwrite").parquet(tmp)
       }
+      // the fps sidecar accumulates one appended file per refresh/stream
+      // micro-batch FOREVER if only the lists fold — the round-10 soak
+      // caught exactly that (file count through the maintenance bound
+      // after 100 batches despite compaction)
+      compactKeyClustered(s"${annIndexDir(column)}/fps", targetFileBytes)
       nFiles
+    } finally writeLock.unlock()
+  }
+
+  /** Fold an append-accumulated, key-clustered table (band/fps sidecars)
+    * back to a target file count: dropDuplicates (crash re-appends fold
+    * away, the [[compactAnnIndex]] rationale), re-cluster on `_key` so
+    * the repair paths' footer-range pruning keeps working. No-op when
+    * the directory does not exist. Callers hold the write lock.
+    */
+  private def compactKeyClustered(target: String,
+                                  targetFileBytes: Long): Int = {
+    if (!fs.exists(new Path(target))) return 0
+    recoverFileSwap(target)
+    val totalBytes = fs.getContentSummary(new Path(target)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val rows = spark.read.option("mergeSchema", "true").parquet(target)
+      .dropDuplicates()
+    writeAndSwap(target) { tmp =>
+      rows.repartitionByRange(nFiles, col(KeyCol)).sortWithinPartitions(KeyCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    nFiles
+  }
+
+  /** Fold the dedup index's stream/refresh appends: bands and the fps
+    * sidecar both re-cluster to a small file count. The band/fps tables
+    * were the one index family with NO compact path — their file counts
+    * grew by one per micro-batch unboundedly (found by the round-10
+    * streaming soak); reads stayed correct throughout, this is purely
+    * the small-files pressure story.
+    */
+  def compactDedupIndex(column: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    Identifiers.validate(column)
+    writeLock.lock()
+    try {
+      if (!hasDedupIndex(column)) return 0
+      val t = dedupIndexDir(column)
+      recoverSwap(t)
+      compactKeyClustered(s"$t/bands", targetFileBytes) +
+        compactKeyClustered(s"$t/fps", targetFileBytes)
     } finally writeLock.unlock()
   }
 
@@ -2838,6 +2884,7 @@ class Collection private[core] (
         rows.repartitionByRange(nFiles, col(KeyCol)).sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(tmp)
       }
+      compactKeyClustered(s"${binaryIndexDir(column)}/fps", targetFileBytes)
       nFiles
     } finally writeLock.unlock()
   }
@@ -3503,9 +3550,20 @@ class Collection private[core] (
     filePressure(dataDir, "", "data", "compact")
     structs.foreach {
       case (c0, "vector") => filePressure(indexDir(c0), c0, "vector", "compactIndex")
-      case (c0, "ann") => filePressure(annListsDir(c0), c0, "ann", "compactAnnIndex")
+      case (c0, "ann") =>
+        filePressure(annListsDir(c0), c0, "ann", "compactAnnIndex")
+        // the fps sidecar grows one file per refresh/stream batch; its
+        // pressure routes to the same compact (which folds both)
+        filePressure(s"${annIndexDir(c0)}/fps", c0, "ann", "compactAnnIndex")
+      case (c0, "dd") =>
+        filePressure(s"${dedupIndexDir(c0)}/bands", c0, "dedup",
+          "compactDedupIndex")
+        filePressure(s"${dedupIndexDir(c0)}/fps", c0, "dedup",
+          "compactDedupIndex")
       case (c0, "bin") =>
         filePressure(binarySketchDir(c0), c0, "binary", "compactBinarySketch")
+        filePressure(s"${binaryIndexDir(c0)}/fps", c0, "binary",
+          "compactBinarySketch")
       case (c0, "kw") =>
         if (hasKeywordIndex(c0)) {
           val dead = graft.search.Keyword.deadFraction(spark, keywordIndexDir(c0))
@@ -3515,7 +3573,9 @@ class Collection private[core] (
         }
       case _ => ()
     }
-    acts.sorted.toSeq
+    // one row per (column, action): lists + sidecar pressure can both
+    // route to the same compact — running it once folds both
+    acts.sorted.distinctBy(a => (a._2, a._4)).toSeq
       .toDF("priority", "column", "structure", "action", "reason")
   }
 

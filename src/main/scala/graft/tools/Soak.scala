@@ -101,18 +101,24 @@ object Soak {
           c.compactAnnIndex("text")
           c.compactKeywordIndex("text")
           c.compactBinarySketch("text")
+          c.compactDedupIndex("text")
           val repaired = c.repairAnnIndex("text") + c.repairDedupIndex("text") +
             c.repairKeywordIndex("text") + c.repairBinarySketch("text")
           require(repaired >= 0L)
           val dataFiles = filesUnder(c.dataDir)
           val annFiles = filesUnder(c.annIndexDir("text"))
           val kwFiles = filesUnder(c.keywordIndexDir("text"))
+          val ddFiles = filesUnder(c.dedupIndexDir("text"))
           fileHighs += ((b + 1, dataFiles, annFiles))
-          // bounded state: compaction must fold the per-batch appends
-          // back under a constant bound, independent of batch count
-          require(dataFiles <= 64 && annFiles <= 96 && kwFiles <= 96,
+          // bounded state: compaction must fold the per-batch appends —
+          // INCLUDING every fps/band sidecar — back under a constant
+          // bound, independent of batch count (the first soak run caught
+          // the ann fps sidecar and the band table growing one file per
+          // batch with no compact path; compactKeyClustered closed it)
+          require(dataFiles <= 64 && annFiles <= 96 && kwFiles <= 96 &&
+              ddFiles <= 96,
             s"state unbounded at batch ${b + 1}: data=$dataFiles " +
-              s"ann=$annFiles kw=$kwFiles")
+              s"ann=$annFiles kw=$kwFiles dedup=$ddFiles")
         }
         b += 1
       }

@@ -113,4 +113,48 @@ class MaintenanceSpec extends SparkSpec {
     // the folded index still answers correctly
     assert(c.searchKeyword("text", "round", 5).count() > 0)
   }
+
+  test("sidecar file pressure: dedup bands/fps and ann fps fold and clear their plan rows") {
+    val cat = new Catalog(spark, tmpRoot())
+    val c = cat.create(CollectionConfig(name = "m4"))
+    c.importDf((1 to 20).map(i => s"sidecar fixture doc $i word$i").toDF("text"))
+    assert(c.embedColumn("text", emb) == 20)
+    c.buildDedupIndex("text")
+    c.buildAnnIndex("text", nLists = 2, sampleN = 50)
+    def files(dir: String): Int = {
+      val f = new java.io.File(dir)
+      if (!f.exists()) 0
+      else f.listFiles().map(x =>
+        if (x.isDirectory) files(x.getPath)
+        else if (x.getName.endsWith(".parquet")) 1 else 0).sum
+    }
+    // 20 one-row appends folded by the streams' batch path stand-in:
+    // refresh-per-append grows every sidecar by one file per call
+    (1 to 20).foreach { i =>
+      c.appendDf(Seq(s"sidecar append $i word${i + 100}").toDF("text"))
+      c.embedColumn("text", emb)
+      c.refreshDedupIndex("text")
+      c.refreshAnnIndex("text")
+    }
+    val ddBefore = files(c.dedupIndexDir("text"))
+    val annFpsBefore = files(s"${c.annIndexDir("text")}/fps")
+    assert(ddBefore > 20 && annFpsBefore > 10,
+      s"setup must accumulate sidecar files, got dd=$ddBefore annFps=$annFpsBefore")
+    val p = plan(c)
+    assert(p.exists(_._4 == "compactDedupIndex"),
+      s"band/fps pressure must plan a dedup fold, got ${p.mkString(", ")}")
+    // one plan row per (column, action) even with two pressured sidecars
+    assert(p.count(_._4 == "compactDedupIndex") == 1, p.mkString(", "))
+    assert(c.compactDedupIndex("text") >= 2)
+    c.compactAnnIndex("text")
+    assert(files(c.dedupIndexDir("text")) <= 4, "bands+fps must fold small")
+    assert(files(s"${c.annIndexDir("text")}/fps") <= 2, "ann fps must fold")
+    assert(!plan(c).exists(r =>
+      r._4 == "compactDedupIndex" || r._4 == "compactAnnIndex"), plan(c).toSeq)
+    // folded structures still answer: dup check + exhaustive ann page
+    val probe = Seq((900L, "sidecar append 7 word107")).toDF("_key", "text")
+    assert(c.checkDuplicates("text", probe).count() >= 1)
+    assert(c.searchAnn("text", "sidecar fixture doc 3", 3, emb, nProbe = 2)
+      .count() == 3)
+  }
 }
