@@ -124,11 +124,25 @@ object Soak {
       }
     } finally queries.foreach(_._2.stop())
 
-    // checkpoints stay KB-sized: the folds keep no state-store state
-    val ckptKb = Seq("_embckpt", "_kwckpt", "_ddckpt", "_annckpt", "_binckpt")
-      .map(d => bytesUnder(s"$root/$d") / 1024)
-    require(ckptKb.forall(_ < 4096),
-      s"checkpoint grew past 4 MB: ${ckptKb.mkString(", ")} KB")
+    // two separate checkpoint claims, asserted separately:
+    //  1. the folds are STATELESS — the state-store directory stays
+    //     empty (no KeyValueGroupedDataset state to grow without bound);
+    //  2. total checkpoint bytes grow only as Spark's cumulative
+    //     file-source metadata log (exactly-once bookkeeping, linear in
+    //     batches by Spark's design — measured ~11 KB/batch/stream), so
+    //     the bound is linear-in-batches with a sane constant, NOT a
+    //     fixed cap (a fixed 4 MB cap false-failed the first 500-batch
+    //     run at ~5 MB while every real property held).
+    val ckptDirs = Seq("_embckpt", "_kwckpt", "_ddckpt", "_annckpt", "_binckpt")
+    val stateKb = ckptDirs.map(d => bytesUnder(s"$root/$d/state") / 1024)
+    require(stateKb.forall(_ <= 64),
+      s"state store grew — the folds are supposed to be stateless: " +
+        s"${stateKb.mkString(", ")} KB")
+    val ckptKb = ckptDirs.map(d => bytesUnder(s"$root/$d") / 1024)
+    val perBatchCapKb = 24L * batches
+    require(ckptKb.forall(_ <= perBatchCapKb),
+      s"checkpoint outgrew the linear file-log bound (${perBatchCapKb} KB): " +
+        s"${ckptKb.mkString(", ")} KB")
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
