@@ -397,9 +397,14 @@ object Drive {
       val gotChars = c13.df.agg(sum(col("n_chars"))).head().getLong(0)
       require(c13.count() == 500 && gotChars == wantChars,
         s"csv round-trip drifted: n=${c13.count()} chars=$gotChars/$wantChars")
-      // conversation forest -> every leaf path, roots intact
+      // conversation forest -> every leaf path, roots intact. Keys 1-2
+      // must be roots too: block 0 has no multiple-of-16 root (keys are
+      // 1-based), so their computed parent would be the nonexistent key
+      // 0 — the reachability audit added in round 10 rightly REFUSES
+      // such a forest instead of dropping block 0 silently (this very
+      // fixture was being truncated by 15 rows before the audit).
       val msgs = c13.df.select(col("_key").as("id"),
-        expr("CASE WHEN _key % 16 = 0 THEN CAST(NULL AS BIGINT) " +
+        expr("CASE WHEN _key % 16 = 0 OR _key <= 2 THEN CAST(NULL AS BIGINT) " +
           "ELSE (_key DIV 16) * 16 + ((_key % 16 - 1) DIV 2) END").as("parent"))
       val paths = graft.operators.Conversations.chatPaths(msgs, "id", "parent")
       require(paths.count() > 0 &&
