@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one forked JVM and some (ProviderSpec, AnnIndexSpec)
+// scope JVM-global system properties to a test window — keep forked
+// execution sequential so a property window can never hijack another
+// suite's registry/budget reads. This is sbt's default for forked
+// tests; pinned explicitly because correctness depends on it.
+Test / testForkedParallel := false
 run / fork := true
 // Forked run output must pass through UNPREFIXED: the bench driver
 // parses the JSON line from stdout, and sbt's default LoggedOutput

@@ -341,6 +341,8 @@ object Cli {
                 println(s"$action($column): ${c.repairDedupIndex(column)} row(s)")
               case "repairAnnIndex" =>
                 println(s"$action($column): ${c.repairAnnIndex(column)} row(s)")
+              case "repairBinarySketch" =>
+                println(s"$action($column): ${c.repairBinarySketch(column)} row(s)")
               case "buildAnnIndex" =>
                 // retrain with the index's stored geometry
                 val p = s.read.parquet(s"${c.annIndexDir(column)}/params").head()
@@ -357,6 +359,8 @@ object Cli {
                 c.compactKeywordIndex(column); println(s"$action($column): folded")
               case "compactDedupIndex" =>
                 println(s"$action($column): ${c.compactDedupIndex(column)} file(s)")
+              case "compactBinarySketch" =>
+                println(s"$action($column): ${c.compactBinarySketch(column)} file(s)")
               case other => fail(s"unknown planned action '$other'")
             }
           }

@@ -2875,17 +2875,12 @@ class Collection private[core] (
     writeLock.lock()
     try {
       if (!hasBinarySketch(column)) return 0
-      recoverFileSwap(binarySketchDir(column))
-      val totalBytes =
-        fs.getContentSummary(new Path(binarySketchDir(column))).getLength
-      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      val rows = spark.read.parquet(binarySketchDir(column)).dropDuplicates()
-      writeAndSwap(binarySketchDir(column)) { tmp =>
-        rows.repartitionByRange(nFiles, col(KeyCol)).sortWithinPartitions(KeyCol)
-          .write.mode("overwrite").parquet(tmp)
-      }
+      // the sketch IS a key-clustered append log — same fold as the
+      // band/fps sidecars (and mergeSchema-tolerant, unlike the inline
+      // copy this replaced)
+      val n = compactKeyClustered(binarySketchDir(column), targetFileBytes)
       compactKeyClustered(s"${binaryIndexDir(column)}/fps", targetFileBytes)
-      nFiles
+      n
     } finally writeLock.unlock()
   }
 
@@ -3521,6 +3516,11 @@ class Collection private[core] (
             case "vector" => (1, "reembedChanged + embedColumn")
             case "keyword" => (2, "repairKeywordIndex")
             case "dedup" => (2, "repairDedupIndex")
+            // "binary" must route to ITS repair: the old catch-all sent
+            // it to repairAnnIndex, which never touches the sketch, so
+            // binary staleness could neither converge under --apply nor
+            // survive the one-row-per-(column, action) dedupe
+            case "binary" => (2, "repairBinarySketch")
             case _ => (2, "repairAnnIndex")
           }
           acts += ((pri, c0, structure, action,

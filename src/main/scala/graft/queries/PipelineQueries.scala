@@ -1306,7 +1306,7 @@ object PipelineQueries {
        |         + sqrt(greatest(st.s2 / st.n
        |             - (st.s1 / st.n) * (st.s1 / st.n), 0.0)) THEN 'middle'
        |       ELSE 'tail' END AS band
-       |  FROM mi JOIN st USING (lang))""".stripMargin
+       |  FROM mi JOIN st ON mi.lang IS NOT DISTINCT FROM st.lang)""".stripMargin
 
   /** Exact-pair dedup-apply oracle (recursive-CTE components over the
     * exact Jaccard >= 0.8 edge list, per-lang kept/dropped counts) —

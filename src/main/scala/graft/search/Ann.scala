@@ -546,8 +546,10 @@ object Ann {
   private def estimateFromHistogram(probing: DataFrame,
                                     members: DataFrame): BigDecimal = {
     val p = probing.groupBy(col("list_id")).agg(count(lit(1)).as("__p"))
+    // cast BEFORE the multiply: a degenerate list can overflow long*long
+    // at exactly the pathological scale the guard exists to refuse
     val r = p.join(members, Seq("list_id"))
-      .agg(sum((col("__p") * col("__m")).cast("decimal(38,0)")))
+      .agg(sum(col("__p").cast("decimal(38,0)") * col("__m")))
       .head()
     if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
   }

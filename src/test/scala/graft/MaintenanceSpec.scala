@@ -29,28 +29,34 @@ class MaintenanceSpec extends SparkSpec {
     c.buildKeywordIndex("text")
     c.buildDedupIndex("text")
     c.buildAnnIndex("text", nLists = 2, sampleN = 100)
+    c.buildBinarySketch("text")
     assert(plan(c).isEmpty, "freshly built structures need nothing")
 
-    // mutate text under every index: all four structures go stale
+    // mutate text under every index: all structures go stale
     c.upsert(Seq((5L, "rewritten body five"), (9L, "rewritten body nine"))
       .toDF("_key", "text"))
     val p = plan(c)
-    // ann is NOT stale yet: its fps mirror the vector index, which still
-    // holds the old embeddings — the dependency the ordering encodes
+    // ann/binary are NOT stale yet: their fps mirror the vector index,
+    // which still holds the old embeddings — the dependency the
+    // ordering encodes
     assert(p.map(_._3).toSet == Set("vector", "keyword", "dedup"))
     // vector repair must sort FIRST (the others read its fingerprints)
     assert(p.head._3 == "vector" && p.head._4 == "reembedChanged + embedColumn")
     assert(p.tail.forall(_._1 == 2))
 
     // executing the plan in order clears it — and the vector repair
-    // surfaces the ann follow-up (maintain --apply loops to a fixpoint)
+    // surfaces the ann AND binary follow-ups, each routed to ITS OWN
+    // repair (binary used to mis-route to repairAnnIndex, which never
+    // touches the sketch and could therefore never converge)
     assert(c.reembedChanged("text", emb) == 2)
     c.embedColumn("text", emb)
     assert(c.repairKeywordIndex("text") == 2)
     assert(c.repairDedupIndex("text") == 2)
     val p2 = plan(c)
-    assert(p2.map(t => (t._3, t._4)).toSeq == Seq(("ann", "repairAnnIndex")))
+    assert(p2.map(t => (t._3, t._4)).toSet ==
+      Set(("ann", "repairAnnIndex"), ("binary", "repairBinarySketch")), p2.toSeq)
     assert(c.repairAnnIndex("text") == 2)
+    assert(c.repairBinarySketch("text") == 2)
     assert(plan(c).isEmpty, "repairs resolve every planned row")
   }
 
