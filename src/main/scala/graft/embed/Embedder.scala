@@ -127,9 +127,21 @@ object EmbedderProvider {
     val provider =
       try cls.getDeclaredConstructor().newInstance()
         .asInstanceOf[EmbedderProvider]
-      catch { case _: NoSuchMethodException =>
-        throw new IllegalArgumentException(
-          s"provider '$className' needs a public no-arg constructor")
+      catch {
+        case _: NoSuchMethodException =>
+          throw new IllegalArgumentException(
+            s"provider '$className' needs a public no-arg constructor")
+        case e: java.lang.reflect.InvocationTargetException =>
+          // unwrap: the user's constructor threw — name the provider,
+          // keep the real cause
+          throw new IllegalArgumentException(
+            s"provider '$className' constructor threw: " +
+              s"${Option(e.getCause).getOrElse(e)}", Option(e.getCause).getOrElse(e))
+        case e: ReflectiveOperationException =>
+          // abstract class, non-public constructor, …
+          throw new IllegalArgumentException(
+            s"provider '$className' is not instantiable " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
       }
     val e = provider.create(modelId, variant)
     require(e != null && e.dim > 0,

@@ -922,7 +922,7 @@ object RelationalQueries {
         lit("RAIL"), lit("REG AIR"), lit("FOB"))
       val li = lineitem(s, d).select(col("l_orderkey"),
         element_at(modes,
-          ((col("l_orderkey") * 7 + col("l_linenumber") * 13) % 7)
+          ((col("l_orderkey") * 3 + col("l_linenumber") * 13) % 7)
             .cast("int") + 1).as("l_shipmode"),
         to_date(col("l_shipdate")).as("sd"),
         date_add(to_date(col("l_shipdate")),
@@ -1447,7 +1447,7 @@ object RelationalQueries {
       """WITH li AS (
         |  SELECT l_orderkey,
         |    ['MAIL','SHIP','AIR','TRUCK','RAIL','REG AIR','FOB']
-        |      [CAST((l_orderkey * 7 + l_linenumber * 13) % 7 AS INT) + 1]
+        |      [CAST((l_orderkey * 3 + l_linenumber * 13) % 7 AS INT) + 1]
         |      AS l_shipmode,
         |    CAST(l_shipdate AS DATE) AS sd,
         |    CAST(l_shipdate AS DATE)

@@ -570,8 +570,22 @@ object Ann {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    if (nRows <= GuardMinRows) return
     val budget = candidateBudget
+    if (nRows <= GuardMinRows) {
+      // A small corpus can't melt a SELF-join (n^2 <= 1e10), but a large
+      // external query batch probing a compact corpus still can (the
+      // searchBatch path). Bound the volume by probe rows x largest list
+      // — one count on the already-built probing projection — and only
+      // fall through to the exact estimate when that bound exceeds the
+      // budget.
+      val maxM = members.agg(max(col("__m"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      if (maxM == 0L) return
+      if (BigDecimal(probing.count()) * BigDecimal(maxM) <= BigDecimal(budget))
+        return
+    }
     val est = estimateFromHistogram(probing, members)
     if (est > BigDecimal(budget))
       throw new IllegalStateException(

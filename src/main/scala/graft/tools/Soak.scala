@@ -35,7 +35,9 @@ object Soak {
     val f = new java.io.File(dir)
     if (!f.exists()) 0
     else {
-      val (dirs, files) = f.listFiles().partition(_.isDirectory)
+      // listFiles is null (not empty) on IO/permission errors mid-soak
+      val (dirs, files) =
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).partition(_.isDirectory)
       files.count(_.getName.endsWith(".parquet")) + dirs.map(d => filesUnder(d.getPath)).sum
     }
   }
@@ -43,7 +45,8 @@ object Soak {
   private def bytesUnder(dir: String): Long = {
     val f = new java.io.File(dir)
     if (!f.exists()) 0L
-    else f.listFiles().map(x => if (x.isDirectory) bytesUnder(x.getPath) else x.length).sum
+    else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(x => if (x.isDirectory) bytesUnder(x.getPath) else x.length).sum
   }
 
   def main(args: Array[String]): Unit = {
