@@ -346,15 +346,20 @@ object TextQueries {
     // padding, list recursion) breaks the match. Real-JPEG MJPEG decode
     // is exercised in VideoSpec with ImageIO payloads.
     "q61_video_frames" -> ((s, d) => {
-      val aviUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticVideo.avi(id))
       // decode parallelism must come from the PLAN, not the input split
       // count: the fixture corpus is one small parquet file = one split,
       // which would serialize the synth+decode UDF on a single thread
       // (measured 19x at 10x data before this). Repartitioning the
       // 8-byte id projection is free; the heavy work lands after it.
-      val media = documents(s, d).select(col("doc_id").as("media_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("content", aviUdf(col("media_id")))
+      // The synthesized payloads themselves are served from the
+      // MediaFixtures parquet cache (same bytes, synth paid once), so
+      // the bench measures the container walk, not the generator.
+      val media = graft.multimodal.MediaFixtures.cachedContent(s, d, "avi") {
+        val aviUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticVideo.avi(id))
+        documents(s, d).select(col("doc_id").as("media_id"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("content", aviUdf(col("media_id")))
+      }.repartition(s.sparkContext.defaultParallelism)
       val sampled = graft.multimodal.Multimodal.sampleFrames(
         media, "media_id", "content", nFrames = 4)
       val checksum = udf((b: Array[Byte]) => {
@@ -408,11 +413,14 @@ object TextQueries {
     }),
 
     "q54_audio_features" -> ((s, d) => {
-      val wavUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticAudio.wav(id))
-      // plan-driven decode parallelism (see q61's note)
-      val media = documents(s, d).select(col("doc_id").as("media_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("content", wavUdf(col("media_id")))
+      // plan-driven decode parallelism (see q61's note); payloads from
+      // the MediaFixtures cache
+      val media = graft.multimodal.MediaFixtures.cachedContent(s, d, "wav") {
+        val wavUdf = udf((id: Long) => graft.multimodal.Multimodal.SyntheticAudio.wav(id))
+        documents(s, d).select(col("doc_id").as("media_id"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("content", wavUdf(col("media_id")))
+      }.repartition(s.sparkContext.defaultParallelism)
       graft.multimodal.Multimodal.extractAudioFeatures(media, "media_id", "content")
         .filter(col("decoded"))
         .select(col("media_id"), col("n_samples"),
@@ -652,12 +660,15 @@ object TextQueries {
     // defect in PNG decode, area pooling, mean threshold, bit packing,
     // or the pigeonhole Hamming join breaks the hash match.
     "q176_image_neardups" -> ((s, d) => {
-      val pngUdf = udf((id: Long) =>
-        graft.multimodal.Multimodal.SyntheticImage.png(id))
-      // plan-driven decode parallelism (see q61's note)
-      val imgs = documents(s, d).select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("content", pngUdf(col("doc_id")))
+      // plan-driven decode parallelism (see q61's note); payloads from
+      // the MediaFixtures cache
+      val imgs = graft.multimodal.MediaFixtures.cachedContent(s, d, "png") {
+        val pngUdf = udf((id: Long) =>
+          graft.multimodal.Multimodal.SyntheticImage.png(id))
+        documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("content", pngUdf(col("doc_id")))
+      }.repartition(s.sparkContext.defaultParallelism)
       graft.multimodal.Multimodal.imageNearDups(imgs, "doc_id", "content")
         .orderBy(col("key_a"), col("key_b"))
     }),
@@ -668,12 +679,15 @@ object TextQueries {
     // group — SyntheticAudio.nearWav). Expected pairs = within-group,
     // so decode/envelope/threshold/join defects all break the hash.
     "q180_audio_neardups" -> ((s, d) => {
-      val wavUdf = udf((id: Long) =>
-        graft.multimodal.Multimodal.SyntheticAudio.nearWav(id))
-      // plan-driven decode parallelism (see q61's note)
-      val auds = documents(s, d).select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("content", wavUdf(col("doc_id")))
+      // plan-driven decode parallelism (see q61's note); payloads from
+      // the MediaFixtures cache
+      val auds = graft.multimodal.MediaFixtures.cachedContent(s, d, "nearwav") {
+        val wavUdf = udf((id: Long) =>
+          graft.multimodal.Multimodal.SyntheticAudio.nearWav(id))
+        documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("content", wavUdf(col("doc_id")))
+      }.repartition(s.sparkContext.defaultParallelism)
       graft.multimodal.Multimodal.audioNearDups(auds, "doc_id", "content")
         .select(col("key_a"), col("key_b"))
         .orderBy(col("key_a"), col("key_b"))
@@ -687,12 +701,15 @@ object TextQueries {
     // A defect in the container walk, frame sampling, per-frame
     // hashing, slot alignment, or the match-count threshold breaks it.
     "q178_video_neardups" -> ((s, d) => {
-      val aviUdf = udf((id: Long) =>
-        graft.multimodal.Multimodal.SyntheticVideo.nearAvi(id))
-      // plan-driven decode parallelism (see q61's note)
-      val vids = documents(s, d).select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("content", aviUdf(col("doc_id")))
+      // plan-driven decode parallelism (see q61's note); payloads from
+      // the MediaFixtures cache
+      val vids = graft.multimodal.MediaFixtures.cachedContent(s, d, "nearavi") {
+        val aviUdf = udf((id: Long) =>
+          graft.multimodal.Multimodal.SyntheticVideo.nearAvi(id))
+        documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("content", aviUdf(col("doc_id")))
+      }.repartition(s.sparkContext.defaultParallelism)
       graft.multimodal.Multimodal
         .videoNearDups(vids, "doc_id", "content", nFrames = 4, minMatches = 3)
         .select(col("key_a"), col("key_b"))
