@@ -38,3 +38,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Out-of-tree example EmbedderProvider: a separate module whose only
+// link to the engine is the public graft.embed.EmbedderProvider trait.
+// It is NOT on the main runtime classpath — Drive packages its classes
+// into a jar and loads it in a forked JVM purely via -cp plus the
+// graft.embedder.provider property, proving a real ONNX/REST backend is
+// a drop-in packaging exercise. (sbt's auto-generated root aggregates
+// this project, so plain `compile` builds it; run tasks never
+// aggregate, so the driver's runMain invocations are unaffected.)
+lazy val exampleProvider = (project in file("example-provider"))
+  .dependsOn(LocalRootProject)
+  .settings(
+    name := "graft-example-provider",
+    unmanagedBase := file("/opt/spark/jars"),
+  )

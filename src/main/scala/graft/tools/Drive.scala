@@ -456,6 +456,82 @@ object Drive {
         s"split atomic, unigram roundtrip ok")
     }
 
+    println("=== 14. out-of-tree provider jar drives `index` end-to-end ===")
+    locally {
+      import org.apache.spark.sql.functions.{col, size}
+      import spark.implicits._
+      // The example-provider module compiles via the aggregated root but
+      // is NOT on this classpath — prove that first, else the fork below
+      // proves nothing.
+      val absent =
+        try { Class.forName("graftexample.ExampleProvider"); false }
+        catch { case _: ClassNotFoundException => true }
+      require(absent, "graftexample must NOT be on the engine classpath")
+      // package its classes into a REAL jar (the sbt-built one is used
+      // when present), so the load path is the production one: jar on
+      // -cp + the graft.embedder.provider property in a fresh JVM.
+      val modTarget = new java.io.File("example-provider/target/scala-2.13")
+      val jarPath = Option(modTarget.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .find(_.getName.endsWith(".jar")).map(_.toPath).getOrElse {
+          val clsDir = new java.io.File(modTarget, "classes")
+          require(clsDir.isDirectory,
+            "example-provider is not compiled — plain `sbt compile` builds it")
+          val jar = java.nio.file.Files.createTempDirectory("provjar")
+            .resolve("graft-example-provider.jar")
+          val jos = new java.util.jar.JarOutputStream(
+            java.nio.file.Files.newOutputStream(jar))
+          def addAll(dir: java.io.File, prefix: String): Unit =
+            Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+              .sortBy(_.getName).foreach { f =>
+                if (f.isDirectory) addAll(f, s"$prefix${f.getName}/")
+                else {
+                  jos.putNextEntry(new java.util.jar.JarEntry(s"$prefix${f.getName}"))
+                  jos.write(java.nio.file.Files.readAllBytes(f.toPath))
+                  jos.closeEntry()
+                }
+              }
+          addAll(clsDir, "")
+          jos.close()
+          jar
+        }
+      val home = java.nio.file.Files.createTempDirectory("graft_provdrive").toString
+      val input = s"$home/docs.parquet"
+      (1 to 40).map(i => s"provider demo doc $i alpha beta").toDF("text")
+        .write.parquet(input)
+      import scala.jdk.CollectionConverters._
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filterNot(_.startsWith("-Xmx")).toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx4g",
+        "-Dgraft.embedder.provider=graftexample.ExampleProvider",
+        "-cp", System.getProperty("java.class.path") +
+          java.io.File.pathSeparator + jarPath.toString,
+        "graft.Cli", "index", input, "--collection", "provdemo")
+      val pb = new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
+      pb.environment().put("GRAFT_HOME", home)
+      pb.environment().put("SPARK_GRAFT_CPUS", "4")
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+        .getLines().toList
+      require(p.waitFor() == 0,
+        s"forked `index` failed:\n${out.takeRight(15).mkString("\n")}")
+      require(out.exists(_.contains("indexed 40 rows")),
+        s"forked `index` did not report its rows: ${out.takeRight(5)}")
+      // the stored width is the proof: 24 is ExampleProvider's signature
+      // dim; the registry default would have stored 384
+      val pc = new Catalog(spark, home).load("provdemo")
+      val dim = pc.embeddings("text")
+        .select(size(col("embedding"))).head().getInt(0)
+      require(dim == 24,
+        s"stored vectors are $dim-wide — the provider jar (24) did not " +
+          "drive the embed; the built-in registry default did")
+      val hits = pc.search("text", "alpha beta", limit = 3,
+        new HashingEmbedder(dim = 24)).count()
+      require(hits > 0, "search over the provider-indexed collection is empty")
+      println(s"provider jar: forked index OK, stored dim=24, search serves $hits")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }

@@ -59,6 +59,17 @@ object Soak {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Checkpoint retention (the round-10 soak measured ~11 KB/batch/
+      // stream of unreclaimed metadata): keep 10 batches of offsets/
+      // commits instead of the default 100, compact the file-source log
+      // every 10 batches, and make superseded log files reclaimable
+      // immediately instead of after the default 10-minute delay —
+      // months-long streams otherwise accumulate metadata they will
+      // never read again. These are the documented production settings
+      // for the five index-family streams.
+      .config("spark.sql.streaming.minBatchesToRetain", "10")
+      .config("spark.sql.streaming.fileSource.log.compactInterval", "10")
+      .config("spark.sql.streaming.fileSource.log.cleanupDelay", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -127,25 +138,37 @@ object Soak {
       }
     } finally queries.foreach(_._2.stop())
 
-    // two separate checkpoint claims, asserted separately:
+    // three separate checkpoint claims, asserted separately (retention
+    // configs above are what make 1 and 2 hold):
     //  1. the folds are STATELESS — the state-store directory stays
     //     empty (no KeyValueGroupedDataset state to grow without bound);
-    //  2. total checkpoint bytes grow only as Spark's cumulative
-    //     file-source metadata log (exactly-once bookkeeping, linear in
-    //     batches by Spark's design — measured ~11 KB/batch/stream), so
-    //     the bound is linear-in-batches with a sane constant, NOT a
-    //     fixed cap (a fixed 4 MB cap false-failed the first 500-batch
-    //     run at ~5 MB while every real property held).
+    //  2. offsets + commits are CONSTANT-bounded: minBatchesToRetain=10
+    //     purges everything older, so the progress log no longer grows
+    //     with soak length (it was the bulk of round-10's ~11 KB/batch);
+    //  3. the file-source log (sources/) keeps one entry per data file
+    //     EVER seen — that is the exactly-once contract and is
+    //     irreducibly linear in input files (expiring entries would be
+    //     a maxFileAge input-semantics change, not a retention tweak) —
+    //     but with compaction + immediate cleanup it is ~0.2 KB/batch
+    //     of entry bookkeeping, not accumulated superseded log files.
     val ckptDirs = Seq("_embckpt", "_kwckpt", "_ddckpt", "_annckpt", "_binckpt")
     val stateKb = ckptDirs.map(d => bytesUnder(s"$root/$d/state") / 1024)
     require(stateKb.forall(_ <= 64),
       s"state store grew — the folds are supposed to be stateless: " +
         s"${stateKb.mkString(", ")} KB")
+    val progressKb = ckptDirs.map(d =>
+      (bytesUnder(s"$root/$d/offsets") + bytesUnder(s"$root/$d/commits")) / 1024)
+    require(progressKb.forall(_ <= 256),
+      s"offsets/commits outgrew the constant retention bound (256 KB): " +
+        s"${progressKb.mkString(", ")} KB — minBatchesToRetain not applied?")
+    val sourceKb = ckptDirs.map(d => bytesUnder(s"$root/$d/sources") / 1024)
+    // measured ~1.4 KB/batch of cumulative entry bookkeeping at the
+    // retention settings above (vs ~11 KB/batch unconfigured)
+    val sourceCapKb = 64L + 2L * batches
+    require(sourceKb.forall(_ <= sourceCapKb),
+      s"file-source log outgrew its entry-bookkeeping bound ($sourceCapKb KB): " +
+        s"${sourceKb.mkString(", ")} KB — log compaction/cleanup not applied?")
     val ckptKb = ckptDirs.map(d => bytesUnder(s"$root/$d") / 1024)
-    val perBatchCapKb = 24L * batches
-    require(ckptKb.forall(_ <= perBatchCapKb),
-      s"checkpoint outgrew the linear file-log bound (${perBatchCapKb} KB): " +
-        s"${ckptKb.mkString(", ")} KB")
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -156,8 +179,8 @@ object Soak {
     val decile = math.max(1, batches / 10)
     val early = median(lat.slice(decile, 2 * decile).toSeq)   // post-warmup
     val late = median(lat.takeRight(decile).toSeq)
-    println(s"| batches | rows/batch | early-decile median s | last-decile median s | ratio | deleted | ckpt KB (max) |")
-    println(f"| $batches | $rowsPerBatch | $early%.2f | $late%.2f | ${late / early}%.2f | $deleted | ${ckptKb.max} |")
+    println(s"| batches | rows/batch | early-decile median s | last-decile median s | ratio | deleted | ckpt KB (max) | progress KB (max) | source-log KB (max) |")
+    println(f"| $batches | $rowsPerBatch | $early%.2f | $late%.2f | ${late / early}%.2f | $deleted | ${ckptKb.max} | ${progressKb.max} | ${sourceKb.max} |")
     fileHighs.takeRight(3).foreach { case (bb, df, af) =>
       println(s"|   post-compact files @batch $bb | data=$df ann=$af | | | | | |")
     }
