@@ -37,12 +37,12 @@ class ScaleGateSpec extends AnyFunSuite {
   }
 
   test("pinned ceiling: a query at its measured ratio stays green, above it goes red") {
-    val q = "q176_image_neardups" // pinned 11.1
+    val (q, pin) = ScaleGate.PinnedCeilings.maxBy(_._2) // the loosest pin
     val ok = ScaleGate.adjudicate(
-      Map(q -> 2.0), Map.empty, Map(q -> 2.0 * 11.1), Map.empty)
+      Map(q -> 2.0), Map.empty, Map(q -> 2.0 * pin), Map.empty)
     assert(ok.red === Nil)
     val bad = ScaleGate.adjudicate(
-      Map(q -> 2.0), Map.empty, Map(q -> 2.0 * 11.1 * 1.6), Map.empty)
+      Map(q -> 2.0), Map.empty, Map(q -> 2.0 * pin * 1.6), Map.empty)
     assert(bad.red.exists(_.startsWith(q)))
   }
 
