@@ -39,15 +39,20 @@ object MediaFixtures {
     p.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Driver-side fingerprint of the source documents table: sorted
-    * (name, length) pairs hashed. O(files) stat calls, no data read.
+    * (name, length, mtime) triples hashed. O(files) stat calls, no data
+    * read. The mtime closes the corner where a regenerated tree lands
+    * byte-identical-length files under identical names (impossible for
+    * Spark writes — part names carry UUIDs — but cheap to rule out for
+    * any other writer).
     */
   private def sourceFingerprint(sfDir: String): String = {
     val docs = new java.io.File(sfDir, "documents.parquet")
-    val listing: Seq[(String, Long)] =
+    def stat(f: java.io.File) = (f.getName, f.length(), f.lastModified())
+    val listing: Seq[(String, Long, Long)] =
       if (docs.isDirectory)
         Option(docs.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(_.isFile).map(f => (f.getName, f.length())).toSeq.sorted
-      else if (docs.isFile) Seq((docs.getName, docs.length()))
+          .filter(_.isFile).map(stat).toSeq.sorted
+      else if (docs.isFile) Seq(stat(docs))
       else Seq.empty
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.seqHash(listing).toLong & 0xffffffffL)
@@ -69,6 +74,14 @@ object MediaFixtures {
       s"$cacheRoot/v$Version/${sanitize(sfDir)}-${sourceFingerprint(sfDir)}/$kind")
     def ready = new java.io.File(dir, "_SUCCESS").exists()
     if (!ready) {
+      // sweep tmp dirs abandoned by a crashed builder (>2h old — a live
+      // concurrent builder's fresh tmp is left alone; if we ever did
+      // delete one, its rename simply fails and it falls back to the
+      // uncached build)
+      Option(dir.getParentFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(s".${dir.getName}.tmp-") &&
+          f.lastModified() < System.currentTimeMillis() - 2L * 3600 * 1000)
+        .foreach(deleteRec)
       val tmp = new java.io.File(dir.getParentFile,
         s".${dir.getName}.tmp-${ProcessHandle.current().pid()}")
       build.write.mode("overwrite").parquet(tmp.getPath)

@@ -556,13 +556,18 @@ object Ann {
 
   /** Refuse a probed join whose candidate volume exceeds the budget.
     * The member histogram rides one linear pass (and its sum IS the
-    * corpus row count, so the small-corpus skip costs nothing extra);
-    * the probe-side pass only runs above [[GuardMinRows]] — fixture
-    * queries pay one tiny aggregation, scale runs pay linear insurance
-    * against a quadratic join.
+    * corpus row count, so the small-corpus skip costs nothing extra).
+    * Below [[GuardMinRows]] the probe side is bounded WITHOUT evaluating
+    * the probe-assignment UDF: `probeRowBound` (query rows x nProbe, a
+    * columnar count on the pre-explode side) x largest list over-counts
+    * the candidates, so fixture queries still pay only tiny
+    * aggregations; the full probe-side histogram pass runs only above
+    * the threshold or when the cheap bound cannot clear the budget —
+    * linear insurance against a quadratic join.
     */
   private def guardCandidates(op: String, probing: => DataFrame,
-                              assigned: DataFrame): Unit = {
+                              assigned: DataFrame,
+                              probeRowBound: Long => Long): Unit = {
     val members = assigned.groupBy(col("list_id"))
       .agg(count(lit(1)).as("__m"))
       .localCheckpoint(true) // nLists rows — pinned for the two reads
@@ -574,16 +579,15 @@ object Ann {
     if (nRows <= GuardMinRows) {
       // A small corpus can't melt a SELF-join (n^2 <= 1e10), but a large
       // external query batch probing a compact corpus still can (the
-      // searchBatch path). Bound the volume by probe rows x largest list
-      // — one count on the already-built probing projection — and only
-      // fall through to the exact estimate when that bound exceeds the
-      // budget.
+      // searchBatch path). probeRowBound x maxM >= true candidate count,
+      // and costs one UDF-free count — only an over-budget bound pays
+      // the exact estimate below.
       val maxM = members.agg(max(col("__m"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
       if (maxM == 0L) return
-      if (BigDecimal(probing.count()) * BigDecimal(maxM) <= BigDecimal(budget))
+      if (BigDecimal(probeRowBound(nRows)) * BigDecimal(maxM) <= BigDecimal(budget))
         return
     }
     val est = estimateFromHistogram(probing, members)
@@ -610,8 +614,11 @@ object Ann {
     val cos = graft.functions.VectorFunctions.cosine(col("__q"), col("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
+    // self-join: probe rows == corpus rows x nProbe (free); external
+    // batch: one UDF-free columnar count of the query frame
     guardCandidates(if (excludeSelf) "knnJoin" else "searchBatch",
-      probing.select(col("list_id")), cand.select(col("list_id")))
+      probing.select(col("list_id")), cand.select(col("list_id")),
+      n => (if (excludeSelf) n else queries.count()) * nProbe)
     probing.join(cand, Seq("list_id"))
       .filter(if (excludeSelf) col("src") =!= col("nbr") else lit(true))
       .select(col("src"), col("nbr"), cos.as("sim"))
@@ -747,7 +754,8 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
     guardCandidates("hardNegativesIvf",
-      probing.select(col("list_id")), cand.select(col("list_id")))
+      probing.select(col("list_id")), cand.select(col("list_id")),
+      n => n * nProbe) // self-join: probe rows from the corpus count
     probing.join(cand, Seq("list_id"))
       .filter(col("__lq") =!= col("__lc"))
       .select(col("src"), col("nbr"), cos.as("sim"))
@@ -809,7 +817,8 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("pos_sim"), col("pos"))
     guardCandidates("contrastiveTripletsIvf",
-      probing.select(col("list_id")), cand.select(col("list_id")))
+      probing.select(col("list_id")), cand.select(col("list_id")),
+      n => n * nProbe) // self-join: probe rows from the corpus count
     val positives = probing.join(cand, Seq("list_id"))
       .filter(col("__lq") === col("__lc") && col("src") =!= col("nbr"))
       .select(col("src"), col("nbr").as("pos"), cos.as("pos_sim"))

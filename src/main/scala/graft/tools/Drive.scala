@@ -467,34 +467,34 @@ object Drive {
         try { Class.forName("graftexample.ExampleProvider"); false }
         catch { case _: ClassNotFoundException => true }
       require(absent, "graftexample must NOT be on the engine classpath")
-      // package its classes into a REAL jar (the sbt-built one is used
-      // when present), so the load path is the production one: jar on
-      // -cp + the graft.embedder.provider property in a fresh JVM.
+      // package its classes into a REAL jar, so the load path is the
+      // production one: jar on -cp + the graft.embedder.provider
+      // property in a fresh JVM. ALWAYS packaged from the classes dir
+      // (current after any `sbt compile`) — preferring a previously
+      // sbt-packaged jar would silently test stale provider code.
       val modTarget = new java.io.File("example-provider/target/scala-2.13")
-      val jarPath = Option(modTarget.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .find(_.getName.endsWith(".jar")).map(_.toPath).getOrElse {
-          val clsDir = new java.io.File(modTarget, "classes")
-          require(clsDir.isDirectory,
-            "example-provider is not compiled — plain `sbt compile` builds it")
-          val jar = java.nio.file.Files.createTempDirectory("provjar")
-            .resolve("graft-example-provider.jar")
-          val jos = new java.util.jar.JarOutputStream(
-            java.nio.file.Files.newOutputStream(jar))
-          def addAll(dir: java.io.File, prefix: String): Unit =
-            Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-              .sortBy(_.getName).foreach { f =>
-                if (f.isDirectory) addAll(f, s"$prefix${f.getName}/")
-                else {
-                  jos.putNextEntry(new java.util.jar.JarEntry(s"$prefix${f.getName}"))
-                  jos.write(java.nio.file.Files.readAllBytes(f.toPath))
-                  jos.closeEntry()
-                }
+      val jarPath = {
+        val clsDir = new java.io.File(modTarget, "classes")
+        require(clsDir.isDirectory,
+          "example-provider is not compiled — plain `sbt compile` builds it")
+        val jar = java.nio.file.Files.createTempDirectory("provjar")
+          .resolve("graft-example-provider.jar")
+        val jos = new java.util.jar.JarOutputStream(
+          java.nio.file.Files.newOutputStream(jar))
+        def addAll(dir: java.io.File, prefix: String): Unit =
+          Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+            .sortBy(_.getName).foreach { f =>
+              if (f.isDirectory) addAll(f, s"$prefix${f.getName}/")
+              else {
+                jos.putNextEntry(new java.util.jar.JarEntry(s"$prefix${f.getName}"))
+                jos.write(java.nio.file.Files.readAllBytes(f.toPath))
+                jos.closeEntry()
               }
-          addAll(clsDir, "")
-          jos.close()
-          jar
-        }
+            }
+        addAll(clsDir, "")
+        jos.close()
+        jar
+      }
       val home = java.nio.file.Files.createTempDirectory("graft_provdrive").toString
       val input = s"$home/docs.parquet"
       (1 to 40).map(i => s"provider demo doc $i alpha beta").toDF("text")

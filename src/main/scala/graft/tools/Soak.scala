@@ -182,7 +182,7 @@ object Soak {
     println(s"| batches | rows/batch | early-decile median s | last-decile median s | ratio | deleted | ckpt KB (max) | progress KB (max) | source-log KB (max) |")
     println(f"| $batches | $rowsPerBatch | $early%.2f | $late%.2f | ${late / early}%.2f | $deleted | ${ckptKb.max} | ${progressKb.max} | ${sourceKb.max} |")
     fileHighs.takeRight(3).foreach { case (bb, df, af) =>
-      println(s"|   post-compact files @batch $bb | data=$df ann=$af | | | | | |")
+      println(s"|   post-compact files @batch $bb | data=$df ann=$af | | | | | | | |")
     }
     require(late <= early * 2.0,
       f"per-batch latency drifted: early $early%.2f s -> late $late%.2f s")

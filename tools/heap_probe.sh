@@ -9,7 +9,8 @@
 #
 # Usage: tools/heap_probe.sh 16g 12g 8g 6g 4g
 set -u
-HEAVY=${HEAVY:-q178,q180,q30,q122,q68,q121,q185,q120,q111,q130}
+# default = the round-11 warm-run peak-heap top 10 (SCALE.md table)
+HEAVY=${HEAVY:-q178,q180,q74,q69,q86,q68,q73,q67,q66,q72}
 SF=${SF:-target/scale/sf1.0}
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
