@@ -87,6 +87,23 @@ object MediaFixtures {
       build.write.mode("overwrite").parquet(tmp.getPath)
       dir.getParentFile.mkdirs()
       if (!tmp.renameTo(dir)) deleteRec(tmp) // raced or refused: fall back
+      else {
+        // prune STALE GENERATIONS: the same source path under an old
+        // fingerprint (each testdata regeneration rotates the key, and
+        // the sf1.0 generation is ~380 MB — unbounded growth otherwise).
+        // A concurrent process still serving a pruned generation merely
+        // falls back to its uncached build.
+        val vRoot = dir.getParentFile.getParentFile
+        val current = dir.getParentFile.getName
+        // exact-shape match (prefix + hex fingerprint) so a SIBLING tree
+        // whose name happens to extend this one with "-..." never prunes
+        val stale = (java.util.regex.Pattern.quote(sanitize(sfDir)) +
+          "-[0-9a-f]{1,8}").r
+        Option(vRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName != current &&
+            stale.matches(f.getName))
+          .foreach(deleteRec)
+      }
     }
     if (ready) spark.read.parquet(dir.getPath) else build
   }

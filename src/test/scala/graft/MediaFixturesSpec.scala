@@ -67,6 +67,12 @@ class MediaFixturesSpec extends SparkSpec {
       val after = collectSums(MediaFixtures.cachedContent(spark, tree, "png")(payloads(tree)))
       assert(after.keySet === (100L until 108L).toSet,
         "the regenerated tree must rebuild, not serve the stale cache")
+      // and the stale generation is pruned — regenerating per round must
+      // not accumulate dead cache dirs (the sf1.0 generation is ~380 MB)
+      val generations = new java.io.File(s"$cache/v${MediaFixtures.Version}")
+        .listFiles().filter(_.isDirectory)
+      assert(generations.length === 1,
+        s"stale generations survive: ${generations.map(_.getName).mkString(", ")}")
     } finally sys.props -= "graft.media.cache"
   }
 }
