@@ -665,12 +665,32 @@ object Dedup {
       df.select(col(keyCol), simhashUdf(seed)(col(textCol)).as("simhash")),
       keyCol, "simhash", maxHamming, maxBucket)
 
+  /** Buckets at or below this member count pair inside the generator
+    * UDF (<= ~12 MB of materialized pair structs per task); bigger ones
+    * route through the streaming self-join below. The round-11 heap
+    * probe put the suite's OOM cliff exactly here: a planted dup group
+    * collapses thousands of identical sketches into ONE bucket, and the
+    * UDF materialized that bucket's ENTIRE quadratic pair output as a
+    * single in-heap Seq (hundreds of MB x 32 concurrent tasks).
+    */
+  private val UdfBucketMax = 1024
+
   /** Near-dup pairs over any precomputed 64-bit sketch column (SimHash,
     * image perceptual hash, binary sign sketch word): 16-bit block
     * equality generates candidates (pigeonhole-EXACT for Hamming <=
     * 3 — a pair within distance 3 differs in at most 3 of 4 blocks, so
     * at least one block matches), `bit_count(xor)` verifies. The shared
     * tail of every Hamming-sketch dedup family member.
+    *
+    * Memory shape: buckets <= [[UdfBucketMax]] pair in the collected-
+    * list UDF (one shuffle, survivors only); DEGENERATE buckets (a hot
+    * block value — planted dup groups, all-zero quarters) instead
+    * self-join on their (block, block_val), where candidate pairs
+    * STREAM through the codegen'd bit_count filter without ever
+    * materializing a bucket's quadratic output in heap. Identical
+    * pairs either way (both emit key_a < key_b, Hamming-verified,
+    * cross-block dups folded by the final distinct); `maxBucket` drops
+    * oversized buckets in BOTH paths, unchanged.
     */
   def hammingNearDups(sketches: DataFrame, keyCol: String,
                       sketchCol: String, maxHamming: Int = 3,
@@ -691,13 +711,33 @@ object Dedup {
         if h <= maxHamming
       } yield (s(i)._1, s(j)._1, h.toLong)
     }
-    blocks.groupBy(col("block"), col("block_val"))
-      .agg(collect_list(struct(col(keyCol), col("simhash"))).as("members"))
-      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    val grouped = blocks.groupBy(col("block"), col("block_val"))
+      .agg(collect_list(struct(col(keyCol), col("simhash"))).as("members"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBucket)
+    val small = grouped.filter(col("__n") <= UdfBucketMax)
       .select(explode(pairsUdf(col("members"))).as("p"))
       .select(col("p._1").as("key_a"), col("p._2").as("key_b"),
         col("p._3").as("hamming"))
-      .distinct()
+    // a handful of degenerate (block, block_val) buckets: re-explode the
+    // ALREADY-collected members (both big-path references share the
+    // small path's aggregation exchange — ReusedExchange, no source
+    // rescan or re-hash) and stream the within-bucket self-join
+    val bigMembers = grouped.filter(col("__n") > UdfBucketMax)
+      .select(col("block"), col("block_val"), explode(col("members")).as("m"))
+      .select(col("block"), col("block_val"),
+        col("m").getField(keyCol).as("__k"),
+        col("m").getField("simhash").as("__h"))
+    val big = bigMembers.select(col("block"), col("block_val"),
+        col("__k").as("__ka"), col("__h").as("__ha"))
+      .join(bigMembers.select(col("block"), col("block_val"),
+          col("__k").as("__kb"), col("__h").as("__hb")),
+        Seq("block", "block_val"))
+      .filter(col("__ka") < col("__kb"))
+      .select(col("__ka").as("key_a"), col("__kb").as("key_b"),
+        bitCountCol(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    small.unionByName(big).distinct()
   }
 
   /** Incremental form of [[hammingNearDups]] — the nightly-batch /

@@ -615,6 +615,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("hamming near-dups: a degenerate bucket takes the streaming join path, same pairs") {
+    // 1500 identical sketches collapse into ONE bucket per block — far
+    // over the in-UDF pairing cap, so they route through the join path
+    // (the round-11 OOM-cliff fix); a small distinct cluster rides the
+    // UDF path in the same call. Expected output is closed-form.
+    val hot = (1L to 1500L).map(k => (k, 0x0123456789ABCDEFL))
+    val nearA = (2001L, 0x0123456789ABCDEEL) // hamming 1 from the hot hash
+    val coldB = (3001L, 0x7777000011115555L)
+    val coldB2 = (3002L, 0x7777000011115554L) // hamming 1 from coldB
+    val df = (hot :+ nearA :+ coldB :+ coldB2).toDF("k", "h")
+    val pairs = Dedup.hammingNearDups(df, "k", "h", maxHamming = 3)
+    val n = pairs.count()
+    // hot x hot (C(1500,2)) + hot x nearA (1500) + the cold pair
+    val expected = 1500L * 1499 / 2 + 1500 + 1
+    assert(n == expected, s"pair count $n != closed-form $expected")
+    // spot-check both paths' outputs coexist and are Hamming-correct
+    val sample = pairs.filter(col("key_a") === 1L && col("key_b") === 2001L)
+      .select("hamming").collect()
+    assert(sample.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(pairs.filter(col("key_a") === 3001L && col("key_b") === 3002L)
+      .count() == 1L)
+    // keys are ordered and distinct in every row (both paths emit a < b)
+    assert(pairs.filter(col("key_a") >= col("key_b")).count() == 0L)
+  }
+
   test("embedding near-dups (multi-table LSH) match the exact pair set") {
     val e = Tables.embeddings(spark, sf0001)
     val exact = {
