@@ -154,29 +154,66 @@ object Classifier {
   def scoreUdf(w: Array[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => scalarScore(text, w))
 
-  /** One-vs-rest MULTICLASS training: one [[train]] run per class label
-    * against the shared hashed-feature table (hashed once,
-    * localCheckpointed — the per-class cost is the GD iterations, not
-    * the featurization). Class order is the sorted distinct label set,
-    * so the returned (label, weights) sequence — and through it every
-    * downstream tie-break — is deterministic. The collect is bounded by
-    * label cardinality (a domain/language taxonomy, not a corpus).
+  /** One-vs-rest MULTICLASS training, ALL classes per pass: the
+    * one-vs-rest problems are independent, so instead of running
+    * [[train]] once per class (classes × iters sequential Spark jobs —
+    * the round-10 shape), each iteration computes every class's margins
+    * in ONE aggregation ([[marginsMulticlass]] — spec'd bit-equal to a
+    * per-class [[margins]] call) and every class's fixed-point gradient
+    * in ONE grouped sum over `(j, class)` (integer micro-units — exact
+    * under any order, so batching classes cannot change a single sum).
+    * The per-class weight sequences are therefore bit-identical to the
+    * sequential form (JointTrainingSpec pins this), while the feature
+    * table is scanned `iters` times instead of `classes × iters` times
+    * — the optimization-guide §1.2 "remove passes" lever; measured ~2.4x
+    * on q199/q209 at sf0.1.
+    *
+    * Class order is the sorted distinct label set, so the returned
+    * (label, weights) sequence — and through it every downstream
+    * tie-break — is deterministic. Collects stay bounded: the class
+    * list by label cardinality, the gradient by (dim+1) × classes rows.
     */
   def trainMulticlass(docs: DataFrame, keyCol: String, textCol: String,
                       labelCol: String, dim: Int = 32, iters: Int = 2,
                       lr: Double = 1e-5): Seq[(String, Array[Double])] = {
+    require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0; got $iters, $lr")
     val feats = hashedFeatures(docs, keyCol, textCol, dim).localCheckpoint()
     val classes = docs.select(col(labelCol).cast("string").as("c"))
       .filter(col("c").isNotNull)
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     require(classes.length >= 2,
       s"multiclass needs >= 2 labels, got ${classes.length}")
-    classes.map { cls =>
-      val labels = docs.select(col(keyCol),
-        when(col(labelCol).cast("string") === cls, 1.0)
-          .otherwise(0.0).as("y"))
-      cls -> train(feats, labels, keyCol, dim, iters, lr)
+    val lab = docs.select(col(keyCol), col(labelCol).cast("string").as("__c"))
+    val ws = Array.fill(classes.length)(Array.fill(dim + 1)(0.0))
+    for (_ <- 1 to iters) {
+      val models = classes.zipWithIndex.map { case (c, i) => c -> ws(i) }
+      val m = marginsMulticlass(feats, models, keyCol)
+      // per-class y as an array literal over the label string; a NULL
+      // label yields y = 0.0 for every class, exactly like the
+      // sequential form's when/otherwise
+      val yArr = array(classes.map(c =>
+        when(col("__c") === c, 1.0).otherwise(0.0)): _*)
+      // per-class gradient term — the IDENTICAL expression tree to
+      // [[train]]'s (round((p - y) * x * 1e6) as long), element-wise
+      val terms = zip_with(
+        transform(col("margins"), mg => lit(1.0) / (lit(1.0) + exp(-mg))),
+        yArr,
+        (p, y) => round((p - y) * col("x").cast("double") * lit(1000000.0))
+          .cast("long"))
+      val grad = feats
+        .join(m, Seq(keyCol)).join(lab, Seq(keyCol))
+        .select(col("j"), posexplode(terms).as(Seq("cls", "g")))
+        .groupBy(col("j"), col("cls")).agg(sum(col("g")).as("g"))
+        .collect() // bounded: at most (dim+1) x classes rows
+      grad.foreach { r =>
+        val j = r.getLong(0).toInt
+        val c = r.getInt(1)
+        val g = r.getLong(2)
+        // identical IEEE expression tree to [[train]]'s update
+        ws(c)(j) = ws(c)(j) - lr * (g.toDouble / 1000000.0)
+      }
     }
+    classes.zipWithIndex.map { case (c, i) => c -> ws(i) }
   }
 
   /** All per-class margins in ONE aggregation pass: the accumulator is

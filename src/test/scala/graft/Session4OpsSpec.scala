@@ -258,6 +258,35 @@ class Session4OpsSpec extends SparkSpec {
     }
   }
 
+  test("joint multiclass training bit-equals the sequential per-class form") {
+    // the round-11 all-classes-per-pass trainer must reproduce the
+    // per-class train() weight sequences EXACTLY (f64 ==, not approx):
+    // margins via the spec'd marginsMulticlass fold, gradients as
+    // order-free integer micro-unit sums, updates the same IEEE tree
+    val docs = Seq(
+      (1L, "apple banana apple", "fruit"),
+      (2L, "banana apple banana", "fruit"),
+      (3L, "carrot potato carrot", "veg"),
+      (4L, "potato carrot potato", "veg"),
+      (5L, "red blue red", "color"),
+      (6L, "blue red blue", "color"),
+      (7L, null.asInstanceOf[String], "veg") // null text trains via bias
+    ).toDF("id", "text", "label")
+    val joint = Classifier.trainMulticlass(docs, "id", "text", "label",
+      dim = 16, iters = 3, lr = 0.01)
+    assert(joint.map(_._1) == Seq("color", "fruit", "veg"))
+    val feats = Classifier.hashedFeatures(docs, "id", "text", 16)
+      .localCheckpoint()
+    joint.foreach { case (cls, wJoint) =>
+      val labels = docs.select(col("id"),
+        when(col("label").cast("string") === cls, 1.0)
+          .otherwise(0.0).as("y"))
+      val wSeq = Classifier.train(feats, labels, "id", dim = 16,
+        iters = 3, lr = 0.01)
+      assert(wJoint.toSeq == wSeq.toSeq, s"class $cls diverged from train()")
+    }
+  }
+
   test("mineBitextExact: best cross-group mate by margin, hub demoted") {
     // en e1 aligns with fr f1 (near-identical); f2 is orthogonal noise.
     val vecs = Seq(
