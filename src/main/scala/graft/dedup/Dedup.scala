@@ -580,7 +580,12 @@ object Dedup {
     val hashedShingles = udf { (s: String) =>
       shingleSet(s, shingleSize).toArray.map(StableHash.fnv64)
     }
-    val sized = df.select(
+    // spread the narrow (key, text) projection before the shingle UDF:
+    // a one-split fixture input would otherwise hash on a single core
+    // (both join sides pay the UDF; parallel beats serial-twice)
+    val src = graft.operators.Layout.spreadForCompute(
+      df.select(col(keyCol) +: col(textCol) +: blockCols: _*))
+    val sized = src.select(
       col(keyCol) +: hashedShingles(col(textCol)).as("sh") +: blockCols: _*)
       .withColumn("n_sh", size(col("sh")))
     val exploded0 = sized.select(
@@ -596,7 +601,25 @@ object Dedup {
     val joinCond = col("a.shingle") === col("b.shingle") &&
       col(s"a.$keyCol") < col(s"b.$keyCol") &&
       blockCol.map(b => col(s"a.$b") === col(s"b.$b")).getOrElse(lit(true))
-    exploded.as("a").join(exploded.as("b"), joinCond)
+    // Join strategy is pinned, not left to the planner: size estimation
+    // under an exploded-UDF column is garbage, and the planner's pick
+    // here was a BROADCAST of the entire exploded posting table — a
+    // single-threaded driver collect + build (measured ~35% of q26).
+    //   exact mode (row-guarded <= maxExactRows): postings are bounded,
+    //   so materialize them ONCE (the self-join's sides get no
+    //   ReusedExchange under AQE, so the scan + shingle UDF + explode
+    //   chain would run per side) and shuffled-hash join — per-partition
+    //   parallel builds over a few MB of longs.
+    //   capped scale mode (maxShingleDf): postings are corpus-linear —
+    //   never materialized; SORT-MERGE pinned so a mis-estimated
+    //   broadcast can never melt the driver at 10^10 rows, and spills
+    //   stay graceful (AQE skew-split applies either way).
+    val (exA, exB) =
+      if (maxShingleDf.isEmpty) {
+        val ex = exploded.localCheckpoint(true)
+        (ex, ex.hint("shuffle_hash"))
+      } else (exploded, exploded.hint("merge"))
+    exA.as("a").join(exB.as("b"), joinCond)
       .groupBy(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))

@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Spread a frame across the session's cores BEFORE an expensive
+    * row-local stage (per-row hashing/shingling/decoding) when the
+    * input's split count would serialize it. Small inputs arrive as ONE
+    * parquet split (a few-MB file is far under
+    * `spark.sql.files.maxPartitionBytes`), so without this every
+    * downstream row-local UDF runs on a single core regardless of
+    * session parallelism — the round-10 media-decode finding,
+    * generalized to the text/hash operators. Plan-driven: a no-op when
+    * the plan already carries at least the session's parallelism, so
+    * cluster-scale inputs with hundreds of splits never pay the extra
+    * exchange (the optimization rule that a bare "repartition for
+    * parallelism" is an accidental shuffle at scale). Call it on the
+    * NARROW projection that feeds the expensive stage — the exchange
+    * then moves only the columns the stage needs.
+    */
+  def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Write `df` range-clustered and sorted on `sortCol` into `nFiles`
     * files. Overwrites `path`.
     */
