@@ -378,6 +378,10 @@ object Dedup {
     */
   def minhashBands(df: DataFrame, textCol: String, keyCol: String,
                    p: MinHashParams): DataFrame = {
+    // NOT spread here: the Catalog's persistent band/fps sidecars rely
+    // on appends staying key-clustered (footer-range pruning), so the
+    // index paths must keep the input's partitioning; the aggregation-
+    // bound candidate/verify paths spread at their call sites instead
     val bandsUdf = udf((text: String) => bandHashes(text, p))
     df.select(col(keyCol), posexplode(bandsUdf(col(textCol))).as(Seq("band", "band_hash")))
   }
@@ -400,7 +404,12 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, keyCol: String,
                         p: MinHashParams = MinHashParams(),
                         maxBucket: Int = 1000): DataFrame = {
-    val bands = minhashBands(df, textCol, keyCol, p)
+    // spread before the signature UDF (numHashes x shingle hashes per
+    // row — the expensive stage): a one-split input would compute every
+    // signature on one core; a no-op at real split counts, and safe
+    // here because everything downstream is aggregation
+    val bands = minhashBands(graft.operators.Layout.spreadForCompute(
+      df.select(col(keyCol), col(textCol))), textCol, keyCol, p)
     val pairsUdf = udf { (keys: Seq[Long]) =>
       val s = keys.sorted
       for { i <- s.indices; j <- (i + 1) until s.length } yield (s(i), s(j))
@@ -420,8 +429,12 @@ object Dedup {
                       threshold: Double = 0.8,
                       p: MinHashParams = MinHashParams()): DataFrame = {
     val cand = minhashCandidates(df, textCol, keyCol, p)
-    val sh = df.select(col(keyCol),
-      shingleArray(col(textCol), p.shingleSize).as("sh"))
+    // shingleArray re-hashes the text per verification side; spread it
+    // like the band pass (one-split inputs would run it on one core)
+    val sh = graft.operators.Layout.spreadForCompute(
+        df.select(col(keyCol), col(textCol)))
+      .select(col(keyCol),
+        shingleArray(col(textCol), p.shingleSize).as("sh"))
     cand
       .join(sh.withColumnRenamed(keyCol, "key_a").withColumnRenamed("sh", "sh_a"), "key_a")
       .join(sh.withColumnRenamed(keyCol, "key_b").withColumnRenamed("sh", "sh_b"), "key_b")
@@ -835,7 +848,9 @@ object Dedup {
       else toks.sliding(n).map(w => StableHash.fnv64(w.mkString(" "))).toArray.distinct
     }
     val probeDf = probeHashes.toDF("probe_hash").distinct()
-    df.select(col(keyCol), explode(docShingles(col(textCol))).as("probe_hash"))
+    graft.operators.Layout.spreadForCompute(
+        df.select(col(keyCol), col(textCol)))
+      .select(col(keyCol), explode(docShingles(col(textCol))).as("probe_hash"))
       .join(broadcast(probeDf), "probe_hash")
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_hits"))
   }

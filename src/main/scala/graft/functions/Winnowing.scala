@@ -67,7 +67,10 @@ object Winnowing {
     require(w >= 1, s"w must be >= 1, got $w")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("long"), col(textCol).cast("string"))
+    // spread before the row-local deque scan: a one-split input would
+    // winnow the whole corpus on a single core (no-op at real splits)
+    graft.operators.Layout.spreadForCompute(
+        df.select(col(keyCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .flatMap { case (key, text) =>
         winnowLocal(text, k, w).iterator
