@@ -97,7 +97,16 @@ object ConnectedComponents {
           // aggregation (ReusedExchange dedups only the shuffle write)
           val p = prop.localCheckpoint(true)
           val parent = p.select(col("node").as("p_node"), col("label").as("p_label"))
-          p.join(parent, col("label") === col("p_node"), "left")
+          // jump TWICE against the same materialized parent map —
+          // label <- min(label, p(label), p(p(label))) — so known reach
+          // shrinks ~3x per round instead of 2x: one extra tiny-table
+          // join inside the SAME plan and checkpoint job, while a deep
+          // chain pays per ROUND (2-3 scheduled jobs each). Same
+          // fixpoint: jumps only shortcut within a component.
+          val j1 = p.join(parent, col("label") === col("p_node"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
+          j1.join(parent, col("label") === col("p_node"), "left")
             .select(col("node"),
               least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
             .localCheckpoint(true)
