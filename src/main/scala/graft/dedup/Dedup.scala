@@ -724,9 +724,21 @@ object Dedup {
     * self-join on their (block, block_val), where candidate pairs
     * STREAM through the codegen'd bit_count filter without ever
     * materializing a bucket's quadratic output in heap. Identical
-    * pairs either way (both emit key_a < key_b, Hamming-verified,
-    * cross-block dups folded by the final distinct); `maxBucket` drops
-    * oversized buckets in BOTH paths, unchanged.
+    * pairs either way (both emit key_a < key_b, Hamming-verified).
+    *
+    * CANONICAL emission (round 11): a near-identical pair agrees on
+    * several blocks — up to all 4 in a planted dup group — and emitting
+    * it from every agreeing bucket then `distinct()`-ing shuffled ~4x
+    * the surviving pair volume (measured: the bulk of the q178 video
+    * gate). Each pair is now emitted ONLY from its FIRST agreeing
+    * block, which makes emissions globally unique and drops the
+    * distinct exchange outright. Trade (documented, was previously
+    * "any surviving bucket finds the pair"): a pair whose first
+    * agreeing bucket is dropped by `maxBucket` is no longer rescued by
+    * a later agreeing block — acceptable because an over-`maxBucket`
+    * bucket means >100k mutually-near sketches, which is exact-dup /
+    * degenerate territory the caps exist to refuse, and the default is
+    * deliberately far above any real bucket.
     */
   def hammingNearDups(sketches: DataFrame, keyCol: String,
                       sketchCol: String, maxHamming: Int = 3,
@@ -738,13 +750,21 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("block", "block_val")))
-    val pairsUdf = udf { (rows: Seq[Row]) =>
+    // first block (0..3) on which the two sketches agree — the pair's
+    // unique canonical emission slot
+    def firstAgree(xor: Long): Int = {
+      var i = 0
+      while (i < 4 && ((xor >>> (i * 16)) & 0xFFFFL) != 0L) i += 1
+      i // 4 = "none" (cannot happen for emitted pairs: bucket equality)
+    }
+    val pairsUdf = udf { (block: Int, rows: Seq[Row]) =>
       val s = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       for {
         i <- s.indices
         j <- (i + 1) until s.length
-        h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
-        if h <= maxHamming
+        x = s(i)._2 ^ s(j)._2
+        h = java.lang.Long.bitCount(x)
+        if h <= maxHamming && firstAgree(x) == block
       } yield (s(i)._1, s(j)._1, h.toLong)
     }
     val grouped = blocks.groupBy(col("block"), col("block_val"))
@@ -752,7 +772,7 @@ object Dedup {
         count(lit(1)).as("__n"))
       .filter(col("__n") > 1 && col("__n") <= maxBucket)
     val small = grouped.filter(col("__n") <= UdfBucketMax)
-      .select(explode(pairsUdf(col("members"))).as("p"))
+      .select(explode(pairsUdf(col("block"), col("members"))).as("p"))
       .select(col("p._1").as("key_a"), col("p._2").as("key_b"),
         col("p._3").as("hamming"))
     // a handful of degenerate (block, block_val) buckets: re-explode the
@@ -764,16 +784,27 @@ object Dedup {
       .select(col("block"), col("block_val"),
         col("m").getField(keyCol).as("__k"),
         col("m").getField("simhash").as("__h"))
+    // canonical-slot filter, codegen form: CASE over the xor's blocks
+    // picks the first agreeing index, matched against this bucket's
+    // block — the exact twin of the UDF's firstAgree
+    def firstAgreeCol(xor: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 4).foldRight(lit(4): org.apache.spark.sql.Column) { (i, rest) =>
+        when(shiftright(xor, i * 16).bitwiseAND(lit(0xFFFFL)) === 0L, lit(i))
+          .otherwise(rest)
+      }
     val big = bigMembers.select(col("block"), col("block_val"),
         col("__k").as("__ka"), col("__h").as("__ha"))
       .join(bigMembers.select(col("block"), col("block_val"),
           col("__k").as("__kb"), col("__h").as("__hb")),
         Seq("block", "block_val"))
       .filter(col("__ka") < col("__kb"))
+      .withColumn("__x", col("__ha").bitwiseXOR(col("__hb")))
+      .filter(firstAgreeCol(col("__x")) === col("block"))
       .select(col("__ka").as("key_a"), col("__kb").as("key_b"),
-        bitCountCol(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+        bitCountCol(col("__x")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    small.unionByName(big).distinct()
+    // canonical emission makes pair rows globally unique — no distinct
+    small.unionByName(big)
   }
 
   /** Incremental form of [[hammingNearDups]] — the nightly-batch /
