@@ -278,17 +278,43 @@ object Keyword {
                  idCol: String = "doc_id", textCol: String = "text",
                  nBuckets: Int = 64,
                  analyzer: Analyzer = Analyzer.Whitespace): Unit = {
-    val (postings, doclen0, _) = corpusTables(docs, idCol, textCol, analyzer)
+    val spark = docs.sparkSession
+    // ONE tokenize pass (round 11): doclen and stats used to recompute
+    // the tokenize+aggregate subtree per output table (3 corpus passes
+    // per build); dl per key is exactly sum(tf) over the key's postings,
+    // so both derive from the WRITTEN parquet instead — columnar
+    // re-reads of longs, never a re-tokenize. The tokenize itself is
+    // spread first (plan-driven no-op at real split counts): a
+    // one-split corpus would tokenize on a single core.
+    val src = graft.operators.Layout.spreadForCompute(
+      docs.select(col(idCol), col(textCol)))
+    val (postings, _, _) = corpusTables(src, idCol, textCol, analyzer)
     postings
       .withColumn("bucket", tokenBucketCol(col("tok"), nBuckets))
+      // cluster by bucket before the partitioned write: without this,
+      // every aggregate task writes a sliver into every bucket dir
+      // (tasks x buckets files — the small-file tax lands on every
+      // later pruned read); with it each bucket is one file
+      .repartition(nBuckets, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/postings")
+    // empty/token-less corpus: the partitioned write leaves no data
+    // files, so the read-back cannot infer a schema — every doc then
+    // takes the dl = 0 coalesce branch below, as before
+    val doclen0 =
+      try spark.read.parquet(s"$dir/postings")
+        .groupBy(col("key")).agg(sum(col("tf")).as("dl"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        docs.select(col(idCol).as("key")).limit(0)
+          .withColumn("dl", lit(0L))
+      }
     val doclen = docFps(docs, idCol, textCol)
       .join(doclen0, Seq("key"), "left_outer")
       .select(col("key"), coalesce(col("dl"), lit(0L)).as("dl"),
         col("fp"), lit(1).as("cnt"))
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
-    writeStats(doclen.sparkSession, dir, doclen, nBuckets, analyzer.id)
+    writeStats(spark, dir, spark.read.parquet(s"$dir/doclen"), nBuckets,
+      analyzer.id)
   }
 
   /** `(key, fp)` for every document — md5 over the NULL-flattened text,
