@@ -45,20 +45,30 @@ object PageRank {
       .localCheckpoint(eager = false)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__od"))
       .localCheckpoint(eager = false)
+    // dangling nodes are a property of the GRAPH, not the iteration:
+    // when none exist (one up-front anti-join), every round's dangling
+    // mass is exactly 0.0 and the per-round anti-join + 1-row broadcast
+    // can be skipped outright — 0.0/N is IEEE-exact zero, so ranks are
+    // bit-identical to the computed-mass path (spec'd)
+    val hasDangling = nodeDf.join(outDeg.select(col("src").as("node")),
+      Seq("node"), "left_anti").limit(1).count() > 0
     var ranks = nodeDf.withColumn("rank", lit(1.0) / lit(n.toDouble))
     for (_ <- 1 to iters) {
       // mass parked on dangling nodes this round (a 1-row broadcast)
-      val dangling = ranks.join(outDeg.select(col("src").as("node")),
-          Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val withDm: DataFrame => DataFrame =
+        if (!hasDangling) df => df.withColumn("__dm", lit(0.0))
+        else {
+          val dangling = ranks.join(outDeg.select(col("src").as("node")),
+              Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+          df => df.crossJoin(broadcast(dangling))
+        }
       val contrib = e
         .join(outDeg, Seq("src"))
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("__od")).as("__c"))
-      ranks = nodeDf
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
+      ranks = withDm(nodeDf.join(contrib, Seq("node"), "left"))
         .select(col("node"),
           (lit((1.0 - damping) / n.toDouble) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
