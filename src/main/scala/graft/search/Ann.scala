@@ -431,13 +431,16 @@ object Ann {
       col(embCol).cast("array<double>").as("__e"))
     val cos = graft.functions.VectorFunctions.cosine(col("a.__e"), col("b.__e"))
     val cond = if (excludeSelf) col("a.__k") =!= col("b.__k") else lit(true)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
-    prep(left).repartition(col("__k")).as("a")
+    val joined = prep(left).repartition(col("__k")).as("a")
       .join(broadcast(prep(right).as("b")), cond)
       .select(col("a.__k").as("src"), col("b.__k").as("nbr"), cos.as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).drop("rn")
+    // bounded-state top-k instead of a row_number window: the window
+    // sorts every source's FULL n-row candidate list; TopKPerGroup's
+    // per-partition O(k) cut feeds the same (sim DESC, nbr ASC) rank
+    // and is spec'd equal to the window form
+    graft.operators.TopKPerGroup.topK(joined, Seq("src"), "sim", k,
+        tieCols = Seq("nbr"))
+      .drop("rank")
   }
 
   /** IVF-bucketed kNN self-join — the scale path: each vector probes its
@@ -726,13 +729,13 @@ object Ann {
     def prep(d: DataFrame) = d.select(col(keyCol).as("__k"),
       col(embCol).cast("array<double>").as("__e"), col(labelCol).as("__l"))
     val cos = graft.functions.VectorFunctions.cosine(col("a.__e"), col("b.__e"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(desc("sim"), col("nbr"))
-    prep(embDf).repartition(col("__k")).as("a")
+    val joined = prep(embDf).repartition(col("__k")).as("a")
       .join(broadcast(prep(embDf).as("b")), col("a.__l") =!= col("b.__l"))
       .select(col("a.__k").as("src"), col("b.__k").as("nbr"), cos.as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).drop("rn")
+    // bounded-state top-k (see knnExactBetween's note)
+    graft.operators.TopKPerGroup.topK(joined, Seq("src"), "sim", k,
+        tieCols = Seq("nbr"))
+      .drop("rank")
   }
 
   /** The scale path: candidates are probed-list members (the
