@@ -232,7 +232,9 @@ object ConnectedComponents {
                                   keyCol: String,
                                   score: org.apache.spark.sql.Column): DataFrame = {
     val scored = corpus.select(col(keyCol).as("node"), score.as("__score"))
-    val members = lab.join(scored, Seq("node"))
+    // members (dup-set-sized) feed both the per-comp max and the winner
+    // filter — cut the lineage so the corpus score join runs once
+    val members = lab.join(scored, Seq("node")).localCheckpoint(true)
     val best = members.groupBy(col("comp")).agg(max(col("__score")).as("__best"))
     members.join(best, Seq("comp"))
       .filter(col("__score") <=> col("__best"))

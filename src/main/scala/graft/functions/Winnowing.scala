@@ -151,11 +151,19 @@ object Winnowing {
     */
   def sharedFingerprintPairs(fps: DataFrame, keyCol: String,
                              minShared: Int = 2,
-                             maxPostings: Int = 1000): DataFrame = {
+                             maxPostings: Int = 1000): DataFrame =
+    pairsFromPostings(fps.select(col(keyCol), col("fp")).distinct(),
+      keyCol, minShared, maxPostings)
+
+  /** [[sharedFingerprintPairs]] over ALREADY-distinct postings — lets a
+    * caller that also needs the postings for other work (containment's
+    * per-doc sizes) compute them once.
+    */
+  private def pairsFromPostings(postings: DataFrame, keyCol: String,
+                                minShared: Int,
+                                maxPostings: Int): DataFrame = {
     require(minShared >= 1 && maxPostings >= 2,
       s"minShared >= 1 and maxPostings >= 2 required, got $minShared/$maxPostings")
-    // distinct (doc, fp) postings; cap each fingerprint's doc list
-    val postings = fps.select(col(keyCol), col("fp")).distinct()
     val kept = postings.groupBy(col("fp"))
       .agg(collect_list(col(keyCol)).as("keys"))
       .filter(size(col("keys")) > 1 && size(col("keys")) <= maxPostings)
@@ -189,8 +197,13 @@ object Winnowing {
   def containmentPairs(fps: DataFrame, keyCol: String,
                        minShared: Int = 2,
                        maxPostings: Int = 1000): DataFrame = {
-    val pairs = sharedFingerprintPairs(fps, keyCol, minShared, maxPostings)
-    val sizes = fps.select(col(keyCol), col("fp")).distinct()
+    // postings feed BOTH the pair join and the per-doc sizes; without
+    // the cut the whole fingerprint pass (md5 per char-gram) re-ran per
+    // consumer. Bounded: one row per distinct (doc, selected fp).
+    val postings = fps.select(col(keyCol), col("fp")).distinct()
+      .localCheckpoint(true)
+    val pairs = pairsFromPostings(postings, keyCol, minShared, maxPostings)
+    val sizes = postings
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_fp"))
     pairs
       .join(sizes.select(col(keyCol).as("key_a"), col("n_fp").as("n_a")),
