@@ -79,45 +79,94 @@ object Winnowing {
       .toDF(keyCol, "pos", "fp")
   }
 
+  /** Precompiled `\s+` — `String.replaceAll` recompiles its pattern on
+    * every call, which at corpus scale is a per-document regex compile.
+    */
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   /** Executor-local twin of [[fingerprints]] — one document, same
     * hashes, same selection rule — for the row-local paths (the
     * streaming contamination screen, where a distributed groupBy would
     * make the query stateful). Sliding-window minimum via a monotonic
     * deque: O(grams), not O(grams * w). Spec'd equal to the distributed
     * form and to an independent naive model (WinnowingSpec).
+    *
+    * Hot-path notes (this UDF is the measured cost of the winnowing
+    * family — md5 per char-gram): ASCII documents are UTF-8-encoded
+    * ONCE and each gram hashed as a slice of that one buffer (identical
+    * bytes to the per-gram `substring(...).getBytes` — 1 byte per char
+    * below 0x80); non-ASCII documents keep the per-gram encode, where
+    * slicing a shared buffer could split a surrogate pair differently.
+    * The digest lands in one reused 16-byte buffer, the deque is a
+    * primitive int array (each gram index is pushed at most once), and
+    * a position selected by consecutive windows is recorded once at
+    * selection time (a position's selection windows are contiguous:
+    * the deque evicts an index permanently, so re-selection after a gap
+    * is impossible — same set, fewer tuple allocations).
     */
   def winnowLocal(text: String, k: Int, w: Int): Set[(Int, Long)] = {
     if (text == null) return Set.empty
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val norm = WsRun.matcher(text.toLowerCase).replaceAll(" ").trim
     if (norm.length < k) return Set.empty
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hashes = new Array[Long](norm.length - k + 1)
-    var i = 0
-    while (i < hashes.length) {
-      val digest = md.digest(norm.substring(i, i + k).getBytes("UTF-8"))
-      // first 8 hex chars == top 4 bytes, unsigned
-      hashes(i) = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
-        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
-      i += 1
+    val dig = new Array[Byte](16)
+    val nGrams = norm.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var ascii = true
+    var ci = 0
+    while (ascii && ci < norm.length) {
+      if (norm.charAt(ci) >= 0x80) ascii = false
+      ci += 1
+    }
+    if (ascii) {
+      val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < nGrams) {
+        md.update(bytes, i, k)
+        md.digest(dig, 0, 16)
+        // first 8 hex chars == top 4 bytes, unsigned
+        hashes(i) = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < nGrams) {
+        md.update(norm.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.digest(dig, 0, 16)
+        hashes(i) = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        i += 1
+      }
     }
     val out = scala.collection.mutable.Set.empty[(Int, Long)]
     // monotonic deque of indices; back = candidate minimum. `<=` when
     // pushing keeps the RIGHTMOST index among equal hashes — the paper's
-    // robust tie-break.
-    val dq = new java.util.ArrayDeque[Int]()
-    val lastWindow = math.max(hashes.length - w, 0)
+    // robust tie-break. Primitive ring-free deque: indices arrive in
+    // increasing order and are pushed at most once, so an nGrams-long
+    // array with head/tail cursors is a full deque.
+    val dq = new Array[Int](nGrams)
+    var dqLo = 0 // first live slot
+    var dqHi = 0 // one past last live slot
+    val lastWindow = math.max(nGrams - w, 0)
+    var lastSel = -1
     var p = 0
-    while (p < hashes.length) {
-      while (!dq.isEmpty && hashes(dq.peekLast) >= hashes(p)) dq.pollLast()
-      dq.addLast(p)
+    while (p < nGrams) {
+      while (dqLo < dqHi && hashes(dq(dqHi - 1)) >= hashes(p)) dqHi -= 1
+      dq(dqHi) = p
+      dqHi += 1
       val winStart = p - w + 1
-      if (!dq.isEmpty && dq.peekFirst < winStart) dq.pollFirst()
+      if (dq(dqLo) < winStart) dqLo += 1
       // a window completes at p >= w-1; short docs have one window at
       // the final position
-      if (p >= w - 1 || p == hashes.length - 1) {
+      if (p >= w - 1 || p == nGrams - 1) {
         if (p - w + 1 <= lastWindow) {
-          val sel = dq.peekFirst
-          out += ((sel + 1, hashes(sel)))
+          val sel = dq(dqLo)
+          if (sel != lastSel) {
+            out += ((sel + 1, hashes(sel)))
+            lastSel = sel
+          }
         }
       }
       p += 1

@@ -87,10 +87,20 @@ object Classifier {
     val w = Array.fill(dim + 1)(0.0)
     val lab = labels.select(col(keyCol), col("y").cast("double").as("y"))
     for (_ <- 1 to iters) {
-      val m = margins(feats, w, keyCol)
-      val p = lit(1.0) / (lit(1.0) + exp(-col("margin")))
-      val grad = feats
-        .join(m, Seq(keyCol)).join(lab, Seq(keyCol))
+      // all-zero weights (always true on pass 1): every margin is
+      // EXACTLY 0.0 (the sorted-j fold adds 0.0 * x per step) and
+      // p = 1/(1+exp(-0.0)) = 0.5 exactly, so the margins aggregation
+      // and its key join are a provably-constant subplan — skip them
+      // and inject p = 0.5 (bit-identical gradients; spec'd).
+      val allZero = w.forall(_ == 0.0)
+      val p =
+        if (allZero) lit(0.5)
+        else lit(1.0) / (lit(1.0) + exp(-col("margin")))
+      val withMargin: DataFrame => DataFrame =
+        if (allZero) identity
+        else df => df.join(margins(feats, w, keyCol), Seq(keyCol))
+      val grad = withMargin(feats)
+        .join(lab, Seq(keyCol))
         .select(col("j"),
           round((p - col("y")) * col("x").cast("double") * lit(1000000.0))
             .cast("long").as("g"))
@@ -187,21 +197,29 @@ object Classifier {
     val ws = Array.fill(classes.length)(Array.fill(dim + 1)(0.0))
     for (_ <- 1 to iters) {
       val models = classes.zipWithIndex.map { case (c, i) => c -> ws(i) }
-      val m = marginsMulticlass(feats, models, keyCol)
       // per-class y as an array literal over the label string; a NULL
       // label yields y = 0.0 for every class, exactly like the
       // sequential form's when/otherwise
       val yArr = array(classes.map(c =>
         when(col("__c") === c, 1.0).otherwise(0.0)): _*)
+      // all-zero weights (always true on pass 1): every class margin is
+      // EXACTLY 0.0 and p = 0.5 exactly (see [[train]]'s shortcut), so
+      // the margins aggregation + key join drop out of the first pass —
+      // bit-identical gradients, half the heavy work at iters = 2.
+      val allZero = ws.forall(_.forall(_ == 0.0))
+      val pArr =
+        if (allZero) array_repeat(lit(0.5), classes.length)
+        else transform(col("margins"), mg => lit(1.0) / (lit(1.0) + exp(-mg)))
+      val withMargins: DataFrame => DataFrame =
+        if (allZero) identity
+        else df => df.join(marginsMulticlass(feats, models, keyCol), Seq(keyCol))
       // per-class gradient term — the IDENTICAL expression tree to
       // [[train]]'s (round((p - y) * x * 1e6) as long), element-wise
-      val terms = zip_with(
-        transform(col("margins"), mg => lit(1.0) / (lit(1.0) + exp(-mg))),
-        yArr,
+      val terms = zip_with(pArr, yArr,
         (p, y) => round((p - y) * col("x").cast("double") * lit(1000000.0))
           .cast("long"))
-      val grad = feats
-        .join(m, Seq(keyCol)).join(lab, Seq(keyCol))
+      val grad = withMargins(feats)
+        .join(lab, Seq(keyCol))
         .select(col("j"), posexplode(terms).as(Seq("cls", "g")))
         .groupBy(col("j"), col("cls")).agg(sum(col("g")).as("g"))
         .collect() // bounded: at most (dim+1) x classes rows

@@ -45,18 +45,31 @@ object PageRank {
       .localCheckpoint(eager = false)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__od"))
       .localCheckpoint(eager = false)
-    // dangling nodes are a property of the GRAPH, not the iteration:
-    // when none exist (one up-front anti-join), every round's dangling
-    // mass is exactly 0.0 and the per-round anti-join + 1-row broadcast
-    // can be skipped outright — 0.0/N is IEEE-exact zero, so ranks are
-    // bit-identical to the computed-mass path (spec'd)
-    val hasDangling = nodeDf.join(outDeg.select(col("src").as("node")),
-      Seq("node"), "left_anti").limit(1).count() > 0
+    // dangling nodes are a property of the GRAPH, not the iteration.
+    // Round 1's dangling mass doubles as the existence probe: round-1
+    // ranks are uniform 1/N, so dm1 = (#dangling)/N and dm1 == 0.0 iff
+    // no dangling node exists — the round-11 separate count() probe was
+    // pure overhead on dangling graphs (driver-measured regression) and
+    // is folded away. Round 1 collects its mass (the same anti-join +
+    // sum expression the broadcast form evaluated — identical double);
+    // later rounds skip the dangling subplan outright when dm1 == 0.0
+    // (0.0/N is IEEE-exact zero, so ranks are bit-identical to the
+    // computed-mass path — spec'd) and keep the per-round 1-row
+    // broadcast otherwise.
     var ranks = nodeDf.withColumn("rank", lit(1.0) / lit(n.toDouble))
-    for (_ <- 1 to iters) {
-      // mass parked on dangling nodes this round (a 1-row broadcast)
+    var hasDangling = false
+    for (round <- 1 to iters) {
+      // mass parked on dangling nodes this round (a 1-row broadcast;
+      // round 1 collects it instead — probe and mass in one job)
       val withDm: DataFrame => DataFrame =
-        if (!hasDangling) df => df.withColumn("__dm", lit(0.0))
+        if (round == 1) {
+          val dm1 = ranks.join(outDeg.select(col("src").as("node")),
+              Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+            .head().getDouble(0)
+          hasDangling = dm1 != 0.0
+          df => df.withColumn("__dm", lit(dm1))
+        } else if (!hasDangling) df => df.withColumn("__dm", lit(0.0))
         else {
           val dangling = ranks.join(outDeg.select(col("src").as("node")),
               Seq("node"), "left_anti")
