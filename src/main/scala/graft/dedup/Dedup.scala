@@ -739,6 +739,19 @@ object Dedup {
     * bucket means >100k mutually-near sketches, which is exact-dup /
     * degenerate territory the caps exist to refuse, and the default is
     * deliberately far above any real bucket.
+    *
+    * VALUE-COLLAPSED enumeration (round 12): within each kept bucket,
+    * the pair scan runs over DISTINCT sketch values, not rows —
+    * qualifying value pairs then expand to their key pairs, which is
+    * output-sized work. Near-dup mass is exactly what inflates a
+    * bucket's row count while its value count stays small (a planted
+    * dup group is ONE value with thousands of members; q178's worst
+    * bucket held all 20k sketches but ~2k values — the row-quadratic
+    * self-join streamed 400M candidates where the value scan does
+    * ~4M), so the quadratic term now scales with distinct values.
+    * Bucket membership, the `maxBucket` filter and the small/big
+    * routing all stay ROW-counted — the emitted pair set is identical
+    * for every input (spec'd against the round-11 row-pair form).
     */
   def hammingNearDups(sketches: DataFrame, keyCol: String,
                       sketchCol: String, maxHamming: Int = 3,
@@ -758,14 +771,54 @@ object Dedup {
       i // 4 = "none" (cannot happen for emitted pairs: bucket equality)
     }
     val pairsUdf = udf { (block: Int, rows: Seq[Row]) =>
-      val s = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      for {
-        i <- s.indices
-        j <- (i + 1) until s.length
-        x = s(i)._2 ^ s(j)._2
-        h = java.lang.Long.bitCount(x)
-        if h <= maxHamming && firstAgree(x) == block
-      } yield (s(i)._1, s(j)._1, h.toLong)
+      // collapse the bucket to distinct values -> sorted member keys
+      val byVal = new scala.collection.mutable.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      rows.foreach { r =>
+        byVal.getOrElseUpdate(r.getLong(1),
+          new scala.collection.mutable.ArrayBuffer[Long]()) += r.getLong(0)
+      }
+      val values = byVal.keysIterator.toArray
+      java.util.Arrays.sort(values)
+      val keysOf = values.map { v =>
+        val ks = byVal(v).toArray; java.util.Arrays.sort(ks); ks
+      }
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var i = 0
+      while (i < values.length) {
+        val ki = keysOf(i)
+        // identical-value pairs: xor = 0, firstAgree = 0 — the block-0
+        // bucket owns the diagonal
+        if (block == 0 && ki.length > 1) {
+          var a = 0
+          while (a < ki.length) {
+            var b = a + 1
+            while (b < ki.length) { out += ((ki(a), ki(b), 0L)); b += 1 }
+            a += 1
+          }
+        }
+        var j = i + 1
+        while (j < values.length) {
+          val x = values(i) ^ values(j)
+          val h = java.lang.Long.bitCount(x)
+          if (h <= maxHamming && firstAgree(x) == block) {
+            val kj = keysOf(j)
+            var a = 0
+            while (a < ki.length) {
+              var b = 0
+              while (b < kj.length) {
+                val p = ki(a); val q = kj(b)
+                out += (if (p < q) (p, q, h.toLong) else (q, p, h.toLong))
+                b += 1
+              }
+              a += 1
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
     }
     val grouped = blocks.groupBy(col("block"), col("block_val"))
       .agg(collect_list(struct(col(keyCol), col("simhash"))).as("members"),
@@ -776,14 +829,19 @@ object Dedup {
       .select(col("p._1").as("key_a"), col("p._2").as("key_b"),
         col("p._3").as("hamming"))
     // a handful of degenerate (block, block_val) buckets: re-explode the
-    // ALREADY-collected members (both big-path references share the
-    // small path's aggregation exchange — ReusedExchange, no source
-    // rescan or re-hash) and stream the within-bucket self-join
-    val bigMembers = grouped.filter(col("__n") > UdfBucketMax)
+    // ALREADY-collected members (the big path shares the small path's
+    // aggregation exchange — ReusedExchange, no source rescan or
+    // re-hash), collapse each bucket to its distinct values, and run
+    // the value-pair join; qualifying value pairs explode to key pairs
+    // AFTER the Hamming/canonical filters, so the streamed join is
+    // value-quadratic and the expansion is output-sized
+    val bigVals = grouped.filter(col("__n") > UdfBucketMax)
       .select(col("block"), col("block_val"), explode(col("members")).as("m"))
       .select(col("block"), col("block_val"),
         col("m").getField(keyCol).as("__k"),
         col("m").getField("simhash").as("__h"))
+      .groupBy(col("block"), col("block_val"), col("__h"))
+      .agg(collect_list(col("__k")).as("__ks"))
     // canonical-slot filter, codegen form: CASE over the xor's blocks
     // picks the first agreeing index, matched against this bucket's
     // block — the exact twin of the UDF's firstAgree
@@ -792,17 +850,37 @@ object Dedup {
         when(shiftright(xor, i * 16).bitwiseAND(lit(0xFFFFL)) === 0L, lit(i))
           .otherwise(rest)
       }
-    val big = bigMembers.select(col("block"), col("block_val"),
-        col("__k").as("__ka"), col("__h").as("__ha"))
-      .join(bigMembers.select(col("block"), col("block_val"),
-          col("__k").as("__kb"), col("__h").as("__hb")),
+    // ONE value join covers cross-value pairs AND the identical-value
+    // diagonal (`__ha <= __hb`): an equal-value row has xor = 0, so the
+    // canonical filter admits it only in its block-0 bucket, and the
+    // post-expansion `__ka < __kb` guard keeps each same-value key pair
+    // once (cross-value combos all survive it via least/greatest).
+    // Same-value keys stream through the join — never a materialized
+    // C(m,2) list.
+    // join strategy pinned (the q26 lesson): size estimates under the
+    // collected-members subtree are garbage and the planner's pick here
+    // was a BROADCAST of the whole (value, keys[]) table — bounded per
+    // bucket but not in bucket COUNT, so a degenerate corpus could melt
+    // the driver; sort-merge spills gracefully and AQE skew-split still
+    // applies.
+    val big = bigVals.select(col("block"), col("block_val"),
+        col("__h").as("__ha"), col("__ks").as("__ksa"))
+      .join(bigVals.select(col("block"), col("block_val"),
+          col("__h").as("__hb"), col("__ks").as("__ksb")).hint("merge"),
         Seq("block", "block_val"))
-      .filter(col("__ka") < col("__kb"))
+      .filter(col("__ha") <= col("__hb"))
       .withColumn("__x", col("__ha").bitwiseXOR(col("__hb")))
-      .filter(firstAgreeCol(col("__x")) === col("block"))
-      .select(col("__ka").as("key_a"), col("__kb").as("key_b"),
-        bitCountCol(col("__x")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .withColumn("__hm", bitCountCol(col("__x")))
+      .filter(col("__hm") <= maxHamming &&
+        firstAgreeCol(col("__x")) === col("block"))
+      .select(col("__ha"), col("__hb"), col("__hm"),
+        explode(col("__ksa")).as("__ka"), col("__ksb"))
+      .select(col("__ha"), col("__hb"), col("__hm"), col("__ka"),
+        explode(col("__ksb")).as("__kb"))
+      .filter(col("__ha") < col("__hb") || col("__ka") < col("__kb"))
+      .select(least(col("__ka"), col("__kb")).as("key_a"),
+        greatest(col("__ka"), col("__kb")).as("key_b"),
+        col("__hm").as("hamming"))
     // canonical emission makes pair rows globally unique — no distinct
     small.unionByName(big)
   }

@@ -640,6 +640,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("key_a") >= col("key_b")).count() == 0L)
   }
 
+  test("hamming near-dups: value-collapsed enumeration equals the naive all-pairs model") {
+    // mixed multiplicities across BOTH paths: two fat value clusters
+    // (1200 + 900 members — their shared blocks cross UdfBucketMax, so
+    // they ride the value-join path with a live diagonal AND a
+    // qualifying cross-value pair), plus small clusters and distinct
+    // singletons for the UDF path. The naive model is a full n^2
+    // bitCount scan with the canonical-bucket cap rule inlined.
+    val sketches: Seq[(Long, Long)] =
+      (1L to 1200L).map(k => (k, 0x1111222233334444L)) ++
+      (2001L to 2900L).map(k => (k, 0x1111222233334445L)) ++ // hamming 1
+      Seq((5001L, 0x1111222233730444L),  // hamming 3 from cluster A
+          (5002L, 0x5555666677778888L), (5003L, 0x5555666677778889L),
+          (5004L, 0x0F0F0E0E0D0D0C0CL), (5005L, 0x726AB1C29D34E5F6L))
+    val df = sketches.toDF("k", "h")
+    val got = Dedup.hammingNearDups(df, "k", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byBlockCount = sketches.flatMap { case (_, h) =>
+      (0 until 4).map(b => (b, (h >>> (b * 16)) & 0xFFFFL))
+    }.groupBy(identity).map { case (bv, xs) => bv -> xs.size }
+    def firstAgree(x: Long): Int =
+      (0 until 4).find(i => ((x >>> (i * 16)) & 0xFFFFL) == 0L).getOrElse(4)
+    val want = (for {
+      (ka, ha) <- sketches
+      (kb, hb) <- sketches
+      if ka < kb
+      x = ha ^ hb
+      hm = java.lang.Long.bitCount(x)
+      if hm <= 3
+      c = firstAgree(x)
+      if byBlockCount((c, (ha >>> (c * 16)) & 0xFFFFL)) <= 100000
+    } yield (ka, kb, hm.toLong)).toSet
+    assert(got == want,
+      s"missed ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
+  }
+
   test("embedding near-dups (multi-table LSH) match the exact pair set") {
     val e = Tables.embeddings(spark, sf0001)
     val exact = {
