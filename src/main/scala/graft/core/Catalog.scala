@@ -1312,10 +1312,13 @@ class Collection private[core] (
     val (negWords, posWords) = words.partition(w => w.length > 1 && w.startsWith("-"))
     require(posWords.nonEmpty,
       "keyword search requires at least one non-excluded query term")
-    val analyzer =
-      if (hasKeywordIndex(column))
-        graft.search.Keyword.analyzerOf(spark, keywordIndexDir(column))
-      else graft.search.Analyzer.Whitespace
+    // ONE stats read for analyzer + bucket count (the searchKeywordFuzzy
+    // discipline — each head() on the one-row stats table is a job)
+    val meta = if (hasKeywordIndex(column))
+      Some(graft.search.Keyword.storedMeta(spark, keywordIndexDir(column)))
+    else None
+    val analyzer = meta.fold(graft.search.Analyzer.Whitespace: graft.search.Analyzer)(
+      m => graft.search.Analyzer.fromId(m._2))
     val terms = analyzer.queryTokens(posWords.mkString(" "))
     val mustNot = analyzer.queryTokens(negWords.map(_.drop(1)).mkString(" "))
     // a non-empty query whose every term the index's analyzer filters
@@ -1324,8 +1327,8 @@ class Collection private[core] (
     if (terms.isEmpty)
       return df.select(col(column).as("content"), col(KeyCol).as("key"),
         lit(0.0).as("score")).limit(0)
-    fetchHits(keywordHits(column, terms, limit, requireAll, after, mustNot),
-      column)
+    fetchHits(keywordHits(column, terms, limit, requireAll, after, mustNot,
+      nBuckets = meta.map(_._1)), column)
   }
 
   /** The column's live vocabulary `(tok, df)` — off the keyword index's
@@ -1365,29 +1368,30 @@ class Collection private[core] (
     val (negWords, posWords) = words.partition(w => w.length > 1 && w.startsWith("-"))
     require(posWords.nonEmpty,
       "keyword search requires at least one non-excluded query term")
-    val analyzer =
-      if (hasKeywordIndex(column))
-        graft.search.Keyword.analyzerOf(spark, keywordIndexDir(column))
-      else graft.search.Analyzer.Whitespace
+    // ONE stats read serves both the analyzer and the bucket count the
+    // indexed search needs (each head() is a scheduled job on the query
+    // path — reading the same one-row table twice was pure job tax)
+    val meta = if (hasKeywordIndex(column))
+      Some(graft.search.Keyword.storedMeta(spark, keywordIndexDir(column)))
+    else None
+    val analyzer = meta.fold(graft.search.Analyzer.Whitespace: graft.search.Analyzer)(
+      m => graft.search.Analyzer.fromId(m._2))
     val terms = analyzer.queryTokens(posWords.mkString(" "))
     val mustNot = analyzer.queryTokens(negWords.map(_.drop(1)).mkString(" "))
     if (terms.isEmpty)
       return df.select(col(column).as("content"), col(KeyCol).as("key"),
         lit(0.0).as("score")).limit(0)
-    val vocab = keywordVocab(column).localCheckpoint(true)
-    val present = vocab.filter(col("tok").isin(terms: _*))
-      .select(col("tok")).collect().map(_.getString(0)).toSet // <= |terms| rows
-    val corrected = terms.flatMap { t =>
-      if (present(t)) Some(t)
-      else if (t.length < 3) None // cannot trigram; drop
-      else graft.search.Fuzzy.vocabMatch(vocab, t, k = 1, maxDist)
-        .collect().headOption.map(_.getString(0)) // bounded: 1 row
-    }.distinct.filterNot(mustNot.contains)
+    // presence check + every absent term's best correction in ONE job
+    // (the vocabulary is consumed once, so no checkpoint either);
+    // semantics pinned inside resolveTerms
+    val resolved = graft.search.Fuzzy.resolveTerms(
+      keywordVocab(column).select(col("tok")), terms, maxDist)
+    val corrected = terms.flatMap(resolved.get).distinct.filterNot(mustNot.contains)
     if (corrected.isEmpty)
       return df.select(col(column).as("content"), col(KeyCol).as("key"),
         lit(0.0).as("score")).limit(0)
     fetchHits(keywordHits(column, corrected, limit, requireAll,
-      after = None, mustNot = mustNot), column)
+      after = None, mustNot = mustNot, nBuckets = meta.map(_._1)), column)
   }
 
   /** Hybrid retrieval: RRF fusion of the dense page ([[search]]'s
@@ -1413,12 +1417,13 @@ class Collection private[core] (
   private def keywordHits(column: String, terms: Seq[String], limit: Int,
                           requireAll: Boolean = false,
                           after: Option[(Double, Long)] = None,
-                          mustNot: Seq[String] = Nil): DataFrame = {
+                          mustNot: Seq[String] = Nil,
+                          nBuckets: Option[Int] = None): DataFrame = {
     val hits =
       if (hasKeywordIndex(column))
         graft.search.Keyword.searchIndex(spark, keywordIndexDir(column),
           terms, limit, requireAll = requireAll, after = after,
-          mustNot = mustNot)
+          mustNot = mustNot, nBuckets = nBuckets)
       else
         graft.search.Keyword.bm25TopK(df, terms, limit, idCol = KeyCol,
           textCol = column, requireAll = requireAll, after = after,

@@ -53,24 +53,34 @@ object ConnectedComponents {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
-    // seed each node with min(self, neighbors) — the first propagation
-    // round folded into the node-list aggregation itself (same shuffle
-    // that a distinct() would cost). Pair components (the overwhelming
-    // near-dup case) are final after this seed, so the loop below runs
-    // exactly one confirming round instead of propagate + confirm.
-    var lab = sym.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("label"))
-      .localCheckpoint(true)
     // DECIMAL(38,0) sum: exact (no f64 rounding), never overflows
     // (10^10 nodes x 2^63-magnitude hashed ids ~ 1e29 << 1e38), and —
     // unlike a LongType sum under Spark 4's default ANSI mode — never
     // throws on large ids. Null sum == empty edge list: a clean corpus
     // has zero near-dup pairs, return the empty labeling rather than NPE.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(org.apache.spark.sql.functions.sum(
-        col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var sum = labelSum(lab)
+    //
+    // The sum rides the checkpoint job as an OBSERVED metric
+    // (CollectMetrics fires during localCheckpoint's materializing
+    // action — probed), so each round schedules ONE job where a
+    // separate `agg(sum)` action used to double the round count; at
+    // fixture scale the loop's cost IS its scheduled-job count.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs,
+          org.apache.spark.sql.functions.sum(
+            col("label").cast("decimal(38,0)")).as("ls"))
+        .localCheckpoint(true)
+      (ck, obs.get("ls").asInstanceOf[java.math.BigDecimal])
+    }
+    // seed each node with min(self, neighbors) — the first propagation
+    // round folded into the node-list aggregation itself (same shuffle
+    // that a distinct() would cost). Pair components (the overwhelming
+    // near-dup case) are final after this seed, so the loop below runs
+    // exactly one confirming round instead of propagate + confirm.
+    var (lab, sum) = checkpointWithSum(
+      sym.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("label")))
     if (sum == null) return lab.select(col("node"), col("label").as("comp"))
     var it = 0
     var converged = false
@@ -89,8 +99,8 @@ object ConnectedComponents {
       // converge there from the seed alone, so the common case never
       // pays the extra join — only graphs still open after round 1
       // (deep chains) buy the doubling.
-      val next =
-        if (it == 0) prop.localCheckpoint(true)
+      val (next, nextSum) =
+        if (it == 0) checkpointWithSum(prop)
         else {
           // materialize BEFORE the self-join: a lazy prop would embed the
           // propagation subtree twice in the jump plan and re-run its
@@ -106,12 +116,11 @@ object ConnectedComponents {
           val j1 = p.join(parent, col("label") === col("p_node"), "left")
             .select(col("node"),
               least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
-          j1.join(parent, col("label") === col("p_node"), "left")
-            .select(col("node"),
-              least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
-            .localCheckpoint(true)
+          checkpointWithSum(
+            j1.join(parent, col("label") === col("p_node"), "left")
+              .select(col("node"),
+                least(col("label"), coalesce(col("p_label"), col("label"))).as("label")))
         }
-      val nextSum = labelSum(next)
       converged = nextSum.compareTo(sum) == 0
       sum = nextSum
       lab = next

@@ -115,6 +115,15 @@ object NgramLm {
   def perplexityBands(docs: DataFrame, keyCol: String, textCol: String,
                       groupCol: String, addK: Double = 1.0): DataFrame = {
     val xent = bigramCrossEntropy(docs, keyCol, textCol, addK)
+    // NOT materialized, deliberately (round 12): `scored` feeds both the
+    // stats aggregate and the band join, so a full evaluation runs the
+    // LM pipeline twice (24 corpus scans in the q208 plan; an eager
+    // localCheckpoint cuts it to 4 and took q208 3.05 -> 2.65s) — but
+    // the checkpoint barrier also blocks Catalyst's column pruning, and
+    // consumers that never read the scores (count-style actions — q193's
+    // bench shape) pay the full fold both engines would otherwise prune
+    // (measured 0.47 -> 2.70s). Lazy keeps cheap consumers cheap; heavy
+    // consumers should checkpoint the OUTPUT if they reuse it.
     val scored = docs.select(col(keyCol), col(groupCol))
       .join(xent, Seq(keyCol))
       .withColumn("__m", round(col("xent2") * 1e6).cast("long"))

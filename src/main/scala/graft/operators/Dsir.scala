@@ -76,7 +76,14 @@ object Dsir {
     val tf = bi.groupBy(col(keyCol), col("slot"))
       .agg(count(lit(1)).as("tf"), first(col("is_t")).as("is_t"))
     // both models in ONE pass: raw counts everywhere, target counts
-    // where the predicate held — partial-agg combines map-side
+    // where the predicate held — partial-agg combines map-side.
+    // NOT materialized, deliberately (round 12): an eager checkpoint of
+    // the bounded model table halves the PLAN's scan count (10 -> 6)
+    // but measured flat on q135 (runtime ReusedExchange already dedups
+    // the tf aggregation) and regressed q134 0.5 -> 1.4s — a consumer
+    // that never reads lwt gets the whole scoring join ELIMINATED
+    // (left-join cardinality preservation), which an eager barrier
+    // forfeits.
     val model = tf.groupBy(col("slot")).agg(
       sum(col("tf")).as("r"),
       sum(when(col("is_t"), col("tf")).otherwise(lit(0L))).as("t"))

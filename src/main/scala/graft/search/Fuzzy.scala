@@ -100,4 +100,42 @@ object Fuzzy {
                  maxDist: Int = 3,
                  analyzer: Analyzer = Analyzer.Whitespace): DataFrame =
     vocabMatch(vocab(docs, idCol, textCol, analyzer), term, k, maxDist)
+
+  /** Resolve EVERY query term in ONE Spark job: a present term maps to
+    * itself, an absent term of >= 3 chars to its best [[vocabMatch]]
+    * candidate (min (edit distance, token), same trigram-or-short-token
+    * candidate gate), an absent shorter term to nothing. Semantics are
+    * exactly the per-term chain `if present -> term else vocabMatch(term,
+    * k = 1)` that [[graft.core.Catalog.searchKeywordFuzzy]] used to run —
+    * which cost one presence collect plus one job PER absent term; this
+    * is one vocabulary pass total (the vocab frame is consumed once, so
+    * the caller needs no checkpoint either). Returns term -> resolved
+    * token for the terms that survive.
+    */
+  def resolveTerms(vocabToks: DataFrame, terms: Seq[String],
+                   maxDist: Int): Map[String, String] = {
+    require(terms.nonEmpty, "resolveTerms: empty term list")
+    val spark = vocabToks.sparkSession
+    import spark.implicits._
+    val termDf = terms.distinct.map(t => (t, trigramsOf(t))).toDF("term", "tg")
+    vocabToks.select(col("tok"))
+      .withColumn("vg", trigrams(col("tok")))
+      .crossJoin(broadcast(termDf))
+      // candidate gate, row-local: exact presence (any length), the
+      // short-vocab-token union (only meaningful for trigrammable
+      // terms), or a shared trigram; absent sub-trigram terms get no
+      // candidates and drop — all exactly vocabMatch's recall contract
+      .filter(col("tok") === col("term") ||
+        (length(col("tok")) < 3 && length(col("term")) >= 3) ||
+        arrays_overlap(col("vg"), col("tg")))
+      .withColumn("dist", levenshtein(col("tok"), col("term")))
+      // a present term is kept regardless of maxDist (its distance is 0
+      // anyway for any sane maxDist — spelled out for exactness)
+      .filter(col("tok") === col("term") || col("dist") <= maxDist)
+      .groupBy(col("term"))
+      .agg(min(struct(col("dist"), col("tok"))).as("m"))
+      .select(col("term"), col("m").getField("tok").as("tok"))
+      .collect() // bounded: <= |terms| rows
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
 }

@@ -746,9 +746,13 @@ object Keyword {
                   k1: Double = DefaultK1, b: Double = DefaultB,
                   requireAll: Boolean = false,
                   after: Option[(Double, Long)] = None,
-                  mustNot: Seq[String] = Nil): DataFrame = {
+                  mustNot: Seq[String] = Nil,
+                  nBuckets: Option[Int] = None): DataFrame = {
     val stored = spark.read.parquet(s"$dir/stats")
-    val nBuckets = stored.select(col("n_buckets")).head().getInt(0)
+    // a caller that already read the one-row stats table (storedMeta —
+    // the analyzer lives there too) passes the bucket count in; a bare
+    // call pays the head() job itself
+    val nB = nBuckets.getOrElse(stored.select(col("n_buckets")).head().getInt(0))
     // nullif guards the fully-erased index (n_docs = 0): no postings
     // survive to score anyway, but ANSI mode would fail the plan first
     val stats = stored.select(col("n_docs"),
@@ -757,7 +761,7 @@ object Keyword {
     val neg = mustNot.map(_.toLowerCase).distinct
     // excluded terms' postings live in their own buckets — read those
     // too (still O(query+mustNot buckets), never the whole postings log)
-    val buckets = (qt ++ neg).map(tokenBucket(_, nBuckets)).distinct
+    val buckets = (qt ++ neg).map(tokenBucket(_, nB)).distinct
     val postings = netPostingsOf(
         spark.read.parquet(s"$dir/postings")
           .filter(col("bucket").isin(buckets: _*)))
