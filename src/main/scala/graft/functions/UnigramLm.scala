@@ -40,10 +40,16 @@ object UnigramLm {
       i => transform(
         sequence(lit(1), least(lit(maxLen), length(w) - i + 1)),
         l => w.substr(i, l))))
+    // aggregate to DISTINCT words first (the q143 BPE wordFreqs
+    // discipline): a word occurring f times contributes its substring
+    // multiset f times, so summing f over the distinct-word explode
+    // equals counting the occurrence explode exactly (integers) while
+    // the substring blowup runs over the vocabulary, not the corpus.
     docs.select(explode(cleanTokens(col(textCol))).as("__w"))
-      .select(explode(subs).as("token"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .select(col("__f"), explode(subs).as("token"))
       .filter(length(col("token")) >= 2)
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("token")).agg(sum(col("__f")).as("cnt"))
   }
 
   /** Seed-vocabulary selection: the top-`n` candidates by compression

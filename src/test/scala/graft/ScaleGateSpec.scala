@@ -74,9 +74,26 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(v.red.size === 1)
   }
 
-  test("anti-vacuity: the margin and ceilings are sane") {
+  test("absolute band: a pinned-width twin is judged on sf1.0 seconds, not ratio") {
+    val (q, band) = ScaleGate.AbsoluteBands.head
+    // a monstrous RATIO under the band stays green (the 1.2s denominator
+    // must not be able to redden a constant-volume twin)...
+    val ok = ScaleGate.adjudicate(
+      Map(q -> 0.5), Map.empty, Map(q -> (band - 1.0)), Map.empty)
+    assert(ok.red === Nil)
+    // ...and a modest ratio ABOVE the band goes red
+    val bad = ScaleGate.adjudicate(
+      Map(q -> (band / 2.0)), Map.empty, Map(q -> (band + 5.0)), Map.empty)
+    assert(bad.red.exists(r => r.startsWith(q) && r.contains("band")))
+  }
+
+  test("anti-vacuity: the margin, ceilings and bands are sane") {
     assert(ScaleGate.Margin > 1.0 && ScaleGate.Margin < 3.0)
     assert(ScaleGate.PinnedCeilings.values.forall(c => c >= ScaleGate.DefaultCeiling))
     assert(ScaleGate.ExpectedRefusals.size === 6)
+    assert(ScaleGate.AbsoluteBands.keySet.intersect(
+      ScaleGate.PinnedCeilings.keySet).isEmpty,
+      "a query must have exactly one adjudication rule")
+    assert(ScaleGate.AbsoluteBands.values.forall(b => b > 10.0 && b < 300.0))
   }
 }
